@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import Q.{dec2, dsum}
+
+/** Relational operator inventory (SURVEY.md §2) expressed over the
+  * testdata star schema. Each entry exercises one reference operator
+  * class — scans, projections/filters, joins, aggregations, windows, set
+  * ops, sinks-as-queries — with an exact DuckDB oracle.
+  *
+  * Scale notes are inline: every query is a single declarative plan so
+  * Catalyst pushes filters/pruning into the parquet scan; dimension sides
+  * of joins are broadcast; aggregates are partial (map-side) by
+  * construction.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Aggregation core (reference A-group; TPC-H Q1 shape) ----------
+    // groupBy+agg: partial aggregation map-side, one shuffle on the (low
+    // cardinality) group key — scales linearly with input.
+    Q("q1_agg",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            dsum($"l_quantity").as("sum_qty"),
+            dsum($"l_extendedprice").as("sum_base_price"),
+            sum(dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape; §3.1 lifecycle) -----
+    // customer is the small side → broadcast; lineitem⋈orders shuffles on
+    // the join key once; top-k is a global sort of an already-aggregated
+    // (small) result.
+    Q("q3_join_topk",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey", $"o_orderdate")
+          .agg(sum(dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount")))
+            .cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    // ---- P1/P6/P13: rename + projection subset + filter ----------------
+    // Column pruning + predicate pushdown reach the parquet scan.
+    Q("p1_rename_project",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_quantity" > 45)
+          .select(
+            $"l_orderkey".as("order_key"),
+            $"l_linenumber".as("line_number"),
+            $"l_partkey".as("part_key"),
+            $"l_quantity".as("qty"),
+            $"l_returnflag".as("return_flag"))
+          .orderBy($"order_key", $"line_number")
+          .limit(200)
+      },
+      Some("""SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+        l_partkey AS part_key, l_quantity AS qty, l_returnflag AS return_flag
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY order_key, line_number LIMIT 200""")),
+
+    // ---- P2: literal substring replace (ref: full-width-minus strip) ---
+    Q("p2_replace",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select($"doc_id", regexp_replace($"text", "spark", "flink").as("text2"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, replace(text, 'spark', 'flink') AS text2
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- P3/P4/P5: safe numeric cast (coerce→null) + null flag + guard --
+    // Reference splits a mixed string column into (value, value_text,
+    // is_numeric) — data_mapper.py:40-47.
+    Q("p3_safe_cast",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .withColumn("k_num",
+            expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) AS BIGINT)"))
+          .withColumn("is_numeric", $"k_num".isNotNull)
+          .withColumn("k_text", when(!$"is_numeric", $"props"))
+          .select($"event_id", $"k_num", $"is_numeric", $"k_text")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_num,
+        TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NOT NULL AS is_numeric,
+        CASE WHEN TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) IS NULL THEN props END AS k_text
+        FROM events ORDER BY event_id""")),
+
+    // ---- P8: regex rlike row filter -------------------------------------
+    Q("p8_rlike",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .filter($"text".rlike("hash (join|scan)"))
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE regexp_matches(text, 'hash (join|scan)')
+        ORDER BY doc_id""")),
+
+    // ---- P11/P12: conditional expression + IN-list filter ---------------
+    Q("p11_case_isin",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "customer")
+          .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+          .select(
+            $"c_custkey",
+            when($"c_acctbal" < 0, "negative")
+              .when($"c_acctbal" < 5000, "mid")
+              .otherwise("high").as("band"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'negative'
+             WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band
+        FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        ORDER BY c_custkey""")),
+
+    // ---- J1: fact⋈dim broadcast join + IN-list ---------------------------
+    // part is a dimension (200 rows at sf0.001, ~2M at 100 TB — still
+    // broadcastable); fact side streams, no shuffle.
+    Q("j1_bcast_join",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+          .filter($"p_brand".isin("Brand#1", "Brand#2", "Brand#3"))
+        t(s, dir, "lineitem")
+          .join(broadcast(p), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- J2/W2: join + ordered scan (time series read path) -------------
+    Q("j2_join_sort",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").filter($"c_mktsegment" === "MACHINERY")
+        t(s, dir, "orders")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+          .orderBy($"c_custkey", $"o_orderdate", $"o_orderkey")
+          .limit(500)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY c_custkey, o_orderdate, o_orderkey LIMIT 500""")),
+
+    // ---- J5: existence probe as one anti-join (kills the ref's N+1) -----
+    Q("j5_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").select($"o_custkey".as("c_custkey"))
+        t(s, dir, "customer")
+          .join(o, Seq("c_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- semi join (EXISTS form) ----------------------------------------
+    Q("j6_semi_join",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("c_custkey"))
+        t(s, dir, "customer")
+          .join(o, Seq("c_custkey"), "left_semi")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        ORDER BY c_custkey""")),
+
+    // ---- left outer join + agg ------------------------------------------
+    Q("j7_outer_join_agg",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        t(s, dir, "customer")
+          .join(o, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            dsum($"o_totalprice").as("total_spend"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- A1: deterministic dedup-by-key (first-wins via window) ---------
+    // dropDuplicates is nondeterministic under parallelism; the engine's
+    // canonical dedup is row_number over an explicit order — same
+    // construct backs the S8 upsert-merge writer.
+    Q("a1_dedup_first",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type", $"value")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    // ---- A2: count-distinct ----------------------------------------------
+    Q("a2_count_distinct",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem").agg(
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        FROM lineitem""")),
+
+    // ---- A3: first-match coalesce over a priority list -------------------
+    // Reference walks candidate element_ids in order (financial_service
+    // _SUMMARY_ITEMS); here: preferred metric per user by event priority.
+    Q("a3_coalesce_priority",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .groupBy($"user_id")
+          .agg(
+            max(when($"event_type" === "purchase", $"value")).as("v_purchase"),
+            max(when($"event_type" === "click", $"value")).as("v_click"),
+            max(when($"event_type" === "view", $"value")).as("v_view"))
+          .select(
+            $"user_id",
+            coalesce($"v_purchase", $"v_click", $"v_view", lit(-1.0)).as("metric"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, COALESCE(
+          MAX(value) FILTER (WHERE event_type = 'purchase'),
+          MAX(value) FILTER (WHERE event_type = 'click'),
+          MAX(value) FILTER (WHERE event_type = 'view'), -1.0) AS metric
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- A4: EAV→wide pivot (bounded key set) -----------------------------
+    // Explicit pivot values keep the plan single-pass (no distinct-scan).
+    Q("a4_pivot",
+      (s, dir) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = t(s, dir, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(p)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type='click') AS click,
+        COUNT(*) FILTER (WHERE event_type='error') AS error,
+        COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+        COUNT(*) FILTER (WHERE event_type='signup') AS signup,
+        COUNT(*) FILTER (WHERE event_type='view') AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- A5: guarded ratio (profit-margin shape) --------------------------
+    Q("a5_guarded_ratio",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .groupBy($"l_orderkey")
+          .agg(
+            sum(dec2($"l_extendedprice")).as("base"),
+            sum(dec2($"l_extendedprice") * (lit(1) - dec2($"l_discount"))).as("disc"))
+          .select(
+            $"l_orderkey",
+            when($"base" =!= 0, $"disc".cast("double") / $"base".cast("double") * 100)
+              .as("disc_pct"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+        CASE WHEN base <> 0 THEN CAST(disc AS DOUBLE) / CAST(base AS DOUBLE) * 100 END AS disc_pct
+        FROM (SELECT l_orderkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS base,
+          SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS disc
+          FROM lineitem GROUP BY l_orderkey)
+        ORDER BY l_orderkey""")),
+
+    // ---- W1: top-1 per key ("latest report per company") ------------------
+    Q("w1_top1_per_key",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+          .orderBy($"o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // ---- W2+: lag + running sum (time-series extension, app.py:110 TODO) --
+    Q("w2_lag_running",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        t(s, dir, "orders")
+          .select(
+            $"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+            lag($"o_totalprice", 1).over(w).as("prev_price"),
+            sum(dec2($"o_totalprice"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_spend"))
+          .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // ---- U1: set ops (union / intersect / except, all DISTINCT semantics) -
+    Q("u1_setops",
+      (s, dir) => {
+        import s.implicits._
+        val a = t(s, dir, "orders").filter($"o_totalprice" > 400000)
+          .select($"o_custkey".as("custkey"))
+        val b = t(s, dir, "customer").filter($"c_acctbal" < 0)
+          .select($"c_custkey".as("custkey"))
+        a.union(b).distinct()
+          .except(a.intersect(b))
+          .orderBy($"custkey")
+      },
+      Some("""(SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+         UNION
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        EXCEPT
+        (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+         INTERSECT
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        ORDER BY custkey""")),
+
+    // ---- S8: upsert/merge as window-dedup (no MERGE on vanilla parquet) ---
+    // union(existing, updates) → keep highest-priority row per key. This is
+    // the exact construct Warehouse.upsert uses; here exposed as a query so
+    // the oracle can grade its semantics.
+    Q("s8_upsert_merge",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val existing = ev.filter($"event_id" < 5000)
+          .select($"event_id", $"value", lit(0).as("src"))
+        val updates = ev.filter($"event_id" >= 2500 && $"event_id" < 7500)
+          .select($"event_id", ($"value" * 2).as("value"), lit(1).as("src"))
+        val w = Window.partitionBy($"event_id").orderBy($"src".desc)
+        existing.union(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"value")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, value FROM (
+        SELECT event_id, value, src,
+          row_number() OVER (PARTITION BY event_id ORDER BY src DESC) AS rn
+        FROM (
+          SELECT event_id, value, 0 AS src FROM events WHERE event_id < 5000
+          UNION ALL
+          SELECT event_id, value * 2 AS value, 1 AS src FROM events
+          WHERE event_id >= 2500 AND event_id < 7500))
+        WHERE rn = 1 ORDER BY event_id""")),
+
+    // ---- S9: delete as anti-join -------------------------------------------
+    Q("s9_delete_antijoin",
+      (s, dir) => {
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val doomed = ev.filter($"event_type" === "error").select($"event_id")
+        ev.join(doomed, Seq("event_id"), "left_anti")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM events d
+          WHERE d.event_type = 'error' AND d.event_id = e.event_id)
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- F7: str(int(value)) truncation parity (data_mapper.py:89) --------
+    // Spark double→long cast truncates toward zero; DuckDB rounds — the
+    // oracle uses TRUNC to pin the reference's Python int() semantics.
+    Q("f7_trunc_string",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "events")
+          .select($"event_id",
+            $"value".cast("long").cast("string").as("value_str"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        CAST(CAST(TRUNC(value) AS BIGINT) AS VARCHAR) AS value_str
+        FROM events ORDER BY event_id"""))
+  )
+}

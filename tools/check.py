@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: read Verify.scala output
+(parquet per query + oracle_sql.json), run each oracle in DuckDB over the
+same sf-dir tables, compare values exactly (columns sorted by name, rows
+sorted). Usage: tools/check.py [verify_out] [sf_dir]
+"""
+import duckdb, glob, json, math, os, sys
+import pyarrow.parquet as pq
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for p in sorted(glob.glob(f"{sf}/*.parquet")):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v.hex()
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols2 = [cols[i] for i in order]
+    rows2 = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return cols2, rows2
+
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    tbl = pq.read_table(d)
+    gcols = list(tbl.schema.names)
+    grows = [tuple(r[c] for c in gcols) for r in tbl.to_pylist()]
+    if name not in oracle:
+        print(f"ROWS-ONLY {name}: {len(grows)} rows")
+        continue
+    try:
+        res = con.execute(oracle[name])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        n_fail += 1
+        continue
+    gc, gr = canon(gcols, grows)
+    oc, orw = canon(ocols, orows)
+    if gc != oc:
+        print(f"FAIL {name}: columns spark={gc} duckdb={oc}")
+        n_fail += 1
+    elif len(gr) != len(orw):
+        print(f"FAIL {name}: rowcount spark={len(gr)} duckdb={len(orw)}")
+        n_fail += 1
+    elif gr != orw:
+        bad = [i for i, (a, b) in enumerate(zip(gr, orw)) if a != b][:3]
+        print(f"FAIL {name}: {sum(a != b for a, b in zip(gr, orw))} row diffs; first at {bad}")
+        for i in bad:
+            print(f"  spark : {gr[i]}")
+            print(f"  duckdb: {orw[i]}")
+        n_fail += 1
+    else:
+        print(f"PASS {name}: {len(gr)} rows")
+        n_pass += 1
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
