@@ -1,0 +1,106 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{EdinetCsv, Warehouse}
+
+/** End-to-end ingest (reference lifecycle §3.2/§3.3): one distributed
+  * job replaces the per-document Python loop —
+  *
+  *   scan all CSVs (doc_id from path) → standardize (pure column ops)
+  *   → derive 3 dimension DataFrames + the fact DataFrame
+  *   → anti-join / window upserts → parquet warehouse.
+  *
+  * The reference's per-document flush()-for-keys transaction (§3.2c)
+  * disappears: surrogate keys are deterministic hashes of natural keys,
+  * so fact rows can be keyed WITHOUT first persisting the dims — the
+  * whole ingest is embarrassingly parallel per file and idempotent on
+  * retry (same input → same keys → upsert converges).
+  */
+class Ingest(spark: SparkSession, wh: Warehouse) {
+
+  /** Ingest every filing under `pathSpec`. Returns the quarantine
+    * DataFrame (docs whose required fields failed extraction —
+    * reference raises and aborts; we route and continue, strict=false).
+    */
+  def run(pathSpec: String, strict: Boolean = false): DataFrame = {
+    val staged = Standardize(EdinetCsv.readAuto(spark, pathSpec))
+    staged.persist()
+    try runStaged(staged, strict)
+    finally { staged.unpersist(); () }
+  }
+
+  def runStaged(staged: DataFrame, strict: Boolean): DataFrame = {
+    val now = current_timestamp()
+
+    val companyCand = Extract.companyCandidates(staged, strict)
+    val reportCand = Extract.reportCandidates(staged, strict)
+
+    // quarantine: any doc invalid in either extraction (F4 error channel)
+    val quarantine = companyCand.filter(col("_invalid"))
+      .select(col("doc_id"), lit("company").as("reason"))
+      .unionByName(reportCand.filter(col("_invalid"))
+        .select(col("doc_id"), lit("report").as("reason")))
+    val badDocs = quarantine.select("doc_id").distinct()
+
+    val goodCompany = companyCand.filter(!col("_invalid"))
+      .join(badDocs, Seq("doc_id"), "left_anti")
+    val goodReport = reportCand.filter(!col("_invalid"))
+      .join(badDocs, Seq("doc_id"), "left_anti")
+
+    // ---- companies dim: hash key on edinet_code, upsert-by-key -------
+    val companies = goodCompany.select(
+      wh.surrogateKey(col("edinet_code")).as("company_id"),
+      col("edinet_code"), col("security_code"), col("industry_code"),
+      col("company_name"), now.as("created_at"), now.as("updated_at"))
+      .dropDuplicates("company_id")
+    wh.upsert("companies", companies, Seq("company_id"))
+
+    // ---- items dim: global dedup across docs, first-wins; anti-join
+    // insert-if-absent replaces the reference's N+1 existence probes (J5)
+    val items = Extract.itemCandidates(staged).select(
+      wh.surrogateKey(col("element_id")).as("item_id"),
+      col("element_id"), col("item_name"), col("category"), col("unit_type"),
+      now.as("created_at"), now.as("updated_at"))
+      .dropDuplicates("item_id")
+    if (wh.exists("financial_items")) {
+      val existing = wh.read("financial_items").select("item_id")
+      wh.append("financial_items", items.join(existing, Seq("item_id"), "left_anti"))
+    } else wh.create("financial_items", items)
+
+    // ---- reports dim: key = hash(edinet_code, fiscal_year, quarter) --
+    val reports = goodReport
+      .join(goodCompany.select(col("doc_id"),
+        wh.surrogateKey(col("edinet_code")).as("company_id")), "doc_id")
+      .select(
+        wh.surrogateKey(concat_ws("|", col("company_id"),
+          col("fiscal_year"), col("quarter_type"))).as("report_id"),
+        col("doc_id"),
+        col("company_id"), col("document_type"), col("fiscal_year"),
+        col("quarter_type"),
+        to_date(col("fiscal_year_end"), "yyyy/M/d").as("fiscal_year_end"),
+        to_date(col("filing_date"), "yyyy/M/d").as("filing_date"),
+        now.as("created_at"), now.as("updated_at"))
+      .dropDuplicates("report_id")
+    wh.upsert("financial_reports", reports.drop("doc_id"), Seq("report_id"))
+
+    // ---- fact: join back the hash keys (a broadcast join replaces the
+    // reference's collected item_id_map dict, J4) --------------------
+    val fact = Extract.factRows(staged)
+      .join(badDocs, Seq("doc_id"), "left_anti")
+      .join(reports.select(col("doc_id"), col("report_id")), "doc_id")
+      .withColumn("item_id", wh.surrogateKey(col("element_id")))
+      .select(
+        wh.surrogateKey(concat_ws("|", col("report_id"), col("item_id"),
+          col("context_id"))).as("data_id"),
+        col("report_id"), col("item_id"), col("duration_type"),
+        col("context_id"), col("period_type"), col("consolidated_type"),
+        col("value").cast("decimal(20,0)").as("value"),
+        col("value_text"), col("is_numeric"),
+        now.as("created_at"), now.as("updated_at"))
+      .dropDuplicates("data_id")
+    wh.upsert("financial_data", fact, Seq("data_id"))
+
+    quarantine
+  }
+}

@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's flagship read path (§3.1): company → latest report →
+  * summary facts → pivot → candidate coalesce → guarded profit-margin
+  * ratios → million-yen scaling — as ONE lazy Catalyst plan instead of
+  * 3 round-trip SQL queries + driver-side dict math
+  * (financial_service.py:91-164).
+  *
+  * Shapes for scale: dims broadcast; the fact side is filtered by the
+  * 11 candidate element_ids before any shuffle (predicate reaches the
+  * parquet scan); the EAV→wide step is a bounded pivot (A4), and the
+  * "first matching candidate" walk is a coalesce over pivot columns in
+  * priority order (A3). `allCompanies` computes every company's summary
+  * in the same single plan — the per-key variant is just a filter on
+  * top, so the driver/Postgres N+1 of the reference disappears.
+  */
+object Summary {
+
+  /** Latest report per company. Reference quirk preserved: ordered by
+    * the STRING fiscal_year only, descending; quarter is NOT a
+    * tiebreak (financial_report_repository.py:17-24, W1) — ties beyond
+    * that resolved deterministically by report_id desc.
+    */
+  def latestReports(reports: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("company_id"))
+      .orderBy(col("fiscal_year").desc, col("report_id").desc)
+    reports.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  private def guardedRate(income: Column, netSales: Column): Column =
+    when(income.isNotNull && income =!= 0 && netSales.isNotNull && netSales =!= 0,
+      income / netSales * 100)
+
+  /** All-companies financial summary: one row per company with the
+    * latest report's KPIs. Joins are broadcast (dims are ~4k/~10k rows
+    * in the reference's sizing; at 100 TB the fact table is the only
+    * big side and it shuffles once on report_id for the pivot).
+    */
+  def allCompanies(
+      companies: DataFrame,
+      reports: DataFrame,
+      fact: DataFrame,
+      items: DataFrame): DataFrame = {
+
+    val candidateIds = Model.summaryItems.flatMap(_._2)
+
+    // fact ⋈ items (broadcast dim), filtered to the 11 candidate ids
+    // BEFORE the shuffle — the IN-list prunes at the scan.
+    val summaryFacts = fact
+      .join(broadcast(items.select(col("item_id"), col("element_id"))), "item_id")
+      .filter(col("element_id").isin(candidateIds: _*))
+
+    // EAV → wide: bounded pivot. Values are wrapped in a struct so a
+    // PRESENT-but-null observation is distinguishable from an ABSENT
+    // element — the reference's candidate walk stops at the first
+    // *present* key even when its value is None (dict membership,
+    // financial_service.py:84-88). When one element has rows in several
+    // contexts the reference keeps whichever the DB returned last
+    // (order-dependent dict build); we pin a deterministic rule
+    // instead: lexicographically-first context_id, which prefers
+    // Current* over Prior* contexts.
+    val wide = summaryFacts
+      .groupBy(col("report_id"))
+      .pivot("element_id", candidateIds)
+      .agg(min_by(struct(col("value").as("v")), col("context_id")))
+
+    // first-PRESENT-match walk per metric, in candidate priority order
+    val metrics = Model.summaryItems.foldLeft(wide) { case (df, (field, cands)) =>
+      val walk = cands.map(c => (col(s"`$c`").isNotNull, col(s"`$c`").getField("v")))
+        .foldRight(lit(null).cast("decimal(20,0)")) {
+          case ((present, v), els) => when(present, v).otherwise(els)
+        }
+      df.withColumn(field, walk)
+    }.select(col("report_id") +: Model.summaryItems.map(f => col(f._1)): _*)
+
+    val latest = latestReports(reports)
+
+    broadcast(companies.select(
+        col("company_id"), col("edinet_code"), col("company_name")))
+      .join(latest.select(col("company_id"), col("report_id"),
+        col("fiscal_year"), col("quarter_type")), "company_id")
+      .join(metrics, Seq("report_id"), "left")
+      .select(
+        col("edinet_code"), col("company_name"),
+        concat_ws(" ", col("fiscal_year"), col("quarter_type")).as("period_name"),
+        col("fiscal_year").cast("int").as("fiscal_year"),
+        col("quarter_type"),
+        // rates computed BEFORE the million-yen scaling, matching the
+        // reference's statement order
+        guardedRate(col("operating_income").cast("double"),
+          col("net_sales").cast("double")).as("operation_profit_rate"),
+        guardedRate(col("ordinary_income").cast("double"),
+          col("net_sales").cast("double")).as("ordinary_profit_rate"),
+        guardedRate(col("net_income").cast("double"),
+          col("net_sales").cast("double")).as("net_profit_rate"),
+        // /1e6 display scaling (reference does this unguarded and would
+        // raise on None; Spark null-propagates — documented difference)
+        (col("net_sales").cast("double") / 1000000).as("net_sales"),
+        (col("operating_income").cast("double") / 1000000).as("operating_income"),
+        (col("ordinary_income").cast("double") / 1000000).as("ordinary_income"),
+        (col("net_income").cast("double") / 1000000).as("net_income"))
+  }
+
+  /** Point lookup parity with get_financial_summary(edinet_code). */
+  def forCompany(
+      companies: DataFrame, reports: DataFrame, fact: DataFrame,
+      items: DataFrame, edinetCode: String): DataFrame =
+    allCompanies(companies, reports, fact, items)
+      .filter(col("edinet_code") === edinetCode)
+}

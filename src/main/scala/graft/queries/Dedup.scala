@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.TextOps
+import Text.{duckRollingHash, duckHash60, duckToks}
+
+/** Deduplication family over `documents`: exact content-hash dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash banding, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  * - exact dedup groups on md5(text) — fixed-width shuffle key instead
+  *   of the full document body.
+  * - n-gram Jaccard prunes stop-shingles (doc-freq cap) before the
+  *   shingle self-join, the standard guard against quadratic blowup on
+  *   boilerplate; the pair-join shuffles on the shingle key.
+  * - MinHash/LSH turns all-pairs O(n²) into per-band bucket joins;
+  *   SimHash banding gives *exact* recall for hamming ≤ 3 via the
+  *   pigeonhole principle (4 bands × 15 bits over a 60-bit hash).
+  * - embedding near-dup is blocked on `label` (a cluster/blocking key),
+  *   the same shape as an IVF/coarse-quantizer pre-partition.
+  */
+object Dedup {
+
+  private val P = 1000000007L
+
+  /** Deterministic MinHash permutation constants: a,b in [1, P), via a
+    * fixed LCG over the permutation index (engine-neutral, no RNG).
+    */
+  val NUM_PERM = 64
+  val permA: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 2654435761L + 1013904223L) % P)
+  val permB: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 1779033703L + 2246822519L) % P)
+
+  /** Shared: doc_id + distinct 3-gram shingles. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.distinctShingles($"text", 3).as("shs"))
+  }
+
+  /** Shared: exact-Jaccard confirm over candidate (a_id, b_id) pairs. */
+  private def confirmJaccard(s: SparkSession, dir: String, pairs: DataFrame, tau: Double): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    pairs
+      .join(sh.select($"doc_id".as("a_id"), $"shs".as("a_shs")), "a_id")
+      .join(sh.select($"doc_id".as("b_id"), $"shs".as("b_shs")), "b_id")
+      .select($"a_id", $"b_id",
+        size(array_intersect($"a_shs", $"b_shs")).cast("long").as("inter"),
+        size($"a_shs").cast("long").as("na"), size($"b_shs").cast("long").as("nb"))
+      .select($"a_id", $"b_id", $"inter",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= tau)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Oracle SQL for exact 3-gram Jaccard pairs at threshold tau with a
+    * stop-shingle doc-frequency cap — shared by d2 (direct
+    * implementation) and d3 (MinHash/LSH path, which is exact-recall on
+    * this corpus and post-confirmed with true Jaccard).
+    */
+  private def jaccardOracle(tau: String, dfCap: Int): String =
+    s"""WITH sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+        ELSE list_transform(range(1, len(toks)-1),
+          i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS shs
+      FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+    ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+    kept AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $dfCap),
+    ex2 AS (SELECT doc_id, sh FROM ex JOIN kept USING (sh)),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM ex2 a JOIN ex2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(shs) AS n FROM sh)
+    SELECT a_id, b_id, inter,
+      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $tau
+    ORDER BY a_id, b_id"""
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on content digest -------------------
+    // Corpus = documents ∪ shifted copy of the first 100 docs, so the
+    // operator has real duplicate groups to collapse.
+    Q("d1_exact_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val corpus = d.union(
+          d.filter($"doc_id" < 100).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        corpus
+          .groupBy(md5($"text".cast("binary")).as("content_hash"))
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS n_copies
+        FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100)
+        GROUP BY 1 ORDER BY keep_id""")),
+
+    // ---- n-gram Jaccard near-dup pairs (exact, shingle self-join) ------
+    Q("d2_ngram_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingled(s, dir)
+        val ex = sh.select($"doc_id", explode($"shs").as("sh"))
+        // stop-shingle cap: shingles in >100 docs are boilerplate; also
+        // singleton shingles can never produce a pair.
+        val df = Window.partitionBy($"sh")
+        val ex2 = ex.withColumn("df", count(lit(1)).over(df))
+          .filter($"df" >= 2 && $"df" <= 100).drop("df")
+        val pairs = ex2.select($"doc_id".as("a_id"), $"sh")
+          .join(ex2.select($"doc_id".as("b_id"), $"sh"), "sh")
+          .filter($"a_id" < $"b_id")
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        val sz = sh.select($"doc_id", size($"shs").cast("long").as("n"))
+        pairs
+          .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+          .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+          .select($"a_id", $"b_id", $"inter",
+            ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(jaccardOracle("0.5", 100))),
+
+    // ---- MinHash + LSH banding → candidates → exact-Jaccard confirm ----
+    // 64 permutations, 16 bands × 4 rows; post-confirmation makes the
+    // output equal to d2's exact pairs whenever LSH recall is 1 (holds
+    // on this corpus; at scale the confirm step bounds false positives
+    // and the banding bounds the candidate count).
+    Q("d3_minhash_lsh",
+      (s, dir) => {
+        import s.implicits._
+        // shingle fingerprints, exploded: the scalable MinHash shape is
+        // explode → codegen'd hash-aggregate, NOT per-row array lambdas
+        // (interpreted higher-order functions are off the hot path).
+        val ex = shingled(s, dir)
+          .select($"doc_id", explode($"shs").as("sh"))
+          .select($"doc_id", TextOps.rollingHash($"sh").as("fp"))
+        // 64 permutations h_i(x) = (a_i*x + b_i) mod P with a_i, b_i
+        // derived arithmetically from the permutation index (no lookup
+        // table in the inner loop); min per (doc, perm).
+        val mh = ex
+          .select($"doc_id", $"fp", explode(sequence(lit(0), lit(NUM_PERM - 1))).as("perm"))
+          .select($"doc_id", $"perm",
+            (((($"perm" + 1) * lit(2654435761L) + lit(1013904223L)) % P * $"fp"
+              + (($"perm" + 1) * lit(1779033703L) + lit(2246822519L)) % P) % P).as("h"))
+          .groupBy($"doc_id", $"perm").agg(min($"h").as("mh"))
+        // 16 bands × 4 rows: band key = ordered concat of the band's mins
+        val bands = mh
+          .withColumn("band", ($"perm" / 4).cast("int"))
+          .groupBy($"doc_id", $"band")
+          .agg(concat_ws(",", transform(array_sort(collect_list(struct($"perm", $"mh"))),
+            t => t.getField("mh").cast("string"))).as("bkey"))
+        val cands = bands.select($"doc_id".as("a_id"), $"band", $"bkey")
+          .join(bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id").distinct()
+        confirmJaccard(s, dir, cands, 0.5)
+      },
+      Some(jaccardOracle("0.5", 100))),
+
+    // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
+    Q("d4_simhash",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").createOrReplaceTempView("documents_v")
+        s.sql(s"""
+          WITH toks AS (
+            SELECT doc_id, explode(filter(split(text, ' '), t -> t <> '')) AS tok
+            FROM documents_v),
+          h AS (
+            SELECT doc_id,
+              aggregate(transform(sequence(1, length(tok)),
+                  i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + c) % 1000000007)
+              + aggregate(transform(sequence(1, length(tok)),
+                  i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+                CAST(0 AS BIGINT), (acc, c) -> (acc * 137 + c) % 998244353)
+                * CAST(1073741824 AS BIGINT) AS h64
+            FROM toks),
+          bits AS (
+            SELECT doc_id, j,
+              SUM(CASE WHEN (shiftright(h64, j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+            FROM h LATERAL VIEW explode(sequence(0, 59)) AS j
+            GROUP BY doc_id, j),
+          sh AS (
+            SELECT doc_id,
+              SUM(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
+            FROM bits GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, simhash, b,
+              (shiftright(simhash, b * 15) & 32767) AS bval
+            FROM sh LATERAL VIEW explode(sequence(0, 3)) AS b),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+              a.simhash AS sa, b.simhash AS sb
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+          SELECT a_id, b_id, CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(sa ^ sb) <= 3
+          ORDER BY a_id, b_id""")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+        h AS (SELECT doc_id, ${duckHash60("tok")} AS h64 FROM toks),
+        bits AS (
+          SELECT doc_id, j,
+            SUM(CASE WHEN (h64 >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+            SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS simhash
+          FROM bits GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, simhash, b,
+            (simhash >> CAST(b * 15 AS INTEGER)) & 32767 AS bval
+          FROM sh CROSS JOIN range(4) r(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+            a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY a_id, b_id""")),
+
+    // ---- embedding-cosine near-dup, blocked on label -------------------
+    Q("d5_embedding_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"label", $"embedding",
+            TextOps.norm($"embedding").as("nrm"))
+        val a = e.select($"label", $"vec_id".as("a_id"),
+          $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+        val b = e.select($"label", $"vec_id".as("b_id"),
+          $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+        a.join(b, "label")
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id",
+            (TextOps.dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm")).as("cos"))
+          .filter($"cos" >= 0.35)
+          .orderBy($"a_id", $"b_id")
+      },
+      Some("""WITH n AS (
+          SELECT vec_id, label, embedding,
+            sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+              (a,b) -> a+b)) AS nrm
+          FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          list_reduce(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x,y) -> x+y) / (a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+            (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.35
+        ORDER BY a_id, b_id"""))
+  )
+}

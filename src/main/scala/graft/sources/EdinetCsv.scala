@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.io.InputStream
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Model
+
+/** Distributed scan of EDINET XBRL-to-CSV filings (reference:
+  * utils/api.py:96-139, scripts/bypass_import_csv.py:57-78 — S3/S4/S5).
+  *
+  * The reference loops file-by-file with runtime chardet sniffing; here
+  * ONE distributed CSV scan per physical encoding variant replaces the
+  * loop, with `input_file_name()` as the document key (S5) and file row
+  * order captured so downstream "first match wins" extraction is
+  * deterministic.
+  *
+  * Two physical variants, same logical schema (FIXTURES.md §1):
+  *  - raw downloads: UTF-16LE, tab-delimited, quoted
+  *  - golden files:  UTF-8 with BOM, comma-delimited
+  * A cheap driver-side BOM sniff on the first file picks the variant;
+  * mixed directories are read as two scans unioned (encoding is a
+  * per-scan option, not per-file — so group by variant, not per-file
+  * Python loops).
+  */
+object EdinetCsv {
+
+  sealed trait Variant { def encoding: String; def sep: String }
+  case object Utf16Tab extends Variant { val encoding = "UTF-16LE"; val sep = "\t" }
+  case object Utf8Comma extends Variant { val encoding = "UTF-8"; val sep = "," }
+
+  /** Sniff the BOM / encoding of one file (driver-side, reads 4 bytes —
+    * the distributed analogue of the reference's full-file
+    * chardet.detect).
+    */
+  def sniff(spark: SparkSession, file: String): Variant = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var in: InputStream = null
+    try {
+      in = fs.open(path)
+      val head = new Array[Byte](4)
+      val n = in.read(head)
+      if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) Utf16Tab
+      // UTF-16LE without BOM: ASCII-range chars put 0x00 in odd bytes
+      else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab
+      else Utf8Comma
+    } finally if (in != null) in.close()
+  }
+
+  /** One distributed scan of a glob/dir of filings in a single physical
+    * variant. Adds `doc_id` (parent directory name = EDINET document
+    * id, from input_file_name) and `_rid` (per-file row order).
+    */
+  def read(spark: SparkSession, pathSpec: String, variant: Variant): DataFrame = {
+    val raw = spark.read
+      .schema(Model.rawSchema)
+      .option("header", "true")
+      .option("sep", variant.sep)
+      .option("encoding", variant.encoding)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("mode", "PERMISSIVE")
+      .csv(pathSpec)
+    // doc key: .../download/{doc_id}/XBRL_TO_CSV/file.csv → {doc_id};
+    // falls back to the file name for flat layouts.
+    val file = input_file_name()
+    val segs = split(file, "/")
+    val docFromDir = when(size(segs) >= 3, element_at(segs, -3))
+      .otherwise(element_at(segs, -1))
+    raw
+      .withColumn("doc_id", docFromDir)
+      .withColumn("_rid", monotonically_increasing_id())
+  }
+
+  /** Convenience: sniff the first matching file, then scan. */
+  def readAuto(spark: SparkSession, pathSpec: String): DataFrame = {
+    val path = new Path(pathSpec)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var first: Option[String] = None
+    while (first.isEmpty && it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".csv")) first = Some(f.getPath.toString)
+    }
+    val variant = first.map(sniff(spark, _)).getOrElse(Utf8Comma)
+    read(spark, pathSpec, variant)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.etl.{Extract, Ingest, Model, Standardize, Summary}
+import graft.sources.Warehouse
+
+/** Golden-path ETL tests mirroring the reference's mapping/service test
+  * expectations (tests/test_mapping.py:102-290,
+  * tests/test_data_mapper.py:26-60, financial_service.py:109-164) on a
+  * synthetic filing fixture.
+  */
+class EtlSpec extends SparkSpec {
+
+  import org.apache.spark.sql.DataFrame
+
+  /** A minimal filing in the standardized-input shape: cover-page
+    * fields + a handful of financial rows (FIXTURES.md §1 fixture
+    * profile). Values are the raw strings a CSV scan would produce.
+    */
+  private def rawFixture(docId: String = "DOC001",
+                         period: String = "第121期 第３四半期(自  2023年10月１日  至  2023年12月31日)",
+                         netSales: String = "43858000000"): DataFrame = {
+    val rows = Seq(
+      // (element_id, item_name_jp, context_id, fy_rel, consolidated, period_type, unit_id, unit_name, value)
+      ("jpdei_cor:EDINETCodeDEI", "EDINETコード、DEI", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "E00000"),
+      ("jpdei_cor:SecurityCodeDEI", "証券コード、DEI", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "99999"),
+      ("jpcrp_cor:CompanyNameCoverPage", "会社名、表紙", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "テスト株式会社"),
+      ("jpcrp_cor:DocumentTitleCoverPage", "文書名、表紙", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "四半期報告書"),
+      ("jpcrp_cor:QuarterlyAccountingPeriodCoverPage", "四半期会計期間、表紙", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", period),
+      ("jpdei_cor:CurrentPeriodEndDateDEI", "当会計期間終了日、DEI", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "2023/12/31"),
+      ("jpcrp_cor:FilingDateCoverPage", "提出日、表紙", "FilingDateInstant", "提出日時点", "その他", "時点", "－", "", "2024/2/9"),
+      ("jppfs_cor:NetSales", "売上高", "CurrentYTDDuration", "当四半期累計期間", "連結", "期間", "JPY", "円", netSales),
+      ("jppfs_cor:OperatingIncome", "営業利益", "CurrentYTDDuration", "当四半期累計期間", "連結", "期間", "JPY", "円", "8771600000"),
+      ("jppfs_cor:OrdinaryIncome", "経常利益", "CurrentYTDDuration", "当四半期累計期間", "連結", "期間", "JPY", "円", "9000000000"),
+      ("jppfs_cor:ProfitLoss", "当期純利益", "CurrentYTDDuration", "当四半期累計期間", "連結", "期間", "JPY", "円", "4385800000"),
+      ("jppfs_cor:Assets", "資産", "CurrentQuarterInstant", "当四半期末", "連結", "時点", "JPY", "円", "－"),
+      ("jppfs_cor:NetSales", "売上高", "Prior1YTDDuration", "前年度同四半期累計期間", "連結", "期間", "JPY", "円", "40000000000"))
+    import spark.implicits._
+    rows.toDF(Model.rawJpColumns: _*)
+      .withColumn("doc_id", lit(docId))
+      .withColumn("_rid", monotonically_increasing_id())
+  }
+
+  test("standardize: hyphen null-marker, numeric split, text retention") {
+    val out = Standardize(rawFixture())
+    val rows = out.collect()
+    // 値 "－" → "" → try_cast null → is_numeric false, value_text ""
+    val assets = rows.find(_.getAs[String]("element_id") == "jppfs_cor:Assets").get
+    assert(assets.getAs[Any]("value") == null)
+    assert(!assets.getAs[Boolean]("is_numeric"))
+    assert(assets.getAs[String]("value_text") == "")
+    // numeric → value Double, value_text null
+    val sales = rows.find(r => r.getAs[String]("element_id") == "jppfs_cor:NetSales"
+      && r.getAs[String]("context_id") == "CurrentYTDDuration").get
+    assert(sales.getAs[Double]("value") === 4.3858e10)
+    assert(sales.getAs[Boolean]("is_numeric"))
+    assert(sales.getAs[String]("value_text") == null)
+    // text values survive as value_text
+    val name = rows.find(_.getAs[String]("element_id") == "jpcrp_cor:CompanyNameCoverPage").get
+    assert(name.getAs[String]("value_text") == "テスト株式会社")
+  }
+
+  test("extract: company + report golden values (test_mapping parity)") {
+    val staged = Standardize(rawFixture())
+    val company = Extract.companyCandidates(staged).collect().head
+    assert(company.getAs[String]("edinet_code") == "E00000")
+    assert(company.getAs[String]("security_code") == "99999")
+    assert(company.getAs[String]("company_name") == "テスト株式会社")
+    assert(!company.getAs[Boolean]("_invalid"))
+
+    val report = Extract.reportCandidates(staged).collect().head
+    assert(report.getAs[String]("document_type") == "四半期報告書")
+    assert(report.getAs[String]("fiscal_year") == "2023")
+    assert(report.getAs[String]("quarter_type") == "Q3")
+    assert(report.getAs[String]("fiscal_year_end") == "2023/12/31")
+    assert(report.getAs[String]("filing_date") == "2024/2/9")
+    assert(!report.getAs[Boolean]("_invalid"))
+  }
+
+  test("extract: unparsable period goes to quarantine, not exception") {
+    val staged = Standardize(rawFixture(period = "意味のない文字列"))
+    val report = Extract.reportCandidates(staged).collect().head
+    assert(report.getAs[Boolean]("_invalid"))
+  }
+
+  test("extract: item master dedups by element_id with category logic") {
+    val staged = Standardize(rawFixture())
+    val items = Extract.itemCandidates(staged).collect()
+    // 6 financial (jppfs) element_ids, NetSales appears twice → deduped
+    assert(items.length == 5)
+    val ns = items.find(_.getAs[String]("element_id") == "jppfs_cor:NetSales").get
+    assert(ns.getAs[String]("category") == "Consolidated")
+    assert(ns.getAs[String]("item_name") == "売上高")
+    assert(ns.getAs[String]("unit_type") == "JPY")
+  }
+
+  test("ingest + summary: end-to-end KPIs on a temp warehouse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, tmp)
+    val staged = Standardize(rawFixture())
+    val quarantine = new Ingest(spark, wh).runStaged(staged, strict = false)
+    assert(quarantine.count() == 0)
+
+    val summary = Summary.forCompany(
+      wh.read("companies"), wh.read("financial_reports"),
+      wh.read("financial_data"), wh.read("financial_items"), "E00000")
+      .collect()
+    assert(summary.length == 1)
+    val r = summary.head
+    assert(r.getAs[String]("company_name") == "テスト株式会社")
+    assert(r.getAs[String]("period_name") == "2023 Q3")
+    assert(r.getAs[Int]("fiscal_year") == 2023)
+    assert(r.getAs[String]("quarter_type") == "Q3")
+    // net_sales / 1e6 (million-yen scaling)
+    assert(math.abs(r.getAs[Double]("net_sales") - 43858.0) < 1e-9)
+    // operating margin = 8771600000 / 43858000000 * 100 = 20.0000...
+    assert(math.abs(r.getAs[Double]("operation_profit_rate")
+      - 8771600000.0 / 43858000000.0 * 100) < 1e-9)
+    assert(math.abs(r.getAs[Double]("net_profit_rate")
+      - 4385800000.0 / 43858000000.0 * 100) < 1e-9)
+  }
+
+  test("ingest is idempotent: re-running converges (deterministic keys)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh2").toString
+    val wh = new Warehouse(spark, tmp)
+    val staged = Standardize(rawFixture())
+    val ing = new Ingest(spark, wh)
+    ing.runStaged(staged, strict = false)
+    val n1 = (wh.read("companies").count(), wh.read("financial_reports").count(),
+      wh.read("financial_items").count(), wh.read("financial_data").count())
+    ing.runStaged(staged, strict = false)
+    val n2 = (wh.read("companies").count(), wh.read("financial_reports").count(),
+      wh.read("financial_items").count(), wh.read("financial_data").count())
+    assert(n1 === n2)
+  }
+
+  test("warehouse: upsert replaces by key, delete anti-joins") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh3").toString
+    val wh = new Warehouse(spark, tmp)
+    wh.create("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    wh.upsert("t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val after = wh.read("t").orderBy("k").as[(Long, String)].collect()
+    assert(after === Array((1L, "a"), (2L, "B"), (3L, "c")))
+    wh.delete("t", Seq(Tuple1(1L)).toDF("k"), Seq("k"))
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((2L, "B"), (3L, "c")))
+  }
+}
