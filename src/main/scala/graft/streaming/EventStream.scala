@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream (TESTDATA events shape).
+  *
+  * The reference has no streaming at all (SURVEY.md §2.8) — its closest
+  * analogue is the manual per-date batch ingest. This module is the
+  * Spark-first extension: the same transforms run as `readStream` →
+  * watermarked aggregation → `writeStream`, and `Trigger.AvailableNow`
+  * degrades gracefully to the reference's batch-ingest semantics
+  * (process everything that has landed, then stop).
+  *
+  * Scale notes: windowed aggregates are partial-aggregated before the
+  * shuffle on (window, key); state store size is bounded by the
+  * watermark horizon; sessionization uses the built-in session_window
+  * where the gap rule fits, and mapGroupsWithState only for genuinely
+  * custom state (running per-user totals) — state is per-key and
+  * partitioned, so a 1000-executor cluster shards it linearly.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** File-source stream over a directory of event parquet files. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(path)
+
+  /** Watermarked tumbling-window aggregate per event_type: counts and
+    * exact decimal sums (same decimal discipline as the batch catalog).
+    */
+  def windowedCounts(events: DataFrame,
+      windowLen: String = "1 hour", watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+
+  /** Gap-based sessionization via the built-in session_window. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+      .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  case class UserState(nEvents: Long, total: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom keyed state: running per-user event counts/totals via
+    * mapGroupsWithState — the pattern for state no built-in aggregate
+    * expresses (here deliberately simple and deterministic).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          // deterministic accumulation: order within a batch does not
+          // matter for count, and totals are summed in event_id order
+          val evs = batch.toSeq.sortBy(_.event_id)
+          val next = UserState(prev.nEvents + evs.size,
+            prev.total + evs.map(_.value).sum)
+          state.update(next)
+          UserTotal(userId, next.nEvents, next.total)
+      }
+  }
+}

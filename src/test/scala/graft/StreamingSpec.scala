@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+/** Stream/batch equivalence on the sf0.001 events table: the streaming
+  * windowed aggregate with Trigger.AvailableNow must produce exactly
+  * the batch groupBy result (complete output mode, all data on time).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val eventsDir: String = {
+    // materialize events (nanos→micros fixed by Tables.load) as a
+    // multi-file parquet dir so the file source has several triggers
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts: streaming AvailableNow == batch groupBy") {
+    val stream = EventStream.read(spark, eventsDir)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_counts")
+      .orderBy("w_start", "event_type").collect()
+    val batch = EventStream.windowedCounts(
+        spark.read.schema(EventStream.eventSchema).parquet(eventsDir))
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sessionization: session_window stream matches batch") {
+    val stream = EventStream.read(spark, eventsDir)
+    val q = EventStream.sessions(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .orderBy("user_id", "s_start").collect()
+    val batch = EventStream.sessions(
+        spark.read.schema(EventStream.eventSchema).parquet(eventsDir))
+      .orderBy("user_id", "s_start").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("mapGroupsWithState running totals converge to batch totals") {
+    import spark.implicits._
+    val stream = EventStream.read(spark, eventsDir).as[EventStream.Event]
+    val q = EventStream.runningUserTotals(stream)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // last update per user == batch aggregate
+    val streamed = spark.table("user_totals")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total"))
+      .as[(Long, Long, Double)].collect().map { case (u, n, t) => u -> (n, t) }.toMap
+    val batch = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"))
+      .as[(Long, Long, Double)].collect().map { case (u, n, t) => (u, (n, t)) }.toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, (n, t)) =>
+      assert(n === batch(u)._1, s"count mismatch user $u")
+      assert(math.abs(t - batch(u)._2) < 1e-6, s"total mismatch user $u")
+    }
+  }
+}
