@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with doGenCode) for the two hottest
+  * inner loops of the pipeline families. Spark's higher-order functions
+  * (transform/aggregate lambdas) are interpreted and allocate an array
+  * per row per step; these stay inside whole-stage codegen with zero
+  * allocation. Semantics are bit-identical to the HOF forms they
+  * replace (pinned by NativeExprsSpec), so the DuckDB oracles are
+  * unchanged.
+  */
+
+/** Polynomial rolling hash over a string's code points:
+  * fold (acc*base + codePoint) % mod — codegen'd replacement for
+  * TextOps.rollingHash.
+  */
+case class RollingHashExpr(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * base + cp) % mod
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val js = ctx.freshName("js")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+        String $js = $c.toString();
+        long $acc = 0L;
+        int $i = 0;
+        while ($i < $js.length()) {
+          int $cp = $js.codePointAt($i);
+          $i += Character.charCount($cp);
+          $acc = ($acc * ${base}L + $cp) % ${mod}L;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** Exact double dot product of two float arrays — left-fold in element
+  * order, identical op sequence to TextOps.dot (zip_with + aggregate)
+  * and the DuckDB list_reduce mirror. Null input or a null element ⇒
+  * null (matching the HOF form's null propagation).
+  */
+case class FloatVecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+          $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+        }
+        if (!${ev.isNull}) { ${ev.value} = $acc; }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeExprs {
+
+  /** Idempotent session registration; the catalog queries call this so
+    * any fresh SparkSession (driver-owned) gets the functions.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_rolling_hash",
+      exprs => RollingHashExpr(exprs.head, 131L, 1000000007L), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_vec_dot",
+      exprs => FloatVecDotExpr(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles3",
+      exprs => WordShinglesExpr(exprs.head, 3), "scala_udf")
+  }
+
+  def shingles3(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    call_function("graft_shingles3", s)
+  }
+
+  def rollingHash(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    call_function("graft_rolling_hash", s)
+  }
+
+  def dot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("graft_vec_dot", a, b)
+  }
+}
+
+/** Distinct word n-gram shingles ('_'-joined), built in one pass — the
+  * codegen'd replacement for TextOps.distinctShingles (tokens → HOF
+  * transform → array_distinct chain). First-occurrence order, empty
+  * tokens dropped, < n tokens ⇒ empty array.
+  */
+object ShingleHelper {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append('_').append(toks(i + k)); k += 1 }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+    }
+  }
+}
+
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHelper.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHelper.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}

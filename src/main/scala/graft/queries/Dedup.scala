@@ -34,11 +34,14 @@ object Dedup {
   val permA: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 2654435761L + 1013904223L) % P)
   val permB: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 1779033703L + 2246822519L) % P)
 
-  /** Shared: doc_id + distinct 3-gram shingles. */
+  /** Shared: doc_id + distinct 3-gram shingles (codegen'd
+    * WordShinglesExpr; bit-identical to TextOps.distinctShingles,
+    * pinned by NativeExprsSpec).
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select($"doc_id", TextOps.distinctShingles($"text", 3).as("shs"))
+      .select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
   }
 
   /** Shared: exact-Jaccard confirm over candidate (a_id, b_id) pairs. */
@@ -144,7 +147,7 @@ object Dedup {
         // (interpreted higher-order functions are off the hot path).
         val ex = shingled(s, dir)
           .select($"doc_id", explode($"shs").as("sh"))
-          .select($"doc_id", TextOps.rollingHash($"sh").as("fp"))
+          .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
         // 64 permutations h_i(x) = (a_i*x + b_i) mod P with a_i, b_i
         // derived arithmetically from the permutation index (no lookup
         // table in the inner loop); min per (doc, perm).
@@ -236,9 +239,10 @@ object Dedup {
     Q("d5_embedding_neardup",
       (s, dir) => {
         import s.implicits._
+        val nd = graft.functions.NativeExprs.dot(s, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
         val e = Tables.load(s, dir, "embeddings")
           .select($"vec_id", $"label", $"embedding",
-            TextOps.norm($"embedding").as("nrm"))
+            sqrt(nd($"embedding", $"embedding")).as("nrm"))
         val a = e.select($"label", $"vec_id".as("a_id"),
           $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
         val b = e.select($"label", $"vec_id".as("b_id"),
@@ -246,7 +250,7 @@ object Dedup {
         a.join(b, "label")
           .filter($"a_id" < $"b_id")
           .select($"a_id", $"b_id",
-            (TextOps.dot($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm")).as("cos"))
+            (nd($"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm")).as("cos"))
           .filter($"cos" >= 0.35)
           .orderBy($"a_id", $"b_id")
       },

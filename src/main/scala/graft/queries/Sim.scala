@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.TextOps
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-d).
   *
@@ -26,10 +25,17 @@ object Sim {
     s"""list_reduce(list_transform(range(1, len($a)+1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
 
+  /** Codegen'd dot product (NativeExprs) — bit-identical to
+    * TextOps.dot, pinned by NativeExprsSpec.
+    */
+  private def ndot(s: SparkSession, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = graft.functions.NativeExprs.dot(s, a, b)
+
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "embeddings")
-      .select($"vec_id", $"label", $"embedding", TextOps.norm($"embedding").as("nrm"))
+      .select($"vec_id", $"label", $"embedding",
+        sqrt(ndot(s, $"embedding", $"embedding")).as("nrm"))
   }
 
   val all: Seq[Q] = Seq(
@@ -43,7 +49,7 @@ object Sim {
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
         val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
-            (TextOps.dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
         val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
         scored.withColumn("rank", row_number().over(w))
           .filter($"rank" <= 10)
@@ -74,7 +80,7 @@ object Sim {
         val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
         val assigned = e.crossJoin(broadcast(cents))
           .select($"vec_id", $"c_id",
-            (TextOps.dot($"embedding", $"c_emb") / ($"nrm" * $"c_nrm")).as("ccos"))
+            (ndot(s, $"embedding", $"c_emb") / ($"nrm" * $"c_nrm")).as("ccos"))
           .withColumn("rn", row_number().over(assignW))
           .filter($"rn" === 1)
           .select($"vec_id", $"c_id")
@@ -83,7 +89,7 @@ object Sim {
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
           .crossJoin(broadcast(cents))
           .select($"q_id", $"q_emb", $"q_nrm", $"c_id",
-            (TextOps.dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("ccos"))
+            (ndot(s, $"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("ccos"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
           .filter($"rn" <= 8)
@@ -93,7 +99,7 @@ object Sim {
           .filter($"vec_id" =!= $"q_id")
           .join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
           .select($"q_id", $"vec_id",
-            (TextOps.dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
           .distinct()
         val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
         cand.withColumn("rank", row_number().over(w))
