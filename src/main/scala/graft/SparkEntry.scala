@@ -7,7 +7,7 @@ import graft.queries._
 object SparkEntry {
 
   /** Full query catalog: relational operator inventory + pipeline ops. */
-  def catalog: Seq[Q] = Relational.all ++ Text.all ++ Dedup.all ++ Sim.all
+  def catalog: Seq[Q] = Relational.all ++ Text.all ++ Dedup.all ++ Sim.all ++ Misc.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Fns
+import Q.{dec2, dsum}
+
+/** Breadth operators beyond the reference's inventory that a user of a
+  * general analytics engine expects (SURVEY.md §2 notes them as
+  * "Catalyst built-ins when extended"): rollup grouping sets, as-of
+  * joins, date bucketing, JSON extraction — plus the reference's own
+  * Japanese-period parsers exposed as driver-runnable queries.
+  */
+object Misc {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- rollup (grouping sets): subtotals + grand total ----------------
+    Q("m1_rollup",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // ---- as-of join (backward): each purchase ⟵ latest prior view ------
+    // The scalable shape: ONE window pass over the unioned stream (no
+    // inequality join, no per-row probe) — O(n log n) shuffle on user.
+    Q("m2_asof_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .filter($"event_type".isin("view", "purchase"))
+          .select($"user_id", $"event_id", $"ts", $"event_type")
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("prev_view_id",
+            last(when($"event_type" === "view", $"event_id"), ignoreNulls = true).over(w))
+          .filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"prev_view_id")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT user_id, event_id, prev_view_id FROM (
+        SELECT user_id, event_id, event_type,
+          last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_id
+        FROM events WHERE event_type IN ('view', 'purchase'))
+        WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ---- date bucketing: monthly order rollup ---------------------------
+    Q("m3_month_agg",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+          .orderBy($"month")
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // ---- JSON extraction from the props column --------------------------
+    Q("m4_json_extract",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_id",
+            get_json_object($"props", "$.k").try_cast("long").as("k"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events ORDER BY event_id""")),
+
+    // ---- the reference's Japanese period parsers, driver-visible --------
+    // Inline corpus (no table input); golden values are pinned by
+    // FnsSpec — here the driver sees the op run and checks rows.
+    Q("m5_fiscal_parse",
+      (s, dir) => {
+        import s.implicits._
+        val corpus = Seq(
+          "第121期 第３四半期(自  2023年10月１日  至  2023年12月31日)",
+          "第52期第１四半期(自  令和５年10月21日  至  令和６年１月20日)",
+          "自 令和元年4月1日 至 令和2年3月31日",
+          "第98期 第二四半期(自 2020年7月1日 至 2020年9月30日)",
+          "2023年3月期",
+          "1989年のデータ",
+          "意味のない文字列")
+        corpus.zipWithIndex.toDF("content", "id")
+          .select($"id", $"content",
+            Fns.fiscalYearExpr($"content").as("fiscal_year"),
+            Fns.quarterTypeExpr($"content").as("quarter_type"))
+          .orderBy($"id")
+      },
+      None)
+  )
+}
