@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.etl.{Ingest, Summary}
+import graft.sources.Warehouse
+
+/** Thin CLI replacing the reference's Streamlit app + import scripts
+  * (§7.6): `ingest` runs the distributed EDINET ETL into a parquet
+  * warehouse; `summary` prints the financial KPIs; `companies` lists
+  * the selection list (get_company_selection_list parity).
+  *
+  *   runMain graft.Cli ingest <csvDir> <warehouseDir>
+  *   runMain graft.Cli summary <warehouseDir> [edinetCode]
+  *   runMain graft.Cli companies <warehouseDir>
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args.toList match {
+      case "ingest" :: csvDir :: whDir :: Nil =>
+        val wh = new Warehouse(spark, whDir)
+        val quarantine = new Ingest(spark, wh).run(csvDir)
+        val nBad = quarantine.count()
+        println(s"ingest complete; quarantined docs: $nBad")
+        if (nBad > 0) quarantine.show(20, truncate = false)
+
+      case "summary" :: whDir :: rest =>
+        val wh = new Warehouse(spark, whDir)
+        val all = Summary.allCompanies(
+          wh.read("companies"), wh.read("financial_reports"),
+          wh.read("financial_data"), wh.read("financial_items"))
+        val out = rest.headOption.map(c => all.filter(all("edinet_code") === c))
+          .getOrElse(all)
+        out.show(50, truncate = false)
+
+      case "companies" :: whDir :: Nil =>
+        val wh = new Warehouse(spark, whDir)
+        wh.read("companies")
+          .select("edinet_code", "company_name")
+          .orderBy("edinet_code")
+          .show(1000, truncate = false)
+
+      case other =>
+        System.err.println(s"unknown command: ${other.mkString(" ")}")
+        System.err.println("usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | companies <whDir>")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

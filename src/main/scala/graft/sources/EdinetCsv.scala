@@ -58,6 +58,10 @@ object EdinetCsv {
       .option("header", "true")
       .option("sep", variant.sep)
       .option("encoding", variant.encoding)
+      // non-UTF-8 charsets need whole-file decoding: the default line
+      // splitter cuts on 0x0A bytes, which shreds UTF-16 (parallelism
+      // then comes from the many-files layout, one filing per file)
+      .option("multiLine", variant.encoding != "UTF-8")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.csv")
       .option("mode", "PERMISSIVE")

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+import graft.etl.{Model, Standardize}
+import graft.sources.EdinetCsv
+
+/** Round-trip tests for the multi-encoding EDINET CSV reader: the two
+  * physical variants (UTF-16LE + tab, UTF-8-BOM + comma) must produce
+  * identical logical rows, the sniffer must pick the right variant, and
+  * doc_id must derive from the directory layout.
+  */
+class EdinetCsvSpec extends SparkSpec {
+
+  private val header = Model.rawJpColumns.mkString(",")
+  private val rows = Seq(
+    Seq("jpdei_cor:EDINETCodeDEI", "EDINETコード、DEI", "FilingDateInstant",
+      "提出日時点", "その他", "時点", "－", "", "E12345"),
+    Seq("jppfs_cor:NetSales", "売上高", "CurrentYTDDuration",
+      "当四半期累計期間", "連結", "期間", "JPY", "円", "1000000"))
+
+  private def writeVariant(dir: String, docId: String, v: EdinetCsv.Variant): Unit = {
+    val d = Paths.get(dir, docId, "XBRL_TO_CSV")
+    Files.createDirectories(d)
+    val sep = v.sep
+    val content = (header.replace(",", sep) +: rows.map(_.mkString(sep)))
+      .mkString("\n")
+    v match {
+      case EdinetCsv.Utf16Tab =>
+        // BOM + UTF-16LE, as the raw EDINET downloads ship
+        val bom = Array[Byte](0xFF.toByte, 0xFE.toByte)
+        Files.write(d.resolve("jpcrp.csv"),
+          bom ++ content.getBytes(Charset.forName("UTF-16LE")))
+      case EdinetCsv.Utf8Comma =>
+        val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+        Files.write(d.resolve("jpcrp.csv"), bom ++ content.getBytes("UTF-8"))
+    }
+  }
+
+  test("UTF-16LE/tab and UTF-8-BOM/comma variants read identically") {
+    val d16 = Files.createTempDirectory("edinet16").toString
+    val d8 = Files.createTempDirectory("edinet8").toString
+    writeVariant(d16, "S100AAAA", EdinetCsv.Utf16Tab)
+    writeVariant(d8, "S100BBBB", EdinetCsv.Utf8Comma)
+
+    val r16 = EdinetCsv.readAuto(spark, d16)
+    val r8 = EdinetCsv.readAuto(spark, d8)
+    val c16 = r16.select(Model.rawJpColumns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq)
+    val c8 = r8.select(Model.rawJpColumns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq)
+    assert(c16.length === 2)
+    assert(c16.toSeq === c8.toSeq)
+    // Japanese content survives both encodings
+    assert(c16.head.contains("EDINETコード、DEI"))
+  }
+
+  test("sniffer distinguishes the variants from leading bytes") {
+    val d16 = Files.createTempDirectory("sniff16").toString
+    writeVariant(d16, "S100CCCC", EdinetCsv.Utf16Tab)
+    val f16 = s"$d16/S100CCCC/XBRL_TO_CSV/jpcrp.csv"
+    assert(EdinetCsv.sniff(spark, f16) === EdinetCsv.Utf16Tab)
+
+    val d8 = Files.createTempDirectory("sniff8").toString
+    writeVariant(d8, "S100DDDD", EdinetCsv.Utf8Comma)
+    val f8 = s"$d8/S100DDDD/XBRL_TO_CSV/jpcrp.csv"
+    assert(EdinetCsv.sniff(spark, f8) === EdinetCsv.Utf8Comma)
+  }
+
+  test("doc_id derives from the document directory; standardize composes") {
+    val dir = Files.createTempDirectory("edinetdoc").toString
+    writeVariant(dir, "S100EEEE", EdinetCsv.Utf8Comma)
+    val staged = Standardize(EdinetCsv.readAuto(spark, dir))
+    val docs = staged.select("doc_id").distinct().collect().map(_.getString(0))
+    assert(docs.toSeq === Seq("S100EEEE"))
+    // standardized columns present
+    assert(staged.columns.contains("element_id"))
+    assert(staged.columns.contains("is_numeric"))
+  }
+}
