@@ -106,6 +106,23 @@ object Summary {
         (col("net_income").cast("double") / 1000000).as("net_income"))
   }
 
+  /** Per-company, per-item time series ordered by period end —
+    * find_by_series_by_company_and_time parity (J2/W2,
+    * financial_data_repository.py:35-48), all companies in one plan
+    * (filter on top for the point query).
+    */
+  def timeSeries(
+      reports: DataFrame, fact: DataFrame, items: DataFrame,
+      elementId: String): DataFrame =
+    fact
+      .join(broadcast(items.filter(col("element_id") === elementId)
+        .select(col("item_id"), col("element_id"))), "item_id")
+      .join(reports.select(col("report_id"), col("company_id"),
+        col("fiscal_year"), col("quarter_type"), col("fiscal_year_end")), "report_id")
+      .select(col("company_id"), col("element_id"), col("fiscal_year"),
+        col("quarter_type"), col("fiscal_year_end"), col("value"))
+      .orderBy(col("company_id"), col("fiscal_year_end"))
+
   /** Point lookup parity with get_financial_summary(edinet_code). */
   def forCompany(
       companies: DataFrame, reports: DataFrame, fact: DataFrame,

@@ -66,10 +66,16 @@ object EdinetCsv {
       .option("pathGlobFilter", "*.csv")
       .option("mode", "PERMISSIVE")
       .csv(pathSpec)
-    // doc key: .../download/{doc_id}/XBRL_TO_CSV/file.csv → {doc_id};
-    // falls back to the file name for flat layouts.
-    val file = input_file_name()
-    val segs = split(file, "/")
+    withDocColumns(raw)
+  }
+
+  /** doc key: .../download/{doc_id}/XBRL_TO_CSV/file.csv → {doc_id}
+    * (falls back to the file name for flat layouts), plus `_rid`
+    * preserving in-file row order for first-match-wins extraction.
+    * Shared by the batch and streaming readers.
+    */
+  def withDocColumns(raw: DataFrame): DataFrame = {
+    val segs = split(input_file_name(), "/")
     val docFromDir = when(size(segs) >= 3, element_at(segs, -3))
       .otherwise(element_at(segs, -1))
     raw
