@@ -86,9 +86,14 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
 
     // ---- fact: join back the hash keys (a broadcast join replaces the
     // reference's collected item_id_map dict, J4) --------------------
+    // fiscal_year is denormalized onto the fact as its PARTITION key —
+    // the distributed stand-in for the reference's (report_id, item_id)
+    // btree indexes: period filters prune whole directories at the scan
+    // (SURVEY.md §4), and one year's re-ingest only rewrites one
+    // partition's worth of data through the upsert.
     val fact = Extract.factRows(staged)
       .join(badDocs, Seq("doc_id"), "left_anti")
-      .join(reports.select(col("doc_id"), col("report_id")), "doc_id")
+      .join(reports.select(col("doc_id"), col("report_id"), col("fiscal_year")), "doc_id")
       .withColumn("item_id", wh.surrogateKey(col("element_id")))
       .select(
         wh.surrogateKey(concat_ws("|", col("report_id"), col("item_id"),
@@ -97,9 +102,10 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
         col("context_id"), col("period_type"), col("consolidated_type"),
         col("value").cast("decimal(20,0)").as("value"),
         col("value_text"), col("is_numeric"),
-        now.as("created_at"), now.as("updated_at"))
+        now.as("created_at"), now.as("updated_at"),
+        col("fiscal_year"))
       .dropDuplicates("data_id")
-    wh.upsert("financial_data", fact, Seq("data_id"))
+    wh.upsert("financial_data", fact, Seq("data_id"), Seq("fiscal_year"))
 
     quarantine
   }

@@ -81,7 +81,9 @@ object Model {
     StructField("value_text", StringType, nullable = true),
     StructField("is_numeric", BooleanType, nullable = true),
     StructField("created_at", TimestampType, nullable = true),
-    StructField("updated_at", TimestampType, nullable = true)))
+    StructField("updated_at", TimestampType, nullable = true),
+    // denormalized partition key (directory-level pruning at scale)
+    StructField("fiscal_year", StringType, nullable = true)))
 
   /** Extraction mapping (config/config.toml:33-50) — field → element_id. */
   val companyMapping: Seq[(String, String)] = Seq(

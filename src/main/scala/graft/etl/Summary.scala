@@ -115,6 +115,7 @@ object Summary {
       reports: DataFrame, fact: DataFrame, items: DataFrame,
       elementId: String): DataFrame =
     fact
+      .select(col("report_id"), col("item_id"), col("value"))
       .join(broadcast(items.filter(col("element_id") === elementId)
         .select(col("item_id"), col("element_id"))), "item_id")
       .join(reports.select(col("report_id"), col("company_id"),

@@ -103,6 +103,22 @@ object Misc {
             Fns.quarterTypeExpr($"content").as("quarter_type"))
           .orderBy($"id")
       },
+      None),
+
+    // ---- HLL sketch: approx distinct at 100 TB scale --------------------
+    // rows-only check (sketch estimates are engine-specific); the spec
+    // pins the estimate within 5% of exact countDistinct. At scale this
+    // replaces a full shuffle-distinct with a fixed-size sketch merge.
+    Q("m6_approx_distinct",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
       None)
   )
 }

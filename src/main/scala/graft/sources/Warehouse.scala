@@ -51,7 +51,8 @@ class Warehouse(spark: SparkSession, dir: String) {
     * the batch is arbitrary unless the caller pre-orders — mirroring
     * session.merge semantics per key).
     */
-  def upsert(name: String, updates: DataFrame, keyCols: Seq[String]): Unit = {
+  def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Unit = {
     val merged =
       if (!exists(name)) updates
       else {
@@ -63,7 +64,7 @@ class Warehouse(spark: SparkSession, dir: String) {
           .filter(col("_rn") === 1)
           .drop("_src", "_rn")
       }
-    atomicPublish(name, merged)
+    atomicPublish(name, merged, partitionCols)
   }
 
   /** S9: delete-by-key as one anti-join. */
@@ -77,13 +78,16 @@ class Warehouse(spark: SparkSession, dir: String) {
     * parquet equivalent — quarantine + idempotent re-ingest via
     * deterministic keys covers the retry story instead.)
     */
-  def atomicPublish(name: String, df: DataFrame): Unit = {
+  def atomicPublish(name: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
     val live = new Path(tablePath(name))
     val staging = new Path(tablePath(name) + "._staging")
     val old = new Path(tablePath(name) + "._old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(staging)) fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live)) fs.rename(live, old)
     fs.rename(staging, live)

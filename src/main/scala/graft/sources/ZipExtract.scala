@@ -1,0 +1,72 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Distributed ZIP extraction (reference: utils/api.py:96-139 — S2).
+  * The reference downloads one ZIP per document and unzips it in the
+  * driver loop; the distributed variant scans all landed ZIPs with the
+  * `binaryFile` source and extracts matching members per-partition, so
+  * a backfill over millions of archives parallelizes across the
+  * cluster. The member payload stays binary until the CSV decode
+  * (EdinetCsv handles the charset), and nothing touches the driver.
+  */
+object ZipExtract {
+
+  val outSchema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = false),
+    StructField("member", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Scan `pathSpec` for *.zip and emit (archive, member, content) for
+    * every member whose path matches `memberPattern` (reference keeps
+    * `XBRL_TO_CSV/jpcrp*.csv`, api.py:124).
+    */
+  def extract(
+      spark: SparkSession,
+      pathSpec: String,
+      memberPattern: String = "XBRL_TO_CSV/jpcrp.*\\.csv"): DataFrame = {
+    val pat = memberPattern
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .option("recursiveFileLookup", "true")
+      .load(pathSpec)
+      .select(col("path"), col("content"))
+      .mapPartitions { rows =>
+        val regex = pat.r
+        rows.flatMap { r =>
+          val archive = r.getString(0)
+          val zin = new ZipInputStream(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          Iterator.continually(zin.getNextEntry)
+            .takeWhile(_ != null)
+            .filter(e => !e.isDirectory && regex.findFirstIn(e.getName).isDefined)
+            .map(e => Row(archive, e.getName, zin.readAllBytes()))
+            .toVector // materialize before the stream closes
+        }
+      }(encoder)
+  }
+
+  /** Write extracted members to a landing dir laid out like the
+    * reference's `download/{doc_id}/XBRL_TO_CSV/x.csv`, ready for
+    * EdinetCsv.readAuto. doc_id = archive file stem.
+    */
+  def toLanding(extracted: DataFrame, landingDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val rows = extracted
+      .withColumn("doc_id",
+        regexp_extract(element_at(split(col("archive"), "/"), -1), "(.+)\\.zip$", 1))
+      .select("doc_id", "member", "content")
+      .collect() // landing materialization is a driver-side convenience
+                 // for tests; at scale write via a distributed sink
+    rows.foreach { r =>
+      val p = java.nio.file.Paths.get(landingDir, r.getString(0), r.getString(1))
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, r.getAs[Array[Byte]]("content"))
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashAgg, SkewJoin}
+
+/** Skew-salted join and the typed MinHash aggregator. */
+class OperatorsSpec extends SparkSpec {
+
+  test("saltedJoin result == plain join result on skewed data") {
+    import spark.implicits._
+    // 90% of the big side hits one hot key
+    val big = spark.range(0, 20000)
+      .select(when($"id" % 10 =!= 0, lit(1L)).otherwise($"id" % 50).as("k"),
+        $"id".as("payload"))
+    val small = spark.range(0, 50).select($"id".as("k"), ($"id" * 100).as("dim"))
+    val plain = big.join(small, Seq("k")).select("k", "payload", "dim")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    val salted = SkewJoin.saltedJoin(big, small, "k", salt = 8)
+      .select("k", "payload", "dim")
+      .collect().map(_.toSeq.toList).sortBy(_.toString)
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("MinHashAgg == reference minhash math, partial-agg safe") {
+    import spark.implicits._
+    val P = 1000000007L
+    def h(perm: Int, x: Long): Long =
+      ((((perm + 1) * 2654435761L + 1013904223L) % P * x
+        + ((perm + 1) * 1779033703L + 2246822519L) % P) % P)
+
+    val data = Map(
+      1L -> Seq(17L, 42L, 999999999L, 123456L),
+      2L -> Seq(42L, 77L))
+    val fps = data.toSeq.flatMap { case (d, v) => v.map(d -> _) }
+      .toDF("doc_id", "fp")
+      .repartition(4) // force multiple partitions → merge() is exercised
+      .as[(Long, Long)]
+
+    val agg = new MinHashAgg(16)
+    val sigs = fps.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("sig"))
+      .collect().toMap
+
+    data.foreach { case (doc, v) =>
+      val expected = (0 until 16).map(p => v.map(h(p, _)).min)
+      assert(sigs(doc) === expected, s"doc $doc")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    SparkEntry.queries("m6_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .collect().foreach { r =>
+        val flag = r.getString(0)
+        val approx = r.getLong(1)
+        val e = exact(flag).toDouble
+        assert(math.abs(approx - e) / e < 0.05, s"$flag: $approx vs $e")
+      }
+  }
+}
