@@ -121,6 +121,9 @@ object NativeExprs {
       exprs => FloatVecDotExpr(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_shingles3",
       exprs => WordShinglesExpr(exprs.head, 3), "scala_udf")
+    // second hash family (used by SimHash's 60-bit packing)
+    reg.createOrReplaceTempFunction("graft_rolling_hash2",
+      exprs => RollingHashExpr(exprs.head, 137L, 998244353L), "scala_udf")
   }
 
   def shingles3(spark: SparkSession, s: Column): Column = {

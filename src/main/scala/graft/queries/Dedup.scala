@@ -174,30 +174,33 @@ object Dedup {
     // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
     Q("d4_simhash",
       (s, dir) => {
+        graft.functions.NativeExprs.register(s)
         Tables.load(s, dir, "documents").createOrReplaceTempView("documents_v")
+        // 60 per-bit majority sums as aggregate EXPRESSIONS over the
+        // token stream (no 60× row explosion), with the codegen'd
+        // rolling hashes — same math as the DuckDB oracle's
+        // range(60)-join formulation.
+        val bitSums = (0 until 60)
+          .map(j => s"SUM(CASE WHEN (shiftright(h64, $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(",\n              ")
+        val assemble = (0 until 60)
+          .map(j => s"(CASE WHEN s$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
         s.sql(s"""
           WITH toks AS (
             SELECT doc_id, explode(filter(split(text, ' '), t -> t <> '')) AS tok
             FROM documents_v),
           h AS (
             SELECT doc_id,
-              aggregate(transform(sequence(1, length(tok)),
-                  i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
-                CAST(0 AS BIGINT), (acc, c) -> (acc * 131 + c) % 1000000007)
-              + aggregate(transform(sequence(1, length(tok)),
-                  i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
-                CAST(0 AS BIGINT), (acc, c) -> (acc * 137 + c) % 998244353)
-                * CAST(1073741824 AS BIGINT) AS h64
+              graft_rolling_hash(tok)
+              + graft_rolling_hash2(tok) * CAST(1073741824 AS BIGINT) AS h64
             FROM toks),
           bits AS (
-            SELECT doc_id, j,
-              SUM(CASE WHEN (shiftright(h64, j) & 1) = 1 THEN 1 ELSE -1 END) AS s
-            FROM h LATERAL VIEW explode(sequence(0, 59)) AS j
-            GROUP BY doc_id, j),
+            SELECT doc_id, $bitSums
+            FROM h GROUP BY doc_id),
           sh AS (
-            SELECT doc_id,
-              SUM(CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END) AS simhash
-            FROM bits GROUP BY doc_id),
+            SELECT doc_id, $assemble AS simhash
+            FROM bits),
           bands AS (
             SELECT doc_id, simhash, b,
               (shiftright(simhash, b * 15) & 32767) AS bval

@@ -105,6 +105,44 @@ object Misc {
       },
       None),
 
+    // ---- batch sessionization: gap-based session ids via windows -------
+    // Gap math in integer epoch-micros so Spark (nanos→micros truncate)
+    // and DuckDB (epoch_us of the nanos timestamp) agree exactly.
+    Q("m7_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val gapUs = 30L * 60 * 1000000
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", unix_micros($"ts").as("tus"), $"value")
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val flagged = ev.withColumn("new_s",
+            when(lag($"tus", 1).over(w).isNull ||
+              $"tus" - lag($"tus", 1).over(w) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        flagged.groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min($"event_id").as("first_event"),
+            max($"event_id").as("last_event"),
+            dsum($"value").as("total"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT user_id, event_id, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, event_id, value, tus,
+              CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                     IS NULL
+                   OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events)))
+        GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // rows-only check (sketch estimates are engine-specific); the spec
     // pins the estimate within 5% of exact countDistinct. At scale this
