@@ -56,11 +56,15 @@ object Extract {
     val c = mappingPivot(staged, Model.companyMapping)
       .withColumn("_invalid",
         col("edinet_code").isNull || col("company_name").isNull)
+    // strict: the raise must live on a column that survives pruning —
+    // doc_id is consumed by every downstream join, so wrap it (a
+    // dropped side-channel column would be optimized away silently)
     if (strict)
-      c.withColumn("_chk", when(col("_invalid"),
+      c.withColumn("doc_id",
+        when(col("_invalid"),
           raise_error(concat(lit("required company fields missing for doc "),
-            col("doc_id")))))
-        .drop("_chk")
+            col("doc_id"))))
+          .otherwise(col("doc_id")))
     else c
   }
 
@@ -80,10 +84,11 @@ object Extract {
           col("fiscal_year").isNull || col("quarter_type").isNull)
       .drop("fiscal_year_and_quarter")
     if (strict)
-      r.withColumn("_chk", when(col("_invalid"),
+      r.withColumn("doc_id",
+        when(col("_invalid"),
           raise_error(concat(lit("unparsable accounting period for doc "),
-            col("doc_id")))))
-        .drop("_chk")
+            col("doc_id"))))
+          .otherwise(col("doc_id")))
     else r
   }
 

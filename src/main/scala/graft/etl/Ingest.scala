@@ -69,7 +69,11 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
     } else wh.create("financial_items", items)
 
     // ---- reports dim: key = hash(edinet_code, fiscal_year, quarter) --
-    val reports = goodReport
+    // Two docs mapping to the SAME (company, fiscal_year, quarter) —
+    // e.g. an amended filing in the same batch — collide on report_id.
+    // Keep the lowest doc_id deterministically and QUARANTINE the rest
+    // (silently dropping a whole filing's facts is invisible data loss).
+    val reportsAll = goodReport
       .join(goodCompany.select(col("doc_id"),
         wh.surrogateKey(col("edinet_code")).as("company_id")), "doc_id")
       .select(
@@ -81,7 +85,13 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
         to_date(col("fiscal_year_end"), "yyyy/M/d").as("fiscal_year_end"),
         to_date(col("filing_date"), "yyyy/M/d").as("filing_date"),
         now.as("created_at"), now.as("updated_at"))
-      .dropDuplicates("report_id")
+    val repW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("report_id")).orderBy(col("doc_id"))
+    val ranked = reportsAll
+      .withColumn("_rn", row_number().over(repW))
+    val reports = ranked.filter(col("_rn") === 1).drop("_rn")
+    val dupReportDocs = ranked.filter(col("_rn") > 1)
+      .select(col("doc_id"), lit("duplicate_report").as("reason"))
     wh.upsert("financial_reports", reports.drop("doc_id"), Seq("report_id"))
 
     // ---- fact: join back the hash keys (a broadcast join replaces the
@@ -107,6 +117,6 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
       .dropDuplicates("data_id")
     wh.upsert("financial_data", fact, Seq("data_id"), Seq("fiscal_year"))
 
-    quarantine
+    quarantine.unionByName(dupReportDocs)
   }
 }

@@ -26,10 +26,15 @@ object Fns {
   private val BareYear = """(\d{4})""".r
 
   /** 元 (first era year) → 1; otherwise NFKC-normalize full-width digits
-    * and parse. (reference: parser.py:60-69)
+    * and parse. (reference: parser.py:60-69.) Years beyond Int range
+    * yield None — Python's arbitrary-precision int would produce an
+    * absurd year string; both our paths (Scala and try_cast in the
+    * column expr) agree on null instead.
     */
-  def convertJapaneseYearToNumber(s: String): Int =
-    if (s == "元") 1 else Normalizer.normalize(s, Normalizer.Form.NFKC).toInt
+  def convertJapaneseYearToNumber(s: String): Option[Int] =
+    if (s == "元") Some(1)
+    else try Some(Normalizer.normalize(s, Normalizer.Form.NFKC).toInt)
+    catch { case _: NumberFormatException => None }
 
   /** Fiscal year from a cover-page period string; three-pattern cascade.
     * Returns the END year of a range. (reference: parser.py:16-57 —
@@ -39,13 +44,19 @@ object Fns {
   def extractFiscalYear(content: String): Option[String] = content match {
     case null => None
     case c =>
-      DateRange.findFirstMatchIn(c).map(m => m.group(2).toInt.toString)
-        .orElse(ReiwaRange.findFirstMatchIn(c).map { m =>
-          (2019 + convertJapaneseYearToNumber(m.group(2)) - 1).toString
-        })
-        .orElse(BareYear.findFirstIn(c).filter { y =>
-          val i = y.toInt; i >= 1990 && i <= 2100
-        })
+      DateRange.findFirstMatchIn(c) match {
+        case Some(m) => Some(m.group(2).toInt.toString)
+        case None => ReiwaRange.findFirstMatchIn(c) match {
+          case Some(m) =>
+            // matched pattern 2: resolve here (None on overflow), do
+            // NOT fall through to the bare-year pattern
+            convertJapaneseYearToNumber(m.group(2)).map(n => (2019 + n - 1).toString)
+          case None =>
+            BareYear.findFirstIn(c).filter { y =>
+              val i = y.toInt; i >= 1990 && i <= 2100
+            }
+        }
+      }
   }
 
   private val QuarterPat = """第\s*([0-4０-４一二三四１２３４]+)\s*四半期""".r

@@ -17,9 +17,13 @@ import org.apache.spark.sql.expressions.Aggregator
 class MinHashAgg(numPerm: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   private val P = 1000000007L
 
-  private def h(perm: Int, x: Long): Long =
-    ((((perm + 1) * 2654435761L + 1013904223L) % P * x
+  private def h(perm: Int, x: Long): Long = {
+    // normalize into [0, P) first: a*x with a < P only stays inside
+    // Long for x < ~2^33, and inputs are arbitrary Longs (e.g. hash60)
+    val xm = java.lang.Math.floorMod(x, P)
+    ((((perm + 1) * 2654435761L + 1013904223L) % P * xm
       + ((perm + 1) * 1779033703L + 2246822519L) % P) % P)
+  }
 
   override def zero: Array[Long] = Array.fill(numPerm)(Long.MaxValue)
 

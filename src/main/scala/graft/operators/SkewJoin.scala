@@ -21,6 +21,11 @@ object SkewJoin {
       salt: Int,
       joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full outer would emit one null-padded row PER REPLICA for
+    // unmatched small-side keys — result no longer equals the plain join
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
+      s"saltedJoin does not support $joinType (small side is replicated)")
     // per-row bucket for the big side: any spread works (result is
     // salt-invariant); derived from partition+offset so it needs no
     // extra shuffle of its own

@@ -58,10 +58,12 @@ object EdinetCsv {
       .option("header", "true")
       .option("sep", variant.sep)
       .option("encoding", variant.encoding)
-      // non-UTF-8 charsets need whole-file decoding: the default line
-      // splitter cuts on 0x0A bytes, which shreds UTF-16 (parallelism
-      // then comes from the many-files layout, one filing per file)
-      .option("multiLine", variant.encoding != "UTF-8")
+      // whole-file decoding for EVERY variant: (a) the default line
+      // splitter cuts on 0x0A bytes, which shreds UTF-16; (b) a split
+      // file would get partition-order _rid values, breaking the
+      // first-match-wins contract. Filings are small files, so
+      // parallelism comes from the many-files layout, one per filing.
+      .option("multiLine", "true")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.csv")
       .option("mode", "PERMISSIVE")
@@ -76,8 +78,13 @@ object EdinetCsv {
     */
   def withDocColumns(raw: DataFrame): DataFrame = {
     val segs = split(input_file_name(), "/")
-    val docFromDir = when(size(segs) >= 3, element_at(segs, -3))
-      .otherwise(element_at(segs, -1))
+    // the EDINET layout marker decides: {doc_id}/XBRL_TO_CSV/file.csv →
+    // grandparent dir; anything else (flat layout) → the file name
+    // itself. (input_file_name is a URI, so a bare size() check would
+    // always pick the nested branch and collapse flat files onto one
+    // shared doc_id.)
+    val docFromDir = when(element_at(segs, -2) === "XBRL_TO_CSV", element_at(segs, -3))
+      .otherwise(regexp_replace(element_at(segs, -1), "\\.csv$", ""))
     raw
       .withColumn("doc_id", docFromDir)
       .withColumn("_rid", monotonically_increasing_id())

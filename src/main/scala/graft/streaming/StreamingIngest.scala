@@ -30,7 +30,7 @@ object StreamingIngest {
       .option("header", "true")
       .option("sep", variant.sep)
       .option("encoding", variant.encoding)
-      .option("multiLine", variant.encoding != "UTF-8")
+      .option("multiLine", "true") // whole-file: charset + _rid order
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", "64")

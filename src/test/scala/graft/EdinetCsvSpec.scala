@@ -67,6 +67,19 @@ class EdinetCsvSpec extends SparkSpec {
     assert(EdinetCsv.sniff(spark, f8) === EdinetCsv.Utf8Comma)
   }
 
+  test("flat layout: each file gets its own doc_id (file-name stem)") {
+    val dir = Files.createTempDirectory("edinetflat").toString
+    val header = Model.rawJpColumns.mkString(",")
+    for (n <- Seq("docX", "docY")) {
+      val content = header + "\n" + rows.head.mkString(",")
+      Files.write(Paths.get(dir, s"$n.csv"),
+        ("\ufeff" + content).getBytes("UTF-8"))
+    }
+    val ids = EdinetCsv.readAuto(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("docX", "docY"))
+  }
+
   test("doc_id derives from the document directory; standardize composes") {
     val dir = Files.createTempDirectory("edinetdoc").toString
     writeVariant(dir, "S100EEEE", EdinetCsv.Utf8Comma)

@@ -84,6 +84,28 @@ class EtlSpec extends SparkSpec {
     assert(report.getAs[Boolean]("_invalid"))
   }
 
+  test("extract: strict mode actually raises (not pruned away)") {
+    val staged = Standardize(rawFixture(period = "意味のない文字列"))
+    val e = intercept[Exception] {
+      Extract.reportCandidates(staged, strict = true).collect()
+    }
+    assert(e.getMessage.contains("unparsable accounting period"))
+  }
+
+  test("ingest: second filing for the same (company, period) is quarantined") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-dup").toString
+    val wh = new Warehouse(spark, tmp)
+    // same company, same period, two doc_ids → same report_id hash
+    val staged = Standardize(
+      rawFixture(docId = "DOC_A").unionByName(rawFixture(docId = "DOC_B")))
+    val quarantine = new Ingest(spark, wh).runStaged(staged, strict = false).collect()
+    assert(quarantine.length === 1)
+    assert(quarantine.head.getString(0) === "DOC_B")
+    assert(quarantine.head.getString(1) === "duplicate_report")
+    // the kept filing's facts are all present
+    assert(wh.read("financial_reports").count() === 1)
+  }
+
   test("extract: item master dedups by element_id with category logic") {
     val staged = Standardize(rawFixture())
     val items = Extract.itemCandidates(staged).collect()
