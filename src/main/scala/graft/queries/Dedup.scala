@@ -148,21 +148,21 @@ object Dedup {
         val ex = shingled(s, dir)
           .select($"doc_id", explode($"shs").as("sh"))
           .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
-        // 64 permutations h_i(x) = (a_i*x + b_i) mod P with a_i, b_i
-        // derived arithmetically from the permutation index (no lookup
-        // table in the inner loop); min per (doc, perm).
-        val mh = ex
-          .select($"doc_id", $"fp", explode(sequence(lit(0), lit(NUM_PERM - 1))).as("perm"))
-          .select($"doc_id", $"perm",
-            (((($"perm" + 1) * lit(2654435761L) + lit(1013904223L)) % P * $"fp"
-              + (($"perm" + 1) * lit(1779033703L) + lit(2246822519L)) % P) % P).as("h"))
-          .groupBy($"doc_id", $"perm").agg(min($"h").as("mh"))
+        // 64-permutation signature via the typed MinHashAgg aggregator:
+        // ONE pass over the exploded fingerprints with a fixed-width
+        // buffer and map-side combine — no 64× row explosion (the
+        // explode-per-permutation formulation shuffled 64× the data).
+        val sig = ex.as[(Long, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.MinHashAgg(NUM_PERM).toColumn.name("sig"))
+          .toDF("doc_id", "sig")
         // 16 bands × 4 rows: band key = ordered concat of the band's mins
-        val bands = mh
-          .withColumn("band", ($"perm" / 4).cast("int"))
-          .groupBy($"doc_id", $"band")
-          .agg(concat_ws(",", transform(array_sort(collect_list(struct($"perm", $"mh"))),
-            t => t.getField("mh").cast("string"))).as("bkey"))
+        val bands = sig.select($"doc_id",
+          explode(transform(sequence(lit(0), lit(15)), b => struct(
+            b.as("band"),
+            concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+              v => v.cast("string"))).as("bkey")))).as("bk"))
+          .select($"doc_id", $"bk.band", $"bk.bkey")
         val cands = bands.select($"doc_id".as("a_id"), $"band", $"bkey")
           .join(bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
           .filter($"a_id" < $"b_id")
