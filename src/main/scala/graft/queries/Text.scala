@@ -137,6 +137,28 @@ object Text {
         ORDER BY d.doc_id"""
       }),
 
+    // ---- BPE-ish regex tokenization (byte-level-BPE pretokenizer
+    // shape: contraction suffixes | space-prefixed word | number |
+    // punctuation run | whitespace run) — token counting for a
+    // training-data pipeline. Same leftmost-first alternation in Java
+    // regex and DuckDB's RE2.
+    Q("x5_bpe_tokens",
+      (s, dir) => {
+        import s.implicits._
+        val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +"
+        Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            regexp_extract_all($"text", lit(pat), lit(0)).as("toks"))
+          .select($"doc_id",
+            size($"toks").cast("long").as("n_bpe"),
+            size(array_distinct($"toks")).cast("long").as("n_uniq_bpe"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +')) AS n_bpe,
+        len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+| +'))) AS n_uniq_bpe
+        FROM documents ORDER BY doc_id""")),
+
     // ---- document fingerprinting: full-doc rolling hash + min/distinct
     // token fingerprints (Rabin–Karp / winnowing building blocks) -------
     Q("x4_fingerprint",

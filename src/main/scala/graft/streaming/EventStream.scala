@@ -65,6 +65,16 @@ object EventStream {
       .select(col("sw.start").as("s_start"), col("sw.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen
+    * within the watermark horizon — the streaming form of the batch
+    * hash-groupBy dedup (state store holds one entry per key, expired
+    * by the watermark, so state is bounded at any corpus rate).
+    */
+  def deduplicated(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserState(nEvents: Long, total: Double)
   case class UserTotal(user_id: Long, n_events: Long, total: Double)
 

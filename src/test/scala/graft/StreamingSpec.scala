@@ -52,6 +52,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    // duplicate the event stream on disk: same event_ids twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-dup-events").toString
+    val base = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+    base.write.mode("overwrite").parquet(dupDir)
+    base.write.mode("append").parquet(dupDir)
+
+    val q = EventStream.deduplicated(EventStream.read(spark, dupDir))
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_count")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_count").collect().head.getLong(0)
+    assert(n === base.count())
+  }
+
   test("mapGroupsWithState running totals converge to batch totals") {
     import spark.implicits._
     val stream = EventStream.read(spark, eventsDir).as[EventStream.Event]
