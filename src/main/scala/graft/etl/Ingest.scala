@@ -71,7 +71,8 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
     // ---- reports dim: key = hash(edinet_code, fiscal_year, quarter) --
     // Two docs mapping to the SAME (company, fiscal_year, quarter) —
     // e.g. an amended filing in the same batch — collide on report_id.
-    // Keep the lowest doc_id deterministically and QUARANTINE the rest
+    // Keep the LATEST filing (filing_date desc, doc_id desc tiebreak —
+    // an amendment supersedes the original) and QUARANTINE the rest
     // (silently dropping a whole filing's facts is invisible data loss).
     val reportsAll = goodReport
       .join(goodCompany.select(col("doc_id"),
@@ -86,9 +87,14 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
         to_date(col("filing_date"), "yyyy/M/d").as("filing_date"),
         now.as("created_at"), now.as("updated_at"))
     val repW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("report_id")).orderBy(col("doc_id"))
+      .partitionBy(col("report_id"))
+      .orderBy(col("filing_date").desc_nulls_last, col("doc_id").desc)
+    // persisted: consumed by the reports upsert, the fact join, and the
+    // returned quarantine — without it the pivot+join+window lineage
+    // would recompute three times
     val ranked = reportsAll
       .withColumn("_rn", row_number().over(repW))
+      .persist()
     val reports = ranked.filter(col("_rn") === 1).drop("_rn")
     val dupReportDocs = ranked.filter(col("_rn") > 1)
       .select(col("doc_id"), lit("duplicate_report").as("reason"))
@@ -117,6 +123,10 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
       .dropDuplicates("data_id")
     wh.upsert("financial_data", fact, Seq("data_id"), Seq("fiscal_year"))
 
-    quarantine.unionByName(dupReportDocs)
+    // materialize the (tiny) quarantine before releasing the lineage
+    val out = quarantine.unionByName(dupReportDocs).persist()
+    out.count()
+    ranked.unpersist()
+    out
   }
 }

@@ -25,14 +25,10 @@ import Text.{duckRollingHash, duckHash60, duckToks}
   */
 object Dedup {
 
-  private val P = 1000000007L
-
-  /** Deterministic MinHash permutation constants: a,b in [1, P), via a
-    * fixed LCG over the permutation index (engine-neutral, no RNG).
+  /** Permutation count for the MinHash signature; the permutation
+    * family itself (LCG constants, modulus) lives in operators.MinHashAgg.
     */
   val NUM_PERM = 64
-  val permA: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 2654435761L + 1013904223L) % P)
-  val permB: Seq[Long] = (0 until NUM_PERM).map(i => ((i + 1) * 1779033703L + 2246822519L) % P)
 
   /** Shared: doc_id + distinct 3-gram shingles (codegen'd
     * WordShinglesExpr; bit-identical to TextOps.distinctShingles,

@@ -43,11 +43,19 @@ object StreamingIngest {
       .queryName("edinet-ingest")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val staged = Standardize(EdinetCsv.withDocColumns(batch)).persist()
-          try { new Ingest(spark, wh).runStaged(staged, strict = false); () }
-          finally { staged.unpersist(); () }
+          try {
+            val quarantine = new Ingest(spark, wh).runStaged(staged, strict = false)
+            // quarantined docs must stay visible: persist them alongside
+            // the warehouse tables (dropping the returned DF would make
+            // duplicate/invalid filings vanish without a trace)
+            if (!quarantine.isEmpty)
+              wh.append("quarantine",
+                quarantine.withColumn("batch_id",
+                  org.apache.spark.sql.functions.lit(batchId)))
+          } finally { staged.unpersist(); () }
         }
       }
       .start()

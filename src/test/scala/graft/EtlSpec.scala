@@ -100,7 +100,9 @@ class EtlSpec extends SparkSpec {
       rawFixture(docId = "DOC_A").unionByName(rawFixture(docId = "DOC_B")))
     val quarantine = new Ingest(spark, wh).runStaged(staged, strict = false).collect()
     assert(quarantine.length === 1)
-    assert(quarantine.head.getString(0) === "DOC_B")
+    // latest-wins: same filing_date, so highest doc_id (the amendment
+    // in EDINET's roughly-chronological id scheme) is kept
+    assert(quarantine.head.getString(0) === "DOC_A")
     assert(quarantine.head.getString(1) === "duplicate_report")
     // the kept filing's facts are all present
     assert(wh.read("financial_reports").count() === 1)

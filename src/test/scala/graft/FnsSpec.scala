@@ -26,6 +26,11 @@ class FnsSpec extends AnyFunSuite {
     assert(Fns.extractFiscalYear("自 令和2年4月1日 至 令和元年3月31日") === Some("2019"))
   }
 
+  test("fiscal year: Reiwa year beyond Int range is None, no fall-through") {
+    val c = "自 令和3000000000年4月1日 至 令和3000000000年3月31日 2023"
+    assert(Fns.extractFiscalYear(c) === None)
+  }
+
   test("fiscal year: bare 4-digit year only within [1990, 2100]") {
     assert(Fns.extractFiscalYear("2023年3月期") === Some("2023"))
     assert(Fns.extractFiscalYear("1989年決算") === None)

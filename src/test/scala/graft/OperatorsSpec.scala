@@ -48,6 +48,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin rejects right/full outer join types") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(a, b, "k", 4, jt)
+      }
+    }
+    // left outer stays supported and correct
+    assert(SkewJoin.saltedJoin(a, b, "k", 4, "left").count() === 1)
+  }
+
+  test("MinHashAgg normalizes arbitrary Long inputs (hash60, negatives)") {
+    import spark.implicits._
+    val P = 1000000007L
+    def h(perm: Int, x: Long): Long = {
+      val xm = java.lang.Math.floorMod(x, P)
+      ((((perm + 1) * 2654435761L + 1013904223L) % P * xm
+        + ((perm + 1) * 1779033703L + 2246822519L) % P) % P)
+    }
+    // inputs outside [0, P): 60-bit hash60-scale values and a negative
+    val ins = Seq(1L << 59, (1L << 60) - 3, -42L, Long.MinValue + 7)
+    val sig = ins.map(7L -> _).toDF("doc_id", "fp").as[(Long, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new MinHashAgg(8).toColumn.name("sig"))
+      .collect().head._2
+    val expected = (0 until 8).map(p2 => ins.map(h(p2, _)).min)
+    assert(sig === expected)
+    sig.foreach(v => assert(v >= 0 && v < P))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")

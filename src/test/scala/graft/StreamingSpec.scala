@@ -56,8 +56,8 @@ class StreamingSpec extends SparkSpec {
     // duplicate the event stream on disk: same event_ids twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-dup-events").toString
     val base = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
-    base.write.mode("overwrite").parquet(dupDir)
-    base.write.mode("append").parquet(dupDir)
+    base.coalesce(1).write.mode("overwrite").parquet(dupDir)
+    base.coalesce(1).write.mode("append").parquet(dupDir)
 
     val q = EventStream.deduplicated(EventStream.read(spark, dupDir))
       .groupBy().count()
