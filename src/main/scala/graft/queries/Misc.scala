@@ -105,6 +105,20 @@ object Misc {
       },
       None),
 
+    // ---- cube: full grouping-sets lattice -------------------------------
+    Q("m8_cube",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // ---- batch sessionization: gap-based session ids via windows -------
     // Gap math in integer epoch-micros so Spark (nanos→micros truncate)
     // and DuckDB (epoch_us of the nanos timestamp) agree exactly.

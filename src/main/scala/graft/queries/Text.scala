@@ -41,6 +41,47 @@ object Text {
 
   val all: Seq[Q] = Seq(
 
+    // ---- winnowing fingerprint (Schleimer et al. 2003): rolling char
+    // k-gram hashes, sliding-window minima over full windows, distinct
+    // minima = the document's fingerprint set. Explode+window shape —
+    // one shuffle on doc_id, codegen'd hashing, no array lambdas.
+    Q("x6_winnowing",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val k = 8; val win = 4
+        val grams = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"text",
+            explode(sequence(lit(1), length($"text") - (k - 1))).as("pos"))
+          .select($"doc_id", $"pos",
+            (length($"text") - (k - 1) - (win - 1)).as("last_full"),
+            graft.functions.NativeExprs.rollingHash(s, $"text".substr($"pos", lit(k))).as("gh"))
+        val w = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.currentRow, win - 1)
+        grams
+          .withColumn("wmin", min($"gh").over(w))
+          .filter($"pos" <= $"last_full")
+          .groupBy($"doc_id")
+          .agg(
+            countDistinct($"wmin").as("n_fp"),
+            min($"wmin").as("fp_min"),
+            max($"wmin").as("fp_max"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, count(DISTINCT wmin) AS n_fp,
+          min(wmin) AS fp_min, max(wmin) AS fp_max
+        FROM (
+          SELECT doc_id, pos, last_full,
+            min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+          FROM (
+            SELECT doc_id, pos, length(text) - 7 - 3 AS last_full,
+              ${duckRollingHash("text[pos:pos+7]")} AS gh
+            FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS pos
+                  FROM documents)))
+        WHERE pos <= last_full
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- token counting: whitespace tokens + distinct + avg length ----
     Q("x1_text_stats",
       (s, dir) => {
