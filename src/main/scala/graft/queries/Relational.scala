@@ -197,14 +197,19 @@ object Relational {
     Q("j5_anti_join",
       (s, dir) => {
         import s.implicits._
-        val o = t(s, dir, "orders").select($"o_custkey".as("c_custkey"))
+        // customers with no large order — the filter keeps the result
+        // non-trivial at every sf (an unfiltered anti-join is empty on
+        // this data: every customer has some order)
+        val o = t(s, dir, "orders").filter($"o_totalprice" > 300000)
+          .select($"o_custkey".as("c_custkey"))
         t(s, dir, "customer")
           .join(o, Seq("c_custkey"), "left_anti")
           .select($"c_custkey", $"c_name")
           .orderBy($"c_custkey")
       },
       Some("""SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         ORDER BY c_custkey""")),
 
     // ---- semi join (EXISTS form) ----------------------------------------
