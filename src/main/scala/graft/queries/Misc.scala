@@ -157,6 +157,31 @@ object Misc {
             FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tus FROM events)))
         GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // ---- multimodal plumbing, driver-visible: synthesize binary media
+    // inline (MediaCodec stub layout), run the batched mapPartitions
+    // decode+featurize, emit a deterministic digest per media row.
+    // rows-only check; MultimodalSpec pins the feature math.
+    Q("m9_media_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val kind = Seq("image", "audio", "video")(i % 3)
+          val payload = Array.tabulate(80 + i % 40)(j => ((i * 37 + j * 11) % 256).toByte)
+          org.apache.spark.sql.Row(i.toLong, kind,
+            Multimodal.MediaCodec.encode(kind, payload),
+            org.apache.spark.sql.Row(64, 64, 16000, 4))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.extractFeatures(media, batchSize = 16)
+          .select($"media_id", $"kind", $"n_samples",
+            round(aggregate($"feature", lit(0.0d),
+              (a, v) => a + v.cast("double")), 4).as("feat_sum"))
+          .orderBy($"media_id")
+      },
+      None),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // rows-only check (sketch estimates are engine-specific); the spec
     // pins the estimate within 5% of exact countDistinct. At scale this
