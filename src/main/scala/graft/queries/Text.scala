@@ -48,9 +48,12 @@ object Text {
     Q("x6_winnowing",
       (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val k = 8; val win = 4
+        // docs shorter than k have no grams on either engine; without
+        // the guard Spark's sequence(1, length-7) would count DOWN and
+        // emit spurious positions
         val grams = Tables.load(s, dir, "documents")
+          .filter(length($"text") >= k)
           .select($"doc_id", $"text",
             explode(sequence(lit(1), length($"text") - (k - 1))).as("pos"))
           .select($"doc_id", $"pos",

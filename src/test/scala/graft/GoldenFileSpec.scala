@@ -15,10 +15,11 @@ class GoldenFileSpec extends SparkSpec {
 
   private val golden = "/root/reference/documents/test.csv"
 
+  private lazy val staged =
+    Standardize(EdinetCsv.read(spark, golden, EdinetCsv.Utf8Comma))
+
   test("reference golden filing: report extraction matches test_mapping") {
     assume(Files.exists(Paths.get(golden)), "reference checkout not present")
-    val staged = Standardize(
-      EdinetCsv.read(spark, golden, EdinetCsv.Utf8Comma))
     assert(staged.count() === 299)
 
     val report = Extract.reportCandidates(staged).collect().head
@@ -32,12 +33,10 @@ class GoldenFileSpec extends SparkSpec {
 
   test("reference golden filing: item master profile matches the corpus") {
     assume(Files.exists(Paths.get(golden)), "reference checkout not present")
-    val staged = Standardize(
-      EdinetCsv.read(spark, golden, EdinetCsv.Utf8Comma))
     // FIXTURES.md profile: jppfs_cor: x154 rows; items dedup by element_id
     val financialRows = staged
       .filter(org.apache.spark.sql.functions.col("element_id")
-        .rlike("jppfs_cor:|jpigp_cor:"))
+        .rlike(graft.etl.Model.financialElementPattern))
     assert(financialRows.count() === 154)
     val items = Extract.itemCandidates(staged)
     val n = items.count()
