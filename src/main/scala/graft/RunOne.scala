@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Debug harness: run one catalog query by name (args: name sfDir). */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.logging.maxLines", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[runone] $name run$i rows=$n ${sec}%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -36,11 +36,25 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
     val companyCand = Extract.companyCandidates(staged, strict)
     val reportCand = Extract.reportCandidates(staged, strict)
 
-    // quarantine: any doc invalid in either extraction (F4 error channel)
+    // quarantine: any doc invalid in either extraction (F4 error channel),
+    // plus docs whose date fields are present but parse in NEITHER ISO
+    // (2023-12-31 — raw EDINET CSVs) nor slash (2023/12/31 — golden
+    // files) form. try_to_date never throws (vs to_date under Spark 4's
+    // ANSI default, where one stray date fails the whole job), and the
+    // reference aborts the whole document on any bad field, so these
+    // docs route out entirely rather than ingesting with null dates
+    // (null filing_date would corrupt the amendment-wins ordering).
+    val parseDate = (c: org.apache.spark.sql.Column) =>
+      coalesce(try_to_date(c), try_to_date(c, "yyyy/M/d"))
+    val dateBad = reportCand.filter(!col("_invalid") &&
+        ((col("fiscal_year_end").isNotNull && parseDate(col("fiscal_year_end")).isNull) ||
+         (col("filing_date").isNotNull && parseDate(col("filing_date")).isNull)))
+      .select(col("doc_id"), lit("bad_date").as("reason"))
     val quarantine = companyCand.filter(col("_invalid"))
       .select(col("doc_id"), lit("company").as("reason"))
       .unionByName(reportCand.filter(col("_invalid"))
         .select(col("doc_id"), lit("report").as("reason")))
+      .unionByName(dateBad)
     val badDocs = quarantine.select("doc_id").distinct()
 
     val goodCompany = companyCand.filter(!col("_invalid"))
@@ -57,8 +71,11 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
     wh.upsert("companies", companies, Seq("company_id"))
 
     // ---- items dim: global dedup across docs, first-wins; anti-join
-    // insert-if-absent replaces the reference's N+1 existence probes (J5)
-    val items = Extract.itemCandidates(staged).select(
+    // insert-if-absent replaces the reference's N+1 existence probes (J5).
+    // Quarantined docs are excluded BEFORE candidate extraction — the
+    // reference aborts the whole document and inserts nothing from it.
+    val items = Extract.itemCandidates(
+      staged.join(badDocs, Seq("doc_id"), "left_anti")).select(
       wh.surrogateKey(col("element_id")).as("item_id"),
       col("element_id"), col("item_name"), col("category"), col("unit_type"),
       now.as("created_at"), now.as("updated_at"))
@@ -83,8 +100,8 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
         col("doc_id"),
         col("company_id"), col("document_type"), col("fiscal_year"),
         col("quarter_type"),
-        to_date(col("fiscal_year_end"), "yyyy/M/d").as("fiscal_year_end"),
-        to_date(col("filing_date"), "yyyy/M/d").as("filing_date"),
+        parseDate(col("fiscal_year_end")).as("fiscal_year_end"),
+        parseDate(col("filing_date")).as("filing_date"),
         now.as("created_at"), now.as("updated_at"))
     val repW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("report_id"))

@@ -73,6 +73,21 @@ case class FloatVecDotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  private def elementNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
+  /** A null ELEMENT also nulls the result, so nullability must include
+    * containsNull — with the default (children-only) nullability,
+    * nullSafeCodeGen's non-nullable branch emits a reference to an
+    * undeclared isNull variable and the whole stage silently falls
+    * back to interpreted mode (janino "not an rvalue").
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable ||
+      elementNullable(left) || elementNullable(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -92,14 +107,29 @@ case class FloatVecDotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
+      val loop =
+        if (elementNullable(left) || elementNullable(right))
+          // nullable ⇒ ev.isNull is a declared variable here
+          s"""
+            for (int $i = 0; $i < $n; $i++) {
+              if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+              $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+            }
+            if (${ev.isNull}) { ${ev.value} = 0.0; } else { ${ev.value} = $acc; }
+          """
+        else
+          // containsNull=false on both sides: tight loop, no per-element
+          // branch, no isNull reference (it may be a compile-time false)
+          s"""
+            for (int $i = 0; $i < $n; $i++) {
+              $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+            }
+            ${ev.value} = $acc;
+          """
       s"""
         int $n = java.lang.Math.min($x.numElements(), $y.numElements());
         double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-          $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
-        }
-        if (!${ev.isNull}) { ${ev.value} = $acc; }
+        $loop
       """
     })
 
@@ -134,6 +164,14 @@ object NativeExprs {
   def rollingHash(spark: SparkSession, s: Column): Column = {
     register(spark)
     call_function("graft_rolling_hash", s)
+  }
+
+  /** Second hash family (base 137 mod 998244353) — paired with
+    * rollingHash to pack a 60-bit token hash for SimHash.
+    */
+  def rollingHash2(spark: SparkSession, s: Column): Column = {
+    register(spark)
+    call_function("graft_rolling_hash2", s)
   }
 
   def dot(spark: SparkSession, a: Column, b: Column): Column = {

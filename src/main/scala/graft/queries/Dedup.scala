@@ -111,12 +111,18 @@ object Dedup {
         val sh = shingled(s, dir)
         val ex = sh.select($"doc_id", explode($"shs").as("sh"))
         // stop-shingle cap: shingles in >100 docs are boilerplate; also
-        // singleton shingles can never produce a pair.
-        val df = Window.partitionBy($"sh")
-        val ex2 = ex.withColumn("df", count(lit(1)).over(df))
-          .filter($"df" >= 2 && $"df" <= 100).drop("df")
-        val pairs = ex2.select($"doc_id".as("a_id"), $"sh")
-          .join(ex2.select($"doc_id".as("b_id"), $"sh"), "sh")
+        // singleton shingles can never produce a pair. ONE bounded-buffer
+        // aggregation on the shingle key (CappedDocListAgg: exact count +
+        // ≤101-element doc list) and the cap filter drops hot shingles as
+        // whole groups — no window over `sh` (which sort-shuffled the
+        // full exploded stream and materialized straggler partitions
+        // before the cap), no self-join (pairs come straight off each
+        // ≤100-doc list), and no unbounded collect_list buffer.
+        val capAgg = udaf(new graft.operators.CappedDocListAgg(100))
+        val pairs = ex.groupBy($"sh").agg(capAgg($"doc_id").as("g"))
+          .filter($"g._1".between(2, 100))
+          .select(explode($"g._2").as("a_id"), $"g._2".as("docs"))
+          .select($"a_id", explode($"docs").as("b_id"))
           .filter($"a_id" < $"b_id")
           .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
         val sz = sh.select($"doc_id", size($"shs").cast("long").as("n"))
@@ -170,45 +176,37 @@ object Dedup {
     // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
     Q("d4_simhash",
       (s, dir) => {
-        graft.functions.NativeExprs.register(s)
-        Tables.load(s, dir, "documents").createOrReplaceTempView("documents_v")
-        // 60 per-bit majority sums as aggregate EXPRESSIONS over the
-        // token stream (no 60× row explosion), with the codegen'd
-        // rolling hashes — same math as the DuckDB oracle's
-        // range(60)-join formulation.
-        val bitSums = (0 until 60)
-          .map(j => s"SUM(CASE WHEN (shiftright(h64, $j) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
-          .mkString(",\n              ")
-        val assemble = (0 until 60)
-          .map(j => s"(CASE WHEN s$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)")
-          .mkString(" + ")
-        s.sql(s"""
-          WITH toks AS (
-            SELECT doc_id, explode(filter(split(text, ' '), t -> t <> '')) AS tok
-            FROM documents_v),
-          h AS (
-            SELECT doc_id,
-              graft_rolling_hash(tok)
-              + graft_rolling_hash2(tok) * CAST(1073741824 AS BIGINT) AS h64
-            FROM toks),
-          bits AS (
-            SELECT doc_id, $bitSums
-            FROM h GROUP BY doc_id),
-          sh AS (
-            SELECT doc_id, $assemble AS simhash
-            FROM bits),
-          bands AS (
-            SELECT doc_id, simhash, b,
-              (shiftright(simhash, b * 15) & 32767) AS bval
-            FROM sh LATERAL VIEW explode(sequence(0, 3)) AS b),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-              a.simhash AS sa, b.simhash AS sb
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
-          SELECT a_id, b_id, CAST(bit_count(sa ^ sb) AS BIGINT) AS hamming
-          FROM cand WHERE bit_count(sa ^ sb) <= 3
-          ORDER BY a_id, b_id""")
+        import s.implicits._
+        // token stream → codegen'd 60-bit hash → typed SimHashAgg:
+        // one fixed-width Array[Int](60) buffer per doc with map-side
+        // combine (the MinHashAgg shape), replacing the 60-column
+        // SUM-CASE aggregate that dominated BENCH_r01. Same math as the
+        // DuckDB oracle's range(60)-join formulation.
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            explode(filter(split($"text", " "), t => t =!= lit(""))).as("tok"))
+        val h = toks.select($"doc_id",
+          (graft.functions.NativeExprs.rollingHash(s, $"tok")
+            + graft.functions.NativeExprs.rollingHash2(s, $"tok") * lit(1073741824L)).as("h64"))
+        val sh = h.as[(Long, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(new graft.operators.SimHashAgg(60).toColumn.name("simhash"))
+          .toDF("doc_id", "simhash")
+        // 4 bands × 15 bits: pigeonhole ⇒ any pair with hamming ≤ 3
+        // shares at least one intact band (exact recall).
+        val bands = sh.select($"doc_id", $"simhash",
+            explode(sequence(lit(0), lit(3))).as("b"))
+          .select($"doc_id", $"simhash", $"b",
+            expr("shiftright(simhash, b * 15) & CAST(32767 AS BIGINT)").as("bval"))
+        val cand = bands.select($"doc_id".as("a_id"), $"simhash".as("sa"), $"b", $"bval")
+          .join(bands.select($"doc_id".as("b_id"), $"simhash".as("sb"), $"b", $"bval"),
+            Seq("b", "bval"))
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id", $"sa", $"sb").distinct()
+        cand.select($"a_id", $"b_id",
+            bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+          .filter($"hamming" <= 3)
+          .orderBy($"a_id", $"b_id")
       },
       Some(s"""WITH toks AS (
           SELECT doc_id, unnest($duckToks) AS tok FROM documents),

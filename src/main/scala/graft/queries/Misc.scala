@@ -122,6 +122,9 @@ object Misc {
     // ---- batch sessionization: gap-based session ids via windows -------
     // Gap math in integer epoch-micros so Spark (nanos→micros truncate)
     // and DuckDB (epoch_us of the nanos timestamp) agree exactly.
+    // `total` stays DECIMAL(18,2) end-to-end (no double anywhere on the
+    // hash surface): decimal str-renders identically on both engines,
+    // where a final double cast left room for formatter drift.
     Q("m7_sessionize",
       (s, dir) => {
         import s.implicits._
@@ -138,12 +141,12 @@ object Misc {
           .agg(count(lit(1)).as("n_events"),
             min($"event_id").as("first_event"),
             max($"event_id").as("last_event"),
-            dsum($"value").as("total"))
+            sum(dec2($"value")).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
           .orderBy($"user_id", $"session_id")
       },
       Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
           MIN(event_id) AS first_event, MAX(event_id) AS last_event,
-          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         FROM (
           SELECT user_id, event_id, value,
             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id

@@ -69,10 +69,11 @@ object Sim {
           FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
         WHERE rank <= 10 ORDER BY q_id, rank""")),
 
-    // ---- IVF-bucketed ANN: assign → probe top-2 centroids → rank -------
+    // ---- IVF-bucketed ANN: assign → probe top-NPROBE centroids → rank --
     Q("sim2_ivf_topk",
       (s, dir) => {
         import s.implicits._
+        val NPROBE = 8
         val e = withNorm(s, dir)
         val cents = e.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
@@ -84,7 +85,7 @@ object Sim {
           .withColumn("rn", row_number().over(assignW))
           .filter($"rn" === 1)
           .select($"vec_id", $"c_id")
-        // queries probe their top-8 centroids
+        // queries probe their top-NPROBE centroids
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
           .crossJoin(broadcast(cents))
@@ -92,7 +93,7 @@ object Sim {
             (ndot(s, $"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("ccos"))
           .withColumn("rn", row_number().over(
             Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
-          .filter($"rn" <= 8)
+          .filter($"rn" <= NPROBE)
           .select($"q_id", $"q_emb", $"q_nrm", $"c_id")
         // scan only the probed posting lists
         val cand = probes.join(assigned, "c_id")

@@ -52,7 +52,11 @@ object EdinetCsv {
     * variant. Adds `doc_id` (parent directory name = EDINET document
     * id, from input_file_name) and `_rid` (per-file row order).
     */
-  def read(spark: SparkSession, pathSpec: String, variant: Variant): DataFrame = {
+  def read(spark: SparkSession, pathSpec: String, variant: Variant): DataFrame =
+    readPaths(spark, Seq(pathSpec), variant)
+
+  /** The scan itself, over explicit paths (dirs, globs, or files). */
+  def readPaths(spark: SparkSession, paths: Seq[String], variant: Variant): DataFrame = {
     val raw = spark.read
       .schema(Model.rawSchema)
       .option("header", "true")
@@ -67,7 +71,7 @@ object EdinetCsv {
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.csv")
       .option("mode", "PERMISSIVE")
-      .csv(pathSpec)
+      .csv(paths: _*)
     withDocColumns(raw)
   }
 
@@ -90,17 +94,27 @@ object EdinetCsv {
       .withColumn("_rid", monotonically_increasing_id())
   }
 
-  /** Convenience: sniff the first matching file, then scan. */
+  /** Sniff EVERY csv under the path and run one scan per encoding
+    * variant, unioned — a landing dir mixing UTF-16LE raw downloads
+    * with UTF-8 golden files decodes each file correctly (encoding is a
+    * per-scan option; a single-variant guess would silently shred the
+    * other variant into PERMISSIVE nulls). Sniffing is a 4-byte
+    * driver-side read per file — cheap next to the listing itself; at
+    * millions-of-files scale carry the variant as landing metadata (or
+    * sniff one file per directory) instead.
+    */
   def readAuto(spark: SparkSession, pathSpec: String): DataFrame = {
     val path = new Path(pathSpec)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
-    var first: Option[String] = None
-    while (first.isEmpty && it.hasNext) {
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".csv")) first = Some(f.getPath.toString)
+      if (f.getPath.getName.endsWith(".csv")) files += f.getPath.toString
     }
-    val variant = first.map(sniff(spark, _)).getOrElse(Utf8Comma)
-    read(spark, pathSpec, variant)
+    if (files.isEmpty) read(spark, pathSpec, Utf8Comma)
+    else files.groupBy(sniff(spark, _)).toSeq.sortBy(_._1.toString)
+      .map { case (variant, group) => readPaths(spark, group.toSeq, variant) }
+      .reduce(_.unionByName(_))
   }
 }

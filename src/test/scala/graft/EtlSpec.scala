@@ -171,4 +171,52 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("t").orderBy("k").as[(Long, String)].collect()
       === Array((2L, "B"), (3L, "c")))
   }
+
+  test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh4").toString
+    val wh = new Warehouse(spark, tmp)
+    wh.upsert("t",
+      Seq((1L, "a", "2022"), (2L, "b", "2022"), (3L, "c", "2023"))
+        .toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    // part-file names are write-unique (uuid), so identical name sets ⇒
+    // the directory was not rewritten
+    def files(fy: String): Set[String] =
+      new java.io.File(s"$tmp/t/fy=$fy").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    val before2022 = files("2022")
+    wh.upsert("t",
+      Seq((3L, "C", "2023"), (4L, "d", "2023")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    assert(files("2022") === before2022) // untouched partition: same files
+    assert(wh.read("t").orderBy("k").as[(Long, String, String)].collect()
+      === Array((1L, "a", "2022"), (2L, "b", "2022"),
+        (3L, "C", "2023"), (4L, "d", "2023")))
+    // a brand-new partition lands alongside without touching the others
+    wh.upsert("t", Seq((5L, "e", "2024")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    assert(files("2022") === before2022)
+    assert(wh.read("t").count() === 5)
+  }
+
+  test("warehouse: recover restores the table after a crashed swap") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh5").toString
+    val wh = new Warehouse(spark, tmp)
+    wh.create("t", Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash between rename(live→._old) and rename(staging→live)
+    assert(new java.io.File(s"$tmp/t").renameTo(new java.io.File(s"$tmp/t._old")))
+    assert(wh.exists("t")) // recover() restored ._old
+    assert(wh.read("t").as[(Long, String)].collect() === Array((1L, "a")))
+
+    // per-partition crash window: fy=2023 vanished mid-swap, backup left
+    val wh2 = new Warehouse(spark, tmp)
+    wh2.upsert("t2",
+      Seq((1L, "a", "2022"), (2L, "b", "2023")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    assert(new java.io.File(s"$tmp/t2/fy=2023")
+      .renameTo(new java.io.File(s"$tmp/t2/._old_fy=2023")))
+    assert(wh2.read("t2").count() === 2) // recover() restored the partition
+  }
 }

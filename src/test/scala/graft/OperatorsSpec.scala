@@ -80,6 +80,41 @@ class OperatorsSpec extends SparkSpec {
     sig.foreach(v => assert(v >= 0 && v < P))
   }
 
+  test("CappedDocListAgg: exact counts, truncation only beyond cap, partial-agg safe") {
+    import spark.implicits._
+    import graft.operators.CappedDocListAgg
+    // key 1: 3 docs (under cap — full list), key 2: 7 docs (over cap=5 —
+    // count exact, list truncated to cap+1), key 3: singleton
+    val rows = Seq.tabulate(3)(i => ("a", i.toLong)) ++
+      Seq.tabulate(7)(i => ("b", 100L + i)) ++ Seq(("c", 9L))
+    val agg = udaf(new CappedDocListAgg(5))
+    val out = rows.toDF("k", "doc")
+      .repartition(4) // multiple partitions → merge() is exercised
+      .groupBy($"k").agg(agg($"doc").as("g"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getSeq[Long](1))).toMap
+    assert(out("a")._1 === 3L)
+    assert(out("a")._2.sorted === Seq(0L, 1L, 2L))
+    assert(out("b")._1 === 7L) // count exact even though list is capped
+    assert(out("b")._2.length === 6) // cap+1: enough to prove over-cap
+    assert(out("b")._2.toSet.subsetOf((100L to 106L).toSet))
+    assert(out("c") === ((1L, Seq(9L))))
+  }
+
+  test("SimHashAgg == per-bit majority math, partial-agg safe") {
+    import spark.implicits._
+    import graft.operators.SimHashAgg
+    val hashes = Seq(0x7L, 0x5L, 0x1L, 0x8L) // bits over 4 tokens
+    // bit0: +1+1+1-1=2 →1; bit1: +1-1-1-1=-2 →0; bit2: +1+1-1-1=0 →1 (tie);
+    // bit3: -1-1-1+1=-2 →0
+    val expected = (1L << 0) | (1L << 2)
+    val sig = hashes.map(77L -> _).toDF("doc_id", "h").repartition(3)
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new SimHashAgg(60).toColumn.name("sig"))
+      .collect().head._2
+    assert(sig === expected)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
