@@ -34,12 +34,12 @@ object Cli {
 
       case "summary" :: whDir :: rest =>
         val wh = new Warehouse(spark, whDir)
-        val all = Summary.allCompanies(
+        // typed DTO egress (P16) + display formatting (F6)
+        val typed = Summary.summariesTyped(
           wh.read("companies"), wh.read("financial_reports"),
-          wh.read("financial_data"), wh.read("financial_items"))
-        val out = rest.headOption.map(c => all.filter(all("edinet_code") === c))
-          .getOrElse(all)
-        out.show(50, truncate = false)
+          wh.read("financial_data"), wh.read("financial_items"),
+          edinetCode = rest.headOption)
+        Summary.display(typed.toDF()).show(50, truncate = false)
 
       case "companies" :: whDir :: Nil =>
         val wh = new Warehouse(spark, whDir)

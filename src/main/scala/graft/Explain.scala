@@ -21,22 +21,34 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    var cartesian = List.empty[String]
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // EXECUTE first: under AQE the formatted plan only carries
+      // `codegen id` / final join choices after the adaptive plan is
+      // finalized — pre-execution explain was a codegen false-negative
+      df.collect()
       val plan = df.queryExecution.explainString(FormattedMode)
       val props = Seq(
         "PushedFilters: [" -> plan.contains("PushedFilters: ["),
         "BroadcastHashJoin" -> plan.contains("BroadcastHashJoin"),
         "WholeStageCodegen" -> plan.contains("codegen id"),
+        "CARTESIAN-PRODUCT" -> plan.contains("CartesianProduct"),
         "full-schema scan" -> {
           // a ReadSchema listing every table column suggests no pruning
           val rs = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
           rs.exists(_.count(_ == ',') >= 8)
         })
+      if (plan.contains("CartesianProduct")) cartesian ::= name
       println(s"===== $name " + "=" * (60 - name.length))
       println(props.collect { case (p, true) => p }.mkString("props: ", ", ", ""))
       if (sys.env.get("GRAFT_EXPLAIN_FULL").contains("1")) println(plan)
     }
     spark.stop()
+    // hard gate: a CartesianProduct in a catalog query is a scale bug
+    if (cartesian.nonEmpty) {
+      System.err.println(s"FAIL: CartesianProduct in final plan of: ${cartesian.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

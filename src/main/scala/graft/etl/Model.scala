@@ -85,35 +85,22 @@ object Model {
     // denormalized partition key (directory-level pruning at scale)
     StructField("fiscal_year", StringType, nullable = true)))
 
-  /** Extraction mapping (config/config.toml:33-50) — field → element_id. */
-  val companyMapping: Seq[(String, String)] = Seq(
-    "edinet_code" -> "jpdei_cor:EDINETCodeDEI",
-    "security_code" -> "jpdei_cor:SecurityCodeDEI",
-    "industry_code" -> ("jpdei_cor:IndustryCodeWhenConsolidatedFinancialStatements" +
-      "ArePreparedInAccordanceWithIndustrySpecificRegulationsDEI"),
-    "company_name" -> "jpcrp_cor:CompanyNameCoverPage")
+  /** Extraction mapping (config/config.toml:33-50) — field → element_id.
+    * CONFIG-DRIVEN: loaded from graft-mapping.properties (overridable
+    * via -Dgraft.mapping.path / GRAFT_MAPPING_PATH without recompiling),
+    * matching the reference's config-not-code design. See MappingConfig.
+    */
+  private lazy val cfg = MappingConfig.default
 
-  val reportMapping: Seq[(String, String)] = Seq(
-    "document_type" -> "jpcrp_cor:DocumentTitleCoverPage",
-    "fiscal_year_and_quarter" -> "jpcrp_cor:QuarterlyAccountingPeriodCoverPage",
-    "fiscal_year_end" -> "jpdei_cor:CurrentPeriodEndDateDEI",
-    "filing_date" -> "jpcrp_cor:FilingDateCoverPage")
+  lazy val companyMapping: Seq[(String, String)] = cfg.company
+
+  lazy val reportMapping: Seq[(String, String)] = cfg.report
 
   /** Summary-metric candidate lists, first match wins
     * (financial_service.py:54-75).
     */
-  val summaryItems: Seq[(String, Seq[String])] = Seq(
-    "net_sales" -> Seq(
-      "jppfs_cor:NetSales", "jppfs_cor:OperatingRevenue1",
-      "jppfs_cor:OperatingRevenueSEC", "jpigp_cor:RevenueIFRS"),
-    "operating_income" -> Seq(
-      "jppfs_cor:OperatingIncome", "jpigp_cor:OperatingProfitLossIFRS"),
-    "ordinary_income" -> Seq(
-      "jppfs_cor:OrdinaryIncome", "jpigp_cor:ProfitLossBeforeTaxIFRS"),
-    "net_income" -> Seq(
-      "jppfs_cor:ProfitLossAttributableToOwnersOfParent", "jppfs_cor:ProfitLoss",
-      "jpigp_cor:ProfitLossAttributableToOwnersOfParentIFRS"))
+  lazy val summaryItems: Seq[(String, Seq[String])] = cfg.summary
 
   /** Row filter marking financial-item rows (data_mapper.py:174-176). */
-  val financialElementPattern = "jppfs_cor:|jpigp_cor:"
+  lazy val financialElementPattern: String = cfg.financialElementPattern
 }

@@ -1,8 +1,27 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+
+/** Typed record crossing the service boundary — field-for-field parity
+  * with the reference's FinancialSummaryDTO
+  * (utils/service/financial_service.py:33-50): company/period info,
+  * raw financial metrics (million-yen scaled), computed profit rates.
+  * P16 in SURVEY.md §2: `Dataset[FinancialSummary]` is the API edge.
+  */
+final case class FinancialSummary(
+    company_name: String,
+    period_name: String,
+    fiscal_year: Option[Int],
+    quarter_type: Option[String],
+    net_sales: Option[Double],
+    operating_income: Option[Double],
+    ordinary_income: Option[Double],
+    net_income: Option[Double],
+    operation_profit_rate: Option[Double],
+    ordinary_profit_rate: Option[Double],
+    net_profit_rate: Option[Double])
 
 /** The reference's flagship read path (§3.1): company → latest report →
   * summary facts → pivot → candidate coalesce → guarded profit-margin
@@ -130,4 +149,35 @@ object Summary {
       items: DataFrame, edinetCode: String): DataFrame =
     allCompanies(companies, reports, fact, items)
       .filter(col("edinet_code") === edinetCode)
+
+  /** Typed egress (P16): the DTO-parity `Dataset[FinancialSummary]`.
+    * The lookup key (edinet_code) is consumed by the filter and is not
+    * a DTO field, matching get_financial_summary's signature.
+    */
+  def summariesTyped(
+      companies: DataFrame, reports: DataFrame, fact: DataFrame,
+      items: DataFrame, edinetCode: Option[String] = None): Dataset[FinancialSummary] = {
+    val all = allCompanies(companies, reports, fact, items)
+    val scoped = edinetCode.map(c => all.filter(col("edinet_code") === c)).getOrElse(all)
+    val s = scoped.sparkSession
+    import s.implicits._
+    val dtoOrder = Seq("company_name", "period_name", "fiscal_year", "quarter_type",
+      "net_sales", "operating_income", "ordinary_income", "net_income",
+      "operation_profit_rate", "ordinary_profit_rate", "net_profit_rate")
+    scoped.select(dtoOrder.map(col): _*).as[FinancialSummary]
+  }
+
+  /** F6: display formatting parity with app/app.py:114-156 — profit
+    * rates as "{:.2f}%" and money columns thousands-separated with two
+    * decimals (format_number = "{:,.2f}"), None → "N/A". Presentation
+    * only; ratios/scaling stay numeric in the DTO.
+    */
+  def display(summary: DataFrame): DataFrame = {
+    val rates = Seq("operation_profit_rate", "ordinary_profit_rate", "net_profit_rate")
+    val money = Seq("net_sales", "operating_income", "ordinary_income", "net_income")
+    val withRates = rates.foldLeft(summary)((df, c) =>
+      df.withColumn(c, coalesce(concat(format_number(col(c), 2), lit("%")), lit("N/A"))))
+    money.foldLeft(withRates)((df, c) =>
+      df.withColumn(c, coalesce(format_number(col(c), 2), lit("N/A"))))
+  }
 }

@@ -85,7 +85,9 @@ object Misc {
 
     // ---- the reference's Japanese period parsers, driver-visible --------
     // Inline corpus (no table input); golden values are pinned by
-    // FnsSpec — here the driver sees the op run and checks rows.
+    // FnsSpec. The oracle mirrors fiscalYearExpr/quarterTypeExpr in
+    // DuckDB SQL — all three cascade regexes are RE2-portable, and the
+    // translate/try_cast steps have exact DuckDB equivalents.
     Q("m5_fiscal_parse",
       (s, dir) => {
         import s.implicits._
@@ -98,12 +100,39 @@ object Misc {
           "1989年のデータ",
           "意味のない文字列")
         corpus.zipWithIndex.toDF("content", "id")
-          .select($"id", $"content",
+          .select($"id".cast("long").as("id"), $"content",
             Fns.fiscalYearExpr($"content").as("fiscal_year"),
             Fns.quarterTypeExpr($"content").as("quarter_type"))
           .orderBy($"id")
       },
-      None),
+      Some("""WITH corpus(id, content) AS (VALUES
+          (0, '第121期 第３四半期(自  2023年10月１日  至  2023年12月31日)'),
+          (1, '第52期第１四半期(自  令和５年10月21日  至  令和６年１月20日)'),
+          (2, '自 令和元年4月1日 至 令和2年3月31日'),
+          (3, '第98期 第二四半期(自 2020年7月1日 至 2020年9月30日)'),
+          (4, '2023年3月期'),
+          (5, '1989年のデータ'),
+          (6, '意味のない文字列')),
+        g AS (SELECT CAST(id AS BIGINT) AS id, content,
+          regexp_extract(content, '自\s*(\d{4})年.*?至\s*(\d{4})年', 2) AS g1,
+          regexp_extract(content, '自\s*令和(元|\d+|[０-９]+)年.*?至\s*令和(元|\d+|[０-９]+)年', 2) AS g2,
+          regexp_extract(content, '(\d{4})', 1) AS g3,
+          trim(regexp_extract(content, '第\s*([0-4０-４一二三四１２３４]+)\s*四半期', 1)) AS q
+          FROM corpus),
+        n AS (SELECT *,
+          CASE WHEN g2 = '元' THEN 1
+               ELSE TRY_CAST(translate(g2, '０１２３４５６７８９', '0123456789') AS INT) END AS reiwa,
+          TRY_CAST(g3 AS INT) AS bare,
+          TRY_CAST(translate(q, '０１２３４５６７８９一二三四', '01234567891234') AS INT) AS qn
+          FROM g)
+        SELECT id, content,
+          CASE WHEN g1 <> '' THEN CAST(TRY_CAST(g1 AS INT) AS VARCHAR)
+               WHEN g2 <> '' THEN CAST(2019 + reiwa - 1 AS VARCHAR)
+               WHEN g3 <> '' AND bare BETWEEN 1990 AND 2100 THEN g3
+          END AS fiscal_year,
+          CASE WHEN q <> '' AND qn IS NOT NULL AND qn BETWEEN 1 AND 4
+               THEN 'Q' || CAST(qn AS VARCHAR) END AS quarter_type
+        FROM n ORDER BY id""")),
 
     // ---- cube: full grouping-sets lattice -------------------------------
     Q("m8_cube",
@@ -162,8 +191,13 @@ object Misc {
 
     // ---- multimodal plumbing, driver-visible: synthesize binary media
     // inline (MediaCodec stub layout), run the batched mapPartitions
-    // decode+featurize, emit a deterministic digest per media row.
-    // rows-only check; MultimodalSpec pins the feature math.
+    // decode+featurize, emit an exact integer digest per media row.
+    // The payload formula ((i*37 + j*11) % 256) is reproducible in
+    // DuckDB SQL, so the oracle regenerates the bytes, re-bins them,
+    // and checks the digest Σ_j (j+1)·count_j exactly — the histogram
+    // count is recovered from the L1-normalized float bin by
+    // round(f·n) (error ≤ n·2⁻²⁴ ≪ 0.5), keeping the hash surface
+    // integer-only. MultimodalSpec pins the float normalization.
     Q("m9_media_features",
       (s, dir) => {
         import s.implicits._
@@ -179,16 +213,30 @@ object Misc {
           s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
         Multimodal.extractFeatures(media, batchSize = 16)
           .select($"media_id", $"kind", $"n_samples",
-            round(aggregate($"feature", lit(0.0d),
-              (a, v) => a + v.cast("double")), 4).as("feat_sum"))
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"kind", $"n_samples")
+          .agg(sum(round($"f".cast("double") * $"n_samples") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
           .orderBy($"media_id")
       },
-      None),
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            CAST(80 + i % 40 AS INT) AS n_samples
+          FROM range(60) t(i)),
+        ex AS (SELECT media_id, kind, n_samples,
+            unnest(range(n_samples)) AS j FROM m)
+        SELECT media_id, kind, n_samples,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, kind, n_samples ORDER BY media_id""")),
 
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
-    // rows-only check (sketch estimates are engine-specific); the spec
-    // pins the estimate within 5% of exact countDistinct. At scale this
-    // replaces a full shuffle-distinct with a fixed-size sketch merge.
+    // At scale the sketch merge replaces a full shuffle-distinct; the
+    // production query is approx-only. For the correctness gate the
+    // sketch estimate (engine-specific) stays OFF the hash surface:
+    // the query emits the exact counts plus `sketch_ok` = the Spark
+    // HLL estimate landed within 5% of exact (deterministic for fixed
+    // data), which the oracle asserts as literal TRUE.
     Q("m6_approx_distinct",
       (s, dir) => {
         import s.implicits._
@@ -196,9 +244,16 @@ object Misc {
           .groupBy($"l_returnflag")
           .agg(
             approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            countDistinct($"l_partkey").as("n_parts"),
             count(lit(1)).as("n"))
+          .select($"l_returnflag", $"n_parts", $"n",
+            (abs($"approx_parts" - $"n_parts").cast("double") / $"n_parts" <= 0.05)
+              .as("sketch_ok"))
           .orderBy($"l_returnflag")
       },
-      None)
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n,
+          TRUE AS sketch_ok
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

@@ -81,21 +81,35 @@ object EventStream {
   /** Custom keyed state: running per-user event counts/totals via
     * mapGroupsWithState — the pattern for state no built-in aggregate
     * expresses (here deliberately simple and deterministic).
+    *
+    * State is BOUNDED: each update arms a processing-time timeout
+    * (`stateTtl`); a user idle past the TTL emits one final flush row
+    * and its state is removed — without this, per-user state grows
+    * with the all-time user count at a real event rate. A returning
+    * user restarts from zero (the flush row is the handoff point).
     */
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+  def runningUserTotals(events: Dataset[Event],
+      stateTtl: String = "30 minutes"): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserState, UserTotal](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserState, UserTotal](GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
-          // deterministic accumulation: order within a batch does not
-          // matter for count, and totals are summed in event_id order
-          val evs = batch.toSeq.sortBy(_.event_id)
-          val next = UserState(prev.nEvents + evs.size,
-            prev.total + evs.map(_.value).sum)
-          state.update(next)
-          UserTotal(userId, next.nEvents, next.total)
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(UserState(0L, 0.0))
+            state.remove()
+            UserTotal(userId, last.nEvents, last.total)
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+            // deterministic accumulation: order within a batch does not
+            // matter for count, and totals are summed in event_id order
+            val evs = batch.toSeq.sortBy(_.event_id)
+            val next = UserState(prev.nEvents + evs.size,
+              prev.total + evs.map(_.value).sum)
+            state.update(next)
+            state.setTimeoutDuration(stateTtl)
+            UserTotal(userId, next.nEvents, next.total)
+          }
       }
   }
 }

@@ -172,6 +172,67 @@ class EtlSpec extends SparkSpec {
       === Array((2L, "B"), (3L, "c")))
   }
 
+  test("config: mapping loads from an external file (change without recompile)") {
+    import graft.etl.{Extract, MappingConfig}
+    val p = java.nio.file.Files.createTempFile("graft-map", ".properties")
+    java.nio.file.Files.writeString(p,
+      """company.order = edinet_code,company_name
+        |company.edinet_code = jpdei_cor:EDINETCodeDEI
+        |company.company_name = jpcrp_cor:CompanyNameCoverPage
+        |report.order = document_type
+        |report.document_type = jpcrp_cor:DocumentTitleCoverPage
+        |summary.order = net_sales,total_assets
+        |summary.net_sales = jppfs_cor:NetSales
+        |summary.total_assets = jppfs_cor:Assets,jpigp_cor:TotalAssetsIFRS
+        |financial_element_pattern = jppfs_cor:
+        |""".stripMargin)
+    val m = MappingConfig.load(p.toString)
+    assert(m.company === Seq("edinet_code" -> "jpdei_cor:EDINETCodeDEI",
+      "company_name" -> "jpcrp_cor:CompanyNameCoverPage"))
+    // a user-added metric with its candidate list, no recompile
+    assert(m.summary.toMap.apply("total_assets")
+      === Seq("jppfs_cor:Assets", "jpigp_cor:TotalAssetsIFRS"))
+    assert(m.financialElementPattern === "jppfs_cor:")
+    // the custom mapping drives extraction directly
+    val row = Extract.mappingPivot(Standardize(rawFixture()), m.company).collect().head
+    assert(row.getAs[String]("company_name") == "テスト株式会社")
+    // the bundled default still matches the reference's config.toml
+    assert(Model.companyMapping.map(_._1)
+      === Seq("edinet_code", "security_code", "industry_code", "company_name"))
+    assert(Model.summaryItems.map(_._1)
+      === Seq("net_sales", "operating_income", "ordinary_income", "net_income"))
+  }
+
+  test("summary: typed DTO egress (P16) + display formatting (F6)") {
+    import graft.etl.FinancialSummary
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh6").toString
+    val wh = new Warehouse(spark, tmp)
+    new Ingest(spark, wh).runStaged(Standardize(rawFixture()), strict = false)
+    val ds: org.apache.spark.sql.Dataset[FinancialSummary] = Summary.summariesTyped(
+      wh.read("companies"), wh.read("financial_reports"),
+      wh.read("financial_data"), wh.read("financial_items"))
+    // field-for-field parity with FinancialSummaryDTO
+    // (financial_service.py:33-50)
+    assert(ds.schema.fieldNames.toSeq === Seq("company_name", "period_name",
+      "fiscal_year", "quarter_type", "net_sales", "operating_income",
+      "ordinary_income", "net_income", "operation_profit_rate",
+      "ordinary_profit_rate", "net_profit_rate"))
+    val s = ds.collect().head
+    assert(s.company_name == "テスト株式会社")
+    assert(s.fiscal_year === Some(2023))
+    assert(s.quarter_type === Some("Q3"))
+    assert(s.net_sales === Some(43858.0)) // million-yen scaled
+    assert(s.operation_profit_rate === Some(20.0))
+    // point-lookup form matches get_financial_summary(edinet_code)
+    assert(Summary.summariesTyped(wh.read("companies"), wh.read("financial_reports"),
+      wh.read("financial_data"), wh.read("financial_items"),
+      edinetCode = Some("E00000")).count() === 1)
+    // F6 display golden strings: "{:,.2f}" money, "{:.2f}%" rates
+    val d = Summary.display(ds.toDF()).collect().head
+    assert(d.getAs[String]("net_sales") == "43,858.00")
+    assert(d.getAs[String]("operation_profit_rate") == "20.00%")
+  }
+
   test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh4").toString

@@ -121,12 +121,13 @@ class OperatorsSpec extends SparkSpec {
     val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_partkey").as("x"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    SparkEntry.queries("m6_approx_distinct")(spark, "/root/testdata/sf0.01")
-      .collect().foreach { r =>
-        val flag = r.getString(0)
-        val approx = r.getLong(1)
-        val e = exact(flag).toDouble
-        assert(math.abs(approx - e) / e < 0.05, s"$flag: $approx vs $e")
-      }
+    val rows = SparkEntry.queries("m6_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getLong(1) === exact(flag), s"$flag n_parts")
+      assert(r.getBoolean(3), s"$flag sketch outside 5%")
+    }
   }
 }

@@ -92,4 +92,40 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(t - batch(u)._2) < 1e-6, s"total mismatch user $u")
     }
   }
+
+  test("mapGroupsWithState: idle user state times out and is removed") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, user: Long): EventStream.Event =
+      EventStream.Event(id, new java.sql.Timestamp(1700000000000L + id), user, "view", 1.0, "{}")
+
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.runningUserTotals(input.toDS(), stateTtl = "500 milliseconds")
+      .writeStream.format("memory").queryName("ttl_totals")
+      .outputMode("update").start()
+    // with processing-time timeouts the engine self-triggers to fire
+    // expirations, so processAllAvailable can livelock — poll the sink
+    def rows(): Seq[(Long, Long)] = spark.table("ttl_totals")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    def awaitSink(deadlineMs: Long)(pred: Seq[(Long, Long)] => Boolean): Boolean = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (System.currentTimeMillis() < end && !pred(rows())) Thread.sleep(200)
+      pred(rows())
+    }
+    try {
+      input.addData(ev(1, 7), ev(2, 7))
+      assert(awaitSink(30000)(_.contains((7L, 2L))), s"no first update: ${rows()}")
+      Thread.sleep(1500) // let user 7's processing-time TTL lapse
+      input.addData(ev(3, 8)) // ensure a trigger fires timeout processing
+      // timeout flush emits a SECOND (7, 2) row
+      assert(awaitSink(30000)(_.count(_ == (7L, 2L)) >= 2),
+        s"no timeout flush: ${rows()}")
+      input.addData(ev(4, 7)) // user 7 returns AFTER expiry
+      // post-expiry return starts from FRESH state: (7, 1), never (7, 3)
+      assert(awaitSink(30000)(_.contains((7L, 1L))),
+        s"state not removed on timeout: ${rows()}")
+      assert(!rows().contains((7L, 3L)), s"state survived the timeout: ${rows()}")
+    } finally q.stop()
+  }
 }
