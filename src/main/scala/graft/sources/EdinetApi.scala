@@ -14,6 +14,44 @@ import org.apache.spark.sql.types._
   */
 object EdinetApi {
 
+  /** Pluggable first hop (reference: utils/api.py:45-139 GETs the
+    * document list and each filing's ZIP). A real deployment implements
+    * this with an HTTP client landing responses into a directory the
+    * distributed scans read; this build ships [[LandedFetcher]] (the
+    * zero-egress case: everything already landed). Swapping
+    * implementations changes no downstream plan — the scans only ever
+    * see the landing directory.
+    */
+  trait Fetcher {
+    /** Land the document list for one submission date; returns the
+      * landed documents.json path (api.py:45-77 contract).
+      */
+    def fetchDocumentList(date: java.time.LocalDate): String
+
+    /** Land one filing's ZIP archive; returns the landed zip path
+      * (api.py:96-127 contract).
+      */
+    def fetchArchive(docId: String): String
+  }
+
+  /** The no-network implementation: resolves paths inside an existing
+    * landing directory and fails fast when the expected file was never
+    * landed (the analogue of an HTTP 404).
+    */
+  final class LandedFetcher(spark: SparkSession, landingDir: String) extends Fetcher {
+    private def requireLanded(p: String): String = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path))
+        throw new java.io.FileNotFoundException(s"not landed: $p")
+      p
+    }
+    def fetchDocumentList(date: java.time.LocalDate): String =
+      requireLanded(s"$landingDir/$date.json")
+    def fetchArchive(docId: String): String =
+      requireLanded(s"$landingDir/$docId.zip")
+  }
+
   /** Shape of one entry of documents.json `results` (the fields the
     * reference touches, api.py:79-93).
     */

@@ -15,23 +15,40 @@ import graft.etl.Model
   * order captured so downstream "first match wins" extraction is
   * deterministic.
   *
-  * Two physical variants, same logical schema (FIXTURES.md §1):
+  * Physical variants, same logical schema (FIXTURES.md §1):
   *  - raw downloads: UTF-16LE, tab-delimited, quoted
   *  - golden files:  UTF-8 with BOM, comma-delimited
-  * A cheap driver-side BOM sniff on the first file picks the variant;
-  * mixed directories are read as two scans unioned (encoding is a
-  * per-scan option, not per-file — so group by variant, not per-file
-  * Python loops).
+  *  - stray legacy exports: Shift-JIS, comma-delimited
+  * A cheap driver-side sniff (BOM / odd-zero bytes / strict-decode
+  * probe — the distributed analogue of chardet.detect) classifies each
+  * file; mixed directories are read as one scan per variant, unioned
+  * (encoding is a per-scan option, not per-file — so group by variant,
+  * not per-file Python loops). Unrecognized encodings fail loudly.
   */
 object EdinetCsv {
 
   sealed trait Variant { def encoding: String; def sep: String }
   case object Utf16Tab extends Variant { val encoding = "UTF-16LE"; val sep = "\t" }
   case object Utf8Comma extends Variant { val encoding = "UTF-8"; val sep = "," }
+  // stray legacy exports: Shift-JIS (superset windows-31j), comma
+  case object SjisComma extends Variant { val encoding = "windows-31j"; val sep = "," }
 
-  /** Sniff the BOM / encoding of one file (driver-side, reads 4 bytes —
-    * the distributed analogue of the reference's full-file
-    * chardet.detect).
+  private def strictDecodes(bytes: Array[Byte], charset: String): Boolean =
+    try {
+      java.nio.charset.Charset.forName(charset).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  /** Sniff the encoding of one file — the distributed analogue of the
+    * reference's chardet.detect (utils/api.py:129-137). BOM / odd-zero
+    * checks pick out the two EDINET variants from 4 bytes; otherwise a
+    * strict decode of the head distinguishes UTF-8 from Shift-JIS
+    * strays (a UTF-8-invalid, Shift-JIS-valid head). A file valid as
+    * neither fails LOUDLY — silently mis-decoding into PERMISSIVE
+    * nulls was the failure mode this guards against.
     */
   def sniff(spark: SparkSession, file: String): Variant = {
     val path = new Path(file)
@@ -39,12 +56,30 @@ object EdinetCsv {
     var in: InputStream = null
     try {
       in = fs.open(path)
-      val head = new Array[Byte](4)
+      val head = new Array[Byte](8192)
       val n = in.read(head)
       if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) Utf16Tab
       // UTF-16LE without BOM: ASCII-range chars put 0x00 in odd bytes
       else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab
-      else Utf8Comma
+      else {
+        val bytes = java.util.Arrays.copyOf(head, math.max(0, n))
+        val full = n == head.length // a full buffer may cut a char mid-sequence
+        // UTF-8 check: back off over any truncated trailing multi-byte
+        // char (continuation bytes + their lead) before strict-decoding
+        var u8end = bytes.length
+        if (full) {
+          var k = bytes.length - 1
+          var steps = 0
+          while (k >= 0 && steps < 3 && (bytes(k) & 0xC0) == 0x80) { k -= 1; steps += 1 }
+          if (k >= 0 && (bytes(k) & 0x80) != 0) u8end = k
+        }
+        // Shift-JIS check: 2-byte chars, so at most one truncated byte
+        val sjEnd = if (full) bytes.length - 1 else bytes.length
+        if (strictDecodes(java.util.Arrays.copyOf(bytes, u8end), "UTF-8")) Utf8Comma
+        else if (strictDecodes(java.util.Arrays.copyOf(bytes, sjEnd), "windows-31j")) SjisComma
+        else throw new IllegalArgumentException(
+          s"unrecognized encoding (not UTF-16LE/UTF-8/Shift-JIS): $file")
+      }
     } finally if (in != null) in.close()
   }
 
@@ -57,6 +92,11 @@ object EdinetCsv {
 
   /** The scan itself, over explicit paths (dirs, globs, or files). */
   def readPaths(spark: SparkSession, paths: Seq[String], variant: Variant): DataFrame = {
+    // Spark 4 allowlists CSV charsets; windows-31j needs the legacy
+    // java-charsets escape hatch (guarded set, same as Tables.load)
+    if (variant == SjisComma &&
+        !spark.conf.getOption("spark.sql.legacy.javaCharsets").contains("true"))
+      spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val raw = spark.read
       .schema(Model.rawSchema)
       .option("header", "true")

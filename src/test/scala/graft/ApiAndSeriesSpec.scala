@@ -37,6 +37,22 @@ class ApiAndSeriesSpec extends SparkSpec {
     }
   }
 
+  test("fetcher: LandedFetcher resolves landed files, 404s missing ones") {
+    val dir = Files.createTempDirectory("landing2").toString
+    writeLanding(dir)
+    Files.write(Paths.get(dir, "S100AAAA.zip"), Array[Byte](0x50, 0x4B))
+    val fetcher: EdinetApi.Fetcher = new EdinetApi.LandedFetcher(spark, dir)
+    // the fetched document-list path feeds the same distributed scan
+    val landed = fetcher.fetchDocumentList(java.time.LocalDate.parse("2024-02-09"))
+    assert(EdinetApi.documentList(spark, landed).count() === 3)
+    assert(fetcher.fetchArchive("S100AAAA").endsWith("S100AAAA.zip"))
+    // never-landed = the HTTP 404 analogue, loud
+    intercept[java.io.FileNotFoundException] {
+      fetcher.fetchDocumentList(java.time.LocalDate.parse("2024-02-10"))
+    }
+    intercept[java.io.FileNotFoundException] { fetcher.fetchArchive("S100ZZZZ") }
+  }
+
   test("time series: per-company per-item ordered by period end") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("wh-ts").toString

@@ -34,6 +34,10 @@ class EdinetCsvSpec extends SparkSpec {
       case EdinetCsv.Utf8Comma =>
         val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
         Files.write(d.resolve("jpcrp.csv"), bom ++ content.getBytes("UTF-8"))
+      case EdinetCsv.SjisComma =>
+        // no BOM — only the strict-decode probe can classify this
+        Files.write(d.resolve("jpcrp.csv"),
+          content.getBytes(Charset.forName("windows-31j")))
     }
   }
 
@@ -65,6 +69,38 @@ class EdinetCsvSpec extends SparkSpec {
     writeVariant(d8, "S100DDDD", EdinetCsv.Utf8Comma)
     val f8 = s"$d8/S100DDDD/XBRL_TO_CSV/jpcrp.csv"
     assert(EdinetCsv.sniff(spark, f8) === EdinetCsv.Utf8Comma)
+  }
+
+  test("Shift-JIS stray files: sniffed, decoded, and mixable with the others") {
+    val dir = Files.createTempDirectory("edinetsjis").toString
+    writeVariant(dir, "S100FFFF", EdinetCsv.SjisComma)
+    val f = s"$dir/S100FFFF/XBRL_TO_CSV/jpcrp.csv"
+    assert(EdinetCsv.sniff(spark, f) === EdinetCsv.SjisComma)
+
+    // a mixed landing dir: all three encodings, one logical result
+    writeVariant(dir, "S100GGGG", EdinetCsv.Utf16Tab)
+    writeVariant(dir, "S100HHHH", EdinetCsv.Utf8Comma)
+    val all = EdinetCsv.readAuto(spark, dir)
+    assert(all.select("doc_id").distinct().count() === 3)
+    // Japanese content survives the Shift-JIS decode
+    val sjis = all.filter(org.apache.spark.sql.functions.col("doc_id") === "S100FFFF")
+      .select(Model.rawJpColumns.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(_.toSeq)
+    assert(sjis.length === 2)
+    assert(sjis.head.contains("EDINETコード、DEI"))
+  }
+
+  test("unrecognized encoding fails loudly instead of mis-decoding") {
+    val dir = Files.createTempDirectory("edinetbad").toString
+    val d = Paths.get(dir, "S100IIII", "XBRL_TO_CSV")
+    Files.createDirectories(d)
+    // bytes invalid in UTF-8 AND Shift-JIS, no UTF-16 markers
+    Files.write(d.resolve("jpcrp.csv"),
+      Array[Byte](0x41, 0x42, 0xFD.toByte, 0xFE.toByte, 0xFF.toByte, 0x43))
+    val e = intercept[IllegalArgumentException] {
+      EdinetCsv.sniff(spark, s"$dir/S100IIII/XBRL_TO_CSV/jpcrp.csv")
+    }
+    assert(e.getMessage.contains("unrecognized encoding"))
   }
 
   test("flat layout: each file gets its own doc_id (file-name stem)") {
