@@ -57,7 +57,9 @@ object EdinetCsv {
     try {
       in = fs.open(path)
       val head = new Array[Byte](8192)
-      val n = in.read(head)
+      // readNBytes, not read: a short read (HDFS may return partial
+      // buffers) could cut a multi-byte char and fail the UTF-8 probe
+      val n = in.readNBytes(head, 0, head.length)
       if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) Utf16Tab
       // UTF-16LE without BOM: ASCII-range chars put 0x00 in odd bytes
       else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab

@@ -109,9 +109,14 @@ class Warehouse(spark: SparkSession, dir: String) {
   def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil): Unit = {
     if (!exists(name)) { atomicPublish(name, updates, partitionCols); return }
+    // a table previously written UNPARTITIONED has its rows in root
+    // part-files: a partition-scoped swap would leave the old rows
+    // behind → one whole-table merge migrates it to the partitioned
+    // layout, after which upserts are partition-scoped
+    val scoped = partitionCols.nonEmpty && isPartitionedLayout(name)
     val existing = read(name)
     val base =
-      if (partitionCols.isEmpty) existing
+      if (!scoped) existing
       else {
         val parts = updates.select(partitionCols.map(col): _*).distinct()
         existing.join(broadcast(parts), partitionCols, "left_semi")
@@ -122,8 +127,17 @@ class Warehouse(spark: SparkSession, dir: String) {
     val merged = keyed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
-    if (partitionCols.isEmpty) atomicPublish(name, merged)
-    else publishPartitions(name, merged, partitionCols)
+    if (scoped) publishPartitions(name, merged, partitionCols)
+    else atomicPublish(name, merged, partitionCols)
+  }
+
+  /** True iff the live table dir holds no root-level part-files (i.e.
+    * data lives under partition directories).
+    */
+  private def isPartitionedLayout(name: String): Boolean = {
+    val live = new Path(tablePath(name))
+    !fileSystem(live).listStatus(live)
+      .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
   }
 
   /** S9: delete-by-key as one anti-join. */

@@ -261,6 +261,22 @@ class EtlSpec extends SparkSpec {
     assert(wh.read("t").count() === 5)
   }
 
+  test("warehouse: unpartitioned table migrates on first partitioned upsert") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh7").toString
+    val wh = new Warehouse(spark, tmp)
+    // flat layout: rows in root part-files
+    wh.create("t", Seq((1L, "a", "2022"), (2L, "b", "2023")).toDF("k", "v", "fy"))
+    // a partition-scoped swap here would leave the old root rows behind;
+    // instead the whole table migrates to the partitioned layout
+    wh.upsert("t", Seq((2L, "B", "2023")).toDF("k", "v", "fy"), Seq("k"), Seq("fy"))
+    assert(wh.read("t").orderBy("k").as[(Long, String, String)].collect()
+      === Array((1L, "a", "2022"), (2L, "B", "2023")))
+    val root = new java.io.File(s"$tmp/t").listFiles()
+    assert(!root.exists(f => f.isFile && f.getName.startsWith("part-")), "not migrated")
+    assert(root.exists(f => f.isDirectory && f.getName == "fy=2022"))
+  }
+
   test("warehouse: recover restores the table after a crashed swap") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh5").toString
