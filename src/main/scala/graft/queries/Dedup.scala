@@ -154,10 +154,10 @@ object Dedup {
         // ONE pass over the exploded fingerprints with a fixed-width
         // buffer and map-side combine — no 64× row explosion (the
         // explode-per-permutation formulation shuffled 64× the data).
-        val sig = ex.as[(Long, Long)]
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new graft.operators.MinHashAgg(NUM_PERM).toColumn.name("sig"))
-          .toDF("doc_id", "sig")
+        // udaf() + column groupBy, not groupByKey(_._1): the typed key
+        // lambda forces a deserialize/reserialize round-trip per row.
+        val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
+        val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
         // 16 bands × 4 rows: band key = ordered concat of the band's mins
         val bands = sig.select($"doc_id",
           explode(transform(sequence(lit(0), lit(15)), b => struct(
@@ -188,10 +188,9 @@ object Dedup {
         val h = toks.select($"doc_id",
           (graft.functions.NativeExprs.rollingHash(s, $"tok")
             + graft.functions.NativeExprs.rollingHash2(s, $"tok") * lit(1073741824L)).as("h64"))
-        val sh = h.as[(Long, Long)]
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new graft.operators.SimHashAgg(60).toColumn.name("simhash"))
-          .toDF("doc_id", "simhash")
+        // udaf() + column groupBy (same rationale as d3's signature agg)
+        val simagg = udaf(new graft.operators.SimHashAgg(60))
+        val sh = h.groupBy($"doc_id").agg(simagg($"h64").as("simhash"))
         // 4 bands × 15 bits: pigeonhole ⇒ any pair with hamming ≤ 3
         // shares at least one intact band (exact recall).
         val bands = sh.select($"doc_id", $"simhash",
