@@ -97,22 +97,25 @@ object Extract {
     * consolidated_type (reference: data_mapper.py:154-210 — P8, A1,
     * P11, P13).
     */
-  def itemCandidates(staged: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("element_id")).orderBy(col("_rid"))
+  def itemCandidates(staged: DataFrame): DataFrame =
+    // first-wins via min_by AGGREGATION, not a row_number window: a
+    // ubiquitous element_id (e.g. NetSales, present in every document)
+    // would make the window's sort partition a straggler at scale,
+    // while min_by partial-aggregates map-side to one candidate row
+    // per (task, element) before the shuffle. _rid is unique, so the
+    // winner is still deterministically the first row in file order.
     staged
       .filter(col("element_id").rlike(Model.financialElementPattern))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .withColumn("category",
-        when(col("consolidated_type") === "連結", "Consolidated")
-          .otherwise("Non-consolidated"))
+      .groupBy(col("element_id"))
+      .agg(min_by(
+        struct(col("item_name_jp"), col("unit_id"), col("consolidated_type")),
+        col("_rid")).as("f"))
       .select(
         col("element_id"),
-        col("item_name_jp").as("item_name"),
-        col("unit_id").as("unit_type"),
-        col("category"))
-  }
+        col("f.item_name_jp").as("item_name"),
+        col("f.unit_id").as("unit_type"),
+        when(col("f.consolidated_type") === "連結", "Consolidated")
+          .otherwise("Non-consolidated").as("category"))
 
   /** Fact rows: financial rows with duration flag and null-normalized
     * values (reference: data_mapper.py:300-332 — P12, P14, vectorized

@@ -140,7 +140,12 @@ object Dedup {
     // 64 permutations, 16 bands × 4 rows; post-confirmation makes the
     // output equal to d2's exact pairs whenever LSH recall is 1 (holds
     // on this corpus; at scale the confirm step bounds false positives
-    // and the banding bounds the candidate count).
+    // and the banding bounds the candidate count). Degenerate corpora
+    // (mass-identical documents) make a band bucket quadratic — the
+    // production guard is to collapse exact duplicates first (d1) and
+    // cap bucket width (CappedDocListAgg shape) at a documented recall
+    // cost on boilerplate clusters; unconditional here, where exact
+    // recall is the oracle contract.
     Q("d3_minhash_lsh",
       (s, dir) => {
         import s.implicits._
