@@ -144,6 +144,30 @@ class Warehouse(spark: SparkSession, dir: String) {
   def delete(name: String, keys: DataFrame, keyCols: Seq[String]): Unit =
     atomicPublish(name, read(name).join(keys, keyCols, "left_anti"))
 
+  /** Bucketed table: pre-shuffled, per-bucket-sorted layout on the join
+    * key, registered in the session catalog (bucketing metadata lives
+    * there, not in parquet). Two tables bucketed the same way join with
+    * NO Exchange on either side — the co-located-join story for
+    * repeated fact⋈fact joins where a broadcast doesn't fit and paying
+    * the shuffle per query would dominate (e.g. financial_data self
+    * and report joins on report_id at 100 TB).
+    */
+  def createBucketed(name: String, df: DataFrame, bucketCols: Seq[String],
+      nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketed table needs bucket columns")
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", tablePath(name))
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
+  /** Catalog read path for bucketed tables (plain `read` would see the
+    * files but lose the bucketing metadata and re-shuffle).
+    */
+  def readBucketed(name: String): DataFrame = spark.table(name)
+
   /** S11: staged write + swap. Materialize to `<table>._staging`, then
     * rename over the live dir — readers see either the old or the new
     * table, never a partial write. (Single-table atomicity only, and

@@ -53,20 +53,28 @@ object ZipExtract {
 
   /** Write extracted members to a landing dir laid out like the
     * reference's `download/{doc_id}/XBRL_TO_CSV/x.csv`, ready for
-    * EdinetCsv.readAuto. doc_id = archive file stem.
+    * EdinetCsv.readAuto. doc_id = archive file stem. Fully distributed:
+    * each partition writes its members straight to the (shared)
+    * filesystem via the Hadoop FS API — member payloads never visit
+    * the driver, so a million-archive backfill lands in parallel.
     */
   def toLanding(extracted: DataFrame, landingDir: String): Unit = {
     import org.apache.spark.sql.functions._
-    val rows = extracted
+    val spark = extracted.sparkSession
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    extracted
       .withColumn("doc_id",
         regexp_extract(element_at(split(col("archive"), "/"), -1), "(.+)\\.zip$", 1))
       .select("doc_id", "member", "content")
-      .collect() // landing materialization is a driver-side convenience
-                 // for tests; at scale write via a distributed sink
-    rows.foreach { r =>
-      val p = java.nio.file.Paths.get(landingDir, r.getString(0), r.getString(1))
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, r.getAs[Array[Byte]]("content"))
-    }
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(
+            s"$landingDir/${r.getString(0)}/${r.getString(1)}")
+          val fs = p.getFileSystem(serConf.value)
+          val out = fs.create(p, true)
+          try out.write(r.getAs[Array[Byte]]("content")) finally out.close()
+        }
+      }
   }
 }

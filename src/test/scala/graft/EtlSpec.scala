@@ -277,6 +277,33 @@ class EtlSpec extends SparkSpec {
     assert(root.exists(f => f.isDirectory && f.getName == "fy=2022"))
   }
 
+  test("warehouse: bucketed tables join co-located, with no exchange") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh8").toString
+    val wh = new Warehouse(spark, tmp)
+    val a = spark.range(0, 2000).select($"id".as("k"), ($"id" * 3).as("va"))
+    val b = spark.range(0, 2000).select($"id".as("k"), ($"id" * 7).as("vb"))
+    wh.createBucketed("bt_a", a, Seq("k"), 8)
+    wh.createBucketed("bt_b", b, Seq("k"), 8)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = wh.readBucketed("bt_a").join(wh.readBucketed("bt_b"), "k")
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      // identical bucketing on both sides ⇒ the sort-merge join reads
+      // buckets directly; any Exchange means the layout was not used
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() === 2000)
+      assert(joined.filter($"k" === 7).select($"va", $"vb")
+        .as[(Long, Long)].collect() === Array((21L, 49L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+
   test("warehouse: recover restores the table after a crashed swap") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh5").toString
