@@ -230,6 +230,46 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, kind, n_samples ORDER BY media_id""")),
 
+    // ---- multimodal frame sampling, driver-visible: video payloads →
+    // every-2nd-frame features (m9's digest technique: integer bin
+    // digest, counts recovered by round(f·frame_len), payload formula
+    // regenerated in SQL).
+    Q("m10_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).collect { case i if i % 3 == 2 =>
+          val payload = Array.tabulate(80 + i % 40)(j => ((i * 37 + j * 11) % 256).toByte)
+          org.apache.spark.sql.Row(i.toLong, "video",
+            Multimodal.MediaCodec.encode("video", payload),
+            org.apache.spark.sql.Row(64, 64, 16000, 4))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq, 3), Multimodal.mediaSchema)
+        // frame_len from the synthesis formula (test plumbing: the op
+        // under test is the frame slice + featurize, not the length)
+        Multimodal.sampleFrames(media, everyK = 2, batchSize = 16)
+          .withColumn("frame_len", ((lit(80) + $"media_id" % 40) / 4).cast("int"))
+          .select($"media_id", $"frame_idx", $"frame_len",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"frame_idx", $"frame_len")
+          .agg(sum(round($"f".cast("double") * $"frame_len") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST((80 + i % 40) // 4 AS INT) AS frame_len
+          FROM range(60) t(i) WHERE i % 3 = 2),
+        fr AS (SELECT media_id, frame_len, unnest([0, 2]) AS frame_idx FROM m),
+        ex AS (SELECT media_id, frame_idx, frame_len,
+            frame_idx * frame_len + unnest(range(frame_len)) AS j
+          FROM fr)
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_len,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, frame_idx, frame_len
+        ORDER BY media_id, frame_idx""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // At scale the sketch merge replaces a full shuffle-distinct; the
     // production query is approx-only. For the correctness gate the
