@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * clustering step a near-dup pipeline needs AFTER candidate pairs:
+  * (a,b) similarity pairs → components → keep one document per
+  * component (reference pipelines emit pairs; dedup decisions need the
+  * transitive closure: a~b, b~c ⇒ {a,b,c} is one duplicate cluster).
+  *
+  * Algorithm: label propagation to fixpoint ("hash-to-min") — every
+  * node starts labeled with itself; each round takes the min label over
+  * itself and its neighbors; converged when no label changes. Each
+  * round is one shuffle join + one partial-aggregated min — no driver
+  * data, the driver only steers the loop off a `count`. Rounds =
+  * component diameter; near-dup clusters are near-cliques, so 2-3
+  * rounds in practice (worst case a path graph — at 100 TB pair the
+  * rounds with large-star/small-star contraction, Kiveris et al. 2014).
+  */
+object ConnectedComponents {
+
+  /** edges: two Long columns (endpoint ids), undirected, self-loops and
+    * duplicates tolerated. Returns (node, component) with component =
+    * min node id in the connected component.
+    */
+  def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
+      maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
+      .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .persist()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      // each node pulls its neighbors' labels, keeps the min incl. own
+      val neigh = sym.join(labels.withColumnRenamed("n", "m"), "m")
+        .select(col("n"), col("lbl"))
+      val next = labels.unionByName(neigh)
+        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "n")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+      converged = changed == 0
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("n", "node").withColumnRenamed("lbl", "component")
+  }
+}

@@ -40,6 +40,36 @@ object Dedup {
       .select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
   }
 
+  /** Shared: exact 3-gram Jaccard pairs ≥ tau with a stop-shingle
+    * doc-frequency cap. One bounded-buffer aggregation on the shingle
+    * key (CappedDocListAgg: exact count + ≤cap+1 doc list) and the cap
+    * filter drops hot boilerplate shingles as whole groups — no window
+    * over `sh` (which sort-shuffled the full exploded stream into
+    * straggler partitions before the cap could drop them), no
+    * self-join (pairs come straight off each ≤cap doc list), and no
+    * unbounded collect_list buffer. Singleton shingles can never
+    * produce a pair, so df ≥ 2 too.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String, tau: Double, cap: Int): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val ex = sh.select($"doc_id", explode($"shs").as("sh"))
+    val capAgg = udaf(new graft.operators.CappedDocListAgg(cap))
+    val pairs = ex.groupBy($"sh").agg(capAgg($"doc_id").as("g"))
+      .filter($"g._1".between(2, cap))
+      .select(explode($"g._2").as("a_id"), $"g._2".as("docs"))
+      .select($"a_id", explode($"docs").as("b_id"))
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    val sz = sh.select($"doc_id", size($"shs").cast("long").as("n"))
+    pairs
+      .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .select($"a_id", $"b_id", $"inter",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
+      .filter($"jaccard" >= tau)
+  }
+
   /** Shared: exact-Jaccard confirm over candidate (a_id, b_id) pairs. */
   private def confirmJaccard(s: SparkSession, dir: String, pairs: DataFrame, tau: Double): DataFrame = {
     import s.implicits._
@@ -56,13 +86,12 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Oracle SQL for exact 3-gram Jaccard pairs at threshold tau with a
-    * stop-shingle doc-frequency cap — shared by d2 (direct
-    * implementation) and d3 (MinHash/LSH path, which is exact-recall on
-    * this corpus and post-confirmed with true Jaccard).
+  /** CTE block computing exact 3-gram Jaccard pairs (`jpairs`) at
+    * threshold tau with a stop-shingle doc-frequency cap — embedded by
+    * the d2/d3 oracles and d6's component oracle.
     */
-  private def jaccardOracle(tau: String, dfCap: Int): String =
-    s"""WITH sh AS (
+  private def jaccardPairsCte(tau: String, dfCap: Int): String =
+    s"""sh AS (
       SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         ELSE list_transform(range(1, len(toks)-1),
           i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS shs
@@ -74,12 +103,16 @@ object Dedup {
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
       FROM ex2 a JOIN ex2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
-    sz AS (SELECT doc_id, len(shs) AS n FROM sh)
-    SELECT a_id, b_id, inter,
-      CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
-    FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $tau
-    ORDER BY a_id, b_id"""
+    sz AS (SELECT doc_id, len(shs) AS n FROM sh),
+    jpairs AS (
+      SELECT a_id, b_id, inter,
+        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM pairs JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $tau)"""
+
+  private def jaccardOracle(tau: String, dfCap: Int): String =
+    s"""WITH ${jaccardPairsCte(tau, dfCap)}
+    SELECT a_id, b_id, inter, jaccard FROM jpairs ORDER BY a_id, b_id"""
 
   val all: Seq[Q] = Seq(
 
@@ -106,35 +139,35 @@ object Dedup {
 
     // ---- n-gram Jaccard near-dup pairs (exact, shingle self-join) ------
     Q("d2_ngram_jaccard",
+      (s, dir) => jaccardPairs(s, dir, 0.5, 100)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(jaccardOracle("0.5", 100))),
+
+    // ---- near-dup CLUSTERS: pairs → connected components → keepers -----
+    // The decision step a dedup pipeline actually needs: a~b, b~c ⇒
+    // {a,b,c} is ONE duplicate cluster; keep the min doc_id. Label
+    // propagation to fixpoint (operators.ConnectedComponents) — each
+    // round a shuffle join + partial-agg min, driver only steers the
+    // loop. Oracle = transitive closure via recursive CTE.
+    Q("d6_neardup_components",
       (s, dir) => {
         import s.implicits._
-        val sh = shingled(s, dir)
-        val ex = sh.select($"doc_id", explode($"shs").as("sh"))
-        // stop-shingle cap: shingles in >100 docs are boilerplate; also
-        // singleton shingles can never produce a pair. ONE bounded-buffer
-        // aggregation on the shingle key (CappedDocListAgg: exact count +
-        // ≤101-element doc list) and the cap filter drops hot shingles as
-        // whole groups — no window over `sh` (which sort-shuffled the
-        // full exploded stream and materialized straggler partitions
-        // before the cap), no self-join (pairs come straight off each
-        // ≤100-doc list), and no unbounded collect_list buffer.
-        val capAgg = udaf(new graft.operators.CappedDocListAgg(100))
-        val pairs = ex.groupBy($"sh").agg(capAgg($"doc_id").as("g"))
-          .filter($"g._1".between(2, 100))
-          .select(explode($"g._2").as("a_id"), $"g._2".as("docs"))
-          .select($"a_id", explode($"docs").as("b_id"))
-          .filter($"a_id" < $"b_id")
-          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-        val sz = sh.select($"doc_id", size($"shs").cast("long").as("n"))
-        pairs
-          .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-          .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-          .select($"a_id", $"b_id", $"inter",
-            ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
-          .filter($"jaccard" >= 0.5)
-          .orderBy($"a_id", $"b_id")
+        val pairs = jaccardPairs(s, dir, 0.5, 100).select($"a_id", $"b_id")
+        graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
+          .select($"node".as("doc_id"), $"component",
+            ($"node" === $"component").as("is_keeper"))
+          .orderBy($"doc_id")
       },
-      Some(jaccardOracle("0.5", 100))),
+      Some(s"""WITH RECURSIVE ${jaccardPairsCte("0.5", 100)},
+        edges AS (SELECT a_id AS x, b_id AS y FROM jpairs
+                  UNION SELECT b_id, a_id FROM jpairs),
+        reach(x, y) AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x)
+        SELECT x AS doc_id, LEAST(x, MIN(y)) AS component,
+          LEAST(x, MIN(y)) = x AS is_keeper
+        FROM reach GROUP BY x ORDER BY doc_id""")),
 
     // ---- MinHash + LSH banding → candidates → exact-Jaccard confirm ----
     // 64 permutations, 16 bands × 4 rows; post-confirmation makes the

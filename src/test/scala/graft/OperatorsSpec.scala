@@ -115,6 +115,18 @@ class OperatorsSpec extends SparkSpec {
     assert(sig === expected)
   }
 
+  test("ConnectedComponents: transitive clusters, chains, singletons-in-pairs") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // component {1,2,3,4} via a path (diameter 3 → needs >1 round),
+    // component {10,11}, and a self-loop {20}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val out = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
