@@ -82,9 +82,12 @@ object Multimodal {
   /** Decode + featurize as a batched mapPartitions pass. `batchSize`
     * bounds per-batch memory exactly like an Arrow record batch; rows
     * whose payload fails to decode are dropped (quarantine channel at
-    * the caller if needed).
+    * the caller if needed). `resizeTo` inserts the resize step between
+    * decode and featurize (the normalize-before-embed shape), so
+    * n_samples in the output is the POST-resize length.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
+  def extractFeatures(media: DataFrame, batchSize: Int = 64,
+      resizeTo: Option[Int] = None): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -98,7 +101,8 @@ object Multimodal {
           // one "batch decode" call — the boundary a vectorized codec
           // (or mapInArrow) would cross once per batch, not per row
           batch.iterator.flatMap { r =>
-            MediaCodec.decode(r.getAs[Array[Byte]]("media")).map { samples =>
+            MediaCodec.decode(r.getAs[Array[Byte]]("media")).map { decoded =>
+              val samples = resizeTo.map(resize(decoded, _)).getOrElse(decoded)
               Row(r.getLong(0), r.getString(1), samples.length, features(samples))
             }
           }

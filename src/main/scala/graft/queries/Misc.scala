@@ -270,6 +270,43 @@ object Misc {
         FROM ex GROUP BY media_id, frame_idx, frame_len
         ORDER BY media_id, frame_idx""")),
 
+    // ---- multimodal resize path: decode → stride-resize to 64 samples →
+    // featurize. The resize index formula (floor(i·len/64), IEEE double
+    // on both engines) regenerates in SQL; digest technique as in m9.
+    Q("m11_resize_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val kind = Seq("image", "audio", "video")(i % 3)
+          val payload = Array.tabulate(80 + i % 40)(j => ((i * 37 + j * 11) % 256).toByte)
+          org.apache.spark.sql.Row(i.toLong, kind,
+            Multimodal.MediaCodec.encode(kind, payload),
+            org.apache.spark.sql.Row(64, 64, 16000, 4))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.extractFeatures(media, batchSize = 16, resizeTo = Some(64))
+          .select($"media_id", $"kind", $"n_samples",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"kind", $"n_samples")
+          .agg(sum(round($"f".cast("double") * $"n_samples") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+            80 + i % 40 AS orig_len
+          FROM range(60) t(i)),
+        ex AS (SELECT media_id, kind, orig_len, unnest(range(64)) AS i2 FROM m),
+        rs AS (SELECT media_id, kind,
+            CAST(FLOOR(i2 * (CAST(orig_len AS DOUBLE) / 64.0)) AS BIGINT) AS j
+          FROM ex)
+        SELECT media_id, kind, CAST(64 AS INT) AS n_samples,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM rs GROUP BY media_id, kind ORDER BY media_id""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // At scale the sketch merge replaces a full shuffle-distinct; the
     // production query is approx-only. For the correctness gate the
