@@ -50,7 +50,14 @@ object ConnectedComponents {
       rounds += 1
       converged = changed == 0
     }
+    // cut lineage before releasing the loop's caches: the returned frame
+    // must not re-run every propagation round when the caller acts on
+    // it, and leaving the final round persisted would leak cache across
+    // repeated runs (localCheckpoint is single-job durability — for a
+    // multi-tenant cluster, write to a checkpoint dir instead)
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     sym.unpersist()
-    labels.withColumnRenamed("n", "node").withColumnRenamed("lbl", "component")
+    out.withColumnRenamed("n", "node").withColumnRenamed("lbl", "component")
   }
 }

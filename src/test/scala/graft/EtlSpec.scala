@@ -172,6 +172,36 @@ class EtlSpec extends SparkSpec {
       === Array((2L, "B"), (3L, "c")))
   }
 
+  test("ingest: ISO-format dates (raw EDINET variant) parse identically") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-iso").toString
+    val wh = new Warehouse(spark, tmp)
+    // the golden files carry 2023/12/31; raw EDINET CSVs carry ISO
+    val iso = rawFixture().withColumn("値",
+      when(col("要素ID") === "jpdei_cor:CurrentPeriodEndDateDEI", "2023-12-31")
+        .when(col("要素ID") === "jpcrp_cor:FilingDateCoverPage", "2024-02-09")
+        .otherwise(col("値")))
+    val q = new Ingest(spark, wh).runStaged(Standardize(iso), strict = false)
+    assert(q.count() === 0)
+    val rep = wh.read("financial_reports").collect().head
+    assert(rep.getAs[java.sql.Date]("fiscal_year_end").toString == "2023-12-31")
+    assert(rep.getAs[java.sql.Date]("filing_date").toString == "2024-02-09")
+  }
+
+  test("ingest: a date parseable in neither form quarantines the document") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-baddate").toString
+    val wh = new Warehouse(spark, tmp)
+    val bad = rawFixture().withColumn("値",
+      when(col("要素ID") === "jpcrp_cor:FilingDateCoverPage", "令和6年2月9日")
+        .otherwise(col("値")))
+    val q = new Ingest(spark, wh).runStaged(Standardize(bad), strict = false).collect()
+    assert(q.exists(_.getAs[String]("reason") == "bad_date"))
+    // the whole document is aborted — no fact partition was written
+    // (an all-quarantined ingest leaves an empty, schema-less table dir)
+    val factDir = new java.io.File(s"$tmp/financial_data")
+    assert(!factDir.exists() ||
+      !factDir.listFiles().exists(_.getName.startsWith("fiscal_year=")))
+  }
+
   test("config: mapping loads from an external file (change without recompile)") {
     import graft.etl.{Extract, MappingConfig}
     val p = java.nio.file.Files.createTempFile("graft-map", ".properties")
