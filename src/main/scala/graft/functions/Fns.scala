@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Fns {
 
+  // Whitespace class: real EDINET cover pages separate 自/至 from the
+  // year with IDEOGRAPHIC SPACE (U+3000, e.g. 自　2023年 —
+  // download/S100SPIM). Python's \s (reference parser.py:28) matches
+  // it; Java's and RE2's ASCII \s do NOT, so the class is explicit —
+  // in the UDFs, the column expressions, AND the DuckDB oracle.
+  private val WS = """[\s　]"""
+
   // ---- pattern 1: Gregorian date range 自YYYY年…至YYYY年 → end year ----
-  private val DateRange = """自\s*(\d{4})年.*?至\s*(\d{4})年""".r
+  private val DateRange = (s"""自$WS*(\\d{4})年.*?至$WS*(\\d{4})年""").r
   // ---- pattern 2: Reiwa-era range → 2019 + n - 1 ----------------------
-  private val ReiwaRange = """自\s*令和(元|\d+|[０-９]+)年.*?至\s*令和(元|\d+|[０-９]+)年""".r
+  private val ReiwaRange = (s"""自$WS*令和(元|\\d+|[０-９]+)年.*?至$WS*令和(元|\\d+|[０-９]+)年""").r
   // ---- pattern 3: bare 4-digit year, accepted iff in [1990, 2100] -----
   private val BareYear = """(\d{4})""".r
 
@@ -59,7 +66,7 @@ object Fns {
       }
   }
 
-  private val QuarterPat = """第\s*([0-4０-４一二三四１２３４]+)\s*四半期""".r
+  private val QuarterPat = (s"""第$WS*([0-4０-４一二三四１２３４]+)$WS*四半期""").r
   private val QuarterMap = Map(
     "一" -> 1, "二" -> 2, "三" -> 3, "四" -> 4,
     "１" -> 1, "２" -> 2, "３" -> 3, "４" -> 4,
@@ -104,8 +111,8 @@ object Fns {
 
   /** Column-expression form of extractFiscalYear. */
   def fiscalYearExpr(c: Column): Column = {
-    val p1 = "自\\s*(\\d{4})年.*?至\\s*(\\d{4})年"
-    val p2 = "自\\s*令和(元|\\d+|[０-９]+)年.*?至\\s*令和(元|\\d+|[０-９]+)年"
+    val p1 = s"自$WS*(\\d{4})年.*?至$WS*(\\d{4})年"
+    val p2 = s"自$WS*令和(元|\\d+|[０-９]+)年.*?至$WS*令和(元|\\d+|[０-９]+)年"
     val p3 = "(\\d{4})"
     val g1 = regexp_extract(c, p1, 2)
     val g2 = regexp_extract(c, p2, 2)
@@ -118,7 +125,7 @@ object Fns {
 
   /** Column-expression form of extractQuarterType. */
   def quarterTypeExpr(c: Column): Column = {
-    val g = trim(regexp_extract(c, "第\\s*([0-4０-４一二三四１２３４]+)\\s*四半期", 1))
+    val g = trim(regexp_extract(c, s"第$WS*([0-4０-４一二三四１２３４]+)$WS*四半期", 1))
     val n = translate(g, FW + "一二三四", HW + "1234").try_cast("int")
     when(g =!= "" && n.isNotNull && n >= 1 && n <= 4,
       concat(lit("Q"), n.cast("string")))

@@ -98,7 +98,10 @@ object Misc {
           "第98期 第二四半期(自 2020年7月1日 至 2020年9月30日)",
           "2023年3月期",
           "1989年のデータ",
-          "意味のない文字列")
+          "意味のない文字列",
+          // real raw-download form: IDEOGRAPHIC SPACE (U+3000) after
+          // 自/至, full-width parens (download/S100SPIM cover page)
+          "第75期第３四半期（自　2023年10月１日　至　2023年12月31日）")
         corpus.zipWithIndex.toDF("content", "id")
           .select($"id".cast("long").as("id"), $"content",
             Fns.fiscalYearExpr($"content").as("fiscal_year"),
@@ -112,12 +115,13 @@ object Misc {
           (3, '第98期 第二四半期(自 2020年7月1日 至 2020年9月30日)'),
           (4, '2023年3月期'),
           (5, '1989年のデータ'),
-          (6, '意味のない文字列')),
+          (6, '意味のない文字列'),
+          (7, '第75期第３四半期（自　2023年10月１日　至　2023年12月31日）')),
         g AS (SELECT CAST(id AS BIGINT) AS id, content,
-          regexp_extract(content, '自\s*(\d{4})年.*?至\s*(\d{4})年', 2) AS g1,
-          regexp_extract(content, '自\s*令和(元|\d+|[０-９]+)年.*?至\s*令和(元|\d+|[０-９]+)年', 2) AS g2,
+          regexp_extract(content, '自[\s　]*(\d{4})年.*?至[\s　]*(\d{4})年', 2) AS g1,
+          regexp_extract(content, '自[\s　]*令和(元|\d+|[０-９]+)年.*?至[\s　]*令和(元|\d+|[０-９]+)年', 2) AS g2,
           regexp_extract(content, '(\d{4})', 1) AS g3,
-          trim(regexp_extract(content, '第\s*([0-4０-４一二三四１２３４]+)\s*四半期', 1)) AS q
+          trim(regexp_extract(content, '第[\s　]*([0-4０-４一二三四１２３４]+)[\s　]*四半期', 1)) AS q
           FROM corpus),
         n AS (SELECT *,
           CASE WHEN g2 = '元' THEN 1

@@ -19,6 +19,16 @@ class FnsSpec extends AnyFunSuite {
     assert(Fns.extractFiscalYear("自 2022年4月1日 至 2023年3月31日") === Some("2023"))
   }
 
+  test("fiscal year/quarter: ideographic space (U+3000) — real raw cover pages") {
+    // download/S100SPIM form: Python's \s matches U+3000, ASCII \s does
+    // not — the patterns carry an explicit class
+    val real = "第75期第３四半期（自　2023年10月１日　至　2023年12月31日）"
+    assert(Fns.extractFiscalYear(real) === Some("2023"))
+    assert(Fns.extractQuarterType(real) === Some("Q3"))
+    assert(Fns.extractFiscalYear("自　令和５年10月21日　至　令和６年１月20日") === Some("2024"))
+    assert(Fns.extractQuarterType("第　３　四半期") === Some("Q3"))
+  }
+
   test("fiscal year: Reiwa era range converts via 2019 + n - 1") {
     assert(Fns.extractFiscalYear(
       "第52期第１四半期(自  令和５年10月21日  至  令和６年１月20日)") === Some("2024"))
