@@ -16,6 +16,20 @@ class RawFilingsSpec extends SparkSpec {
 
   private val rawDir = "/root/reference/download"
 
+  test("real raw filings: per-file row counts match the reference reader") {
+    assume(new java.io.File(rawDir).isDirectory)
+    // counts pinned by pandas.read_csv(encoding='utf-16', sep='\t') on
+    // the same files — a quoting/encoding mis-parse would drop or merge
+    // rows silently under PERMISSIVE mode
+    val counts = Standardize(EdinetCsv.readAuto(spark, rawDir))
+      .groupBy(col("doc_id")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("S100SPIM") === 365L)
+    assert(counts("S100SRF2") === 900L)
+    assert(counts("S100SROW") === 368L)
+    assert(counts.size === 8)
+  }
+
   test("real raw filings ingest end-to-end: no quarantine, parsed periods and dates") {
     assume(new java.io.File(rawDir).isDirectory)
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh-raw").toString
