@@ -35,6 +35,11 @@ object ConnectedComponents {
       .persist()
     var rounds = 0
     var converged = false
+    // convergence via the label-sum invariant: labels are per-node
+    // non-increasing (min of self + neighbors), so the exact decimal
+    // sum is strictly decreasing until fixpoint and equal AT it — one
+    // partial-aggregated scan per round instead of a join + count
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && rounds < maxRounds) {
       // each node pulls its neighbors' labels, keeps the min incl. own
       val neigh = sym.join(labels.withColumnRenamed("n", "m"), "m")
@@ -42,13 +47,14 @@ object ConnectedComponents {
       val next = labels.unionByName(neigh)
         .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "n")
-        .filter(col("lbl") =!= col("prev")).count()
+      val labelSum = next
+        .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
       labels.unpersist()
       labels = next
       rounds += 1
-      converged = changed == 0
+      converged = prevSum.exists(_.compareTo(labelSum) == 0)
+      prevSum = Some(labelSum)
     }
     // cut lineage before releasing the loop's caches: the returned frame
     // must not re-run every propagation round when the caller acts on
