@@ -76,11 +76,13 @@ class FnsSpec extends AnyFunSuite {
     val reiwaDigit = Gen.oneOf("元", "１", "２", "３", "５", "1", "2", "6", "10")
     val quarter = Gen.oneOf("１", "２", "３", "４", "1", "2", "3", "4",
       "一", "二", "三", "四", "0", "０", "5")
+    // separator sweep incl. IDEOGRAPHIC SPACE (real raw cover pages)
+    val sep = Gen.oneOf(" ", "  ", "　", "")
     Gen.oneOf(
-      for { y1 <- year; y2 <- year; q <- quarter } yield
-        s"第121期 第${q}四半期(自 ${y1}年10月1日 至 ${y2}年12月31日)",
-      for { r1 <- reiwaDigit; r2 <- reiwaDigit; q <- quarter } yield
-        s"第52期第${q}四半期(自 令和${r1}年10月21日 至 令和${r2}年1月20日)",
+      for { y1 <- year; y2 <- year; q <- quarter; s1 <- sep; s2 <- sep } yield
+        s"第121期 第${q}四半期(自$s1${y1}年10月1日 至$s2${y2}年12月31日)",
+      for { r1 <- reiwaDigit; r2 <- reiwaDigit; q <- quarter; s1 <- sep; s2 <- sep } yield
+        s"第52期第${q}四半期(自$s1令和${r1}年10月21日 至$s2令和${r2}年1月20日)",
       for { y <- year } yield s"${y}年3月期",
       Gen.alphaNumStr,
       Gen.const(""))
