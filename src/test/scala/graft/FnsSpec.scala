@@ -80,9 +80,9 @@ class FnsSpec extends AnyFunSuite {
     val sep = Gen.oneOf(" ", "  ", "　", "")
     Gen.oneOf(
       for { y1 <- year; y2 <- year; q <- quarter; s1 <- sep; s2 <- sep } yield
-        s"第121期 第${q}四半期(自$s1${y1}年10月1日 至$s2${y2}年12月31日)",
+        s"第121期 第${q}四半期(自${s1}${y1}年10月1日 至${s2}${y2}年12月31日)",
       for { r1 <- reiwaDigit; r2 <- reiwaDigit; q <- quarter; s1 <- sep; s2 <- sep } yield
-        s"第52期第${q}四半期(自$s1令和${r1}年10月21日 至$s2令和${r2}年1月20日)",
+        s"第52期第${q}四半期(自${s1}令和${r1}年10月21日 至${s2}令和${r2}年1月20日)",
       for { y <- year } yield s"${y}年3月期",
       Gen.alphaNumStr,
       Gen.const(""))
