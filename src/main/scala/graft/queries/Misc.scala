@@ -155,9 +155,12 @@ object Misc {
     // ---- batch sessionization: gap-based session ids via windows -------
     // Gap math in integer epoch-micros so Spark (nanos→micros truncate)
     // and DuckDB (epoch_us of the nanos timestamp) agree exactly.
-    // `total` stays DECIMAL(18,2) end-to-end (no double anywhere on the
-    // hash surface): decimal str-renders identically on both engines,
-    // where a final double cast left room for formatter drift.
+    // Hash-surface discipline (r1/r2 driver mismatches, root-caused r3):
+    // DuckDB SUM over integers returns HUGEINT (int128), which Arrow
+    // exports as float64 — so the oracle's window SUM must be CAST to
+    // BIGINT to hash like Spark's long. `total` uses the catalog-wide
+    // proven shape: exact DECIMAL(18,2) aggregation, final cast to
+    // DOUBLE (bit-identical on both engines).
     Q("m7_sessionize",
       (s, dir) => {
         import s.implicits._
@@ -174,16 +177,16 @@ object Misc {
           .agg(count(lit(1)).as("n_events"),
             min($"event_id").as("first_event"),
             max($"event_id").as("last_event"),
-            sum(dec2($"value")).cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total"))
+            dsum($"value").as("total"))
           .orderBy($"user_id", $"session_id")
       },
       Some("""SELECT user_id, session_id, COUNT(*) AS n_events,
           MIN(event_id) AS first_event, MAX(event_id) AS last_event,
-          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM (
           SELECT user_id, event_id, value,
-            SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM (
             SELECT user_id, event_id, value, tus,
               CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)

@@ -54,11 +54,24 @@ for name in sorted(os.listdir(out)):
     try:
         res = con.execute(oracle[name])
         ocols = [c[0] for c in res.description]
+        otypes = [c[1] for c in res.description]
         orows = res.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         n_fail += 1
         continue
+    # Hash-surface lint: the driver's fetch path renders DuckDB HUGEINT
+    # (int128, from any SUM over integers) and DECIMAL columns differently
+    # than Spark's long/decimal parquet output (e.g. pandas converts both
+    # to float64). fetchall() hides this (Python ints/Decimals), so flag
+    # the types explicitly — cast to BIGINT/DOUBLE in the oracle instead.
+    for c, t in zip(ocols, otypes):
+        tn = str(t).upper()
+        if "HUGEINT" in tn or "INT128" in tn or "DECIMAL" in tn:
+            print(f"WARN {name}: oracle column '{c}' has driver-unsafe type {t}; CAST it")
+    for f in tbl.schema:
+        if "decimal" in str(f.type):
+            print(f"WARN {name}: spark column '{f.name}' is {f.type}; cast to double on the hash surface")
     gc, gr = canon(gcols, grows)
     oc, orw = canon(ocols, orows)
     if gc != oc:
