@@ -168,15 +168,19 @@ object Summary {
   }
 
   /** F6: display formatting parity with app/app.py:114-156 — profit
-    * rates as "{:.2f}%" and money columns thousands-separated with two
-    * decimals (format_number = "{:,.2f}"), None → "N/A". Presentation
-    * only; ratios/scaling stay numeric in the DTO.
+    * rates as "{:.2f}%" (NO thousands grouping: a rate ≥ 1000 renders
+    * "1234.56%", where format_number alone would insert a comma) and
+    * money columns thousands-separated with two decimals
+    * (format_number = "{:,.2f}"), None → "N/A". Presentation only;
+    * ratios/scaling stay numeric in the DTO.
     */
   def display(summary: DataFrame): DataFrame = {
     val rates = Seq("operation_profit_rate", "ordinary_profit_rate", "net_profit_rate")
     val money = Seq("net_sales", "operating_income", "ordinary_income", "net_income")
     val withRates = rates.foldLeft(summary)((df, c) =>
-      df.withColumn(c, coalesce(concat(format_number(col(c), 2), lit("%")), lit("N/A"))))
+      df.withColumn(c, coalesce(
+        concat(regexp_replace(format_number(col(c), 2), ",", ""), lit("%")),
+        lit("N/A"))))
     money.foldLeft(withRates)((df, c) =>
       df.withColumn(c, coalesce(format_number(col(c), 2), lit("N/A"))))
   }

@@ -33,6 +33,14 @@ object ConnectedComponents {
     var labels = sym.select(col("n")).distinct()
       .withColumn("lbl", col("n"))
       .persist()
+    if (labels.isEmpty) {
+      // zero candidate pairs: the sum-convergence probe below would read
+      // a null decimal off the empty aggregate — return the empty
+      // (node, component) frame directly
+      sym.unpersist()
+      labels.unpersist()
+      return labels.select(col("n").as("node"), col("lbl").as("component"))
+    }
     var rounds = 0
     var converged = false
     // convergence via the label-sum invariant: labels are per-node

@@ -33,14 +33,26 @@ object EdinetCsv {
   // stray legacy exports: Shift-JIS (superset windows-31j), comma
   case object SjisComma extends Variant { val encoding = "windows-31j"; val sep = "," }
 
-  private def strictDecodes(bytes: Array[Byte], charset: String): Boolean =
-    try {
-      java.nio.charset.Charset.forName(charset).newDecoder()
-        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-        .decode(java.nio.ByteBuffer.wrap(bytes))
-      true
-    } catch { case _: java.nio.charset.CharacterCodingException => false }
+  /** Strict decode probe. `truncatedTail = true` means the buffer is a
+    * prefix of a larger file (a full 8 KiB head), so a multi-byte char
+    * cut at the very end must count as underflow, not malformed —
+    * `decode(in, out, endOfInput = false)` gives exactly that. With
+    * `truncatedTail = false` the buffer is the whole file and an
+    * incomplete trailing sequence IS malformed (decode with
+    * endOfInput = true, then flush).
+    */
+  private def strictDecodes(bytes: Array[Byte], charset: String,
+      truncatedTail: Boolean): Boolean = {
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    val in = java.nio.ByteBuffer.wrap(bytes)
+    val out = java.nio.CharBuffer.allocate(bytes.length + 1)
+    val res = dec.decode(in, out, !truncatedTail)
+    if (res.isError) false
+    else if (truncatedTail) true
+    else !dec.flush(out).isError
+  }
 
   /** Sniff the encoding of one file — the distributed analogue of the
     * reference's chardet.detect (utils/api.py:129-137). BOM / odd-zero
@@ -65,20 +77,13 @@ object EdinetCsv {
       else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab
       else {
         val bytes = java.util.Arrays.copyOf(head, math.max(0, n))
-        val full = n == head.length // a full buffer may cut a char mid-sequence
-        // UTF-8 check: back off over any truncated trailing multi-byte
-        // char (continuation bytes + their lead) before strict-decoding
-        var u8end = bytes.length
-        if (full) {
-          var k = bytes.length - 1
-          var steps = 0
-          while (k >= 0 && steps < 3 && (bytes(k) & 0xC0) == 0x80) { k -= 1; steps += 1 }
-          if (k >= 0 && (bytes(k) & 0x80) != 0) u8end = k
-        }
-        // Shift-JIS check: 2-byte chars, so at most one truncated byte
-        val sjEnd = if (full) bytes.length - 1 else bytes.length
-        if (strictDecodes(java.util.Arrays.copyOf(bytes, u8end), "UTF-8")) Utf8Comma
-        else if (strictDecodes(java.util.Arrays.copyOf(bytes, sjEnd), "windows-31j")) SjisComma
+        // a full buffer may cut a multi-byte char mid-sequence; the
+        // decoder treats that as underflow, not malformed (a hard chop
+        // of N bytes would misfire when the head ends on a COMPLETE
+        // char — common for dense 2-byte Japanese text)
+        val full = n == head.length
+        if (strictDecodes(bytes, "UTF-8", truncatedTail = full)) Utf8Comma
+        else if (strictDecodes(bytes, "windows-31j", truncatedTail = full)) SjisComma
         else throw new IllegalArgumentException(
           s"unrecognized encoding (not UTF-16LE/UTF-8/Shift-JIS): $file")
       }

@@ -21,6 +21,16 @@ object ZipExtract {
     StructField("member", StringType, nullable = false),
     StructField("content", BinaryType, nullable = false)))
 
+  /** Zip-slip guard: ZIP payloads are untrusted external content, and
+    * the member name is later interpolated into a landing path — an
+    * archive carrying `../../x/XBRL_TO_CSV/jpcrp1.csv` must not escape
+    * the landing dir. Reject absolute names and any `.`/`..` path
+    * segment (either separator).
+    */
+  private[sources] def safeMember(name: String): Boolean =
+    !name.startsWith("/") && !name.startsWith("\\") &&
+      !name.split("[/\\\\]").exists(s => s == ".." || s == ".")
+
   /** Scan `pathSpec` for *.zip and emit (archive, member, content) for
     * every member whose path matches `memberPattern` (reference keeps
     * `XBRL_TO_CSV/jpcrp*.csv`, api.py:124).
@@ -44,7 +54,8 @@ object ZipExtract {
             new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           Iterator.continually(zin.getNextEntry)
             .takeWhile(_ != null)
-            .filter(e => !e.isDirectory && regex.findFirstIn(e.getName).isDefined)
+            .filter(e => !e.isDirectory && safeMember(e.getName) &&
+              regex.findFirstIn(e.getName).isDefined)
             .map(e => Row(archive, e.getName, zin.readAllBytes()))
             .toVector // materialize before the stream closes
         }
@@ -69,6 +80,10 @@ object ZipExtract {
       .select("doc_id", "member", "content")
       .foreachPartition { rows: Iterator[Row] =>
         rows.foreach { r =>
+          // defense in depth: re-check even if the caller bypassed
+          // extract's filter — an unsafe name must never become a path
+          require(safeMember(r.getString(1)) && !r.getString(0).contains(".."),
+            s"unsafe archive member name: ${r.getString(1)}")
           val p = new org.apache.hadoop.fs.Path(
             s"$landingDir/${r.getString(0)}/${r.getString(1)}")
           val fs = p.getFileSystem(serConf.value)

@@ -90,6 +90,22 @@ class EdinetCsvSpec extends SparkSpec {
     assert(sjis.head.contains("EDINETコード、DEI"))
   }
 
+  test("Shift-JIS file >= 8 KiB whose head ends on a complete char still sniffs") {
+    // 5000 2-byte chars: the 8192-byte probe head ends exactly on a
+    // char boundary, so a hard one-byte chop would leave a dangling
+    // lead byte and reject the file as malformed; the underflow-aware
+    // decode (endOfInput = false) must accept it
+    val dir = Files.createTempDirectory("sjisbig")
+    val f = dir.resolve("big.csv")
+    Files.write(f, ("あ" * 5000).getBytes("windows-31j"))
+    assert(EdinetCsv.sniff(spark, f.toString) === EdinetCsv.SjisComma)
+    // and a truncated trailing sequence (head cut mid-char) still sniffs:
+    // 4096 chars + 1 ASCII shifts every later boundary to odd offsets
+    val g = dir.resolve("bigodd.csv")
+    Files.write(g, ("x" + "あ" * 5000).getBytes("windows-31j"))
+    assert(EdinetCsv.sniff(spark, g.toString) === EdinetCsv.SjisComma)
+  }
+
   test("unrecognized encoding fails loudly instead of mis-decoding") {
     val dir = Files.createTempDirectory("edinetbad").toString
     val d = Paths.get(dir, "S100IIII", "XBRL_TO_CSV")

@@ -261,6 +261,14 @@ class EtlSpec extends SparkSpec {
     val d = Summary.display(ds.toDF()).collect().head
     assert(d.getAs[String]("net_sales") == "43,858.00")
     assert(d.getAs[String]("operation_profit_rate") == "20.00%")
+    // rates use "{:.2f}%" — NO thousands grouping even >= 1000
+    // (app.py renders "1234.56%", money keeps the comma)
+    val big = Summary.display(ds.toDF()
+      .withColumn("operation_profit_rate", org.apache.spark.sql.functions.lit(1234.556))
+      .withColumn("net_sales", org.apache.spark.sql.functions.lit(1234.556)))
+      .collect().head
+    assert(big.getAs[String]("operation_profit_rate") == "1234.56%")
+    assert(big.getAs[String]("net_sales") == "1,234.56")
   }
 
   test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {

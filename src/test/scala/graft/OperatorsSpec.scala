@@ -127,6 +127,15 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("ConnectedComponents: empty edge list yields an empty frame, no crash") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = ConnectedComponents.run(edges)
+    assert(out.columns.toSeq === Seq("node", "component"))
+    assert(out.count() === 0)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")

@@ -53,4 +53,32 @@ class ZipExtractSpec extends SparkSpec {
       wh.read("financial_data"), wh.read("financial_items"))
     assert(summary.count() === 2)
   }
+
+  test("zip-slip member names are rejected, not landed outside the dir") {
+    val zipDir = Files.createTempDirectory("zipslip").toString
+    val zos = new ZipOutputStream(new FileOutputStream(s"$zipDir/S100EVIL.zip"))
+    // matches the member pattern but tries to escape the landing dir
+    zos.putNextEntry(new ZipEntry("../../escape/XBRL_TO_CSV/jpcrp1.csv"))
+    zos.write("evil".getBytes)
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("XBRL_TO_CSV/jpcrp-ok.csv"))
+    zos.write("ok".getBytes)
+    zos.closeEntry()
+    zos.close()
+    val extracted = ZipExtract.extract(spark, zipDir)
+    assert(extracted.select("member").collect().map(_.getString(0)).toSeq ===
+      Seq("XBRL_TO_CSV/jpcrp-ok.csv"))
+    // defense in depth: toLanding refuses an unsafe name outright
+    import spark.implicits._
+    val forged = Seq(("file:/x/S100EVIL.zip", "../../escape/jpcrp1.csv",
+      "evil".getBytes)).toDF("archive", "member", "content")
+    val landing = Files.createTempDirectory("landing-slip").toString
+    val ex = intercept[org.apache.spark.SparkException] {
+      ZipExtract.toLanding(forged, landing)
+    }
+    assert(ex.getMessage.contains("unsafe archive member name") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unsafe archive member name")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(landing).getParent.resolve("escape")))
+  }
 }
