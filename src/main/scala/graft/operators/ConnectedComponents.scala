@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   * component (reference pipelines emit pairs; dedup decisions need the
   * transitive closure: a~b, b~c ⇒ {a,b,c} is one duplicate cluster).
   *
-  * Algorithm: label propagation to fixpoint ("hash-to-min") — every
-  * node starts labeled with itself; each round takes the min label over
-  * itself and its neighbors; converged when no label changes. Each
-  * round is one shuffle join + one partial-aggregated min — no driver
-  * data, the driver only steers the loop off a `count`. Rounds =
-  * component diameter; near-dup clusters are near-cliques, so 2-3
-  * rounds in practice (worst case a path graph — at 100 TB pair the
-  * rounds with large-star/small-star contraction, Kiveris et al. 2014).
+  * Algorithm: label propagation to fixpoint ("hash-to-min") — each
+  * round every node takes the min label over itself and its neighbors;
+  * converged when no label changes. Each round is one shuffle join +
+  * one partial-aggregated min — no driver data, the driver only steers
+  * the loop off a one-row aggregate. Rounds = component diameter;
+  * near-dup clusters are near-cliques, so 2-3 rounds in practice
+  * (worst case a path graph — at 100 TB pair the rounds with
+  * large-star/small-star contraction, Kiveris et al. 2014).
+  *
+  * Scale shape: the edge list is cached pre-partitioned on the probe
+  * key `m`, so when labels outgrow the broadcast threshold and every
+  * round becomes a shuffle join, the (much larger) edge side reuses
+  * its cached partitioning instead of re-shuffling per round; round 1
+  * is fused into initialization (labels start at min(self, neighbors)
+  * — against identity labels the join is a no-op, so the fused
+  * aggregate saves a full round).
   */
 object ConnectedComponents {
 
@@ -29,25 +37,30 @@ object ConnectedComponents {
     val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
       .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
       .distinct()
+      .repartition(col("m"))
       .persist()
-    var labels = sym.select(col("n")).distinct()
-      .withColumn("lbl", col("n"))
-      .persist()
-    if (labels.isEmpty) {
-      // zero candidate pairs: the sum-convergence probe below would read
-      // a null decimal off the empty aggregate — return the empty
+    if (sym.isEmpty) {
+      // zero candidate pairs: the convergence probe below would read a
+      // null decimal off the empty aggregate — return the empty
       // (node, component) frame directly
       sym.unpersist()
-      labels.unpersist()
-      return labels.select(col("n").as("node"), col("lbl").as("component"))
+      return sym.select(col("n").as("node"), col("m").as("component")).limit(0)
     }
-    var rounds = 0
+    // round 1 fused into init: against identity labels, pulling
+    // neighbor labels is just min over the neighbor ids themselves
+    var labels = sym.groupBy(col("n"))
+      .agg(least(min(col("m")), col("n")).as("lbl"))
+      .persist()
+    var rounds = 1
     var converged = false
     // convergence via the label-sum invariant: labels are per-node
     // non-increasing (min of self + neighbors), so the exact decimal
     // sum is strictly decreasing until fixpoint and equal AT it — one
-    // partial-aggregated scan per round instead of a join + count
-    var prevSum: Option[java.math.BigDecimal] = None
+    // partial-aggregated scan per round instead of a join + count.
+    // Seeded from the fused round so a diameter-1 component (a clique —
+    // the common near-dup cluster) converges after one join round.
+    var prevSum: Option[java.math.BigDecimal] = Some(
+      labels.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
     while (!converged && rounds < maxRounds) {
       // each node pulls its neighbors' labels, keeps the min incl. own
       val neigh = sym.join(labels.withColumnRenamed("n", "m"), "m")

@@ -42,29 +42,33 @@ object Dedup {
 
   /** Shared: exact 3-gram Jaccard pairs ≥ tau with a stop-shingle
     * doc-frequency cap. One bounded-buffer aggregation on the shingle
-    * key (CappedDocListAgg: exact count + ≤cap+1 doc list) and the cap
-    * filter drops hot boilerplate shingles as whole groups — no window
-    * over `sh` (which sort-shuffled the full exploded stream into
-    * straggler partitions before the cap could drop them), no
-    * self-join (pairs come straight off each ≤cap doc list), and no
-    * unbounded collect_list buffer. Singleton shingles can never
+    * key (CappedDocListAgg: exact count + ≤cap+1 (doc, set-size)
+    * list) and the cap filter drops hot boilerplate shingles as whole
+    * groups — no window over `sh` (which sort-shuffled the full
+    * exploded stream into straggler partitions before the cap could
+    * drop them), no self-join (pairs come straight off each ≤cap doc
+    * list), and no unbounded collect_list buffer. The Jaccard
+    * denominator (each document's distinct-shingle count) rides the
+    * exploded stream as the pair payload, so the WHOLE computation is
+    * one corpus pass — the former size joins re-evaluated the scan +
+    * shingle expression once per side. Singleton shingles can never
     * produce a pair, so df ≥ 2 too.
     */
   private def jaccardPairs(s: SparkSession, dir: String, tau: Double, cap: Int): DataFrame = {
     import s.implicits._
     val sh = shingled(s, dir)
-    val ex = sh.select($"doc_id", explode($"shs").as("sh"))
+    val ex = sh.select($"doc_id", size($"shs").cast("long").as("n"),
+      explode($"shs").as("sh"))
     val capAgg = udaf(new graft.operators.CappedDocListAgg(cap))
-    val pairs = ex.groupBy($"sh").agg(capAgg($"doc_id").as("g"))
+    val pairs = ex.groupBy($"sh").agg(capAgg($"doc_id", $"n").as("g"))
       .filter($"g._1".between(2, cap))
-      .select(explode($"g._2").as("a_id"), $"g._2".as("docs"))
-      .select($"a_id", explode($"docs").as("b_id"))
-      .filter($"a_id" < $"b_id")
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-    val sz = sh.select($"doc_id", size($"shs").cast("long").as("n"))
+      .select(explode($"g._2").as("a"), $"g._2".as("docs"))
+      .select($"a", explode($"docs").as("b"))
+      .filter($"a._1" < $"b._1")
+      .groupBy($"a._1".as("a_id"), $"a._2".as("na"),
+        $"b._1".as("b_id"), $"b._2".as("nb"))
+      .agg(count(lit(1)).as("inter"))
     pairs
-      .join(sz.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(sz.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
       .select($"a_id", $"b_id", $"inter",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= tau)

@@ -84,21 +84,26 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     import graft.operators.CappedDocListAgg
     // key 1: 3 docs (under cap — full list), key 2: 7 docs (over cap=5 —
-    // count exact, list truncated to cap+1), key 3: singleton
+    // count exact, list truncated to cap+1), key 3: singleton. The
+    // payload (second input column, 10·doc here) must ride unchanged.
     val rows = Seq.tabulate(3)(i => ("a", i.toLong)) ++
       Seq.tabulate(7)(i => ("b", 100L + i)) ++ Seq(("c", 9L))
     val agg = udaf(new CappedDocListAgg(5))
     val out = rows.toDF("k", "doc")
+      .withColumn("payload", $"doc" * 10)
       .repartition(4) // multiple partitions → merge() is exercised
-      .groupBy($"k").agg(agg($"doc").as("g"))
-      .collect().map(r => r.getString(0) ->
-        (r.getStruct(1).getLong(0), r.getStruct(1).getSeq[Long](1))).toMap
+      .groupBy($"k").agg(agg($"doc", $"payload").as("g"))
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        r.getString(0) -> (s.getLong(0),
+          s.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getLong(1))))
+      }.toMap
     assert(out("a")._1 === 3L)
-    assert(out("a")._2.sorted === Seq(0L, 1L, 2L))
+    assert(out("a")._2.sortBy(_._1) === Seq((0L, 0L), (1L, 10L), (2L, 20L)))
     assert(out("b")._1 === 7L) // count exact even though list is capped
     assert(out("b")._2.length === 6) // cap+1: enough to prove over-cap
-    assert(out("b")._2.toSet.subsetOf((100L to 106L).toSet))
-    assert(out("c") === ((1L, Seq(9L))))
+    assert(out("b")._2.forall { case (d, p) => (100L to 106L).contains(d) && p === d * 10 })
+    assert(out("c") === ((1L, Seq((9L, 90L)))))
   }
 
   test("SimHashAgg == per-bit majority math, partial-agg safe") {
