@@ -338,6 +338,31 @@ object Misc {
       Some("""SELECT l_returnflag,
           COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n,
           TRUE AS sketch_ok
-        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- stratified sampling: deterministic per-stratum rates -----------
+    // Eval-set carving at corpus scale: keep 25% of English docs, 50%
+    // of everything else, decided by a multiplicative hash of the doc
+    // id — pure projection + filter (no shuffle, no RNG state), and the
+    // same doc is kept on every engine and every run. The Weyl/LCG mix
+    // here keeps the oracle portable (both engines compute it in exact
+    // BIGINT math — doc_id·2654435761 stays < 2^63 for ids < 3.4e9); a
+    // production run would use xxhash64(doc_id), which DuckDB cannot
+    // mirror bit-for-bit.
+    Q("m12_stratified_sample",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = pmod($"doc_id" * 2654435761L + 1013904223L, lit(4294967296L)) % 100
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", bucket.cast("long").as("bucket"))
+          .filter($"bucket" < when($"lang" === "en", 25).otherwise(50))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+          (doc_id * 2654435761 + 1013904223) % 4294967296 % 100 AS bucket
+        FROM documents
+        WHERE (doc_id * 2654435761 + 1013904223) % 4294967296 % 100
+          < CASE WHEN lang = 'en' THEN 25 ELSE 50 END
+        ORDER BY doc_id"""))
   )
 }

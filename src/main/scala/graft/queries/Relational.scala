@@ -462,6 +462,43 @@ object Relational {
       },
       Some("""SELECT event_id,
         CAST(CAST(TRUNC(value) AS BIGINT) AS VARCHAR) AS value_str
-        FROM events ORDER BY event_id"""))
+        FROM events ORDER BY event_id""")),
+
+    // ---- J8: range (band) join via grid-cell binning -----------------------
+    // Irregular price tiers joined to the fact on a containment
+    // predicate. The naive plan is a nested-loop inequality join; the
+    // scale shape is: explode each band into the 1000-unit grid cells
+    // it covers, bin the fact to its cell (pure projection), equi-join
+    // on the cell, and re-check the exact bounds. With a small dim the
+    // exploded cells broadcast (as here); with two big sides the cell
+    // becomes an ordinary shuffle key — either way no nested loop.
+    Q("j8_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val grid = 1000L
+        val tiers = Seq(
+          (0L, 1000L, "t1_micro"), (1000L, 5000L, "t2_small"),
+          (5000L, 20000L, "t3_mid"), (20000L, 100000L, "t4_large"),
+          (100000L, 1000000L, "t5_jumbo")).toDF("lo", "hi", "tier")
+        val cells = tiers.select($"tier", $"lo", $"hi",
+          explode(sequence(($"lo" / grid).cast("long"),
+            (($"hi" - 1) / grid).cast("long"))).as("cell"))
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice",
+            floor($"o_totalprice" / grid).cast("long").as("cell"))
+          .join(broadcast(cells), "cell")
+          .filter($"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+          .groupBy($"tier")
+          .agg(count(lit(1)).as("n"), Q.dsum($"o_totalprice").as("revenue"))
+          .orderBy($"tier")
+      },
+      Some("""SELECT t.tier, COUNT(*) AS n,
+          CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders o JOIN (VALUES
+            (0, 1000, 't1_micro'), (1000, 5000, 't2_small'),
+            (5000, 20000, 't3_mid'), (20000, 100000, 't4_large'),
+            (100000, 1000000, 't5_jumbo')) t(lo, hi, tier)
+          ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+        GROUP BY t.tier ORDER BY t.tier"""))
   )
 }

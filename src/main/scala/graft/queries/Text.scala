@@ -225,6 +225,188 @@ object Text {
         FROM (SELECT doc_id, text,
           list_transform($duckToks, t -> ${duckRollingHash("t")}) AS tokfps
           FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- TF-IDF keyword extraction: top-3 terms per doc ----------------
+    // Ranking by tf/df (equivalent to tf·idf with any monotone idf —
+    // the corpus size N is constant within a document's ranking, and a
+    // log() would differ in the last ulp across engines). Shape: one
+    // term-level aggregation, one df aggregation joined back on term
+    // (shuffle-join at scale; the df side is the distinct vocabulary,
+    // orders of magnitude smaller than the token stream), one bounded
+    // per-doc window.
+    Q("x7_tfidf_topk",
+      (s, dir) => {
+        import s.implicits._
+        val tf = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy(($"tf".cast("double") / $"df").desc, $"term")
+        tf.join(df, "term")
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"tf", $"df")
+          .orderBy($"doc_id", $"rank")
+      },
+      Some(s"""WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        ranked AS (
+          SELECT doc_id, term, tf, df,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+          FROM tf JOIN df USING (term))
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ---- sliding-window chunking: token windows of 100, stride 60 ------
+    // The pre-tokenizer split a training pipeline runs before packing;
+    // chunk boundaries are pure per-row array math (sequence + explode),
+    // so the operator is linear with no shuffle at all.
+    Q("x8_chunk_windows",
+      (s, dir) => {
+        import s.implicits._
+        val win = 100; val stride = 60
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") > 0)
+          .select($"doc_id", $"toks", size($"toks").cast("long").as("n"),
+            explode(sequence(lit(0L), size($"toks").cast("long") - 1, lit(stride.toLong)))
+              .as("start"))
+          .select($"doc_id",
+            ($"start" / stride).cast("long").as("chunk_idx"),
+            $"start",
+            least(lit(win.toLong), $"n" - $"start").as("chunk_len"),
+            element_at($"toks", ($"start" + 1).cast("int")).as("first_tok"),
+            element_at($"toks", ($"start" + least(lit(win.toLong), $"n" - $"start")).cast("int"))
+              .as("last_tok"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, $duckToks AS toks, len($duckToks) AS n FROM documents),
+        st AS (SELECT doc_id, toks, CAST(n AS BIGINT) AS n,
+            CAST(unnest(range(0, n, 60)) AS BIGINT) AS start
+          FROM t WHERE n > 0)
+        SELECT doc_id, start // 60 AS chunk_idx, start,
+          least(100, n - start) AS chunk_len,
+          toks[start + 1] AS first_tok,
+          toks[start + least(100, n - start)] AS last_tok
+        FROM st ORDER BY doc_id, chunk_idx""")),
+
+    // ---- PII redaction: email/phone scrub with counts ------------------
+    // Inline corpus (the synthetic documents table contains no PII);
+    // patterns are deliberately RE2-portable (no lookaround, no
+    // backreferences) so Java regex and DuckDB RE2 agree. The operator
+    // itself is a narrow linear projection — regexp_replace +
+    // regexp_count over the text column.
+    Q("x9_pii_redact",
+      (s, dir) => {
+        import s.implicits._
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+        val corpus = Seq(
+          (0L, "contact john.doe@example.com or call +1 (555) 123-4567 today"),
+          (1L, "no pii here just ordinary words and numbers 42"),
+          (2L, "mail a@b.io and c.d+tag@mail.example.org, phone 03-1234-5678"),
+          (3L, "dial 0120 345 678 twice; write to OPS@EXAMPLE.CO.JP"),
+          (4L, "@@ not-an-email@ and 12345 stay untouched"))
+        corpus.toDF("id", "text")
+          .select($"id",
+            regexp_count($"text", lit(email)).cast("long").as("n_emails"),
+            regexp_count($"text", lit(phone)).cast("long").as("n_phones"),
+            regexp_replace(regexp_replace($"text", email, "<EMAIL>"), phone, "<PHONE>")
+              .as("redacted"))
+          .orderBy($"id")
+      },
+      Some("""WITH corpus(id, text) AS (VALUES
+          (0, 'contact john.doe@example.com or call +1 (555) 123-4567 today'),
+          (1, 'no pii here just ordinary words and numbers 42'),
+          (2, 'mail a@b.io and c.d+tag@mail.example.org, phone 03-1234-5678'),
+          (3, 'dial 0120 345 678 twice; write to OPS@EXAMPLE.CO.JP'),
+          (4, '@@ not-an-email@ and 12345 stay untouched'))
+        SELECT CAST(id AS BIGINT) AS id,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+          regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        FROM corpus ORDER BY id""")),
+
+    // ---- corpus heavy hitters: stopword discovery by document frequency
+    // Terms present in ≥ 10% of documents. The total-count side is a
+    // one-row aggregate cross-joined in (broadcast — no driver
+    // collect); the df aggregation is partial-agg friendly (distinct
+    // terms per doc exploded once).
+    Q("x10_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val tot = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(explode(array_distinct(TextOps.tokens($"text"))).as("term"))
+          .groupBy($"term").agg(count(lit(1)).as("df"))
+          .crossJoin(tot)
+          .filter($"df".cast("double") / $"n_docs" >= 0.10)
+          .select($"term", $"df", $"n_docs",
+            ($"df".cast("double") / $"n_docs").as("pct"))
+          .orderBy($"df".desc, $"term")
+      },
+      Some(s"""WITH ex AS (
+          SELECT doc_id, unnest(list_distinct($duckToks)) AS term FROM documents),
+        tot AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT term, CAST(count(*) AS BIGINT) AS df, n_docs,
+          CAST(count(*) AS DOUBLE) / n_docs AS pct
+        FROM ex, tot GROUP BY term, n_docs
+        HAVING CAST(count(*) AS DOUBLE) / n_docs >= 0.10
+        ORDER BY df DESC, term""")),
+
+    // ---- quality-gate quartiles: ntile over the x2 quality score -------
+    // The bucketing step before "train on the top quartile": per-lang
+    // quartiles of the composite quality score. The window's ORDER BY
+    // is (score, doc_id) — a total order, so ntile is deterministic on
+    // both engines.
+    Q("x11_quality_quartiles",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to", "in")
+        val scored = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
+          .select($"doc_id", $"lang",
+            (size(filter($"toks", t => t.isin(stop.map(lit(_)): _*)))
+              .cast("double") / size($"toks")).as("stop_ratio"),
+            (size(array_distinct($"toks")).cast("double") / size($"toks"))
+              .as("uniq_ratio"),
+            length($"text").cast("long").as("len"))
+          .select($"doc_id", $"lang",
+            (lit(0.3) * $"uniq_ratio" + lit(0.4) * (lit(1.0) - $"stop_ratio")
+              + lit(0.3) * least(lit(1.0), $"len".cast("double") / lit(256.0)))
+              .as("quality"))
+        val w = Window.partitionBy($"lang").orderBy($"quality", $"doc_id")
+        scored.withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy($"lang", $"quartile")
+          .agg(count(lit(1)).as("n"),
+            min($"quality").as("min_q"), max($"quality").as("max_q"))
+          .orderBy($"lang", $"quartile")
+      },
+      Some(s"""WITH scored AS (
+          SELECT doc_id, lang,
+            0.3 * uniq_ratio + 0.4 * (1.0 - stop_ratio)
+              + 0.3 * least(1.0, CAST(len AS DOUBLE) / 256.0) AS quality
+          FROM (SELECT doc_id, lang,
+            CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+              / len(toks) AS stop_ratio,
+            CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+            length(text) AS len
+            FROM (SELECT doc_id, lang, text, $duckToks AS toks FROM documents))),
+        bucketed AS (
+          SELECT lang, quality,
+            ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS quartile
+          FROM scored)
+        SELECT lang, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
+          min(quality) AS min_q, max(quality) AS max_q
+        FROM bucketed GROUP BY lang, quartile ORDER BY lang, quartile"""))
   )
 }
