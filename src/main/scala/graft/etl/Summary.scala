@@ -169,9 +169,12 @@ object Summary {
 
   /** F6: display formatting parity with app/app.py:114-156 — profit
     * rates as "{:.2f}%" (NO thousands grouping: a rate ≥ 1000 renders
-    * "1234.56%", where format_number alone would insert a comma) and
-    * money columns thousands-separated with two decimals
-    * (format_number = "{:,.2f}"), None → "N/A". Presentation only;
+    * "1234.56%", where format_number alone would insert a comma);
+    * money columns thousands-separated, None → "N/A". DELIBERATE
+    * DEVIATION on money decimals: the reference renders f"{value:,}"
+    * (no forced decimals — "43,858"); we render two fixed decimals
+    * ("43,858.00") so a money column has one uniform shape regardless
+    * of the stored value's int/float-ness. Presentation only;
     * ratios/scaling stay numeric in the DTO.
     */
   def display(summary: DataFrame): DataFrame = {

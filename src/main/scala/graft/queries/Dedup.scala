@@ -74,10 +74,14 @@ object Dedup {
       .filter($"jaccard" >= tau)
   }
 
-  /** Shared: exact-Jaccard confirm over candidate (a_id, b_id) pairs. */
-  private def confirmJaccard(s: SparkSession, dir: String, pairs: DataFrame, tau: Double): DataFrame = {
+  /** Shared: exact-Jaccard confirm over candidate (a_id, b_id) pairs.
+    * Takes the (persisted) shingled frame from the caller so the confirm
+    * joins hit the cache instead of re-evaluating the corpus scan +
+    * shingle expression once per side (the BENCH_r03 d3 regression).
+    */
+  private def confirmJaccard(sh: DataFrame, pairs: DataFrame, tau: Double): DataFrame = {
+    val s = sh.sparkSession
     import s.implicits._
-    val sh = shingled(s, dir)
     pairs
       .join(sh.select($"doc_id".as("a_id"), $"shs".as("a_shs")), "a_id")
       .join(sh.select($"doc_id".as("b_id"), $"shs".as("b_shs")), "b_id")
@@ -186,10 +190,18 @@ object Dedup {
     Q("d3_minhash_lsh",
       (s, dir) => {
         import s.implicits._
+        // The shingled frame feeds FOUR plan branches (signature pass +
+        // both sides of the confirm join, and the band self-join's two
+        // sides re-derive the signatures) — persist it so the corpus
+        // scan + WordShinglesExpr run ONCE (the BENCH_r03 regression was
+        // this plan re-evaluating the scan 3×). ContextCleaner
+        // auto-unpersists when the query's RDDs are collected.
+        val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // shingle fingerprints, exploded: the scalable MinHash shape is
         // explode → codegen'd hash-aggregate, NOT per-row array lambdas
         // (interpreted higher-order functions are off the hot path).
-        val ex = shingled(s, dir)
+        val ex = sh
           .select($"doc_id", explode($"shs").as("sh"))
           .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
         // 64-permutation signature via the typed MinHashAgg aggregator:
@@ -198,8 +210,11 @@ object Dedup {
         // explode-per-permutation formulation shuffled 64× the data).
         // udaf() + column groupBy, not groupByKey(_._1): the typed key
         // lambda forces a deserialize/reserialize round-trip per row.
+        // Persisted too (one 64-int row per doc): the band self-join
+        // would otherwise run the whole signature aggregation twice.
         val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
         val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // 16 bands × 4 rows: band key = ordered concat of the band's mins
         val bands = sig.select($"doc_id",
           explode(transform(sequence(lit(0), lit(15)), b => struct(
@@ -211,7 +226,7 @@ object Dedup {
           .join(bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
           .filter($"a_id" < $"b_id")
           .select($"a_id", $"b_id").distinct()
-        confirmJaccard(s, dir, cands, 0.5)
+        confirmJaccard(sh, cands, 0.5)
       },
       Some(jaccardOracle("0.5", 100))),
 

@@ -77,14 +77,19 @@ object Sim {
         val e = withNorm(s, dir)
         val cents = e.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-        // assign every vector to its nearest centroid (broadcast join)
-        val assignW = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
+        // assign every vector to its nearest centroid (broadcast join).
+        // Argmax via max_by partial aggregation, NOT row_number over a
+        // window: the window shape sort-shuffles the full n×|C|
+        // expansion; max_by combines map-side, shuffling ONE row per
+        // vector (same rationale as Extract.itemCandidates' min_by
+        // pivot). Tie-break = smallest c_id at equal cosine, encoded as
+        // struct(ccos, -c_id) lexicographic max — identical to the
+        // window's (ccos DESC, c_id ASC).
         val assigned = e.crossJoin(broadcast(cents))
           .select($"vec_id", $"c_id",
             (ndot(s, $"embedding", $"c_emb") / ($"nrm" * $"c_nrm")).as("ccos"))
-          .withColumn("rn", row_number().over(assignW))
-          .filter($"rn" === 1)
-          .select($"vec_id", $"c_id")
+          .groupBy($"vec_id")
+          .agg(max_by($"c_id", struct($"ccos", (-$"c_id").as("nc"))).as("c_id"))
         // queries probe their top-NPROBE centroids
         val probes = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))

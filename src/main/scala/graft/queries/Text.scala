@@ -374,6 +374,9 @@ object Text {
         val stop = Seq("the", "a", "of", "and", "to", "in")
         val scored = Tables.load(s, dir, "documents")
           .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
+          // zero-token guard (mirrors x8): 0.0/0 is NaN on Spark but
+          // engine-dependent in general — keep it off the hash surface
+          .filter(size($"toks") > 0)
           .select($"doc_id", $"lang",
             (size(filter($"toks", t => t.isin(stop.map(lit(_)): _*)))
               .cast("double") / size($"toks")).as("stop_ratio"),
@@ -400,7 +403,8 @@ object Text {
               / len(toks) AS stop_ratio,
             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
             length(text) AS len
-            FROM (SELECT doc_id, lang, text, $duckToks AS toks FROM documents))),
+            FROM (SELECT doc_id, lang, text, $duckToks AS toks FROM documents)
+            WHERE len(toks) > 0)),
         bucketed AS (
           SELECT lang, quality,
             ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS quartile

@@ -52,10 +52,13 @@ for name in sorted(os.listdir(out)):
         print(f"ROWS-ONLY {name}: {len(grows)} rows")
         continue
     try:
-        res = con.execute(oracle[name])
-        ocols = [c[0] for c in res.description]
-        otypes = [c[1] for c in res.description]
-        orows = res.fetchall()
+        rel = con.sql(oracle[name])
+        ocols = list(rel.columns)
+        # real DuckDB type names: DB-API description[1] is the generic
+        # string 'NUMBER' for every numeric column, so substring checks
+        # on it never fire; relation .types renders HUGEINT/DECIMAL(18,2)
+        otypes = [str(t).upper() for t in rel.types]
+        orows = rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         n_fail += 1
@@ -65,10 +68,9 @@ for name in sorted(os.listdir(out)):
     # than Spark's long/decimal parquet output (e.g. pandas converts both
     # to float64). fetchall() hides this (Python ints/Decimals), so flag
     # the types explicitly — cast to BIGINT/DOUBLE in the oracle instead.
-    for c, t in zip(ocols, otypes):
-        tn = str(t).upper()
+    for c, tn in zip(ocols, otypes):
         if "HUGEINT" in tn or "INT128" in tn or "DECIMAL" in tn:
-            print(f"WARN {name}: oracle column '{c}' has driver-unsafe type {t}; CAST it")
+            print(f"WARN {name}: oracle column '{c}' has driver-unsafe type {tn}; CAST it")
     for f in tbl.schema:
         if "decimal" in str(f.type):
             print(f"WARN {name}: spark column '{f.name}' is {f.type}; cast to double on the hash surface")
