@@ -26,8 +26,18 @@ import org.apache.spark.sql.expressions.Window
   * path first runs `recover`, which restores `._old` when live is
   * absent (and restores any per-partition `._old_<dir>` left by a
   * crashed partition swap). The rename swap is atomic on HDFS/local
-  * only — on object stores (S3: rename = copy+delete) a table format
-  * or a manifest-pointer scheme is required; documented, not hidden.
+  * only — on object stores (S3: rename = copy+delete) pass
+  * `manifest = true`: every publish then writes data files into a NEW
+  * versioned dir (`_vN`, never renamed, never overwritten), writes a
+  * manifest file listing the snapshot's data files (new files for
+  * touched partitions, the previous snapshot's files for untouched
+  * ones), and finally flips a one-line `_CURRENT` pointer — the only
+  * mutation is one tiny-file write, which is a single atomic PUT on
+  * S3/GCS. Readers resolve pointer → manifest → explicit file list, so
+  * a reader that resolved before the flip keeps a consistent old
+  * snapshot (its files survive one publish — GC keeps the previous
+  * snapshot's versions) and a reader after the flip sees exactly the
+  * new one: old-or-new, never a mix, never a missing-dir window.
   *
   * Key generation: Postgres sequences (and the reference's flush()-to-
   * get-keys dance, §3.2c) are replaced by deterministic hash keys
@@ -35,7 +45,7 @@ import org.apache.spark.sql.expressions.Window
   * across re-ingests. Collision risk at 64 bits is ~n²/2⁶⁵ (≪1 for the
   * reference's ~10⁷ keyspace).
   */
-class Warehouse(spark: SparkSession, dir: String) {
+class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
 
   private def tablePath(name: String) = s"$dir/$name"
 
@@ -45,13 +55,30 @@ class Warehouse(spark: SparkSession, dir: String) {
   def surrogateKey(naturalKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     abs(xxhash64(naturalKey))
 
-  def read(name: String): DataFrame = {
-    recover(name)
-    spark.read.parquet(tablePath(name))
-  }
+  def read(name: String): DataFrame =
+    if (manifest) {
+      val root = tablePath(name)
+      val files = snapshotFiles(name)
+      require(files.nonEmpty, s"manifest table $name has no data files")
+      // one read per version dir, each with basePath = that version's
+      // root so hive partition-column inference sees only k=v segments
+      // (mixing _v1/fy=… and _v2/fy=… under a single basePath trips
+      // CONFLICTING_DIRECTORY_STRUCTURES); a snapshot references at
+      // most a handful of versions, so the union is short
+      files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+        .toSeq.sortBy(_._1)
+        .map { case (v, fs) =>
+          val base = if (v.isEmpty) root else s"$root/$v"
+          spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+        }
+        .reduce(_.unionByName(_))
+    } else {
+      recover(name)
+      spark.read.parquet(tablePath(name))
+    }
 
   def exists(name: String): Boolean = {
-    recover(name)
+    if (!manifest) recover(name)
     val p = new Path(tablePath(name))
     fileSystem(p).exists(p)
   }
@@ -82,15 +109,160 @@ class Warehouse(spark: SparkSession, dir: String) {
         restoreOldPartitionDirs(fs, st.getPath)
     }
 
-  /** S7: set-oriented append — one write for N rows. */
-  def append(name: String, df: DataFrame): Unit = {
-    recover(name)
-    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+  // ------------------------------------------------------------------
+  // Manifest-pointer snapshots (object-store-safe publish; manifest=true)
+  // ------------------------------------------------------------------
+
+  private val CurrentPtr = "_CURRENT"
+  private val ManifestRe = "_manifest_v(\\d+)".r
+  private val VersionRe = "_v(\\d+)".r
+
+  /** Data files (relative to the table root) of the current snapshot.
+    * Resolution: `_CURRENT` pointer → manifest file; if the pointer is
+    * momentarily absent (the local-FS flip is delete+rename; on S3 the
+    * pointer PUT is atomic and this window doesn't exist) fall back to
+    * the highest-numbered manifest. A table written before manifest
+    * mode was enabled (no manifest at all) snapshots its legacy layout
+    * in place — file paths are arbitrary relative paths, so a legacy
+    * `fy=2023/part-x` is as valid a manifest entry as `_v3/fy=2023/y`.
+    */
+  private def snapshotFiles(name: String): Seq[String] = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    currentManifest(fs, root) match {
+      case Some(m) =>
+        val in = fs.open(new Path(root, m))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => listDataFiles(fs, root, root)
+    }
   }
+
+  private def currentManifest(fs: FileSystem, root: Path): Option[String] = {
+    val ptr = new Path(root, CurrentPtr)
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (v.nonEmpty) return Some(v)
+    }
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).map(_.getPath.getName).collect {
+      case n @ ManifestRe(v) => (v.toLong, n)
+    }.sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Recursive data-file listing, paths relative to `root`; skips
+    * metadata (dot/underscore-prefixed names — which also skips the
+    * `_vN` version dirs, so this only sees a LEGACY layout's files).
+    */
+  private def listDataFiles(fs: FileSystem, root: Path, d: Path): Seq[String] =
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") || n.startsWith("_")) Nil
+      else if (st.isDirectory) listDataFiles(fs, root, st.getPath)
+      else Seq(st.getPath.toUri.getPath
+        .stripPrefix(root.toUri.getPath).stripPrefix("/"))
+    }
+
+  /** All files under a version dir, relative to the table root. */
+  private def versionFiles(fs: FileSystem, root: Path, vdir: Path): Seq[String] = {
+    def walk(d: Path): Seq[String] = fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") || n == "_SUCCESS") Nil
+      else if (st.isDirectory) walk(st.getPath)
+      else Seq(st.getPath.toUri.getPath
+        .stripPrefix(root.toUri.getPath).stripPrefix("/"))
+    }
+    walk(vdir)
+  }
+
+  private def nextVersion(fs: FileSystem, root: Path): Long =
+    if (!fs.exists(root)) 1L
+    else {
+      val seen = fs.listStatus(root).map(_.getPath.getName).collect {
+        case ManifestRe(v) => v.toLong
+        case VersionRe(v)  => v.toLong
+      }
+      if (seen.isEmpty) 1L else seen.max + 1
+    }
+
+  /** Commit a snapshot: write `_manifest_v<n>` (a new file — never
+    * overwritten), flip `_CURRENT` to it, then GC version dirs no
+    * longer referenced by the new OR the immediately-previous snapshot
+    * (readers that resolved before the flip keep one publish of grace).
+    * The pointer flip is the ONLY mutation of shared state — on an
+    * object store it is a single PUT of a tiny file.
+    */
+  private def commitSnapshot(name: String, n: Long, files: Seq[String]): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val prev = currentManifest(fs, root).map { m =>
+      val in = fs.open(new Path(root, m))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }.getOrElse("").split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val mf = new Path(root, s"_manifest_v$n")
+    val out = fs.create(mf, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val tmp = new Path(root, s"._CURRENT.tmp$n")
+    val pout = fs.create(tmp, true)
+    try pout.write((mf.getName + "\n").getBytes("UTF-8"))
+    finally pout.close()
+    val ptr = new Path(root, CurrentPtr)
+    fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    // GC: a _vN dir is deletable only when NEITHER the new nor the
+    // previous snapshot references any file in it
+    val live = (files ++ prev).flatMap(_.split("/").headOption).collect {
+      case v @ VersionRe(_) => v
+    }.toSet
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case v @ VersionRe(_) if st.isDirectory && !live.contains(v) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Write `df` into a fresh `_vN` dir and return (n, its files). */
+  private def writeVersion(name: String, df: DataFrame,
+      partitionCols: Seq[String]): (Long, Seq[String]) = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val n = nextVersion(fs, root)
+    val vdir = new Path(root, s"_v$n")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(vdir.toString)
+    (n, versionFiles(fs, root, vdir))
+  }
+
+  /** S7: set-oriented append — one write for N rows. In manifest mode
+    * the append is itself atomic: new files land in a fresh version
+    * dir, and the snapshot (old files + new files) commits via the
+    * pointer flip — a reader never sees a half-appended batch.
+    */
+  def append(name: String, df: DataFrame): Unit =
+    if (manifest) {
+      val before = if (exists(name)) snapshotFiles(name) else Nil
+      val (n, added) = writeVersion(name, df, Nil)
+      commitSnapshot(name, n, before ++ added)
+    } else {
+      recover(name)
+      df.write.mode(SaveMode.Append).parquet(tablePath(name))
+    }
 
   /** Initialize a table if absent (S10 bootstrap). */
   def create(name: String, df: DataFrame): Unit =
-    if (!exists(name)) df.write.mode(SaveMode.ErrorIfExists).parquet(tablePath(name))
+    if (!exists(name)) {
+      if (manifest) atomicPublish(name, df)
+      else df.write.mode(SaveMode.ErrorIfExists).parquet(tablePath(name))
+    }
 
   /** S8: upsert = union(existing, updates) → keep the update row per
     * key (window dedup ordered by source priority) → atomic publish.
@@ -104,11 +276,29 @@ class Warehouse(spark: SparkSession, dir: String) {
     * partitions, and only those directories are swapped. Keys are
     * assumed partition-stable (a key never moves between partitions —
     * true of the fact's (report, item, context) → fiscal_year); a key
-    * that DID move would leave its old-partition row behind.
+    * that DID move would leave its old-partition row behind — pass
+    * `assertPartitionStable = true` to turn that silent stale row into
+    * a loud error (one extra keys⋈keys join over the existing table;
+    * opt-in because it reads partitions the scoped merge would skip).
     */
   def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      assertPartitionStable: Boolean = false): Unit = {
     if (!exists(name)) { atomicPublish(name, updates, partitionCols); return }
+    if (assertPartitionStable && partitionCols.nonEmpty) {
+      val up = updates.select((keyCols ++ partitionCols).map(col): _*).distinct()
+      val renamed = partitionCols.foldLeft(up)((d, c) =>
+        d.withColumnRenamed(c, s"_upd_$c"))
+      val moved = read(name).select((keyCols ++ partitionCols).map(col): _*)
+        .join(renamed, keyCols)
+        .filter(partitionCols.map(c => !(col(c) <=> col(s"_upd_$c"))).reduce(_ || _))
+        .limit(5).collect()
+      if (moved.nonEmpty)
+        throw new IllegalStateException(
+          s"upsert($name): update keys moved partitions — a partition-scoped " +
+          s"merge would leave their old-partition rows behind. Examples: " +
+          moved.map(_.toString).mkString("; "))
+    }
     // a table previously written UNPARTITIONED has its rows in root
     // part-files: a partition-scoped swap would leave the old rows
     // behind → one whole-table merge migrates it to the partitioned
@@ -131,14 +321,28 @@ class Warehouse(spark: SparkSession, dir: String) {
     else atomicPublish(name, merged, partitionCols)
   }
 
-  /** True iff the live table dir holds no root-level part-files (i.e.
-    * data lives under partition directories).
+  /** Partition path of a manifest entry: strip the version-dir prefix,
+    * keep the `k=v/...` directory part ("" for an unpartitioned file).
     */
-  private def isPartitionedLayout(name: String): Boolean = {
-    val live = new Path(tablePath(name))
-    !fileSystem(live).listStatus(live)
-      .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+  private def partitionRel(file: String): String = {
+    val noV = file.replaceFirst("^_v\\d+/", "")
+    val i = noV.lastIndexOf('/')
+    if (i < 0) "" else noV.substring(0, i)
   }
+
+  /** True iff the live table dir holds no root-level part-files (i.e.
+    * data lives under partition directories). In manifest mode the
+    * check is against the current snapshot's file paths.
+    */
+  private def isPartitionedLayout(name: String): Boolean =
+    if (manifest) {
+      val fs = snapshotFiles(name)
+      fs.nonEmpty && fs.forall(f => partitionRel(f).nonEmpty)
+    } else {
+      val live = new Path(tablePath(name))
+      !fileSystem(live).listStatus(live)
+        .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    }
 
   /** S9: delete-by-key as one anti-join. */
   def delete(name: String, keys: DataFrame, keyCols: Seq[String]): Unit =
@@ -179,6 +383,11 @@ class Warehouse(spark: SparkSession, dir: String) {
     */
   def atomicPublish(name: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
+    if (manifest) {
+      val (n, files) = writeVersion(name, df, partitionCols)
+      commitSnapshot(name, n, files)
+      return
+    }
     val live = new Path(tablePath(name))
     val staging = new Path(tablePath(name) + "._staging")
     val old = new Path(tablePath(name) + "._old")
@@ -203,6 +412,17 @@ class Warehouse(spark: SparkSession, dir: String) {
   def publishPartitions(name: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "publishPartitions needs partition columns")
+    if (manifest) {
+      // partition-scoped snapshot: new files for the partitions present
+      // in `df`, the previous snapshot's files for every other
+      // partition — untouched data is REFERENCED, never copied (the
+      // object-store property a rename-swap can't give)
+      val (n, added) = writeVersion(name, df, partitionCols)
+      val touched = added.map(partitionRel).toSet
+      val kept = snapshotFiles(name).filterNot(f => touched.contains(partitionRel(f)))
+      commitSnapshot(name, n, kept ++ added)
+      return
+    }
     val live = new Path(tablePath(name))
     val fs = fileSystem(live)
     if (!fs.exists(live)) { atomicPublish(name, df, partitionCols); return }

@@ -342,6 +342,90 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("warehouse: manifest publish — a pre-flip reader keeps the OLD snapshot") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh9").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // a reader resolves pointer → manifest → explicit file list at
+    // read() time; those files must survive the next publish (old-or-
+    // new, never a missing-dir window — the object-store property the
+    // rename swap can't give, where df1's dir would be deleted)
+    val df1 = wh.read("t")
+    wh.atomicPublish("t", Seq((1L, "A"), (3L, "c")).toDF("k", "v"))
+    assert(df1.orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "b")), "pre-flip reader must see the old snapshot")
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "A"), (3L, "c")), "post-flip reader must see the new snapshot")
+    // the only pointer state on disk is one tiny _CURRENT file
+    assert(new java.io.File(s"$tmp/t/_CURRENT").isFile)
+    // GC keeps exactly current + previous snapshots' version dirs
+    wh.atomicPublish("t", Seq((9L, "z")).toDF("k", "v"))
+    wh.atomicPublish("t", Seq((10L, "y")).toDF("k", "v"))
+    val vdirs = new java.io.File(s"$tmp/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("_v\\d+")).map(_.getName).toSet
+    assert(vdirs === Set("_v3", "_v4"), s"stale versions not GC'd: $vdirs")
+  }
+
+  test("warehouse: manifest partition-scoped upsert references untouched files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh10").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.upsert("t",
+      Seq((1L, "a", "2022"), (2L, "b", "2022"), (3L, "c", "2023"))
+        .toDF("k", "v", "fy"), Seq("k"), Seq("fy"))
+    def v1files(fy: String): Set[String] =
+      new java.io.File(s"$tmp/t/_v1/fy=$fy").listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    val before2022 = v1files("2022")
+    wh.upsert("t", Seq((3L, "C", "2023"), (4L, "d", "2023")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    // untouched partition: the ORIGINAL v1 files are still the ones
+    // referenced — never copied, never rewritten
+    assert(v1files("2022") === before2022)
+    assert(wh.read("t").orderBy("k").as[(Long, String, String)].collect()
+      === Array((1L, "a", "2022"), (2L, "b", "2022"),
+        (3L, "C", "2023"), (4L, "d", "2023")))
+    // append is snapshot-atomic too, and partition columns survive the
+    // manifest read (basePath inference across version dirs)
+    wh.append("t", Seq((5L, "e", "2024")).toDF("k", "v", "fy"))
+    assert(wh.read("t").filter($"fy" === "2024").count() === 1)
+  }
+
+  test("warehouse: legacy table migrates into manifest mode in place") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh11").toString
+    // written by a rename-swap warehouse: plain dir layout, no manifest
+    new Warehouse(spark, tmp).create("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    // read-through: legacy files ARE the snapshot
+    assert(wh.read("t").count() === 2)
+    // first manifest-mode write snapshots on top without touching them
+    wh.upsert("t", Seq((2L, "B")).toDF("k", "v"), Seq("k"))
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "a"), (2L, "B")))
+  }
+
+  test("warehouse: upsert with assertPartitionStable rejects a moved key") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh12").toString
+    val wh = new Warehouse(spark, tmp)
+    wh.upsert("t", Seq((1L, "a", "2022"), (2L, "b", "2023")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    // k=1 "moves" from fy=2022 to fy=2023: a partition-scoped merge
+    // would silently leave the stale (1, a, 2022) row behind
+    val e = intercept[IllegalStateException] {
+      wh.upsert("t", Seq((1L, "A", "2023")).toDF("k", "v", "fy"),
+        Seq("k"), Seq("fy"), assertPartitionStable = true)
+    }
+    assert(e.getMessage.contains("moved partitions"))
+    // the same update with a stable key passes the assertion
+    wh.upsert("t", Seq((2L, "B", "2023")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"), assertPartitionStable = true)
+    assert(wh.read("t").orderBy("k").as[(Long, String, String)].collect()
+      === Array((1L, "a", "2022"), (2L, "B", "2023")))
+  }
+
   test("warehouse: recover restores the table after a crashed swap") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh5").toString
