@@ -1,8 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Doubles as the explain gate: the physical plan of every query is
+  * scanned for CartesianProduct and logged to `outDir/explain_gate.log`,
+  * so the gate's evidence lands with the correctness artifacts. The scan
+  * is static (pre-AQE) — sound for the gate, because a cartesian join is
+  * a planner decision AQE never introduces or removes; the broadcast /
+  * codegen props in the log are best-effort pre-execution hints (the
+  * standalone `graft.Explain`, which executes, is the deep audit). Any
+  * cartesian hit fails the run (exit 1) AFTER all artifacts are written —
+  * a cartesian plan is a scale bug, not a style nit, so it must not land
+  * silently.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,13 +28,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var cartesian = List.empty[String]
+    val gateLog = new StringBuilder
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir).coalesce(1)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        // static plan: `write` executes its own QueryExecution, so this
+        // is the pre-AQE plan — sufficient for the cartesian gate (see
+        // class doc); graft.Explain is the post-execution audit
+        val plan = df.queryExecution.explainString(FormattedMode)
+        val hasCartesian = plan.contains("CartesianProduct")
+        if (hasCartesian) cartesian ::= name
+        gateLog ++= s"$name: " + Seq(
+          "pushed-filters" -> plan.contains("PushedFilters: ["),
+          "broadcast-join" -> plan.contains("BroadcastHashJoin"),
+          "codegen" -> plan.contains("codegen id"),
+          "CARTESIAN-PRODUCT" -> hasCartesian
+        ).collect { case (p, true) => p }.mkString(", ") + "\n"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        gateLog ++= s"$name: FAILED ${e.getClass.getSimpleName}\n"
       }
     }
+    Files.writeString(Paths.get(s"$outDir/explain_gate.log"), gateLog.toString)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -38,5 +68,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (cartesian.nonEmpty) {
+      System.err.println(
+        s"[verify] explain-gate FAILED: CartesianProduct in final plan of: " +
+        cartesian.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }
