@@ -34,11 +34,14 @@ object Dedup {
     * WordShinglesExpr; bit-identical to TextOps.distinctShingles,
     * pinned by NativeExprsSpec).
     */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingledFrom(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.load(s, dir, "documents")
-      .select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
+    docs.select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
   }
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingledFrom(Tables.load(s, dir, "documents"))
 
   /** Shared: exact 3-gram Jaccard pairs ≥ tau with a stop-shingle
     * doc-frequency cap. One bounded-buffer aggregation on the shingle
@@ -92,6 +95,107 @@ object Dedup {
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .filter($"jaccard" >= tau)
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** Exact-duplicate collapse (d1's digest): one representative row —
+    * the min doc_id — per distinct text. The first guard against a
+    * degenerate (mass-identical) corpus: a block of m exact copies
+    * costs ONE representative downstream instead of m²/2 LSH candidate
+    * pairs; its members are recoverable from the d1 grouping.
+    */
+  private[graft] def collapseExact(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupBy(md5($"text".cast("binary")).as("_h"))
+      .agg(min($"doc_id").as("doc_id"), min_by($"text", $"doc_id").as("text"))
+      .select($"doc_id", $"text")
+  }
+
+  /** LSH candidate pairs from a (persisted) shingled frame: 64-perm
+    * MinHash signature (typed MinHashAgg — one pass, fixed buffer,
+    * map-side combine), 16 bands × 4 rows, pairs within a band bucket.
+    *
+    * `bucketCap = None` (d3's exact-recall contract): bucket pairs via
+    * self-join on the band key. `Some(cap)`: the degenerate-corpus
+    * guard — buckets are aggregated with the bounded-buffer
+    * CappedDocListAgg shape (d2's stop-shingle cap) and any bucket
+    * wider than `cap` is dropped WHOLE, deterministically, bounding a
+    * bucket's contribution at cap·(cap−1)/2 candidates and the
+    * aggregation buffer at O(cap) however skewed the corpus. Recall
+    * trade-off: a pair inside a dropped bucket is only found if some
+    * band bucket ≤ cap wide also contains both docs — so boilerplate
+    * NEAR-dup clusters wider than the cap can lose pairs (exact
+    * duplicates never do: collapse them first via collapseExact, as
+    * minHashLshPairs does). Production sizing: cap ≈ 10–100× the
+    * expected near-dup cluster width.
+    */
+  private[graft] def lshCandidatesFrom(sh: DataFrame, bucketCap: Option[Int]): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    // shingle fingerprints, exploded: the scalable MinHash shape is
+    // explode → codegen'd hash-aggregate, NOT per-row array lambdas
+    // (interpreted higher-order functions are off the hot path).
+    val ex = sh
+      .select($"doc_id", explode($"shs").as("sh"))
+      .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
+    // 64-permutation signature via the typed MinHashAgg aggregator:
+    // ONE pass over the exploded fingerprints with a fixed-width
+    // buffer and map-side combine — no 64× row explosion (the
+    // explode-per-permutation formulation shuffled 64× the data).
+    // udaf() + column groupBy, not groupByKey(_._1): the typed key
+    // lambda forces a deserialize/reserialize round-trip per row.
+    // Persisted (one 64-int row per doc): the band self-join would
+    // otherwise run the whole signature aggregation twice.
+    val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
+    val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 16 bands × 4 rows: band key = ordered concat of the band's mins
+    val bands = sig.select($"doc_id",
+      explode(transform(sequence(lit(0), lit(15)), b => struct(
+        b.as("band"),
+        concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
+          v => v.cast("string"))).as("bkey")))).as("bk"))
+      .select($"doc_id", $"bk.band", $"bk.bkey")
+    bucketCap match {
+      case None =>
+        bands.select($"doc_id".as("a_id"), $"band", $"bkey")
+          .join(bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id").distinct()
+      case Some(cap) =>
+        val capAgg = udaf(new graft.operators.CappedDocListAgg(cap))
+        bands.groupBy($"band", $"bkey").agg(capAgg($"doc_id", lit(0L)).as("g"))
+          .filter($"g._1".between(2, cap))
+          .select(explode($"g._2").as("a"), $"g._2".as("docs"))
+          .select($"a", explode($"docs").as("b"))
+          .filter($"a._1" < $"b._1")
+          .select($"a._1".as("a_id"), $"b._1".as("b_id")).distinct()
+    }
+  }
+
+  /** MinHash+LSH near-dup pairs ≥ tau over an arbitrary (doc_id, text)
+    * corpus, exact-Jaccard-confirmed. With `bucketCap` set this is the
+    * production degenerate-corpus path: exact duplicates collapse to
+    * their min-doc_id representative FIRST (so mass-identical blocks
+    * cost one row, with zero recall loss — members come from the d1
+    * grouping), then band buckets still wider than the cap are dropped
+    * whole (bounded candidates, documented recall cost on boilerplate
+    * near-dup clusters wider than the cap — see lshCandidatesFrom).
+    * The returned pairs relate representatives; the production dedup
+    * decision composes d1 → this → ConnectedComponents (d6).
+    */
+  def minHashLshPairs(docs: DataFrame, tau: Double,
+      bucketCap: Option[Int] = None): DataFrame = {
+    val reps = bucketCap.fold(docs)(_ => collapseExact(docs))
+    // The shingled frame feeds FOUR plan branches (signature pass +
+    // both sides of the confirm join, and the band self-join's two
+    // sides re-derive the signatures) — persist it so the corpus
+    // scan + WordShinglesExpr run ONCE (the BENCH_r03 regression was
+    // this plan re-evaluating the scan 3×). ContextCleaner
+    // auto-unpersists when the query's RDDs are collected.
+    val sh = shingledFrom(reps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    confirmJaccard(sh, lshCandidatesFrom(sh, bucketCap), tau)
   }
 
   /** CTE block computing exact 3-gram Jaccard pairs (`jpairs`) at
@@ -183,50 +287,32 @@ object Dedup {
     // on this corpus; at scale the confirm step bounds false positives
     // and the banding bounds the candidate count). Degenerate corpora
     // (mass-identical documents) make a band bucket quadratic — the
-    // production guard is to collapse exact duplicates first (d1) and
-    // cap bucket width (CappedDocListAgg shape) at a documented recall
-    // cost on boilerplate clusters; unconditional here, where exact
-    // recall is the oracle contract.
+    // production guard (exact-dup collapse + bucket cap) is d7 below;
+    // unconditional here, where exact recall is the oracle contract.
     Q("d3_minhash_lsh",
       (s, dir) => {
         import s.implicits._
-        // The shingled frame feeds FOUR plan branches (signature pass +
-        // both sides of the confirm join, and the band self-join's two
-        // sides re-derive the signatures) — persist it so the corpus
-        // scan + WordShinglesExpr run ONCE (the BENCH_r03 regression was
-        // this plan re-evaluating the scan 3×). ContextCleaner
-        // auto-unpersists when the query's RDDs are collected.
-        val sh = shingled(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // shingle fingerprints, exploded: the scalable MinHash shape is
-        // explode → codegen'd hash-aggregate, NOT per-row array lambdas
-        // (interpreted higher-order functions are off the hot path).
-        val ex = sh
-          .select($"doc_id", explode($"shs").as("sh"))
-          .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
-        // 64-permutation signature via the typed MinHashAgg aggregator:
-        // ONE pass over the exploded fingerprints with a fixed-width
-        // buffer and map-side combine — no 64× row explosion (the
-        // explode-per-permutation formulation shuffled 64× the data).
-        // udaf() + column groupBy, not groupByKey(_._1): the typed key
-        // lambda forces a deserialize/reserialize round-trip per row.
-        // Persisted too (one 64-int row per doc): the band self-join
-        // would otherwise run the whole signature aggregation twice.
-        val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
-        val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // 16 bands × 4 rows: band key = ordered concat of the band's mins
-        val bands = sig.select($"doc_id",
-          explode(transform(sequence(lit(0), lit(15)), b => struct(
-            b.as("band"),
-            concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
-              v => v.cast("string"))).as("bkey")))).as("bk"))
-          .select($"doc_id", $"bk.band", $"bk.bkey")
-        val cands = bands.select($"doc_id".as("a_id"), $"band", $"bkey")
-          .join(bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
-          .filter($"a_id" < $"b_id")
-          .select($"a_id", $"b_id").distinct()
-        confirmJaccard(sh, cands, 0.5)
+        minHashLshPairs(
+          Tables.load(s, dir, "documents").select($"doc_id", $"text"), 0.5)
+      },
+      Some(jaccardOracle("0.5", 100))),
+
+    // ---- guarded LSH: exact-dup collapse + capped band buckets ---------
+    // The production degenerate-corpus path (minHashLshPairs with
+    // bucketCap): corpus = documents ∪ exact copies of the first 100
+    // docs (d1's duplicate block). The collapse folds every copy into
+    // its original representative before the LSH, so the output pairs —
+    // and the oracle — are exactly d3's, while the plan runs the capped
+    // CappedDocListAgg bucket aggregation instead of the band
+    // self-join. The cap itself binds only on degenerate corpora
+    // (DedupSimSpec proves the bound on a 300-copy block).
+    Q("d7_lsh_capped",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val corpus = d.union(
+          d.filter($"doc_id" < 100).select(($"doc_id" + 100000).as("doc_id"), $"text"))
+        minHashLshPairs(corpus, 0.5, bucketCap = Some(100))
       },
       Some(jaccardOracle("0.5", 100))),
 

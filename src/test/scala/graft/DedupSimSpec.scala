@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.{Dedup, Sim}
+import org.apache.spark.sql.functions.lit
 
 /** Cross-checks between the approximate and exact implementations of
   * the dedup / similarity families on the sf0.001 testdata:
@@ -37,6 +38,41 @@ class DedupSimSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("capped LSH bounds candidates on a mass-duplicate corpus") {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 60)
+    val hot = base.filter($"doc_id" === 0).select($"text").as[String].head()
+    // 300 exact copies of one document: the degenerate corpus that makes
+    // an unguarded band bucket quadratic
+    val corpus = base.union(
+      spark.range(1000, 1300).select($"id".as("doc_id"), lit(hot).as("text")))
+
+    // unguarded: the 301-wide identical block alone yields >= 301*300/2
+    // candidate pairs — the quadratic blowup the guard exists to stop
+    val unguarded = Dedup.lshCandidatesFrom(Dedup.shingledFrom(corpus), None).count()
+    assert(unguarded >= 301L * 300 / 2, s"expected quadratic candidates, got $unguarded")
+
+    // guarded: exact-dup collapse folds the block into one representative
+    val reps = Dedup.collapseExact(corpus)
+    assert(reps.count() === 60) // 60 distinct texts survive
+    // ...and the bucket cap bounds what any surviving bucket can emit:
+    // 16 bands × at most cap*(cap-1)/2 pairs per bucket of the 60 reps
+    val cap = 20
+    val guarded = Dedup.lshCandidatesFrom(Dedup.shingledFrom(reps), Some(cap)).count()
+    assert(guarded <= 16L * cap * (cap - 1) / 2, s"candidates not bounded: $guarded")
+
+    // recall: on this corpus (no near-dup cluster wider than the cap)
+    // the guarded pipeline still finds exactly the true pairs among
+    // representatives — the documented recall cost only applies to
+    // boilerplate NEAR-dup clusters wider than the cap
+    val exact = Dedup.minHashLshPairs(base, 0.5, bucketCap = None)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minHashLshPairs(corpus, 0.5, bucketCap = Some(cap))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === exact)
   }
 
   test("exact dedup collapses the synthetic duplicate block") {
