@@ -11,12 +11,13 @@ import graft.Tables
   * query set — one broadcast of the (tiny) query side, one scan of the
   * corpus, a per-query top-k window on an already-small intermediate.
   *
-  * sim2 is the scale path: IVF-style coarse quantization — every vector
-  * is assigned to its nearest centroid (broadcast centroid table), a
-  * query probes its top-8 centroids and only scans those posting lists.
-  * At 100 TB the corpus is partitioned by centroid id, so a probe
-  * touches nprobe/|C| of the data; here centroids are a deterministic
-  * sample (every 50th vector) standing in for a k-means codebook.
+  * sim2 is the scale path: IVF-style coarse quantization — a codebook
+  * trained with Lloyd's iterations (operators.IvfCodebook, seeded by
+  * the deterministic every-50th sample), every vector assigned to its
+  * nearest centroid (broadcast codebook), a query probes its top-8
+  * centroids and only scans those posting lists. At 100 TB the corpus
+  * is partitioned by centroid id, so a probe touches nprobe/|C| of the
+  * data.
   */
 object Sim {
 
@@ -69,68 +70,67 @@ object Sim {
           FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
         WHERE rank <= 10 ORDER BY q_id, rank""")),
 
-    // ---- IVF-bucketed ANN: assign → probe top-NPROBE centroids → rank --
+    // ---- IVF-bucketed ANN: train codebook → assign → probe → rank ------
+    // The codebook is TRAINED (2 Lloyd's rounds from the deterministic
+    // every-50th seed) via operators.IvfCodebook: assignment is the
+    // max_by partial-agg argmax (one shuffled row per vector, never a
+    // window over the n×|C| expansion), re-centering a per-dimension
+    // partial-agg mean, and centroids are rounded to 6 decimals so the
+    // distributed float-sum order can't leak into assignments — which
+    // is what lets the oracle below re-derive the identical codebook in
+    // SQL (c0→a1→m1→c1→a2→m2→c2 mirrors train(e, init, 2) CTE for CTE).
     Q("sim2_ivf_topk",
       (s, dir) => {
         import s.implicits._
-        val NPROBE = 8
         val e = withNorm(s, dir)
-        val cents = e.filter($"vec_id" % 50 === 0)
+        val init = e.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-        // assign every vector to its nearest centroid (broadcast join).
-        // Argmax via max_by partial aggregation, NOT row_number over a
-        // window: the window shape sort-shuffles the full n×|C|
-        // expansion; max_by combines map-side, shuffling ONE row per
-        // vector (same rationale as Extract.itemCandidates' min_by
-        // pivot). Tie-break = smallest c_id at equal cosine, encoded as
-        // struct(ccos, -c_id) lexicographic max — identical to the
-        // window's (ccos DESC, c_id ASC).
-        val assigned = e.crossJoin(broadcast(cents))
-          .select($"vec_id", $"c_id",
-            (ndot(s, $"embedding", $"c_emb") / ($"nrm" * $"c_nrm")).as("ccos"))
-          .groupBy($"vec_id")
-          .agg(max_by($"c_id", struct($"ccos", (-$"c_id").as("nc"))).as("c_id"))
-        // queries probe their top-NPROBE centroids
-        val probes = e.filter($"vec_id" < 10)
+        // tiny frame feeding two plan branches (assignment + probes):
+        // persist so training runs once, not once per branch
+        val cents = graft.operators.IvfCodebook.train(e, init, 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val assigned = graft.operators.IvfCodebook.assign(e, cents)
+        val queries = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-          .crossJoin(broadcast(cents))
-          .select($"q_id", $"q_emb", $"q_nrm", $"c_id",
-            (ndot(s, $"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("ccos"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")))
-          .filter($"rn" <= NPROBE)
-          .select($"q_id", $"q_emb", $"q_nrm", $"c_id")
-        // scan only the probed posting lists
-        val cand = probes.join(assigned, "c_id")
-          .filter($"vec_id" =!= $"q_id")
-          .join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
-          .select($"q_id", $"vec_id",
-            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
-          .distinct()
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        cand.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 10)
-          .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+        graft.operators.IvfCodebook.topk(e, queries, cents, assigned, 8, 10)
           .orderBy($"q_id", $"rank")
       },
-      Some(s"""WITH n AS (
+      Some {
+        // one Lloyd's round in SQL: assign to nearest centroid, then
+        // re-center as the rounded per-dimension mean (list rebuilt in
+        // dimension order, FLOAT like the Spark side)
+        def assignCte(cents: String): String =
+          s"""(SELECT vec_id, c_id FROM (
+            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckDot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM n e CROSS JOIN $cents c)
+          WHERE rn = 1)"""
+        def recenterCtes(a: String, m: String, c: String): String =
+          s"""$m AS (
+            SELECT a.c_id, r.j, avg(CAST(e.embedding[r.j + 1] AS DOUBLE)) AS v
+            FROM $a a JOIN n e USING (vec_id) CROSS JOIN range(64) r(j)
+            GROUP BY a.c_id, r.j),
+          $c AS (
+            SELECT c_id, c_emb, sqrt(${duckDot("c_emb", "c_emb")}) AS c_nrm FROM (
+              SELECT c_id, list(CAST(round(v, 6) AS FLOAT) ORDER BY j) AS c_emb
+              FROM $m GROUP BY c_id))"""
+        s"""WITH n AS (
           SELECT vec_id, embedding,
             sqrt(${duckDot("embedding", "embedding")}) AS nrm
           FROM embeddings),
-        cents AS (
+        c0 AS (
           SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
           FROM n WHERE vec_id % 50 = 0),
-        assigned AS (
-          SELECT vec_id, c_id FROM (
-            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${duckDot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM n e CROSS JOIN cents c)
-          WHERE rn = 1),
+        a1 AS ${assignCte("c0")},
+        ${recenterCtes("a1", "m1", "c1")},
+        a2 AS ${assignCte("c1")},
+        ${recenterCtes("a2", "m2", "c2")},
+        assigned AS ${assignCte("c2")},
         probes AS (
           SELECT q_id, c_id FROM (
             SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
               ORDER BY ${duckDot("q.embedding", "c.c_emb")} / (q.nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM n q CROSS JOIN cents c WHERE q.vec_id < 10)
+            FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
           WHERE rn <= 8),
         cand AS (
           SELECT DISTINCT p.q_id, a.vec_id,
@@ -140,6 +140,7 @@ object Sim {
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
             ORDER BY cos DESC, vec_id) AS rank FROM cand)
-        WHERE rank <= 10 ORDER BY q_id, rank"""))
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+      })
   )
 }

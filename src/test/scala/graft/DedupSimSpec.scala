@@ -40,6 +40,58 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("trained IVF codebook: recall on a clustered corpus >= the pinned floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfCodebook
+    // clustered synthetic corpus: 20 well-separated gaussian centers,
+    // 50 points each — the distribution where an UNTRAINED (sampled)
+    // codebook places arbitrary-quality centroids but Lloyd's recovers
+    // the true cluster structure
+    val rnd = new scala.util.Random(42)
+    val dim = 16; val k = 20; val per = 50
+    val centers = Array.fill(k, dim)(rnd.nextGaussian().toFloat * 3f)
+    val pts = for (c <- 0 until k; i <- 0 until per) yield
+      ((c.toLong * per + i),
+        Array.tabulate(dim)(d => centers(c)(d) + 0.3f * rnd.nextGaussian().toFloat))
+    val e = pts.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding",
+        sqrt(graft.functions.NativeExprs.dot(spark, $"embedding", $"embedding")).as("nrm"))
+      .persist()
+    // misaligned seed (every 37th): starts with duplicate/missing
+    // clusters, so training has real work to do
+    val init = e.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val queries = e.filter($"vec_id" % per === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = IvfCodebook.assign(e, cents)
+      val ivf = IvfCodebook.topk(e, queries, cents, assigned, 4, 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = {
+        val q = queries
+        val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (graft.functions.NativeExprs.dot(spark, $"q_emb", $"embedding")
+              / ($"q_nrm" * $"nrm")).as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+          .select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val trained = recallOf(IvfCodebook.train(e, init, 3).persist())
+    // the floor pinned for sim2 on the driver corpus — a TRAINED
+    // codebook on a cleanly clustered corpus must clear it easily
+    assert(trained >= 0.6, s"trained recall $trained below pinned floor")
+    // and it must recover near-perfect structure here: at nprobe=4 of
+    // ~20 trained centroids, each query's true cluster is probed
+    assert(trained >= 0.9, s"trained recall $trained; Lloyd's failed to converge")
+  }
+
   test("capped LSH bounds candidates on a mass-duplicate corpus") {
     import spark.implicits._
     val base = Tables.load(spark, dir, "documents")
