@@ -39,6 +39,56 @@ object Sim {
         sqrt(ndot(s, $"embedding", $"embedding")).as("nrm"))
   }
 
+  /** Spark side of the shared trained-codebook prelude: 2 Lloyd's
+    * rounds from the deterministic every-50th seed, plus the final
+    * assignment. The codebook is persisted — it is tiny and feeds
+    * multiple plan branches.
+    */
+  private def trainedCodebook(s: SparkSession, e: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val init = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val cents = graft.operators.IvfCodebook.train(e, init, 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cents, graft.operators.IvfCodebook.assign(e, cents))
+  }
+
+  /** Oracle side of the same prelude: CTEs `n` (normed embeddings),
+    * `c0` (seed), two Lloyd's rounds (a1,m1,c1 / a2,m2,c2) and
+    * `assigned` + final codebook `c2` — the SQL mirror, CTE for CTE, of
+    * trainedCodebook. Reproducible across engines because centroids are
+    * rounded to 6 decimals (see IvfCodebook's class doc).
+    */
+  private def codebookCtes: String = {
+    def assignCte(cents: String): String =
+      s"""(SELECT vec_id, c_id FROM (
+        SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
+          ORDER BY ${duckDot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
+        FROM n e CROSS JOIN $cents c)
+      WHERE rn = 1)"""
+    def recenterCtes(a: String, m: String, c: String): String =
+      s"""$m AS (
+        SELECT a.c_id, r.j, avg(CAST(e.embedding[r.j + 1] AS DOUBLE)) AS v
+        FROM $a a JOIN n e USING (vec_id) CROSS JOIN range(64) r(j)
+        GROUP BY a.c_id, r.j),
+      $c AS (
+        SELECT c_id, c_emb, sqrt(${duckDot("c_emb", "c_emb")}) AS c_nrm FROM (
+          SELECT c_id, list(CAST(round(v, 6) AS FLOAT) ORDER BY j) AS c_emb
+          FROM $m GROUP BY c_id))"""
+    s"""n AS (
+      SELECT vec_id, embedding,
+        sqrt(${duckDot("embedding", "embedding")}) AS nrm
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+      FROM n WHERE vec_id % 50 = 0),
+    a1 AS ${assignCte("c0")},
+    ${recenterCtes("a1", "m1", "c1")},
+    a2 AS ${assignCte("c1")},
+    ${recenterCtes("a2", "m2", "c2")},
+    assigned AS ${assignCte("c2")}"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (exact ANN baseline) -----------------
@@ -83,49 +133,13 @@ object Sim {
       (s, dir) => {
         import s.implicits._
         val e = withNorm(s, dir)
-        val init = e.filter($"vec_id" % 50 === 0)
-          .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-        // tiny frame feeding two plan branches (assignment + probes):
-        // persist so training runs once, not once per branch
-        val cents = graft.operators.IvfCodebook.train(e, init, 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val assigned = graft.operators.IvfCodebook.assign(e, cents)
+        val (cents, assigned) = trainedCodebook(s, e)
         val queries = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
         graft.operators.IvfCodebook.topk(e, queries, cents, assigned, 8, 10)
           .orderBy($"q_id", $"rank")
       },
-      Some {
-        // one Lloyd's round in SQL: assign to nearest centroid, then
-        // re-center as the rounded per-dimension mean (list rebuilt in
-        // dimension order, FLOAT like the Spark side)
-        def assignCte(cents: String): String =
-          s"""(SELECT vec_id, c_id FROM (
-            SELECT e.vec_id, c.c_id, row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY ${duckDot("e.embedding", "c.c_emb")} / (e.nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM n e CROSS JOIN $cents c)
-          WHERE rn = 1)"""
-        def recenterCtes(a: String, m: String, c: String): String =
-          s"""$m AS (
-            SELECT a.c_id, r.j, avg(CAST(e.embedding[r.j + 1] AS DOUBLE)) AS v
-            FROM $a a JOIN n e USING (vec_id) CROSS JOIN range(64) r(j)
-            GROUP BY a.c_id, r.j),
-          $c AS (
-            SELECT c_id, c_emb, sqrt(${duckDot("c_emb", "c_emb")}) AS c_nrm FROM (
-              SELECT c_id, list(CAST(round(v, 6) AS FLOAT) ORDER BY j) AS c_emb
-              FROM $m GROUP BY c_id))"""
-        s"""WITH n AS (
-          SELECT vec_id, embedding,
-            sqrt(${duckDot("embedding", "embedding")}) AS nrm
-          FROM embeddings),
-        c0 AS (
-          SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
-          FROM n WHERE vec_id % 50 = 0),
-        a1 AS ${assignCte("c0")},
-        ${recenterCtes("a1", "m1", "c1")},
-        a2 AS ${assignCte("c1")},
-        ${recenterCtes("a2", "m2", "c2")},
-        assigned AS ${assignCte("c2")},
+      Some(s"""WITH $codebookCtes,
         probes AS (
           SELECT q_id, c_id FROM (
             SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
@@ -140,7 +154,49 @@ object Sim {
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
             ORDER BY cos DESC, vec_id) AS rank FROM cand)
-        WHERE rank <= 10 ORDER BY q_id, rank"""
-      })
+        WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // ---- SemDeDup: semantic dedup via trained-codebook clustering ------
+    // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means
+    // cluster the embeddings, then compare pairs ONLY within a cluster
+    // and drop every vector that is ≥ tau cosine-similar to a
+    // lower-id member of its cluster. The cluster assignment is what
+    // makes it scale: pairwise work is Σ|cluster|² instead of n², and
+    // the within-cluster join is an equi-join on c_id (shuffle by
+    // cluster — exactly how the corpus would be partitioned at 100 TB).
+    // Skew guard at scale: a giant cluster is subdivided by re-running
+    // the quantizer on its members (same code, finer codebook) — the
+    // d7 bucket-cap idea at the embedding level.
+    Q("d8_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val (_, assigned) = trainedCodebook(s, e)
+        val m = assigned.join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+        val a = m.select($"c_id", $"vec_id".as("a_id"),
+          $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+        val b = m.select($"c_id", $"vec_id".as("b_id"),
+          $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+        val dup = a.join(b, "c_id")
+          .filter($"a_id" < $"b_id")
+          .filter((ndot(s, $"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm")) >= 0.35)
+          .select($"b_id".as("vec_id")).distinct()
+          .withColumn("dup", lit(true))
+        m.join(dup, Seq("vec_id"), "left")
+          .select($"vec_id", $"c_id",
+            coalesce(!$"dup", lit(true)).as("kept"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH $codebookCtes,
+        m AS (
+          SELECT a.vec_id, a.c_id, e.embedding, e.nrm
+          FROM assigned a JOIN n e USING (vec_id)),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+          WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
+        SELECT m.vec_id, m.c_id, d.vec_id IS NULL AS kept
+        FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
+        ORDER BY m.vec_id"""))
   )
 }

@@ -411,6 +411,53 @@ object Text {
           FROM scored)
         SELECT lang, CAST(quartile AS BIGINT) AS quartile, count(*) AS n,
           min(quality) AS min_q, max(quality) AS max_q
-        FROM bucketed GROUP BY lang, quartile ORDER BY lang, quartile"""))
+        FROM bucketed GROUP BY lang, quartile ORDER BY lang, quartile""")),
+
+    // ---- repetition filter: Gopher-style duplicate-n-gram signals ------
+    // The repetition rules of Rae et al. 2021 (Gopher, arXiv:2112.11446
+    // §A1.1): a document is repetitive when its most common 2-gram
+    // accounts for too much of the text, or too many of its 2-grams are
+    // duplicated. Scalable shape: explode adjacent-token 2-grams → two
+    // partial-agg rounds — (doc, gram) counts, then per-doc max / dup
+    // mass — both map-side combinable; the fractions are exact integer
+    // ratios so the double division is engine-identical. Docs with < 2
+    // tokens have no 2-grams and are filtered (the x8 guard).
+    Q("x12_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val g2 = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(0), size($"toks") - 2),
+            i => concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2)))).as("g2"))
+        g2.groupBy($"doc_id", $"g2").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n2"), max($"c").as("maxc"),
+            sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
+          .select($"doc_id", $"n2",
+            ($"maxc".cast("double") / $"n2").as("top2_frac"),
+            ($"dupc".cast("double") / $"n2").as("dup2_frac"))
+          .withColumn("repetitive", $"top2_frac" > 0.2 || $"dup2_frac" > 0.6)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+            i -> toks[i] || ' ' || toks[i+1])) AS g2
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        c AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
+        a AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+            CAST(MAX(c) AS BIGINT) AS maxc,
+            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+          FROM c GROUP BY doc_id)
+        SELECT doc_id, n2,
+          CAST(maxc AS DOUBLE) / n2 AS top2_frac,
+          CAST(dupc AS DOUBLE) / n2 AS dup2_frac,
+          (CAST(maxc AS DOUBLE) / n2 > 0.2 OR CAST(dupc AS DOUBLE) / n2 > 0.6)
+            AS repetitive
+        FROM a ORDER BY doc_id"""))
   )
 }

@@ -54,13 +54,39 @@ object EdinetCsv {
     else !dec.flush(out).isError
   }
 
-  /** Sniff the encoding of one file — the distributed analogue of the
-    * reference's chardet.detect (utils/api.py:129-137). BOM / odd-zero
-    * checks pick out the two EDINET variants from 4 bytes; otherwise a
-    * strict decode of the head distinguishes UTF-8 from Shift-JIS
-    * strays (a UTF-8-invalid, Shift-JIS-valid head). A file valid as
-    * neither fails LOUDLY — silently mis-decoding into PERMISSIVE
-    * nulls was the failure mode this guards against.
+  /** Classify an up-to-8-KiB head — the encoding decision itself, a
+    * pure bytes→variant function so it runs on executors (readAuto) and
+    * on the driver (sniff) identically. BOM / odd-zero checks pick out
+    * the two EDINET variants from 4 bytes; otherwise a strict decode of
+    * the head distinguishes UTF-8 from Shift-JIS strays (a
+    * UTF-8-invalid, Shift-JIS-valid head). `truncatedTail = true` means
+    * the head is a PREFIX of a larger file, so a multi-byte char cut at
+    * the buffer edge counts as underflow, not malformed (a hard chop
+    * would misfire when the head ends on a COMPLETE char — common for
+    * dense 2-byte Japanese text). A head valid as neither fails
+    * LOUDLY — silently mis-decoding into PERMISSIVE nulls is the
+    * failure mode this guards against.
+    */
+  private[sources] def classify(head: Array[Byte], truncatedTail: Boolean,
+      file: String): Variant = {
+    val n = head.length
+    if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) Utf16Tab
+    // UTF-16LE without BOM: ASCII-range chars put 0x00 in odd bytes
+    else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab
+    else if (strictDecodes(head, "UTF-8", truncatedTail)) Utf8Comma
+    else if (strictDecodes(head, "windows-31j", truncatedTail)) SjisComma
+    else throw new IllegalArgumentException(
+      s"unrecognized encoding (not UTF-16LE/UTF-8/Shift-JIS): $file")
+  }
+
+  private def variantByName(name: String): Variant = name match {
+    case "Utf16Tab" => Utf16Tab
+    case "Utf8Comma" => Utf8Comma
+    case _ => SjisComma
+  }
+
+  /** Sniff the encoding of one file on the driver — the analogue of the
+    * reference's per-file chardet.detect (utils/api.py:129-137).
     */
   def sniff(spark: SparkSession, file: String): Variant = {
     val path = new Path(file)
@@ -72,21 +98,8 @@ object EdinetCsv {
       // readNBytes, not read: a short read (HDFS may return partial
       // buffers) could cut a multi-byte char and fail the UTF-8 probe
       val n = in.readNBytes(head, 0, head.length)
-      if (n >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte) Utf16Tab
-      // UTF-16LE without BOM: ASCII-range chars put 0x00 in odd bytes
-      else if (n >= 4 && head(1) == 0x00.toByte && head(3) == 0x00.toByte) Utf16Tab
-      else {
-        val bytes = java.util.Arrays.copyOf(head, math.max(0, n))
-        // a full buffer may cut a multi-byte char mid-sequence; the
-        // decoder treats that as underflow, not malformed (a hard chop
-        // of N bytes would misfire when the head ends on a COMPLETE
-        // char — common for dense 2-byte Japanese text)
-        val full = n == head.length
-        if (strictDecodes(bytes, "UTF-8", truncatedTail = full)) Utf8Comma
-        else if (strictDecodes(bytes, "windows-31j", truncatedTail = full)) SjisComma
-        else throw new IllegalArgumentException(
-          s"unrecognized encoding (not UTF-16LE/UTF-8/Shift-JIS): $file")
-      }
+      classify(java.util.Arrays.copyOf(head, math.max(0, n)),
+        truncatedTail = n == head.length, file)
     } finally if (in != null) in.close()
   }
 
@@ -145,23 +158,34 @@ object EdinetCsv {
     * variant, unioned — a landing dir mixing UTF-16LE raw downloads
     * with UTF-8 golden files decodes each file correctly (encoding is a
     * per-scan option; a single-variant guess would silently shred the
-    * other variant into PERMISSIVE nulls). Sniffing is a 4-byte
-    * driver-side read per file — cheap next to the listing itself; at
-    * millions-of-files scale carry the variant as landing metadata (or
-    * sniff one file per directory) instead.
+    * other variant into PERMISSIVE nulls).
+    *
+    * The sniff is DISTRIBUTED: a binaryFile scan reads each file's
+    * head on the executors and classifies it there, so the driver
+    * collects one tiny (path, variant) row per file instead of doing a
+    * sequential open+read per file (the round-3 listing-scale
+    * bottleneck). The file list itself must reach the driver anyway —
+    * it is the scan's input — so the collect is the floor, not an
+    * extra. Filings are small; at a scale where even whole-file reads
+    * for sniffing sting, carry the variant as landing metadata and
+    * call readPaths per variant directly.
     */
   def readAuto(spark: SparkSession, pathSpec: String): DataFrame = {
-    val path = new Path(pathSpec)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".csv")) files += f.getPath.toString
-    }
-    if (files.isEmpty) read(spark, pathSpec, Utf8Comma)
-    else files.groupBy(sniff(spark, _)).toSeq.sortBy(_._1.toString)
-      .map { case (variant, group) => readPaths(spark, group.toSeq, variant) }
+    import spark.implicits._
+    val classified = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.csv")
+      .option("recursiveFileLookup", "true")
+      .load(pathSpec)
+      // 1-based substring; binary slice keeps only the head on the wire
+      .select(col("path"), substring(col("content"), 1, 8192).as("head"),
+        (length(col("content")) > 8192).as("truncated"))
+      .as[(String, Array[Byte], Boolean)]
+      .map { case (p, head, trunc) => (p, classify(head, trunc, p).toString) }
+      .collect()
+    if (classified.isEmpty) read(spark, pathSpec, Utf8Comma)
+    else classified.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (name, group) =>
+        readPaths(spark, group.map(_._1).toSeq, variantByName(name)) }
       .reduce(_.unionByName(_))
   }
 }
