@@ -75,6 +75,32 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Exactly-once streaming ingest into a Warehouse table: foreachBatch
+    * + keyed upsert. The standard Spark recipe — the checkpoint makes
+    * redelivery AT-LEAST-once with a stable batchId, and the keyed
+    * upsert makes re-applying a batch a no-op (same keys → same merged
+    * rows), so the composition is exactly-once in effect. Composes with
+    * `Warehouse(manifest = true)` for object stores: each micro-batch
+    * commit is one snapshot-pointer flip, and a crashed batch re-runs
+    * against the last committed snapshot.
+    *
+    * `partitionCols` scope each micro-batch's merge to the partitions
+    * it touches (the S8 partition-scoped upsert) — at a real event rate
+    * a batch lands in one or two time partitions, so the merge cost
+    * tracks batch size, not table size.
+    */
+  def sinkToWarehouse(df: DataFrame, wh: graft.sources.Warehouse, table: String,
+      keyCols: Seq[String], checkpoint: String,
+      partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        wh.upsert(table, batch, keyCols, partitionCols)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class UserState(nEvents: Long, total: Double)
   case class UserTotal(user_id: Long, n_events: Long, total: Double)
 

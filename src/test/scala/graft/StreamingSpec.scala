@@ -93,6 +93,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink into the manifest warehouse is exactly-once in effect") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val ckpt = s"$tmp/ckpt"
+    def runOnce(): Unit = {
+      val q = EventStream.sinkToWarehouse(
+        EventStream.read(spark, eventsDir), wh, "events", Seq("event_id"), ckpt)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val expected = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+      .select($"event_id").distinct().count()
+    assert(wh.read("events").count() === expected)
+    // a second run over the same checkpoint re-delivers nothing new and
+    // the keyed upsert keeps the table identical — exactly-once in
+    // effect even if a batch WERE re-run
+    runOnce()
+    assert(wh.read("events").count() === expected)
+    assert(wh.read("events").select($"event_id").distinct().count() === expected)
+  }
+
   test("mapGroupsWithState: idle user state times out and is removed") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
