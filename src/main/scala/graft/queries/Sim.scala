@@ -197,6 +197,82 @@ object Sim {
           WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
         SELECT m.vec_id, m.c_id, d.vec_id IS NULL AS kept
         FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id
-        ORDER BY m.vec_id"""))
+        ORDER BY m.vec_id""")),
+
+    // ---- scalar-quantized ANN: int8 codes + asymmetric distance --------
+    // The memory scale path: 8-bit scalar quantization stores each
+    // dimension as round((x−mn)/(mx−mn)·255) against per-dimension
+    // corpus min/max — a 4× smaller corpus than float32 (the difference
+    // between an in-memory and a spilling posting list at 100 TB), with
+    // queries kept full-precision and ranked against the DEQUANTIZED
+    // corpus (asymmetric distance, the SQ counterpart of IVF-ADC in
+    // Jégou et al. 2011). Params are one 64-dim min/max row: a
+    // partial-agg per-dimension pass, broadcast back as a one-row cross
+    // join (the x10 shape — no collect). All quantization math is the
+    // same double-op sequence on both engines, and codes/dequantized
+    // values are exact, so the oracle reproduces it bit-for-bit.
+    Q("sim3_sq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val params = e.select(posexplode($"embedding"))
+          .groupBy($"pos")
+          .agg(min($"col".cast("double")).as("mn"), max($"col".cast("double")).as("mx"))
+          .groupBy()
+          .agg(array_sort(collect_list(struct($"pos", $"mn", $"mx"))).as("pp"))
+          .select(transform($"pp", x => x.getField("mn")).as("mns"),
+            transform($"pp", x => x.getField("mx")).as("mxs"))
+        // quantize + dequantize in one expression: what an SQ index
+        // materializes is (codes, params); ranking sees mn + q/255·(mx−mn)
+        val dq = e.crossJoin(broadcast(params))
+          .select($"vec_id",
+            transform(sequence(lit(0), lit(63)), i => {
+              val mn = element_at($"mns", i + 1)
+              val mx = element_at($"mxs", i + 1)
+              val x = element_at($"embedding", i + 1).cast("double")
+              val denom = when(mx === mn, lit(1.0)).otherwise(mx - mn)
+              (mn + round((x - mn) / denom * 255, 0) / 255 * (mx - mn)).cast("float")
+            }).as("demb"))
+          .select($"vec_id", $"demb", sqrt(ndot(s, $"demb", $"demb")).as("dnrm"))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = dq.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"demb") / ($"q_nrm" * $"dnrm")).as("score"))
+        val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 10)
+          .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"score")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH n AS (
+          SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        p AS (
+          SELECT r.j, min(CAST(embedding[r.j + 1] AS DOUBLE)) AS mn,
+            max(CAST(embedding[r.j + 1] AS DOUBLE)) AS mx
+          FROM n CROSS JOIN range(64) r(j) GROUP BY r.j),
+        params AS (
+          SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM p),
+        dq AS (
+          SELECT vec_id, list_transform(range(1, 65), i ->
+            CAST(mns[i] + round((CAST(embedding[i] AS DOUBLE) - mns[i])
+              / (CASE WHEN mxs[i] = mns[i] THEN 1.0 ELSE mxs[i] - mns[i] END)
+              * 255) / 255 * (mxs[i] - mns[i]) AS FLOAT)) AS demb
+          FROM n CROSS JOIN params),
+        dqn AS (
+          SELECT vec_id, demb, sqrt(${duckDot("demb", "demb")}) AS dnrm FROM dq),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id < 10)
+        SELECT q_id, rank, vec_id, score FROM (
+          SELECT q.q_id, e.vec_id,
+            ${duckDot("q.q_emb", "e.demb")} / (q.q_nrm * e.dnrm) AS score,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY ${duckDot("q.q_emb", "e.demb")} / (q.q_nrm * e.dnrm) DESC,
+                e.vec_id) AS rank
+          FROM q CROSS JOIN dqn e WHERE e.vec_id <> q.q_id)
+        WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 }

@@ -40,6 +40,16 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("scalar-quantized ANN keeps near-exact recall vs brute force") {
+    val brute = q("sim1_brute_topk").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = q("sim3_sq_topk").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8-bit scalar quantization is near-lossless on cosine ranking
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("trained IVF codebook: recall on a clustered corpus >= the pinned floor") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
