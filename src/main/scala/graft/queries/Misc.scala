@@ -363,6 +363,61 @@ object Misc {
         FROM documents
         WHERE (doc_id * 2654435761 + 1013904223) % 4294967296 % 100
           < CASE WHEN lang = 'en' THEN 25 ELSE 50 END
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- event funnel: staged conversion within a time window ----------
+    // view → click (≤1h after the first view) → purchase (≤1h after the
+    // first qualifying click), counted per user then collapsed to one
+    // funnel row. Each stage is a partial-agg min over a user-keyed
+    // join with the (strictly smaller) previous stage — stage frames
+    // shrink monotonically, and every join shuffles on user_id only.
+    // The final counts combine via one-row broadcast cross joins (the
+    // x10 shape — no collect, no cartesian). Timestamps compare as
+    // epoch microseconds (the m7 convention), all-integer until the
+    // final guarded rate division.
+    Q("m13_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val HOUR = 3600L * 1000000
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"tus").as("v_tus"))
+        val c = ev.filter($"event_type" === "click").join(v, "user_id")
+          .filter($"tus" > $"v_tus" && $"tus" <= $"v_tus" + HOUR)
+          .groupBy($"user_id").agg(min($"tus").as("c_tus"))
+        val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+          .filter($"tus" > $"c_tus" && $"tus" <= $"c_tus" + HOUR)
+          .groupBy($"user_id").agg(min($"tus").as("p_tus"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+          .select($"n_view", $"n_click", $"n_purchase",
+            when($"n_view" > 0, $"n_click".cast("double") / $"n_view")
+              .as("view_to_click"),
+            when($"n_click" > 0, $"n_purchase".cast("double") / $"n_click")
+              .as("click_to_purchase"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        v AS (SELECT user_id, min(tus) AS v_tus FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.tus) AS c_tus
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.tus > v.v_tus
+            AND e.tus <= v.v_tus + 3600000000 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.tus) AS p_tus
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.tus > c.c_tus
+            AND e.tus <= c.c_tus + 3600000000 GROUP BY e.user_id)
+        SELECT n_view, n_click, n_purchase,
+          CASE WHEN n_view > 0 THEN CAST(n_click AS DOUBLE) / n_view END
+            AS view_to_click,
+          CASE WHEN n_click > 0 THEN CAST(n_purchase AS DOUBLE) / n_click END
+            AS click_to_purchase
+        FROM (SELECT
+          (SELECT count(*) FROM v) AS n_view,
+          (SELECT count(*) FROM c) AS n_click,
+          (SELECT count(*) FROM p) AS n_purchase)"""))
   )
 }

@@ -458,6 +458,59 @@ object Text {
           CAST(dupc AS DOUBLE) / n2 AS dup2_frac,
           (CAST(maxc AS DOUBLE) / n2 > 0.2 OR CAST(dupc AS DOUBLE) / n2 > 0.6)
             AS repetitive
-        FROM a ORDER BY doc_id"""))
+        FROM a ORDER BY doc_id""")),
+
+    // ---- sequence packing: map docs onto fixed token-budget rows -------
+    // GPT-style pretraining packing: concatenate the corpus in doc_id
+    // order and cut it into fixed 512-token sequences; a document knows
+    // its global token offset, first sequence, offset within it, and
+    // how many sequences it spans (documents straddle cuts — that IS
+    // the packing contract). The global offset is a DISTRIBUTED
+    // TWO-PHASE PREFIX SUM, not a single-partition running window:
+    // per-bucket token totals (partial agg) → a running sum over the
+    // tiny bucket list → each doc's offset = its bucket's prefix + a
+    // window bounded WITHIN its bucket. The only unpartitioned window
+    // sorts one row per 1000 docs; at 100 TB every heavy window stays
+    // bucket-local. All-integer math keeps the oracle exact.
+    Q("x13_seq_packing",
+      (s, dir) => {
+        import s.implicits._
+        val B = 512
+        val t = Tables.load(s, dir, "documents")
+          .select($"doc_id", size(TextOps.tokens($"text")).cast("long").as("ntok"))
+          .filter($"ntok" > 0)
+          .withColumn("bkt", ($"doc_id" / 1000).cast("long"))
+        val bktOff = t.groupBy($"bkt").agg(sum($"ntok").as("bt"))
+          .withColumn("boff", coalesce(sum($"bt").over(
+            Window.orderBy($"bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select($"bkt", $"boff")
+        val woff = t.withColumn("woff", coalesce(sum($"ntok").over(
+          Window.partitionBy($"bkt").orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        woff.join(broadcast(bktOff), "bkt")
+          .select($"doc_id", $"ntok", ($"boff" + $"woff").as("tok_start"))
+          .select($"doc_id", $"ntok", $"tok_start",
+            expr(s"tok_start DIV $B").as("seq_id"),
+            ($"tok_start" % B).as("seq_off"),
+            (expr(s"(tok_start + ntok - 1) DIV $B") - expr(s"tok_start DIV $B") + 1L)
+              .as("n_seqs"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, ntok,
+            CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS tok_start
+          FROM t)
+        SELECT doc_id, ntok, tok_start,
+          tok_start // 512 AS seq_id,
+          tok_start % 512 AS seq_off,
+          (tok_start + ntok - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+        FROM c ORDER BY doc_id"""))
   )
 }
