@@ -511,6 +511,79 @@ object Text {
           tok_start // 512 AS seq_id,
           tok_start % 512 AS seq_off,
           (tok_start + ntok - 1) // 512 - tok_start // 512 + 1 AS n_seqs
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- unigram LM surprisal: corpus-frequency quality score ----------
+    // The CCNet-style LM quality signal with the LM reduced to the
+    // corpus's own unigram distribution: p(tok) = count/total over the
+    // whole corpus, per-doc score = mean −ln p. Two partial-agg passes
+    // (vocab counts, per-doc mean) and a vocabulary equi-join; the
+    // one-row total rides a broadcast cross join (x10 shape). The score
+    // is rounded to 6 decimals — ln/avg differ across engines (and
+    // across partial-agg orders) only in last ulps, far below the
+    // rounding quantum (the IvfCodebook determinism argument).
+    Q("x14_unigram_surprisal",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        val freq = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum($"c").as("total"))
+        toks.join(freq, "tok").crossJoin(broadcast(total))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            round(avg(-log($"c".cast("double") / $"total")), 6).as("surprisal"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+        f AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM f)
+        SELECT doc_id, count(*) AS n_toks,
+          round(avg(-ln(CAST(c AS DOUBLE) / total)), 6) AS surprisal
+        FROM toks JOIN f USING (tok) CROSS JOIN t
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- benchmark decontamination: n-gram overlap vs a held-out set ---
+    // The eval-contamination check every pretraining pipeline runs:
+    // find corpus documents sharing 3-gram shingles with a benchmark
+    // set (stand-in here: doc_id < 5) and report the shared-shingle
+    // count and the benchmark-coverage fraction. The benchmark side is
+    // tiny and BROADCAST; the corpus side explodes shingles once and
+    // equi-joins on the shingle — linear in corpus size, no self-join.
+    // Shingles are the same codegen'd WordShinglesExpr as d2/d3 (and
+    // the same '_'-joined construction in the oracle).
+    Q("x15_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Tables.load(s, dir, "documents")
+          .select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
+        val bench = sh.filter($"doc_id" < 5)
+          .select($"doc_id".as("bench_id"), size($"shs").cast("long").as("bench_n"),
+            explode($"shs").as("sh"))
+        val corpus = sh.filter($"doc_id" >= 5)
+          .select($"doc_id", explode($"shs").as("sh"))
+        corpus.join(broadcast(bench), "sh")
+          .groupBy($"doc_id", $"bench_id", $"bench_n")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 3)
+          .select($"doc_id", $"bench_id", $"n_shared",
+            ($"n_shared".cast("double") / $"bench_n").as("contamination"))
+          .orderBy($"doc_id", $"bench_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS shs
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+        b AS (SELECT doc_id AS bench_id, CAST(len(shs) AS BIGINT) AS bench_n,
+            unnest(shs) AS sh FROM sh WHERE doc_id < 5),
+        c AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id >= 5)
+        SELECT c.doc_id, b.bench_id, count(*) AS n_shared,
+          CAST(count(*) AS DOUBLE) / b.bench_n AS contamination
+        FROM c JOIN b USING (sh)
+        GROUP BY c.doc_id, b.bench_id, b.bench_n
+        HAVING count(*) >= 3
+        ORDER BY c.doc_id, b.bench_id"""))
   )
 }
