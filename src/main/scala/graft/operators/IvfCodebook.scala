@@ -75,6 +75,30 @@ object IvfCodebook {
     cents
   }
 
+  /** Skew guard for within-cluster pairwise work (SemDeDup d8): a
+    * cluster wider than `cap` is deterministically split into
+    * ceil(w/cap) sub-cells by a multiplicative hash of vec_id, so the
+    * worst-case pairwise cost drops from w² to ~cap·w. Pairs whose
+    * members land in different sub-cells are lost — the documented
+    * recall trade-off, the d7 band-bucket cap at the embedding level;
+    * the alternative (re-running the quantizer on the giant cluster's
+    * members with a finer codebook) preserves recall at the cost of a
+    * second training pass. Clusters at or under the cap keep one cell
+    * (c_sub = 0), so the guard is free until it binds. The hash is the
+    * same engine-neutral multiplicative mix as m12's stratified
+    * sampler, so an oracle can reproduce the split exactly.
+    */
+  def subdivide(assigned: DataFrame, cap: Int): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val widths = assigned.groupBy($"c_id").agg(count(lit(1)).as("c_w"))
+    assigned.join(broadcast(widths), "c_id")
+      .withColumn("c_sub", pmod(
+        pmod($"vec_id" * 2654435761L + 1013904223L, lit(4294967296L)),
+        expr(s"(c_w + ${cap - 1}) DIV $cap")))
+      .drop("c_w")
+  }
+
   /** IVF probe: each query ranks the codebook, scans only its top-
     * `nprobe` centroids' posting lists, and keeps its `k` best matches
     * by exact cosine. The query side is tiny (a window there is fine);

@@ -162,22 +162,25 @@ object Sim {
     // and drop every vector that is ≥ tau cosine-similar to a
     // lower-id member of its cluster. The cluster assignment is what
     // makes it scale: pairwise work is Σ|cluster|² instead of n², and
-    // the within-cluster join is an equi-join on c_id (shuffle by
-    // cluster — exactly how the corpus would be partitioned at 100 TB).
-    // Skew guard at scale: a giant cluster is subdivided by re-running
-    // the quantizer on its members (same code, finer codebook) — the
-    // d7 bucket-cap idea at the embedding level.
+    // the within-cluster join is an equi-join on (c_id, c_sub) —
+    // shuffle by cluster, exactly how the corpus would be partitioned
+    // at 100 TB. The c_sub cell comes from IvfCodebook.subdivide, the
+    // skew guard that bounds a GIANT cluster's pairwise cost at
+    // ~cap·w instead of w² (non-binding on this corpus — every cluster
+    // is under the cap, so c_sub = 0 everywhere; DedupSimSpec proves
+    // the binding case on a single-cluster corpus).
     Q("d8_semdedup",
       (s, dir) => {
         import s.implicits._
         val e = withNorm(s, dir)
         val (_, assigned) = trainedCodebook(s, e)
-        val m = assigned.join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
-        val a = m.select($"c_id", $"vec_id".as("a_id"),
+        val m = graft.operators.IvfCodebook.subdivide(assigned, 200)
+          .join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+        val a = m.select($"c_id", $"c_sub", $"vec_id".as("a_id"),
           $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
-        val b = m.select($"c_id", $"vec_id".as("b_id"),
+        val b = m.select($"c_id", $"c_sub", $"vec_id".as("b_id"),
           $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
-        val dup = a.join(b, "c_id")
+        val dup = a.join(b, Seq("c_id", "c_sub"))
           .filter($"a_id" < $"b_id")
           .filter((ndot(s, $"a_emb", $"b_emb") / ($"a_nrm" * $"b_nrm")) >= 0.35)
           .select($"b_id".as("vec_id")).distinct()
@@ -188,12 +191,19 @@ object Sim {
           .orderBy($"vec_id")
       },
       Some(s"""WITH $codebookCtes,
+        w AS (
+          SELECT c_id, CAST(count(*) AS BIGINT) AS c_w
+          FROM assigned GROUP BY c_id),
         m AS (
-          SELECT a.vec_id, a.c_id, e.embedding, e.nrm
-          FROM assigned a JOIN n e USING (vec_id)),
+          SELECT a.vec_id, a.c_id,
+            ((a.vec_id * 2654435761 + 1013904223) % 4294967296)
+              % ((w.c_w + 199) // 200) AS c_sub,
+            e.embedding, e.nrm
+          FROM assigned a JOIN w USING (c_id) JOIN n e USING (vec_id)),
         dup AS (
           SELECT DISTINCT b.vec_id
-          FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+          FROM m a JOIN m b ON a.c_id = b.c_id AND a.c_sub = b.c_sub
+            AND a.vec_id < b.vec_id
           WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
         SELECT m.vec_id, m.c_id, d.vec_id IS NULL AS kept
         FROM m LEFT JOIN dup d ON m.vec_id = d.vec_id

@@ -102,6 +102,38 @@ class DedupSimSpec extends SparkSpec {
     assert(trained >= 0.9, s"trained recall $trained; Lloyd's failed to converge")
   }
 
+  test("cluster subdivision bounds SemDeDup pairwise work on a skewed corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfCodebook
+    // degenerate corpus: 600 vectors in ONE tight cluster — unguarded
+    // within-cluster pairwise work is 600*599/2 pairs
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 600).map(i =>
+      (i.toLong, Array.tabulate(8)(d => 1f + 0.01f * rnd.nextGaussian().toFloat)))
+    val e = pts.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding",
+        sqrt(graft.functions.NativeExprs.dot(spark, $"embedding", $"embedding")).as("nrm"))
+    val cents = e.filter($"vec_id" === 0)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val assigned = IvfCodebook.assign(e, cents)
+    def pairCount(m: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long = {
+      val a = m.toDF(m.columns.map(c => if (c == "vec_id") "a_id" else c): _*)
+      val b = m.toDF(m.columns.map(c => if (c == "vec_id") "b_id" else c): _*)
+      a.join(b, keys).filter($"a_id" < $"b_id").count()
+    }
+    val unguarded = pairCount(assigned, Seq("c_id"))
+    assert(unguarded === 600L * 599 / 2)
+    // cap 50 → 12 sub-cells; hash-balanced cells keep each cell's
+    // quadratic cost near (w/k)², so the total collapses by ~k
+    val sub = IvfCodebook.subdivide(assigned, 50)
+    val guarded = pairCount(sub, Seq("c_id", "c_sub"))
+    assert(guarded < unguarded / 6, s"subdivision did not bind: $guarded")
+    // non-binding case: width <= cap leaves one cell and ALL pairs
+    val one = IvfCodebook.subdivide(assigned.limit(50), 50)
+    assert(one.select("c_sub").distinct().collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
+
   test("capped LSH bounds candidates on a mass-duplicate corpus") {
     import spark.implicits._
     val base = Tables.load(spark, dir, "documents")
