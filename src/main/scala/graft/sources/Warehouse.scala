@@ -199,7 +199,8 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
   private def commitSnapshot(name: String, n: Long, files: Seq[String]): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val prev = currentManifest(fs, root).map { m =>
+    val prevName = currentManifest(fs, root)
+    val prev = prevName.map { m =>
       val in = fs.open(new Path(root, m))
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -216,17 +217,57 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     fs.delete(ptr, false)
     fs.rename(tmp, ptr)
     // GC: a _vN dir is deletable only when NEITHER the new nor the
-    // previous snapshot references any file in it
+    // previous snapshot references any file in it; manifests older than
+    // the just-superseded one go too (metadata would otherwise grow one
+    // tiny file per publish forever)
     val live = (files ++ prev).flatMap(_.split("/").headOption).collect {
       case v @ VersionRe(_) => v
     }.toSet
+    val keepManifests = Set(mf.getName) ++ prevName
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case v @ VersionRe(_) if st.isDirectory && !live.contains(v) =>
           fs.delete(st.getPath, true)
+        case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
+          fs.delete(st.getPath, false)
         case _ => ()
       }
     }
+  }
+
+  /** Columns of the current hive-style partition layout, from a data
+    * file's relative path (empty for unpartitioned tables).
+    */
+  private def partitionColsOf(name: String): Seq[String] = {
+    val first =
+      if (manifest) snapshotFiles(name).headOption
+      else {
+        val root = new Path(tablePath(name))
+        listDataFiles(fileSystem(root), root, root).headOption
+      }
+    first.toSeq.flatMap(f => partitionRel(f).split('/').toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+  }
+
+  /** Compact the current snapshot: rewrite the table's content as one
+    * fresh version with few large files — the maintenance op an
+    * append-heavy (e.g. streaming micro-batch) table needs, since each
+    * append adds small files the scan pays for forever. Content is
+    * unchanged; readers see old-or-new throughout (it is just a
+    * publish); in manifest mode the version dirs and manifests also
+    * collapse — with the standard one-publish grace: the pre-compaction
+    * versions stay on disk until the NEXT publish so an in-flight
+    * reader of the old snapshot keeps its files. Partitioned layouts
+    * are re-detected from the file paths and preserved, with data
+    * clustered so each hive partition writes its files contiguously.
+    */
+  def compact(name: String, numFiles: Int = 1): Unit = {
+    val parts = partitionColsOf(name)
+    val snap = read(name)
+    val arranged =
+      if (parts.isEmpty) snap.coalesce(numFiles)
+      else snap.repartition(parts.map(col): _*)
+    atomicPublish(name, arranged, parts)
   }
 
   /** Write `df` into a fresh `_vN` dir and return (n, its files). */
@@ -250,7 +291,11 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
   def append(name: String, df: DataFrame): Unit =
     if (manifest) {
       val before = if (exists(name)) snapshotFiles(name) else Nil
-      val (n, added) = writeVersion(name, df, Nil)
+      // layout-preserving: a batch appended to a partitioned table
+      // writes under the same hive layout (else the mixed layout would
+      // silently demote the table to unpartitioned)
+      val parts = if (before.nonEmpty) partitionColsOf(name) else Nil
+      val (n, added) = writeVersion(name, df, parts)
       commitSnapshot(name, n, before ++ added)
     } else {
       recover(name)

@@ -406,6 +406,42 @@ class EtlSpec extends SparkSpec {
       === Array((1L, "a"), (2L, "B")))
   }
 
+  test("warehouse: compaction collapses an append-heavy manifest table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh13").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    (1 to 5).foreach(i => wh.append("t", Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    def files() = new java.io.File(s"$tmp/t").listFiles()
+    assert(wh.read("t").count() === 5)
+    // five appends -> five version dirs' files referenced, five-ish
+    // part files; manifests pruned to current+previous as we go
+    assert(files().count(f => f.isFile && f.getName.startsWith("_manifest_")) <= 2)
+    wh.compact("t")
+    assert(wh.read("t").orderBy("k").as[(Long, String)].collect()
+      === (1 to 5).map(i => (i.toLong, s"v$i")).toArray)
+    // the compacted version holds ONE data file; the pre-compaction
+    // versions keep the one-publish grace (an in-flight reader of the
+    // old snapshot still has its files) and reclaim on the next publish
+    wh.append("t", Seq((6L, "v6")).toDF("k", "v"))
+    val vdirs = files().filter(f => f.isDirectory && f.getName.matches("_v\\d+"))
+    assert(vdirs.length === 2, s"versions not collapsed: ${vdirs.mkString(",")}")
+    assert(vdirs.map(_.listFiles().count(_.getName.startsWith("part-"))).sum === 2)
+    assert(wh.read("t").count() === 6)
+    // partitioned layout survives appends AND compaction (append is
+    // layout-preserving in manifest mode)
+    val wh2 = new Warehouse(spark, tmp, manifest = true)
+    wh2.upsert("p", Seq((1L, "v1", "2021")).toDF("k", "v", "fy"),
+      Seq("k"), Seq("fy"))
+    (2 to 4).foreach(i => wh2.append("p",
+      Seq((i.toLong, s"v$i", (2020 + i % 2).toString)).toDF("k", "v", "fy")))
+    wh2.compact("p")
+    assert(wh2.read("p").filter($"fy" === "2021").count() === 2)
+    val pDirs = new java.io.File(s"$tmp/p").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("_v\\d+"))
+      .maxBy(_.getName.drop(2).toLong) // the compacted (latest) version
+    assert(pDirs.listFiles().count(f => f.isDirectory && f.getName.startsWith("fy=")) === 2)
+  }
+
   test("warehouse: upsert with assertPartitionStable rejects a moved key") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh12").toString
