@@ -75,6 +75,33 @@ object EventStream {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each click paired with every view by
+    * the same user in the preceding hour. The watermark on BOTH sides
+    * plus the time-range predicate is what bounds the join state: the
+    * engine can drop buffered views once the click-side watermark has
+    * passed v_ts + 1h, so state holds one hour of views per user
+    * however long the streams run — the unbounded-state trap of an
+    * unconstrained stream-stream join is exactly what the interval
+    * condition exists to prevent. Works identically on a batch frame
+    * (same code path, no watermark needed) — StreamingSpec pins
+    * stream == batch.
+    */
+  def clicksWithPriorView(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    clicks.join(views, expr(
+      "c_user = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("c_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** Exactly-once streaming ingest into a Warehouse table: foreachBatch
     * + keyed upsert. The standard Spark recipe — the checkpoint makes
     * redelivery AT-LEAST-once with a stable batchId, and the keyed

@@ -93,6 +93,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join (clicks x prior views) matches batch") {
+    val stream = EventStream.read(spark, eventsDir)
+    val q = EventStream.clicksWithPriorView(stream)
+      .writeStream.format("memory").queryName("click_views")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("click_views")
+      .orderBy("click_id", "view_id").collect()
+    val batch = EventStream.clicksWithPriorView(
+        spark.read.schema(EventStream.eventSchema).parquet(eventsDir))
+      .orderBy("click_id", "view_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming sink into the manifest warehouse is exactly-once in effect") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
