@@ -365,6 +365,37 @@ object Misc {
           < CASE WHEN lang = 'en' THEN 25 ELSE 50 END
         ORDER BY doc_id""")),
 
+    // ---- retention cohorts: weekly cohort × activity-week offset -------
+    // The activation/retention triangle: users grouped by first-active
+    // week, counted in each later week they return. Week index =
+    // epoch-micros integer division (the m7 convention — no calendar
+    // truncation, so both engines agree exactly). Per-user first week
+    // is a partial-agg min; the (user, offset) distinct combines
+    // map-side before the final small cohort×offset aggregate.
+    Q("m14_retention",
+      (s, dir) => {
+        import s.implicits._
+        val WEEK = 7L * 86400 * 1000000
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", expr(s"unix_micros(ts) DIV $WEEK").as("wk"))
+        val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .select($"user_id", $"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .distinct()
+          .groupBy($"cohort_wk", $"week_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, c.cohort_wk, e.wk - c.cohort_wk
+            AS week_offset
+          FROM e JOIN c ON e.user_id = c.user_id)
+        SELECT cohort_wk, week_offset, count(*) AS n_users
+        FROM a GROUP BY cohort_wk, week_offset
+        ORDER BY cohort_wk, week_offset""")),
+
     // ---- event funnel: staged conversion within a time window ----------
     // view → click (≤1h after the first view) → purchase (≤1h after the
     // first qualifying click), counted per user then collapsed to one
