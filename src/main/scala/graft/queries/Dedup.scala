@@ -202,12 +202,13 @@ object Dedup {
     * threshold tau with a stop-shingle doc-frequency cap — embedded by
     * the d2/d3 oracles and d6's component oracle.
     */
-  private def jaccardPairsCte(tau: String, dfCap: Int): String =
+  private def jaccardPairsCte(tau: String, dfCap: Int,
+      source: String = "documents"): String =
     s"""sh AS (
       SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
         ELSE list_transform(range(1, len(toks)-1),
           i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS shs
-      FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+      FROM (SELECT doc_id, $duckToks AS toks FROM $source)),
     ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
     kept AS (SELECT sh FROM ex GROUP BY sh HAVING count(*) <= $dfCap),
     ex2 AS (SELECT doc_id, sh FROM ex JOIN kept USING (sh)),
@@ -300,12 +301,14 @@ object Dedup {
     // ---- guarded LSH: exact-dup collapse + capped band buckets ---------
     // The production degenerate-corpus path (minHashLshPairs with
     // bucketCap): corpus = documents ∪ exact copies of the first 100
-    // docs (d1's duplicate block). The collapse folds every copy into
-    // its original representative before the LSH, so the output pairs —
-    // and the oracle — are exactly d3's, while the plan runs the capped
-    // CappedDocListAgg bucket aggregation instead of the band
-    // self-join. The cap itself binds only on degenerate corpora
-    // (DedupSimSpec proves the bound on a 300-copy block).
+    // docs (d1's duplicate block). The oracle mirrors the collapse —
+    // pairs among min-doc_id REPRESENTATIVES of each distinct text —
+    // because the contract of the capped path is pairs-over-reps, not
+    // pairs-over-raw-ids (the corpus's own natural exact duplicates
+    // collapse too, which is the point of the guard; raw-id pairs are
+    // recoverable from the d1 grouping). The cap itself binds only on
+    // degenerate corpora (DedupSimSpec proves the bound on a 300-copy
+    // block); verified non-binding here at sf0.1 as well as sf0.01.
     Q("d7_lsh_capped",
       (s, dir) => {
         import s.implicits._
@@ -314,7 +317,14 @@ object Dedup {
           d.filter($"doc_id" < 100).select(($"doc_id" + 100000).as("doc_id"), $"text"))
         minHashLshPairs(corpus, 0.5, bucketCap = Some(100))
       },
-      Some(jaccardOracle("0.5", 100))),
+      Some(s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100),
+        reps AS (
+          SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+        ${jaccardPairsCte("0.5", 100, "reps")}
+        SELECT a_id, b_id, inter, jaccard FROM jpairs ORDER BY a_id, b_id""")),
 
     // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
     Q("d4_simhash",
