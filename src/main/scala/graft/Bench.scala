@@ -32,6 +32,11 @@ object Bench {
     // benchmark comparison
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        // queries that persist intermediate frames (d3/d7 shingles,
+        // sim2/d8 codebook) would otherwise hand run 2 a live SQL cache
+        // (CacheManager matches canonicalized plans across invocations)
+        // and min-of-n would report warm-cache time, not query cost
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>

@@ -15,6 +15,9 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to 3).foreach { i =>
+      // per-run cold cache: queries that persist intermediates would
+      // otherwise time the warm cache from run 1 (see Bench)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -50,6 +50,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         gateLog ++= s"$name: FAILED ${e.getClass.getSimpleName}\n"
       }
+      // drop caches persisted inside queries (d3/d7/sim2/d8):
+      // CacheManager holds strong refs, so without this each query's
+      // corpus-sized cache would accumulate for the rest of the run
+      spark.catalog.clearCache()
     }
     Files.writeString(Paths.get(s"$outDir/explain_gate.log"), gateLog.toString)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -191,8 +191,10 @@ object Dedup {
     // both sides of the confirm join, and the band self-join's two
     // sides re-derive the signatures) — persist it so the corpus
     // scan + WordShinglesExpr run ONCE (the BENCH_r03 regression was
-    // this plan re-evaluating the scan 3×). ContextCleaner
-    // auto-unpersists when the query's RDDs are collected.
+    // this plan re-evaluating the scan 3×). CacheManager holds the
+    // entry until clearCache()/session stop — the Verify/Bench/RunOne
+    // harnesses clearCache after each query; a long-lived session
+    // embedding this must do the same.
     val sh = shingledFrom(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     confirmJaccard(sh, lshCandidatesFrom(sh, bucketCap), tau)

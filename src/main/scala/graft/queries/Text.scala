@@ -556,8 +556,7 @@ object Text {
     Q("x15_decontaminate",
       (s, dir) => {
         import s.implicits._
-        val sh = Tables.load(s, dir, "documents")
-          .select($"doc_id", graft.functions.NativeExprs.shingles3(s, $"text").as("shs"))
+        val sh = Dedup.shingledFrom(Tables.load(s, dir, "documents"))
         val bench = sh.filter($"doc_id" < 5)
           .select($"doc_id".as("bench_id"), size($"shs").cast("long").as("bench_n"),
             explode($"shs").as("sh"))

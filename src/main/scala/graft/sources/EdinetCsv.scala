@@ -82,15 +82,20 @@ object EdinetCsv {
   private def variantByName(name: String): Variant = name match {
     case "Utf16Tab" => Utf16Tab
     case "Utf8Comma" => Utf8Comma
-    case _ => SjisComma
+    case "SjisComma" => SjisComma
+    // a wildcard default would silently mis-decode a future variant —
+    // the exact failure mode classify exists to prevent
+    case other => throw new IllegalArgumentException(s"unknown variant: $other")
   }
 
-  /** Sniff the encoding of one file on the driver — the analogue of the
-    * reference's per-file chardet.detect (utils/api.py:129-137).
+  /** 8-KiB head read + classify against an explicit hadoop conf — the
+    * shared core of the driver-side sniff and readAuto's executor-side
+    * distributed sniff. Reads ONLY the head, whatever the file size.
     */
-  def sniff(spark: SparkSession, file: String): Variant = {
+  private def sniffWith(conf: org.apache.hadoop.conf.Configuration,
+      file: String): Variant = {
     val path = new Path(file)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(conf)
     var in: InputStream = null
     try {
       in = fs.open(path)
@@ -102,6 +107,12 @@ object EdinetCsv {
         truncatedTail = n == head.length, file)
     } finally if (in != null) in.close()
   }
+
+  /** Sniff the encoding of one file on the driver — the analogue of the
+    * reference's per-file chardet.detect (utils/api.py:129-137).
+    */
+  def sniff(spark: SparkSession, file: String): Variant =
+    sniffWith(spark.sparkContext.hadoopConfiguration, file)
 
   /** One distributed scan of a glob/dir of filings in a single physical
     * variant. Adds `doc_id` (parent directory name = EDINET document
@@ -160,30 +171,45 @@ object EdinetCsv {
     * per-scan option; a single-variant guess would silently shred the
     * other variant into PERMISSIVE nulls).
     *
-    * The sniff is DISTRIBUTED: a binaryFile scan reads each file's
-    * head on the executors and classifies it there, so the driver
+    * The sniff is DISTRIBUTED and BOUNDED: the (driver-side) listing —
+    * which the scan needs anyway — is parallelized to the executors,
+    * each task opens its files and reads ONLY an 8 KiB head (a
+    * binaryFile scan would materialize whole files just to classify 4
+    * bytes — a multi-GB stray would OOM the task), and the driver
     * collects one tiny (path, variant) row per file instead of doing a
     * sequential open+read per file (the round-3 listing-scale
-    * bottleneck). The file list itself must reach the driver anyway —
-    * it is the scan's input — so the collect is the floor, not an
-    * extra. Filings are small; at a scale where even whole-file reads
-    * for sniffing sting, carry the variant as landing metadata and
-    * call readPaths per variant directly.
+    * bottleneck). The executor rebuilds the hadoop conf from a
+    * broadcast property snapshot, so custom filesystem settings
+    * survive the trip.
     */
   def readAuto(spark: SparkSession, pathSpec: String): DataFrame = {
-    import spark.implicits._
-    val classified = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.csv")
-      .option("recursiveFileLookup", "true")
-      .load(pathSpec)
-      // 1-based substring; binary slice keeps only the head on the wire
-      .select(col("path"), substring(col("content"), 1, 8192).as("head"),
-        (length(col("content")) > 8192).as("truncated"))
-      .as[(String, Array[Byte], Boolean)]
-      .map { case (p, head, trunc) => (p, classify(head, trunc, p).toString) }
+    val path = new Path(pathSpec)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".csv")) files += f.getPath.toString
+    }
+    if (files.isEmpty) return read(spark, pathSpec, Utf8Comma)
+    val confProps = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val b = Vector.newBuilder[(String, String)]
+      val e = conf.iterator()
+      while (e.hasNext) { val kv = e.next(); b += ((kv.getKey, kv.getValue)) }
+      b.result()
+    }
+    val bc = spark.sparkContext.broadcast(confProps)
+    val slices = math.min(256, math.max(1, files.size / 64))
+    val classified = spark.sparkContext
+      .parallelize(files.toSeq, slices)
+      .mapPartitions { part =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        bc.value.foreach { case (k, v) => conf.set(k, v) }
+        part.map(f => (f, sniffWith(conf, f).toString))
+      }
       .collect()
-    if (classified.isEmpty) read(spark, pathSpec, Utf8Comma)
-    else classified.groupBy(_._2).toSeq.sortBy(_._1)
+    classified.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (name, group) =>
         readPaths(spark, group.map(_._1).toSeq, variantByName(name)) }
       .reduce(_.unionByName(_))

@@ -235,19 +235,21 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     }
   }
 
-  /** Columns of the current hive-style partition layout, from a data
-    * file's relative path (empty for unpartitioned tables).
+  /** Columns of the hive-style partition layout encoded in a data
+    * file's relative path (empty for unpartitioned layouts).
     */
-  private def partitionColsOf(name: String): Seq[String] = {
-    val first =
+  private def partitionColsFrom(file: Option[String]): Seq[String] =
+    file.toSeq.flatMap(f => partitionRel(f).split('/').toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
+
+  /** Partition layout of the current snapshot/live dir. */
+  private def partitionColsOf(name: String): Seq[String] =
+    partitionColsFrom(
       if (manifest) snapshotFiles(name).headOption
       else {
         val root = new Path(tablePath(name))
         listDataFiles(fileSystem(root), root, root).headOption
-      }
-    first.toSeq.flatMap(f => partitionRel(f).split('/').toSeq
-      .filter(_.contains('=')).map(_.takeWhile(_ != '=')))
-  }
+      })
 
   /** Compact the current snapshot: rewrite the table's content as one
     * fresh version with few large files — the maintenance op an
@@ -270,14 +272,25 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     atomicPublish(name, arranged, parts)
   }
 
-  /** Write `df` into a fresh `_vN` dir and return (n, its files). */
+  /** Write `df` into a fresh `_vN` dir and return (n, its files).
+    *
+    * Commit concurrency contract: ONE writer per table. Two racing
+    * writers would allocate the same n — ErrorIfExists here (and the
+    * no-overwrite `fs.create` of the manifest in commitSnapshot) turns
+    * that race into a LOUD error for the loser instead of silent
+    * snapshot corruption (an Overwrite would delete the winner's
+    * part-files out from under its manifest). Retrying the loser
+    * allocates a fresh version. True multi-writer needs commit-time
+    * conflict validation (a table format's job — Delta/Iceberg), out
+    * of scope for this warehouse.
+    */
   private def writeVersion(name: String, df: DataFrame,
       partitionCols: Seq[String]): (Long, Seq[String]) = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val n = nextVersion(fs, root)
     val vdir = new Path(root, s"_v$n")
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(vdir.toString)
     (n, versionFiles(fs, root, vdir))
@@ -293,8 +306,9 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       val before = if (exists(name)) snapshotFiles(name) else Nil
       // layout-preserving: a batch appended to a partitioned table
       // writes under the same hive layout (else the mixed layout would
-      // silently demote the table to unpartitioned)
-      val parts = if (before.nonEmpty) partitionColsOf(name) else Nil
+      // silently demote the table to unpartitioned); derived from the
+      // already-resolved snapshot — no second pointer+manifest read
+      val parts = partitionColsFrom(before.headOption)
       val (n, added) = writeVersion(name, df, parts)
       commitSnapshot(name, n, before ++ added)
     } else {
