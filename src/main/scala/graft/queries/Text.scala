@@ -583,6 +583,91 @@ object Text {
         FROM c JOIN b USING (sh)
         GROUP BY c.doc_id, b.bench_id, b.bench_n
         HAVING count(*) >= 3
-        ORDER BY c.doc_id, b.bench_id"""))
+        ORDER BY c.doc_id, b.bench_id""")),
+
+    // ---- composed curation pipeline: the decision a corpus run makes ---
+    // The C4-style end-to-end filter: exact-dup keeper (d1's digest) ∧
+    // quality threshold (x2's score) ∧ repetition gate (x12's signals),
+    // emitted per document with each gate's verdict so the filter
+    // funnel is inspectable. One corpus pass per signal family, all
+    // partial-agg shapes; the dedup join is on the fixed-width content
+    // hash and the signal join on doc_id — at 100 TB each family runs
+    // exactly as its standalone query does, and the composition adds
+    // only the two joins. Thresholds compare bit-identical doubles
+    // (exact integer ratios and the x2 formula), so the gates agree
+    // across engines.
+    Q("x16_filter_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "to", "in")
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        val keeper = d.groupBy(md5($"text".cast("binary")).as("h"))
+          .agg(min($"doc_id").as("keep_id"))
+        val rep = d.select($"doc_id", explode(transform(
+            sequence(lit(0), size($"toks") - 2),
+            i => concat_ws(" ", element_at($"toks", i + 1),
+              element_at($"toks", i + 2)))).as("g2"))
+          .groupBy($"doc_id", $"g2").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n2"), max($"c").as("maxc"),
+            sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
+          .select($"doc_id", ($"maxc".cast("double") / $"n2").as("top2_frac"),
+            ($"dupc".cast("double") / $"n2").as("dup2_frac"))
+        val scored = d.select($"doc_id", $"lang",
+            md5($"text".cast("binary")).as("h"),
+            (size(filter($"toks", t => t.isin(stop.map(lit(_)): _*)))
+              .cast("double") / size($"toks")).as("stop_ratio"),
+            (size(array_distinct($"toks")).cast("double") / size($"toks"))
+              .as("uniq_ratio"),
+            length($"text").cast("long").as("len"))
+          .withColumn("quality",
+            lit(0.3) * $"uniq_ratio" + lit(0.4) * (lit(1.0) - $"stop_ratio")
+              + lit(0.3) * least(lit(1.0), $"len".cast("double") / lit(256.0)))
+        scored.join(keeper, "h").join(rep, "doc_id")
+          .select($"doc_id", $"lang", $"quality", $"top2_frac", $"dup2_frac",
+            ($"doc_id" === $"keep_id").as("dedup_keeper"),
+            ($"quality" >= 0.5).as("quality_ok"),
+            ($"top2_frac" <= 0.2 && $"dup2_frac" <= 0.6).as("not_repetitive"))
+          .withColumn("kept", $"dedup_keeper" && $"quality_ok" && $"not_repetitive")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, lang, text, toks FROM
+            (SELECT doc_id, lang, text, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        keeper AS (
+          SELECT md5(text) AS h, min(doc_id) AS keep_id FROM d GROUP BY 1),
+        cg AS (
+          SELECT doc_id, g2, count(*) AS c FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) AS g2 FROM d)
+          GROUP BY doc_id, g2),
+        ra AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+            CAST(MAX(c) AS BIGINT) AS maxc,
+            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+          FROM cg GROUP BY doc_id),
+        r AS (
+          SELECT doc_id, CAST(maxc AS DOUBLE) / n2 AS top2_frac,
+            CAST(dupc AS DOUBLE) / n2 AS dup2_frac FROM ra),
+        q AS (
+          SELECT doc_id, lang, md5(text) AS h,
+            0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              + 0.4 * (1.0 - CAST(len(list_filter(toks,
+                  t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                  / len(toks))
+              + 0.3 * least(1.0, CAST(length(text) AS DOUBLE) / 256.0)
+              AS quality
+          FROM d)
+        SELECT q.doc_id, q.lang, q.quality, r.top2_frac, r.dup2_frac,
+          q.doc_id = k.keep_id AS dedup_keeper,
+          q.quality >= 0.5 AS quality_ok,
+          (r.top2_frac <= 0.2 AND r.dup2_frac <= 0.6) AS not_repetitive,
+          (q.doc_id = k.keep_id AND q.quality >= 0.5
+            AND r.top2_frac <= 0.2 AND r.dup2_frac <= 0.6) AS kept
+        FROM q JOIN keeper k USING (h) JOIN r USING (doc_id)
+        ORDER BY q.doc_id"""))
   )
 }
