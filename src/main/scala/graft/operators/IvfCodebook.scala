@@ -127,9 +127,8 @@ object IvfCodebook {
       .select($"q_id", $"vec_id",
         (dot($"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
       .distinct()
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    cand.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+    // bounded top-k aggregation, not a row_number window: k rows per
+    // query cross the shuffle instead of every probed candidate
+    TopKAgg.rank(cand, k, "cos")
   }
 }

@@ -101,10 +101,11 @@ object Sim {
         val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
             (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        scored.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 10)
-          .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+        // bounded top-k aggregation (operators.TopKAgg), not a
+        // row_number window: the window sort-shuffles the full n×q
+        // scored stream; the aggregator combines map-side and ships k
+        // rows per query
+        graft.operators.TopKAgg.rank(scored, 10, "cos")
           .orderBy($"q_id", $"rank")
       },
       Some(s"""WITH n AS (
@@ -249,10 +250,8 @@ object Sim {
         val scored = dq.join(broadcast(q), $"vec_id" =!= $"q_id")
           .select($"q_id", $"vec_id",
             (ndot(s, $"q_emb", $"demb") / ($"q_nrm" * $"dnrm")).as("score"))
-        val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
-        scored.withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 10)
-          .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"score")
+        // bounded top-k aggregation (see sim1) — k rows per query
+        graft.operators.TopKAgg.rank(scored, 10, "score")
           .orderBy($"q_id", $"rank")
       },
       Some(s"""WITH n AS (

@@ -141,6 +141,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("TopKAgg.rank == row_number window form, ties and partial-agg safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ties on purpose: score quantized to one of 5 values so (score
+    // DESC, vec_id ASC) tie-breaking is actually exercised; repartition
+    // forces multi-partition partial aggregation + merge
+    val scored = spark.range(0, 5000)
+      .select(($"id" % 7).as("q_id"), $"id".as("vec_id"),
+        (($"id" * 37 % 5).cast("double") / 5).as("cos"))
+      .repartition(13)
+    val viaAgg = graft.operators.TopKAgg.rank(scored, 10, "cos")
+      .orderBy("q_id", "rank").collect()
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"q_id", $"rank".cast("long").as("rank"), $"vec_id", $"cos")
+      .orderBy("q_id", "rank").collect()
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // k larger than the group: every row comes back, still rank-ordered
+    val small = scored.filter($"q_id" === 0 && $"vec_id" < 21)
+    assert(graft.operators.TopKAgg.rank(small, 10, "cos").count() === 3)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     import spark.implicits._
     val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
