@@ -442,6 +442,46 @@ class EtlSpec extends SparkSpec {
     assert(pDirs.listFiles().count(f => f.isDirectory && f.getName.startsWith("fy=")) === 2)
   }
 
+  test("warehouse: model-based fuzz — random op sequences match an in-memory model") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-fuzz").toString
+    // both modes run the same seeded op sequence against the same model
+    for ((manifest, seed) <- Seq((true, 11), (false, 23))) {
+      val wh = new Warehouse(spark, s"$tmp/m$manifest", manifest = manifest)
+      val rnd = new scala.util.Random(seed)
+      var model = Map.empty[Long, String]
+      def df(rows: Map[Long, String]) = rows.toSeq.toDF("k", "v")
+      for (step <- 1 to 18) {
+        rnd.nextInt(4) match {
+          case 0 => // append fresh keys only (append semantics = no merge)
+            val fresh = (1 to 3).map(_ => rnd.nextLong(1000) + 1000 * step)
+              .map(k => k -> s"a$step").toMap -- model.keySet
+            if (fresh.nonEmpty) {
+              if (wh.exists("t")) wh.append("t", df(fresh)) else wh.create("t", df(fresh))
+              model ++= fresh
+            }
+          case 1 => // upsert: mix of existing and new keys
+            val ups = ((1 to 2).map(_ => rnd.nextLong(1000)) ++
+              model.keySet.take(2)).map(k => k -> s"u$step").toMap
+            wh.upsert("t", df(ups), Seq("k"))
+            model ++= ups
+          case 2 if model.nonEmpty => // delete a few keys
+            val dels = model.keySet.filter(_ => rnd.nextBoolean()).take(3)
+            if (dels.nonEmpty) {
+              wh.delete("t", dels.toSeq.toDF("k"), Seq("k"))
+              model --= dels
+            }
+          case 3 if manifest && model.nonEmpty => wh.compact("t")
+          case _ => ()
+        }
+        if (wh.exists("t")) {
+          val got = wh.read("t").as[(Long, String)].collect().toMap
+          assert(got === model, s"mode=$manifest step=$step diverged")
+        }
+      }
+    }
+  }
+
   test("warehouse: upsert with assertPartitionStable rejects a moved key") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh12").toString
