@@ -19,8 +19,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(p: (Double, Long), q: (Double, Long)): Boolean =
-    p._1 > q._1 || (p._1 == q._1 && p._2 < q._2)
+  // java.lang.Double.compare, not >: a NaN score (e.g. a zero-norm
+  // embedding's 0/0 cosine) must rank as LARGEST, matching how the
+  // replaced row_number window (and DuckDB) order doubles — with raw
+  // >, a NaN at the buffer tail made !better(x, b.last) true for every
+  // candidate and silently froze the buffer at the first k rows seen
+  private def better(p: (Double, Long), q: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(p._1, q._1)
+    c > 0 || (c == 0 && p._2 < q._2)
+  }
 
   private def insert(b: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
     // not in the top k: common case at high row counts, O(1) reject

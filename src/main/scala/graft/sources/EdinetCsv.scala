@@ -91,6 +91,10 @@ object EdinetCsv {
   /** 8-KiB head read + classify against an explicit hadoop conf — the
     * shared core of the driver-side sniff and readAuto's executor-side
     * distributed sniff. Reads ONLY the head, whatever the file size.
+    * The buffer is 8 KiB + 1: the extra byte distinguishes "file is
+    * exactly 8 KiB" (whole file read → strict tail decode catches a
+    * malformed trailing sequence) from "file is larger" (head is a
+    * prefix → an edge-cut multi-byte char is underflow, not malformed).
     */
   private def sniffWith(conf: org.apache.hadoop.conf.Configuration,
       file: String): Variant = {
@@ -99,12 +103,12 @@ object EdinetCsv {
     var in: InputStream = null
     try {
       in = fs.open(path)
-      val head = new Array[Byte](8192)
+      val buf = new Array[Byte](8193)
       // readNBytes, not read: a short read (HDFS may return partial
       // buffers) could cut a multi-byte char and fail the UTF-8 probe
-      val n = in.readNBytes(head, 0, head.length)
-      classify(java.util.Arrays.copyOf(head, math.max(0, n)),
-        truncatedTail = n == head.length, file)
+      val n = in.readNBytes(buf, 0, buf.length)
+      classify(java.util.Arrays.copyOf(buf, math.min(math.max(0, n), 8192)),
+        truncatedTail = n == buf.length, file)
     } finally if (in != null) in.close()
   }
 
@@ -185,12 +189,22 @@ object EdinetCsv {
   def readAuto(spark: SparkSession, pathSpec: String): DataFrame = {
     val path = new Path(pathSpec)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(path, true)
+    // globStatus first: listFiles does not expand globs, and readPaths'
+    // contract (dirs, globs, or files) must hold here too
+    val roots = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+    // skip dot/underscore names at EVERY level (the filter Spark's own
+    // file index applies): a `_temporary` tree from a crashed write or
+    // a `._filing.csv` AppleDouble fork must not reach the classifier
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".csv")) files += f.getPath.toString
-    }
+    // the filter applies to CHILDREN only — an explicitly-passed root
+    // is the user's choice, exactly as Spark's file index behaves
+    def walk(st: org.apache.hadoop.fs.FileStatus, isRoot: Boolean): Unit =
+      if (isRoot || !hidden(st.getPath.getName)) {
+        if (st.isDirectory) fs.listStatus(st.getPath).foreach(walk(_, false))
+        else if (st.getPath.getName.endsWith(".csv")) files += st.getPath.toString
+      }
+    roots.foreach(walk(_, true))
     if (files.isEmpty) return read(spark, pathSpec, Utf8Comma)
     val confProps = {
       val conf = spark.sparkContext.hadoopConfiguration

@@ -475,8 +475,11 @@ class EtlSpec extends SparkSpec {
           case _ => ()
         }
         if (wh.exists("t")) {
-          val got = wh.read("t").as[(Long, String)].collect().toMap
-          assert(got === model, s"mode=$manifest step=$step diverged")
+          // compare as sorted rows, not toMap: a stale-row duplicate —
+          // exactly the corruption this test hunts — would be silently
+          // collapsed by toMap and could mask the divergence
+          val got = wh.read("t").as[(Long, String)].collect().toSeq.sorted
+          assert(got === model.toSeq.sorted, s"mode=$manifest step=$step diverged")
         }
       }
     }

@@ -147,9 +147,13 @@ class OperatorsSpec extends SparkSpec {
     // ties on purpose: score quantized to one of 5 values so (score
     // DESC, vec_id ASC) tie-breaking is actually exercised; repartition
     // forces multi-partition partial aggregation + merge
+    // NaN scores included (vec_id % 911 == 0): a NaN must rank LARGEST
+    // like the window's double ordering — the raw-`>` comparator froze
+    // the buffer once a NaN reached its tail
     val scored = spark.range(0, 5000)
       .select(($"id" % 7).as("q_id"), $"id".as("vec_id"),
-        (($"id" * 37 % 5).cast("double") / 5).as("cos"))
+        when($"id" % 911 === 0, lit(Double.NaN))
+          .otherwise(($"id" * 37 % 5).cast("double") / 5).as("cos"))
       .repartition(13)
     val viaAgg = graft.operators.TopKAgg.rank(scored, 10, "cos")
       .orderBy("q_id", "rank").collect()
