@@ -56,26 +56,53 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     abs(xxhash64(naturalKey))
 
   def read(name: String): DataFrame =
-    if (manifest) {
-      val root = tablePath(name)
-      val files = snapshotFiles(name)
-      require(files.nonEmpty, s"manifest table $name has no data files")
-      // one read per version dir, each with basePath = that version's
-      // root so hive partition-column inference sees only k=v segments
-      // (mixing _v1/fy=… and _v2/fy=… under a single basePath trips
-      // CONFLICTING_DIRECTORY_STRUCTURES); a snapshot references at
-      // most a handful of versions, so the union is short
-      files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
-        .toSeq.sortBy(_._1)
-        .map { case (v, fs) =>
-          val base = if (v.isEmpty) root else s"$root/$v"
-          spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
-        }
-        .reduce(_.unionByName(_))
-    } else {
+    if (manifest) readFiles(name, snapshotFiles(name))
+    else {
       recover(name)
       spark.read.parquet(tablePath(name))
     }
+
+  /** Time travel (manifest mode): read the snapshot committed as
+    * `_manifest_v<version>`. Only the CURRENT and immediately-previous
+    * snapshots are guaranteed resolvable — older manifests and the
+    * version dirs only they referenced are GC'd at each publish (the
+    * one-publish grace); asking for a collected snapshot fails loudly.
+    */
+  def readVersion(name: String, version: Long): DataFrame = {
+    require(manifest, "time travel requires manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mf = new Path(root, s"_manifest_v$version")
+    require(fs.exists(mf),
+      s"snapshot v$version of $name is not available (GC keeps current + previous)")
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    readFiles(name, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+  }
+
+  /** Assemble a snapshot's explicit file list into one DataFrame: one
+    * read per version dir, each with basePath = that version's root so
+    * hive partition-column inference sees only k=v segments (mixing
+    * _v1/fy=… and _v2/fy=… under a single basePath trips
+    * CONFLICTING_DIRECTORY_STRUCTURES); a snapshot references at most
+    * a handful of versions, so the union is short. Versions are
+    * unioned by NAME with missing columns null-filled — a column added
+    * by a later append reads as null for rows from pre-evolution
+    * versions (parquet mergeSchema semantics), instead of failing the
+    * whole snapshot.
+    */
+  private def readFiles(name: String, files: Seq[String]): DataFrame = {
+    val root = tablePath(name)
+    require(files.nonEmpty, s"manifest table $name has no data files")
+    files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.sortBy(_._1)
+      .map { case (v, fs) =>
+        val base = if (v.isEmpty) root else s"$root/$v"
+        spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   def exists(name: String): Boolean = {
     if (!manifest) recover(name)

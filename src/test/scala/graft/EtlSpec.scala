@@ -442,6 +442,27 @@ class EtlSpec extends SparkSpec {
     assert(pDirs.listFiles().count(f => f.isDirectory && f.getName.startsWith("fy=")) === 2)
   }
 
+  test("warehouse: time travel reads the previous snapshot; schema evolution reads") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh14").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", Seq((1L, "a")).toDF("k", "v"))
+    wh.atomicPublish("t", Seq((1L, "A"), (2L, "b")).toDF("k", "v"))
+    // previous snapshot is resolvable by its manifest version
+    assert(wh.readVersion("t", 1).as[(Long, String)].collect() === Array((1L, "a")))
+    assert(wh.readVersion("t", 2).orderBy("k").count() === 2)
+    // a GC'd snapshot fails loudly, not with a missing-file read
+    wh.atomicPublish("t", Seq((3L, "c")).toDF("k", "v"))
+    val e = intercept[IllegalArgumentException] { wh.readVersion("t", 1) }
+    assert(e.getMessage.contains("not available"))
+    // schema evolution: an appended batch with a NEW column reads back
+    // with nulls for pre-evolution rows instead of failing the union
+    wh.append("t", Seq((4L, "d", "extra")).toDF("k", "v", "note"))
+    val rows = wh.read("t").orderBy("k")
+      .select($"k", $"note").as[(Long, Option[String])].collect()
+    assert(rows === Array((3L, None), (4L, Some("extra"))))
+  }
+
   test("warehouse: model-based fuzz — random op sequences match an in-memory model") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh-fuzz").toString
