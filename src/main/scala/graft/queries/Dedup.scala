@@ -129,33 +129,38 @@ object Dedup {
     * minHashLshPairs does). Production sizing: cap ≈ 10–100× the
     * expected near-dup cluster width.
     */
-  private[graft] def lshCandidatesFrom(sh: DataFrame, bucketCap: Option[Int]): DataFrame = {
+  /** (doc_id, band, bkey) LSH band keys from a shingled frame: 64-perm
+    * MinHash signature (typed MinHashAgg — one pass over the exploded
+    * fingerprints with a fixed-width buffer and map-side combine, no
+    * 64× row explosion; udaf() + column groupBy, not groupByKey, which
+    * would deserialize per row), then 16 bands × 4 rows with the band
+    * key as the ordered concat of the band's mins. The signature frame
+    * is persisted: a band self-join would otherwise run the whole
+    * signature aggregation once per side. This is also the frame a
+    * persisted LSH INDEX stores — d9's incremental dedup probes it
+    * with a new batch's band keys.
+    */
+  private[graft] def lshBandKeys(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
-    // shingle fingerprints, exploded: the scalable MinHash shape is
-    // explode → codegen'd hash-aggregate, NOT per-row array lambdas
-    // (interpreted higher-order functions are off the hot path).
     val ex = sh
       .select($"doc_id", explode($"shs").as("sh"))
       .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
-    // 64-permutation signature via the typed MinHashAgg aggregator:
-    // ONE pass over the exploded fingerprints with a fixed-width
-    // buffer and map-side combine — no 64× row explosion (the
-    // explode-per-permutation formulation shuffled 64× the data).
-    // udaf() + column groupBy, not groupByKey(_._1): the typed key
-    // lambda forces a deserialize/reserialize round-trip per row.
-    // Persisted (one 64-int row per doc): the band self-join would
-    // otherwise run the whole signature aggregation twice.
     val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
     val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 16 bands × 4 rows: band key = ordered concat of the band's mins
-    val bands = sig.select($"doc_id",
+    sig.select($"doc_id",
       explode(transform(sequence(lit(0), lit(15)), b => struct(
         b.as("band"),
         concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
           v => v.cast("string"))).as("bkey")))).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bkey")
+  }
+
+  private[graft] def lshCandidatesFrom(sh: DataFrame, bucketCap: Option[Int]): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val bands = lshBandKeys(sh)
     bucketCap match {
       case None =>
         bands.select($"doc_id".as("a_id"), $"band", $"bkey")
@@ -327,6 +332,44 @@ object Dedup {
           SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
         ${jaccardPairsCte("0.5", 100, "reps")}
         SELECT a_id, b_id, inter, jaccard FROM jpairs ORDER BY a_id, b_id""")),
+
+    // ---- incremental near-dup: new batch vs existing corpus ------------
+    // The production ingest flow: a new batch is deduplicated against
+    // the already-ingested corpus WITHOUT re-pairing the corpus with
+    // itself. Band keys are computed for both sides (the corpus side
+    // is what a persisted signature/band index stores), but candidates
+    // require at least one BATCH member: batch×corpus + batch×batch,
+    // never corpus×corpus — at 100 TB that is the difference between
+    // work proportional to |batch| · collision-rate and re-running the
+    // full corpus dedup per ingest. Confirm is exact Jaccard on the
+    // shared shingled frame. Oracle = the full exact pair set filtered
+    // to pairs touching the batch (doc_id >= 400), which equals the
+    // incremental computation whenever LSH recall is 1 (the d3
+    // contract).
+    Q("d9_incremental_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val sh = shingled(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = lshBandKeys(sh)
+        val batchB = bands.filter($"doc_id" >= 400)
+          .select($"doc_id".as("a_id"), $"band", $"bkey")
+        // batch×(corpus ∪ batch) = batch joined against ALL band keys;
+        // the filter below removes self-pairs and the least/greatest
+        // canonicalization dedups the batch×batch double-match — no
+        // corpus×corpus pairs can arise because one side is batch-only
+        val cands = batchB.join(
+            bands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
+          .filter($"a_id" =!= $"b_id")
+          .select(least($"a_id", $"b_id").as("a_id"),
+            greatest($"a_id", $"b_id").as("b_id"))
+          .distinct()
+        confirmJaccard(sh, cands, 0.5)
+      },
+      Some(s"""WITH ${jaccardPairsCte("0.5", 100)}
+        SELECT a_id, b_id, inter, jaccard FROM jpairs
+        WHERE a_id >= 400 OR b_id >= 400
+        ORDER BY a_id, b_id""")),
 
     // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
     Q("d4_simhash",
