@@ -407,6 +407,50 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     else atomicPublish(name, merged, partitionCols)
   }
 
+  /** S8+: slowly-changing-dimension type-2 upsert — the
+    * history-preserving merge a dimension table needs when "what was
+    * this company's name in Q3" matters. Rows carry (valid_from,
+    * valid_to); current rows have valid_to null. Per incoming key:
+    * unchanged tracked values → row left alone (valid_from preserved);
+    * changed → the current row is CLOSED (valid_to = ts) and a new
+    * version opens at ts; unseen key → inserted open at ts. Change
+    * detection compares an md5 fingerprint of the tracked columns
+    * (sorted-name struct → json), so adding columns later doesn't
+    * reorder the comparison. One set-oriented pass: two key-joins and
+    * a union, published as one atomic snapshot — no per-key loops, no
+    * read-modify-write races.
+    */
+  def upsertScd2(name: String, updates: DataFrame, keyCols: Seq[String],
+      ts: String): Unit = {
+    val s = spark
+    import s.implicits._
+    def open(df: DataFrame): DataFrame = df
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("string"))
+    if (!exists(name)) { atomicPublish(name, open(updates)); return }
+    val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
+    def fp(cols: Seq[String]) = md5(to_json(struct(cols.sorted.map(col): _*)))
+    val existing = read(name)
+    val hist = existing.filter($"valid_to".isNotNull)
+    val cur = existing.filter($"valid_to".isNull).withColumn("_fp", fp(dataCols))
+    val upd = updates.withColumn("_fp_new", fp(dataCols))
+    val curVsNew = cur.join(
+      upd.select((keyCols.map(col) :+ $"_fp_new"): _*), keyCols, "left")
+    val untouched = curVsNew
+      .filter($"_fp_new".isNull || $"_fp" === $"_fp_new")
+      .drop("_fp", "_fp_new")
+    val closed = curVsNew
+      .filter($"_fp_new".isNotNull && $"_fp" =!= $"_fp_new")
+      .drop("_fp", "_fp_new")
+      .withColumn("valid_to", lit(ts))
+    val opened = open(upd
+      .join(cur.select((keyCols.map(col) :+ $"_fp"): _*), keyCols, "left")
+      .filter($"_fp".isNull || $"_fp" =!= $"_fp_new")
+      .drop("_fp", "_fp_new"))
+    atomicPublish(name,
+      hist.unionByName(untouched).unionByName(closed).unionByName(opened))
+  }
+
   /** Partition path of a manifest entry: strip the version-dir prefix,
     * keep the `k=v/...` directory part ("" for an unpartitioned file).
     */

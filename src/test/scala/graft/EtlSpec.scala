@@ -442,6 +442,33 @@ class EtlSpec extends SparkSpec {
     assert(pDirs.listFiles().count(f => f.isDirectory && f.getName.startsWith("fy=")) === 2)
   }
 
+  test("warehouse: SCD2 upsert preserves history, closes changed rows only") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh15").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.upsertScd2("dim", Seq((1L, "acme"), (2L, "globex")).toDF("k", "name"), Seq("k"), "2023-01-01")
+    // k=1 renamed, k=2 unchanged, k=3 new
+    wh.upsertScd2("dim", Seq((1L, "acme-corp"), (2L, "globex"), (3L, "initech"))
+      .toDF("k", "name"), Seq("k"), "2023-06-01")
+    val rows = wh.read("dim")
+      .select($"k", $"name", $"valid_from", $"valid_to")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(rows === Set(
+      (1L, "acme", "2023-01-01", Some("2023-06-01")),      // closed old version
+      (1L, "acme-corp", "2023-06-01", None),               // new open version
+      (2L, "globex", "2023-01-01", None),                  // untouched, from preserved
+      (3L, "initech", "2023-06-01", None)))                // new key
+    // idempotence: re-applying the same update changes nothing
+    wh.upsertScd2("dim", Seq((1L, "acme-corp")).toDF("k", "name"), Seq("k"), "2023-09-01")
+    assert(wh.read("dim").count() === 4)
+    // point-in-time query: who was k=1 in March?
+    val asOf = wh.read("dim")
+      .filter($"valid_from" <= "2023-03-01" &&
+        ($"valid_to".isNull || $"valid_to" > "2023-03-01"))
+      .filter($"k" === 1).select($"name").as[String].collect()
+    assert(asOf === Array("acme"))
+  }
+
   test("warehouse: time travel reads the previous snapshot; schema evolution reads") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh14").toString
