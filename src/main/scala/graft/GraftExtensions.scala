@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension injecting the engine's native Catalyst functions
+  * at session construction — the Spark-provided extension point for
+  * exactly this:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * makes `graft_rolling_hash`, `graft_rolling_hash2`, `graft_vec_dot`
+  * and `graft_shingles3` available to a PURE-SQL user (spark-sql,
+  * Thrift server, notebook SQL cells) with no Scala call anywhere.
+  * The lazy `NativeExprs.register` path remains for sessions built
+  * without the config — both read the same builder table, so the two
+  * paths cannot drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.NativeExprs.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}

@@ -140,20 +140,33 @@ case class FloatVecDotExpr(left: Expression, right: Expression)
 
 object NativeExprs {
 
+  /** Name → expression builder for every native function — the single
+    * source both registration paths (lazy register() and
+    * graft.GraftExtensions session injection) read from.
+    * graft_rolling_hash2 is the second hash family (base 137) used by
+    * SimHash's 60-bit packing.
+    */
+  private[graft] val builders
+      : Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_rolling_hash" -> (exprs => RollingHashExpr(exprs.head, 131L, 1000000007L)),
+    "graft_rolling_hash2" -> (exprs => RollingHashExpr(exprs.head, 137L, 998244353L)),
+    "graft_vec_dot" -> (exprs => FloatVecDotExpr(exprs(0), exprs(1))),
+    "graft_shingles3" -> (exprs => WordShinglesExpr(exprs.head, 3)))
+
   /** Idempotent session registration; the catalog queries call this so
-    * any fresh SparkSession (driver-owned) gets the functions.
+    * any fresh SparkSession (driver-owned) gets the functions. The
+    * functionExists guard keeps re-registration silent (the former
+    * unconditional createOrReplace logged a WARN per call). Sessions
+    * built with spark.sql.extensions=graft.GraftExtensions get the
+    * functions at session construction instead.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_rolling_hash",
-      exprs => RollingHashExpr(exprs.head, 131L, 1000000007L), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_vec_dot",
-      exprs => FloatVecDotExpr(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles3",
-      exprs => WordShinglesExpr(exprs.head, 3), "scala_udf")
-    // second hash family (used by SimHash's 60-bit packing)
-    reg.createOrReplaceTempFunction("graft_rolling_hash2",
-      exprs => RollingHashExpr(exprs.head, 137L, 998244353L), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   def shingles3(spark: SparkSession, s: Column): Column = {

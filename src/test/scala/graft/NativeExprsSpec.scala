@@ -56,6 +56,38 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects the functions for a pure-SQL session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions, not config("spark.sql.extensions", …): the
+      // config-string form is a STATIC conf read from the
+      // SparkContext, which this shared-context test would ignore;
+      // withExtensions applies the same injector object directly
+      // (the config path only adds a reflective instantiation)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      // PURE SQL first — proves injection happened at construction,
+      // with no NativeExprs.register call on this session
+      val viaSql = s2.sql(
+        """SELECT graft_rolling_hash('abc') AS h,
+           graft_vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+                         array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+           graft_shingles3('a b c d') AS s""").collect()(0)
+      val expectedHash = "abc".foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+      assert(viaSql.getLong(0) === expectedHash)
+      assert(viaSql.getDouble(1) === 1.5 * 3.0 + 2.0 * 0.5)
+      assert(viaSql.getSeq[String](2) === Seq("a_b_c", "b_c_d"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("native expressions appear inside WholeStageCodegen") {
     import spark.implicits._
     val plan = Tables.load(spark, "/root/testdata/sf0.001", "documents")
