@@ -111,24 +111,6 @@ object Dedup {
       .select($"doc_id", $"text")
   }
 
-  /** LSH candidate pairs from a (persisted) shingled frame: 64-perm
-    * MinHash signature (typed MinHashAgg — one pass, fixed buffer,
-    * map-side combine), 16 bands × 4 rows, pairs within a band bucket.
-    *
-    * `bucketCap = None` (d3's exact-recall contract): bucket pairs via
-    * self-join on the band key. `Some(cap)`: the degenerate-corpus
-    * guard — buckets are aggregated with the bounded-buffer
-    * CappedDocListAgg shape (d2's stop-shingle cap) and any bucket
-    * wider than `cap` is dropped WHOLE, deterministically, bounding a
-    * bucket's contribution at cap·(cap−1)/2 candidates and the
-    * aggregation buffer at O(cap) however skewed the corpus. Recall
-    * trade-off: a pair inside a dropped bucket is only found if some
-    * band bucket ≤ cap wide also contains both docs — so boilerplate
-    * NEAR-dup clusters wider than the cap can lose pairs (exact
-    * duplicates never do: collapse them first via collapseExact, as
-    * minHashLshPairs does). Production sizing: cap ≈ 10–100× the
-    * expected near-dup cluster width.
-    */
   /** (doc_id, band, bkey) LSH band keys from a shingled frame: 64-perm
     * MinHash signature (typed MinHashAgg — one pass over the exploded
     * fingerprints with a fixed-width buffer and map-side combine, no
@@ -157,6 +139,20 @@ object Dedup {
       .select($"doc_id", $"bk.band", $"bk.bkey")
   }
 
+  /** LSH candidate pairs from the band keys. `bucketCap = None` (d3's
+    * exact-recall contract): bucket pairs via self-join on the band
+    * key. `Some(cap)`: the degenerate-corpus guard — buckets are
+    * aggregated with the bounded-buffer CappedDocListAgg shape (d2's
+    * stop-shingle cap) and any bucket wider than `cap` is dropped
+    * WHOLE, deterministically, bounding a bucket's contribution at
+    * cap·(cap−1)/2 candidates and the aggregation buffer at O(cap)
+    * however skewed the corpus. Recall trade-off: a pair inside a
+    * dropped bucket is only found if some band bucket ≤ cap wide also
+    * contains both docs — so boilerplate NEAR-dup clusters wider than
+    * the cap can lose pairs (exact duplicates never do: collapse them
+    * first via collapseExact, as minHashLshPairs does). Production
+    * sizing: cap ≈ 10–100× the expected near-dup cluster width.
+    */
   private[graft] def lshCandidatesFrom(sh: DataFrame, bucketCap: Option[Int]): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._

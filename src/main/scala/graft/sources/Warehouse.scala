@@ -75,10 +75,19 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     val mf = new Path(root, s"_manifest_v$version")
     require(fs.exists(mf),
       s"snapshot v$version of $name is not available (GC keeps current + previous)")
+    readFiles(name, readManifest(fs, mf))
+  }
+
+  /** Parse one manifest file: one data-file path per line, relative to
+    * the table root — the single wire-format reader shared by
+    * snapshot resolution, commit (previous-snapshot load), and time
+    * travel.
+    */
+  private def readManifest(fs: FileSystem, mf: Path): Seq[String] = {
     val in = fs.open(mf)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    readFiles(name, txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty))
+    txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Assemble a snapshot's explicit file list into one DataFrame: one
@@ -157,11 +166,7 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     currentManifest(fs, root) match {
-      case Some(m) =>
-        val in = fs.open(new Path(root, m))
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      case Some(m) => readManifest(fs, new Path(root, m))
       case None => listDataFiles(fs, root, root)
     }
   }
@@ -227,11 +232,7 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val prevName = currentManifest(fs, root)
-    val prev = prevName.map { m =>
-      val in = fs.open(new Path(root, m))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }.getOrElse("").split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val prev = prevName.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
     val mf = new Path(root, s"_manifest_v$n")
     val out = fs.create(mf, false)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
@@ -427,28 +428,62 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     def open(df: DataFrame): DataFrame = df
       .withColumn("valid_from", lit(ts))
       .withColumn("valid_to", lit(null).cast("string"))
+    // one row per key, loudly: a duplicate key in the batch would open
+    // TWO current versions and multiply on every later merge (plain
+    // upsert window-dedups by priority; SCD2 has no priority to pick by)
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter($"_n" > 1).limit(3).collect()
+    require(dupKeys.isEmpty,
+      s"upsertScd2($name): update batch has duplicate keys: ${dupKeys.mkString(", ")}")
     if (!exists(name)) { atomicPublish(name, open(updates)); return }
     val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
     def fp(cols: Seq[String]) = md5(to_json(struct(cols.sorted.map(col): _*)))
-    val existing = read(name)
-    val hist = existing.filter($"valid_to".isNotNull)
-    val cur = existing.filter($"valid_to".isNull).withColumn("_fp", fp(dataCols))
-    val upd = updates.withColumn("_fp_new", fp(dataCols))
-    val curVsNew = cur.join(
-      upd.select((keyCols.map(col) :+ $"_fp_new"): _*), keyCols, "left")
-    val untouched = curVsNew
-      .filter($"_fp_new".isNull || $"_fp" === $"_fp_new")
-      .drop("_fp", "_fp_new")
-    val closed = curVsNew
-      .filter($"_fp_new".isNotNull && $"_fp" =!= $"_fp_new")
-      .drop("_fp", "_fp_new")
-      .withColumn("valid_to", lit(ts))
-    val opened = open(upd
-      .join(cur.select((keyCols.map(col) :+ $"_fp"): _*), keyCols, "left")
-      .filter($"_fp".isNull || $"_fp" =!= $"_fp_new")
-      .drop("_fp", "_fp_new"))
-    atomicPublish(name,
-      hist.unionByName(untouched).unionByName(closed).unionByName(opened))
+    val existing = read(name).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var curCached: Option[DataFrame] = None
+    try {
+      val hist = existing.filter($"valid_to".isNotNull)
+      // schema evolution: a column the update tracks but no existing
+      // version has yet is null-filled on the current side, typed from
+      // the update's schema. to_json omits null fields, so a new
+      // column compares as unchanged while it stays null on both sides
+      // and as a change the first time a real value arrives.
+      val cur0 = existing.filter($"valid_to".isNull)
+      val curFilled = dataCols.foldLeft(cur0)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(updates.schema(c).dataType)))
+      val cur = curFilled.withColumn("_fp", fp(dataCols))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      curCached = Some(cur)
+      val upd = updates.withColumn("_fp_new", fp(dataCols))
+      val curVsNew = cur.join(
+        upd.select((keyCols.map(col) :+ $"_fp_new"): _*), keyCols, "left")
+      val changed = curVsNew.filter($"_fp_new".isNotNull && $"_fp" =!= $"_fp_new")
+      // a back-dated ts would write valid_to < valid_from and falsify
+      // every as-of read — fail loudly instead (string compare is the
+      // ISO-date order the columns use throughout)
+      val badTs = changed.filter($"valid_from" >= ts).limit(3).collect()
+      require(badTs.isEmpty,
+        s"upsertScd2($name): ts=$ts is not after the current versions being " +
+        s"closed: ${badTs.mkString(", ")}")
+      val untouched = curVsNew
+        .filter($"_fp_new".isNull || $"_fp" === $"_fp_new")
+        .drop("_fp", "_fp_new")
+      val closed = changed.drop("_fp", "_fp_new").withColumn("valid_to", lit(ts))
+      val opened = open(upd
+        .join(cur.select((keyCols.map(col) :+ $"_fp"): _*), keyCols, "left")
+        .filter($"_fp".isNull || $"_fp" =!= $"_fp_new")
+        .drop("_fp", "_fp_new"))
+      // layout-preserving like append; hist may predate an evolved
+      // schema, so the union null-fills by name
+      val merged = hist.unionByName(untouched, allowMissingColumns = true)
+        .unionByName(closed, allowMissingColumns = true)
+        .unionByName(opened, allowMissingColumns = true)
+      atomicPublish(name, merged, partitionColsOf(name))
+    } finally {
+      existing.unpersist()
+      curCached.foreach(_.unpersist())
+    }
   }
 
   /** Partition path of a manifest entry: strip the version-dir prefix,

@@ -467,6 +467,30 @@ class EtlSpec extends SparkSpec {
         ($"valid_to".isNull || $"valid_to" > "2023-03-01"))
       .filter($"k" === 1).select($"name").as[String].collect()
     assert(asOf === Array("acme"))
+    // duplicate keys in a batch would open TWO current versions — loud
+    val dup = intercept[IllegalArgumentException] {
+      wh.upsertScd2("dim", Seq((9L, "x"), (9L, "y")).toDF("k", "name"),
+        Seq("k"), "2023-10-01")
+    }
+    assert(dup.getMessage.contains("duplicate keys"))
+    // a back-dated ts would invert validity intervals — loud
+    val back = intercept[IllegalArgumentException] {
+      wh.upsertScd2("dim", Seq((1L, "acme-redux")).toDF("k", "name"),
+        Seq("k"), "2023-02-01")
+    }
+    assert(back.getMessage.contains("not after"))
+    // schema evolution: a newly tracked column null-compares as
+    // unchanged until a real value arrives, then versions the row
+    wh.upsertScd2("dim", Seq((2L, "globex", null.asInstanceOf[String]))
+      .toDF("k", "name", "hq"), Seq("k"), "2023-11-01")
+    assert(wh.read("dim").filter($"k" === 2).count() === 1) // unchanged
+    wh.upsertScd2("dim", Seq((2L, "globex", "tokyo")).toDF("k", "name", "hq"),
+      Seq("k"), "2023-12-01")
+    val g = wh.read("dim").filter($"k" === 2)
+      .select($"name", $"hq", $"valid_to").as[(String, Option[String], Option[String])]
+      .collect().toSet
+    assert(g === Set(("globex", None, Some("2023-12-01")),
+      ("globex", Some("tokyo"), None)))
   }
 
   test("warehouse: time travel reads the previous snapshot; schema evolution reads") {

@@ -83,6 +83,10 @@ class NativeExprsSpec extends SparkSpec {
       assert(viaSql.getDouble(1) === 1.5 * 3.0 + 2.0 * 0.5)
       assert(viaSql.getSeq[String](2) === Seq("a_b_c", "b_c_d"))
     } finally {
+      // restore only — s2 is NOT stopped: SparkSession.stop()/close()
+      // stops the shared SparkContext and would kill every remaining
+      // suite. One extra session object per suite run is bounded; it
+      // gets GC'd with its session state when unreferenced.
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
     }
