@@ -46,12 +46,28 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of the run's
+    // output (BENCH_r04's tail lost the line's head — and the total —
+    // to full-precision doubles across 66 queries). Millisecond
+    // precision is far below run-to-run noise, so round to 3 decimals
+    // on the reported line and keep the full-precision dump in
+    // target/bench_detail.json for local diffing.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = fmt(results.values.filter(_ >= 0).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val detail = new java.io.File("target/bench_detail.json")
+    detail.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(detail)
+    try w.println(line(_.toString)) finally w.close()
     spark.stop()
+    // printed after spark.stop() so no shutdown logging can land
+    // between this line and end-of-output
+    println(line(r3))
   }
 }

@@ -152,7 +152,8 @@ object NativeExprs {
     "graft_rolling_hash" -> (exprs => RollingHashExpr(exprs.head, 131L, 1000000007L)),
     "graft_rolling_hash2" -> (exprs => RollingHashExpr(exprs.head, 137L, 998244353L)),
     "graft_vec_dot" -> (exprs => FloatVecDotExpr(exprs(0), exprs(1))),
-    "graft_shingles3" -> (exprs => WordShinglesExpr(exprs.head, 3)))
+    "graft_shingles3" -> (exprs => WordShinglesExpr(exprs.head, 3)),
+    "graft_gram2_stats" -> (exprs => Gram2StatsExpr(exprs.head)))
 
   /** Idempotent session registration; the catalog queries call this so
     * any fresh SparkSession (driver-owned) gets the functions. The
@@ -190,6 +191,14 @@ object NativeExprs {
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_vec_dot", a, b)
+  }
+
+  /** Per-document 2-gram repetition stats — struct(n2, maxc, dupc)
+    * over a token array, zero-shuffle (see Gram2Helper).
+    */
+  def gram2Stats(spark: SparkSession, toks: Column): Column = {
+    register(spark)
+    call_function("graft_gram2_stats", toks)
   }
 }
 
@@ -233,5 +242,66 @@ case class WordShinglesExpr(child: Expression, n: Int)
       c => s"graft.functions.ShingleHelper.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** One-pass per-document adjacent-2-gram statistics for the Gopher
+  * repetition signals (Rae et al. 2021 §A1.1): total 2-gram count,
+  * the most common 2-gram's count, and the mass of duplicated 2-grams.
+  *
+  * These are ROW-LOCAL functions of one document's token array, so
+  * computing them here replaces x12/x16's former
+  * explode(2-grams) → groupBy(doc, gram) → groupBy(doc) shape — which
+  * shuffled one row per TOKEN of the corpus, twice — with a zero-
+  * shuffle projection. At 100 TB that is the difference between a
+  * full-corpus-sized shuffle and none at all. Tokens come from
+  * TextOps.tokens (split on ' '), so the ' '-joined gram key cannot
+  * collide.
+  */
+object Gram2Helper {
+  private val SP = UTF8String.fromString(" ")
+
+  def stats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    var n2 = 0L; var maxc = 0L; var dupc = 0L
+    if (n >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+      var i = 0
+      while (i + 1 < n) {
+        // concat copies into fresh bytes, so the key is stable even if
+        // the backing array data is buffer-backed
+        val g = UTF8String.concat(toks.getUTF8String(i), SP, toks.getUTF8String(i + 1))
+        val c = counts.get(g)
+        if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+        i += 1
+      }
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        n2 += c
+        if (c > maxc) maxc = c
+        if (c > 1L) dupc += c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n2, maxc, dupc))
+  }
+}
+
+case class Gram2StatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("maxc", LongType, nullable = false),
+    StructField("dupc", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Gram2Helper.stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Gram2Helper.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Gram2StatsExpr =
     copy(child = newChild)
 }

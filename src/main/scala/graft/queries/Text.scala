@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.NativeExprs
 import graft.operators.TextOps
 
 /** Text-analysis family over the `documents` table: token counting,
@@ -417,28 +418,25 @@ object Text {
     // The repetition rules of Rae et al. 2021 (Gopher, arXiv:2112.11446
     // §A1.1): a document is repetitive when its most common 2-gram
     // accounts for too much of the text, or too many of its 2-grams are
-    // duplicated. Scalable shape: explode adjacent-token 2-grams → two
-    // partial-agg rounds — (doc, gram) counts, then per-doc max / dup
-    // mass — both map-side combinable; the fractions are exact integer
-    // ratios so the double division is engine-identical. Docs with < 2
-    // tokens have no 2-grams and are filtered (the x8 guard).
+    // duplicated. The signals are functions of ONE document's tokens,
+    // so the scalable shape is a zero-shuffle projection — a single
+    // codegen'd pass per row (Gram2StatsExpr) — not an explode +
+    // aggregate over one row per corpus token. The fractions are exact
+    // integer ratios so the double division is engine-identical. Docs
+    // with < 2 tokens have no 2-grams and are filtered (the x8 guard).
     Q("x12_repetition",
       (s, dir) => {
         import s.implicits._
-        val g2 = Tables.load(s, dir, "documents")
+        // the stats are row-local: one codegen'd pass per document
+        // (Gram2StatsExpr), NO explode / groupBy — the former shape
+        // shuffled one row per corpus token, twice
+        Tables.load(s, dir, "documents")
           .select($"doc_id", TextOps.tokens($"text").as("toks"))
           .filter(size($"toks") >= 2)
-          .select($"doc_id", explode(transform(
-            sequence(lit(0), size($"toks") - 2),
-            i => concat_ws(" ", element_at($"toks", i + 1),
-              element_at($"toks", i + 2)))).as("g2"))
-        g2.groupBy($"doc_id", $"g2").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n2"), max($"c").as("maxc"),
-            sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
-          .select($"doc_id", $"n2",
-            ($"maxc".cast("double") / $"n2").as("top2_frac"),
-            ($"dupc".cast("double") / $"n2").as("dup2_frac"))
+          .select($"doc_id", NativeExprs.gram2Stats(s, $"toks").as("st"))
+          .select($"doc_id", $"st.n2".as("n2"),
+            ($"st.maxc".cast("double") / $"st.n2").as("top2_frac"),
+            ($"st.dupc".cast("double") / $"st.n2").as("dup2_frac"))
           .withColumn("repetitive", $"top2_frac" > 0.2 || $"dup2_frac" > 0.6)
           .orderBy($"doc_id")
       },
@@ -589,11 +587,11 @@ object Text {
     // The C4-style end-to-end filter: exact-dup keeper (d1's digest) ∧
     // quality threshold (x2's score) ∧ repetition gate (x12's signals),
     // emitted per document with each gate's verdict so the filter
-    // funnel is inspectable. One corpus pass per signal family, all
-    // partial-agg shapes; the dedup join is on the fixed-width content
-    // hash and the signal join on doc_id — at 100 TB each family runs
-    // exactly as its standalone query does, and the composition adds
-    // only the two joins. Thresholds compare bit-identical doubles
+    // funnel is inspectable. Quality AND repetition signals are
+    // row-local (Gram2StatsExpr), so the whole pipeline is ONE corpus
+    // pass plus the exact-dedup keeper aggregation and its join on the
+    // fixed-width content hash — at 100 TB the only shuffle is the
+    // dedup itself. Thresholds compare bit-identical doubles
     // (exact integer ratios and the x2 formula), so the gates agree
     // across engines.
     Q("x16_filter_pipeline",
@@ -605,18 +603,12 @@ object Text {
           .filter(size($"toks") >= 2)
         val keeper = d.groupBy(md5($"text".cast("binary")).as("h"))
           .agg(min($"doc_id").as("keep_id"))
-        val rep = d.select($"doc_id", explode(transform(
-            sequence(lit(0), size($"toks") - 2),
-            i => concat_ws(" ", element_at($"toks", i + 1),
-              element_at($"toks", i + 2)))).as("g2"))
-          .groupBy($"doc_id", $"g2").agg(count(lit(1)).as("c"))
-          .groupBy($"doc_id")
-          .agg(sum($"c").as("n2"), max($"c").as("maxc"),
-            sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
-          .select($"doc_id", ($"maxc".cast("double") / $"n2").as("top2_frac"),
-            ($"dupc".cast("double") / $"n2").as("dup2_frac"))
+        // repetition + quality signals are all row-local (Gram2StatsExpr
+        // — see x12): ONE pass over the corpus, and the only shuffle
+        // left in the pipeline is the exact-dedup keeper aggregation
         val scored = d.select($"doc_id", $"lang",
             md5($"text".cast("binary")).as("h"),
+            NativeExprs.gram2Stats(s, $"toks").as("st"),
             (size(filter($"toks", t => t.isin(stop.map(lit(_)): _*)))
               .cast("double") / size($"toks")).as("stop_ratio"),
             (size(array_distinct($"toks")).cast("double") / size($"toks"))
@@ -625,7 +617,9 @@ object Text {
           .withColumn("quality",
             lit(0.3) * $"uniq_ratio" + lit(0.4) * (lit(1.0) - $"stop_ratio")
               + lit(0.3) * least(lit(1.0), $"len".cast("double") / lit(256.0)))
-        scored.join(keeper, "h").join(rep, "doc_id")
+          .withColumn("top2_frac", $"st.maxc".cast("double") / $"st.n2")
+          .withColumn("dup2_frac", $"st.dupc".cast("double") / $"st.n2")
+        scored.join(keeper, "h")
           .select($"doc_id", $"lang", $"quality", $"top2_frac", $"dup2_frac",
             ($"doc_id" === $"keep_id").as("dedup_keeper"),
             ($"quality" >= 0.5).as("quality_ok"),

@@ -56,6 +56,40 @@ class NativeExprsSpec extends SparkSpec {
     }
   }
 
+  test("Gram2StatsExpr == explode/groupBy 2-gram stats on documents") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text".as("s"))
+    val edge = Seq("", "one", "a b", "a a", "a a a", "x y x y x y",
+      "  pad   ded  ", "a b a b c a b").toDF("s")
+    val d = docs.union(edge)
+      .select(monotonically_increasing_id().as("id"), TextOps.tokens($"s").as("toks"))
+    // reference: the former explode + double-aggregate shape
+    val ref = d.filter(size($"toks") >= 2)
+      .select($"id", explode(transform(
+        sequence(lit(0), size($"toks") - 2),
+        i => concat_ws(" ", element_at($"toks", i + 1),
+          element_at($"toks", i + 2)))).as("g2"))
+      .groupBy($"id", $"g2").agg(count(lit(1)).as("c"))
+      .groupBy($"id")
+      .agg(sum($"c").as("n2"), max($"c").as("maxc"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dupc"))
+    val native = d.filter(size($"toks") >= 2)
+      .select($"id", NativeExprs.gram2Stats(spark, $"toks").as("st"))
+      .select($"id", $"st.n2".as("n2"), $"st.maxc".as("maxc"), $"st.dupc".as("dupc"))
+    val refRows = ref.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val natRows = native.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(natRows.nonEmpty)
+    assert(natRows === refRows)
+    // < 2 tokens ⇒ all-zero struct (total function, no exception)
+    val z = Seq(Seq.empty[String], Seq("solo")).toDF("toks")
+      .select(NativeExprs.gram2Stats(spark, $"toks").as("st"))
+      .select($"st.n2", $"st.maxc", $"st.dupc").collect()
+    z.foreach(r => assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 0L, 0L))))
+  }
+
   test("GraftExtensions injects the functions for a pure-SQL session") {
     import org.apache.spark.sql.SparkSession
     val prev = spark
