@@ -425,6 +425,58 @@ object Dedup {
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         ORDER BY a_id, b_id""")),
 
+    // ---- Bloom-prefiltered incremental exact dedup ---------------------
+    // Batch-vs-corpus exact dedup where the corpus digest set is
+    // represented by a BROADCAST BLOOM FILTER, not joined row-for-row:
+    // at 100 TB the corpus has ~10^10 digests (too big to broadcast,
+    // expensive to shuffle against every incoming batch), but a 3 %-fpp
+    // bloom of it is ~1.2 GB/10^9 keys — built ONCE by treeAggregate
+    // (a sketch crosses the driver, never rows) and reused across
+    // batches. Batch rows the bloom rejects are DEFINITELY new (no
+    // false negatives) and skip the join entirely; only the pass-through
+    // fraction (true dups + fpp × new) hits the exact keeper join, which
+    // also clears the false positives — so the result is EXACT and the
+    // oracle is the plain left join. The join side stays proportional to
+    // the batch's dup rate, not the corpus.
+    Q("d10_bloom_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val corpus = d.filter($"doc_id" < 400)
+        // the re-keyed sub-50 docs make the batch carry real corpus dups
+        val batch = d.filter($"doc_id" >= 400)
+          .union(d.filter($"doc_id" < 50)
+            .select(($"doc_id" + 200000).as("doc_id"), $"text"))
+        val corpusH = corpus.select(md5($"text".cast("binary")).as("h"), $"doc_id")
+        val bloom = corpusH.stat.bloomFilter("h", 100000L, 0.03)
+        val bc = s.sparkContext.broadcast(bloom)
+        val might = udf((h: String) => bc.value.mightContainString(h))
+        val batchH = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
+        val keepers = corpusH.groupBy($"h").agg(min($"doc_id").as("dup_of"))
+        val pass = batchH.filter(might($"h"))
+          .join(keepers, Seq("h"), "left") // bloom false positives → null
+          .select($"doc_id", $"h", $"dup_of")
+        val skip = batchH.filter(!might($"h"))
+          .select($"doc_id", $"h", lit(null).cast("long").as("dup_of"))
+        pass.union(skip)
+          .select($"doc_id", $"h".as("content_hash"), $"dup_of",
+            $"dup_of".isNotNull.as("is_dup"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 50),
+        ck AS (SELECT md5(text) AS h, min(doc_id) AS dup_of
+          FROM corpus GROUP BY 1)
+        SELECT b.doc_id, b.h AS content_hash, ck.dup_of,
+          ck.dup_of IS NOT NULL AS is_dup
+        FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+        LEFT JOIN ck ON b.h = ck.h
+        ORDER BY b.doc_id""")),
+
     // ---- embedding-cosine near-dup, blocked on label -------------------
     Q("d5_embedding_neardup",
       (s, dir) => {
