@@ -449,6 +449,92 @@ object Misc {
         FROM (SELECT
           (SELECT count(*) FROM v) AS n_view,
           (SELECT count(*) FROM c) AS n_click,
-          (SELECT count(*) FROM p) AS n_purchase)"""))
+          (SELECT count(*) FROM p) AS n_purchase)""")),
+
+    // ---- domain-mixture sampling: hit target proportions ----------------
+    // The training-mix resampler (DoReMi/Pile-style): given target
+    // domain weights, find the largest total the corpus supports
+    // (T = min_d n_d·W/w_d), turn each domain's quota into a per-domain
+    // acceptance rate in basis points, and accept by the m12
+    // multiplicative hash — ALL in exact BIGINT math so both engines
+    // agree row-for-row. Scale shape: the per-domain counts are one
+    // partial agg collapsing to #domains rows; T and the rates live on
+    // a broadcast frame; the accept decision is a per-row projection —
+    // no shuffle of the corpus itself, and the same doc survives on
+    // every engine, run, and cluster size.
+    Q("m15_domain_mix",
+      (s, dir) => {
+        import s.implicits._
+        val W = 10L // weights: web 2, books 5, code 3 (of 10)
+        val wdf = Seq(("web", 2L), ("books", 5L), ("code", 3L)).toDF("domain", "wt")
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("srcnum", expr("try_cast(substring(source, 4, 10) AS INT)"))
+          .withColumn("domain",
+            when($"srcnum" < 10, "web")
+              .when($"srcnum" < 15, "books").otherwise("code"))
+        val counts = docs.groupBy($"domain").agg(count(lit(1)).as("nd"))
+          .join(broadcast(wdf), "domain")
+        val tmax = counts.agg(min(expr(s"(nd * $W) DIV wt")).as("tmax"))
+        val rates = counts.crossJoin(broadcast(tmax))
+          .select($"domain", expr(s"(((wt * tmax) DIV $W) * 10000) DIV nd").as("bp"))
+        docs
+          .withColumn("bucket",
+            (pmod($"doc_id" * 2654435761L + 1013904223L, lit(4294967296L)) % 10000)
+              .cast("long"))
+          .join(broadcast(rates), "domain")
+          .filter($"bucket" < $"bp")
+          .select($"doc_id", $"domain", $"bucket")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                 WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                 ELSE 'code' END AS domain,
+            (doc_id * 2654435761 + 1013904223) % 4294967296 % 10000 AS bucket
+          FROM documents),
+        w(domain, wt) AS (VALUES ('web', 2), ('books', 5), ('code', 3)),
+        c AS (SELECT domain, count(*) AS nd FROM d GROUP BY 1),
+        t AS (SELECT min((nd * 10) // wt) AS tmax FROM c JOIN w USING(domain)),
+        r AS (SELECT domain, (((wt * tmax) // 10) * 10000) // nd AS bp
+              FROM c JOIN w USING(domain) CROSS JOIN t)
+        SELECT d.doc_id, d.domain, CAST(d.bucket AS BIGINT) AS bucket
+        FROM d JOIN r ON d.domain = r.domain
+        WHERE d.bucket < r.bp
+        ORDER BY d.doc_id""")),
+
+    // ---- bounded per-key uniform sample ---------------------------------
+    // k-per-group sampling (eval carve-outs, per-language inspection
+    // sets) as a BOUNDED aggregation: ranking by a multiplicative hash
+    // of the id is a uniform draw without replacement, and TopKAgg's
+    // k-element buffer with map-side combine means exactly k rows per
+    // group cross the shuffle — the row_number()-window form would
+    // sort-shuffle the whole corpus into per-key partitions to keep 20.
+    // Deterministic (no RNG state), so the sample is reproducible and
+    // the DuckDB window mirror is row-identical.
+    Q("m16_keyed_sample",
+      (s, dir) => {
+        import s.implicits._
+        val k = 20
+        val topk = udaf(new graft.operators.TopKAgg(k))
+        Tables.load(s, dir, "documents")
+          .select($"lang", $"doc_id",
+            pmod($"doc_id" * 2654435761L + 1013904223L, lit(4294967296L)).as("hkey"))
+          // hash ASC == top-k by negated score (hkey < 2^32: exact in double)
+          .groupBy($"lang").agg(topk((-$"hkey").cast("double"), $"doc_id").as("top"))
+          .select($"lang", posexplode($"top"))
+          .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+            $"col._2".as("doc_id"), (-$"col._1").cast("long").as("hkey"))
+          .orderBy($"lang", $"rank")
+      },
+      Some("""WITH h AS (
+          SELECT lang, doc_id,
+            (doc_id * 2654435761 + 1013904223) % 4294967296 AS hkey
+          FROM documents),
+        r AS (SELECT lang, doc_id, hkey,
+            row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+          FROM h)
+        SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_id, CAST(hkey AS BIGINT) AS hkey
+        FROM r WHERE rnk <= 20 ORDER BY lang, rank"""))
   )
 }
