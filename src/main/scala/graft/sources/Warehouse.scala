@@ -162,28 +162,41 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     * in place — file paths are arbitrary relative paths, so a legacy
     * `fy=2023/part-x` is as valid a manifest entry as `_v3/fy=2023/y`.
     */
-  private def snapshotFiles(name: String): Seq[String] = {
+  private def snapshotFiles(name: String): Seq[String] = resolveSnapshot(name)._2
+
+  /** Resolve the current snapshot as (manifest name, file list). The
+    * manifest name is the commit-time CAS expectation: a read-modify-
+    * write op (append, partition-scoped upsert) captures it when it
+    * reads its base snapshot and hands it to `commitSnapshot`, which
+    * refuses to flip the pointer if anyone else published in between.
+    */
+  private def resolveSnapshot(name: String): (Option[String], Seq[String]) = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     currentManifest(fs, root) match {
-      case Some(m) => readManifest(fs, new Path(root, m))
-      case None => listDataFiles(fs, root, root)
+      case Some(m) => (Some(m), readManifest(fs, new Path(root, m)))
+      case None => (None, listDataFiles(fs, root, root))
     }
   }
 
-  private def currentManifest(fs: FileSystem, root: Path): Option[String] = {
+  private def currentManifest(fs: FileSystem, root: Path): Option[String] =
+    readPointer(fs, root).orElse(highestManifest(fs, root, exclude = None))
+
+  private def readPointer(fs: FileSystem, root: Path): Option[String] = {
     val ptr = new Path(root, CurrentPtr)
-    if (fs.exists(ptr)) {
-      val in = fs.open(ptr)
-      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-      if (v.nonEmpty) return Some(v)
-    }
-    if (!fs.exists(root)) return None
-    fs.listStatus(root).map(_.getPath.getName).collect {
-      case n @ ManifestRe(v) => (v.toLong, n)
-    }.sortBy(_._1).lastOption.map(_._2)
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    Some(v).filter(_.nonEmpty)
   }
+
+  private def highestManifest(fs: FileSystem, root: Path,
+      exclude: Option[String]): Option[String] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName).collect {
+      case n @ ManifestRe(v) if !exclude.contains(n) => (v.toLong, n)
+    }.sortBy(_._1).lastOption.map(_._2)
 
   /** Recursive data-file listing, paths relative to `root`; skips
     * metadata (dot/underscore-prefixed names — which also skips the
@@ -221,22 +234,58 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       if (seen.isEmpty) 1L else seen.max + 1
     }
 
-  /** Commit a snapshot: write `_manifest_v<n>` (a new file — never
-    * overwritten), flip `_CURRENT` to it, then GC version dirs no
-    * longer referenced by the new OR the immediately-previous snapshot
-    * (readers that resolved before the flip keep one publish of grace).
-    * The pointer flip is the ONLY mutation of shared state — on an
-    * object store it is a single PUT of a tiny file.
+  /** Test seam: invoked after the manifest file is created but before
+    * the `_CURRENT` compare-and-set — the exact window a racing writer
+    * exploits. Tests inject a competing commit here to prove the loser
+    * aborts loudly; production leaves it a no-op.
     */
-  private def commitSnapshot(name: String, n: Long, files: Seq[String]): Unit = {
+  private[graft] var commitTestHook: String => Unit = _ => ()
+
+  /** Commit a snapshot with optimistic concurrency control:
+    *
+    *  1. write `_manifest_v<n>` create-if-absent (two writers that
+    *     allocated the same n: the second create fails loudly);
+    *  2. COMPARE-AND-SET the `_CURRENT` pointer — re-read it and
+    *     require it still names `expectedPrev`, the manifest this
+    *     commit's file list was computed against. If another writer
+    *     published in between, flipping anyway would silently clobber
+    *     its committed snapshot (last-PUT-wins), so instead this
+    *     commit deletes its own orphan manifest + version dir and
+    *     throws ConcurrentModificationException — the caller re-reads
+    *     the table and retries on the fresh snapshot;
+    *  3. flip the pointer, then GC version dirs no longer referenced
+    *     by the new OR the immediately-previous snapshot (readers that
+    *     resolved before the flip keep one publish of grace).
+    *
+    * The check-then-flip pair is not itself atomic on a generic
+    * filesystem — the residual window is the microseconds of the
+    * pointer rename, vs. the whole write-job duration before this
+    * guard. On S3/GCS close it completely with a conditional PUT
+    * (If-Match on the pointer's ETag) in step 3.
+    */
+  private def commitSnapshot(name: String, n: Long, files: Seq[String],
+      expectedPrev: Option[String]): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val prevName = currentManifest(fs, root)
-    val prev = prevName.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
+    val prev = expectedPrev.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
     val mf = new Path(root, s"_manifest_v$n")
     val out = fs.create(mf, false)
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    commitTestHook(name)
+    // CAS: resolve what a reader would see now, ignoring our own
+    // not-yet-current manifest (it may already be the highest-numbered)
+    val observed = readPointer(fs, root)
+      .orElse(highestManifest(fs, root, exclude = Some(mf.getName)))
+    if (observed != expectedPrev) {
+      fs.delete(mf, false)
+      fs.delete(new Path(root, s"_v$n"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on table '$name': this commit was based on " +
+        s"snapshot ${expectedPrev.getOrElse("<none>")} but _CURRENT now " +
+        s"names ${observed.getOrElse("<none>")} — aborted (orphan manifest " +
+        "and version dir removed); re-read the table and retry")
+    }
     val tmp = new Path(root, s"._CURRENT.tmp$n")
     val pout = fs.create(tmp, true)
     try pout.write((mf.getName + "\n").getBytes("UTF-8"))
@@ -251,7 +300,7 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     val live = (files ++ prev).flatMap(_.split("/").headOption).collect {
       case v @ VersionRe(_) => v
     }.toSet
-    val keepManifests = Set(mf.getName) ++ prevName
+    val keepManifests = Set(mf.getName) ++ expectedPrev
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
         case v @ VersionRe(_) if st.isDirectory && !live.contains(v) =>
@@ -302,15 +351,16 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
 
   /** Write `df` into a fresh `_vN` dir and return (n, its files).
     *
-    * Commit concurrency contract: ONE writer per table. Two racing
-    * writers would allocate the same n — ErrorIfExists here (and the
-    * no-overwrite `fs.create` of the manifest in commitSnapshot) turns
-    * that race into a LOUD error for the loser instead of silent
-    * snapshot corruption (an Overwrite would delete the winner's
-    * part-files out from under its manifest). Retrying the loser
-    * allocates a fresh version. True multi-writer needs commit-time
-    * conflict validation (a table format's job — Delta/Iceberg), out
-    * of scope for this warehouse.
+    * Commit concurrency contract: OPTIMISTIC — racing writers are
+    * allowed, exactly one wins. Two writers that allocate the same n
+    * fail here (ErrorIfExists on the version dir) or at the manifest's
+    * no-overwrite create; two writers with different n are serialized
+    * by commitSnapshot's compare-and-set on `_CURRENT` — the loser
+    * aborts with ConcurrentModificationException, cleans up its
+    * orphans, and can retry against the fresh snapshot. This is the
+    * same shape Delta/Iceberg use (write data blind, validate at the
+    * pointer swap), minus their semantic conflict analysis: ANY
+    * intervening commit aborts, even one touching disjoint partitions.
     */
   private def writeVersion(name: String, df: DataFrame,
       partitionCols: Seq[String]): (Long, Seq[String]) = {
@@ -331,14 +381,17 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     */
   def append(name: String, df: DataFrame): Unit =
     if (manifest) {
-      val before = if (exists(name)) snapshotFiles(name) else Nil
+      val (base, before) = resolveSnapshot(name)
       // layout-preserving: a batch appended to a partitioned table
       // writes under the same hive layout (else the mixed layout would
       // silently demote the table to unpartitioned); derived from the
-      // already-resolved snapshot — no second pointer+manifest read
+      // already-resolved snapshot — no second pointer+manifest read.
+      // `base` is the CAS expectation: if anyone publishes between
+      // this resolve and the pointer flip, the commit aborts loudly
+      // instead of silently dropping their rows from the new snapshot.
       val parts = partitionColsFrom(before.headOption)
       val (n, added) = writeVersion(name, df, parts)
-      commitSnapshot(name, n, before ++ added)
+      commitSnapshot(name, n, before ++ added, base)
     } else {
       recover(name)
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
@@ -549,8 +602,10 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
   def atomicPublish(name: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
     if (manifest) {
+      val root = new Path(tablePath(name))
+      val expected = currentManifest(fileSystem(root), root)
       val (n, files) = writeVersion(name, df, partitionCols)
-      commitSnapshot(name, n, files)
+      commitSnapshot(name, n, files, expected)
       return
     }
     val live = new Path(tablePath(name))
@@ -581,11 +636,13 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       // partition-scoped snapshot: new files for the partitions present
       // in `df`, the previous snapshot's files for every other
       // partition — untouched data is REFERENCED, never copied (the
-      // object-store property a rename-swap can't give)
+      // object-store property a rename-swap can't give). Base resolved
+      // BEFORE the write so the whole job is covered by the commit CAS.
+      val (base, baseFiles) = resolveSnapshot(name)
       val (n, added) = writeVersion(name, df, partitionCols)
       val touched = added.map(partitionRel).toSet
-      val kept = snapshotFiles(name).filterNot(f => touched.contains(partitionRel(f)))
-      commitSnapshot(name, n, kept ++ added)
+      val kept = baseFiles.filterNot(f => touched.contains(partitionRel(f)))
+      commitSnapshot(name, n, kept ++ added, base)
       return
     }
     val live = new Path(tablePath(name))

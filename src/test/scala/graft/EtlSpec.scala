@@ -367,6 +367,39 @@ class EtlSpec extends SparkSpec {
     assert(vdirs === Set("_v3", "_v4"), s"stale versions not GC'd: $vdirs")
   }
 
+  test("warehouse: racing manifest commits — exactly one wins, loser aborts loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whcas").toString
+    val whA = new Warehouse(spark, tmp, manifest = true)
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
+    // Inject B's full commit into A's window between manifest create
+    // and pointer CAS — the interleaving that, under last-PUT-wins,
+    // would silently clobber B's committed snapshot.
+    var fired = false
+    whA.commitTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((3L, "B")).toDF("k", "v"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    }
+    whA.commitTestHook = _ => ()
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's snapshot is intact — nothing lost; A's rows did not land
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (3L, "B")), "winner's commit must survive the race")
+    // the loser left no dangling state: every manifest on disk is the
+    // current or previous snapshot, every version dir is referenced
+    val entries = new java.io.File(s"$tmp/t").listFiles().map(_.getName).toSet
+    assert(!entries.contains("_manifest_v2") && !entries.contains("_v2"),
+      s"loser's orphan manifest/version dir must be removed: $entries")
+    // and the loser's retry against the fresh snapshot succeeds
+    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (2L, "A"), (3L, "B")), "retry must land on top of the winner")
+  }
+
   test("warehouse: manifest partition-scoped upsert references untouched files") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh10").toString
