@@ -52,7 +52,11 @@ object Bench {
     // precision is far below run-to-run noise, so round to 3 decimals
     // on the reported line and keep the full-precision dump in
     // target/bench_detail.json for local diffing.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // String.format with an explicit ROOT locale: the f-interpolator
+    // uses the JVM default, and a comma-decimal locale (de_DE) would
+    // emit "1,234" — breaking the one-line JSON the driver parses
+    def r3(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(fmt: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")

@@ -257,6 +257,17 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * full-corpus-sized shuffle and none at all. Tokens come from
   * TextOps.tokens (split on ' '), so the ' '-joined gram key cannot
   * collide.
+  *
+  * Memory contract: the transient HashMap holds ONE document's
+  * distinct 2-grams — O(min(tokens, distinct grams)) per row, freed
+  * per row. This assumes documents bounded well below executor task
+  * memory: a 10M-token outlier costs a few hundred MB transiently
+  * (survivable); a multi-GB single document would not be — but such a
+  * row already exceeds what the corpus contract admits (the x16
+  * curation pipeline's length gate rejects it before the repetition
+  * signals run, and a single Spark row is itself hard-capped at 2 GB).
+  * Deliberately NOT capped internally: a silent token cap would
+  * diverge from the exact whole-document oracle semantics.
   */
 object Gram2Helper {
   private val SP = UTF8String.fromString(" ")

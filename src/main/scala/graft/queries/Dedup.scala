@@ -450,13 +450,25 @@ object Dedup {
         val corpusH = corpus.select(md5($"text".cast("binary")).as("h"), $"doc_id")
         val bloom = corpusH.stat.bloomFilter("h", 100000L, 0.03)
         val bc = s.sparkContext.broadcast(bloom)
-        val might = udf((h: String) => bc.value.mightContainString(h))
+        // null-guarded: a null text digests to a null h, which is
+        // trivially NEW (routes to the skip branch; the oracle's left
+        // join on NULL never matches either). The probe is a Scala UDF
+        // because Spark exposes no public bloom-probe expression — but
+        // it runs ONCE per row, on the persisted narrow frame below.
+        val might = udf((h: String) => h != null && bc.value.mightContainString(h))
+        // ONE scan of the batch, ONE md5 + bloom probe per row: the
+        // (id, 32-char hash, flag) projection is persisted so the two
+        // branches below read columnar cache, not the source twice.
+        // Only the bloom-pass fraction (dups + fpp × new) shuffles
+        // into the keeper join; definite-new rows bypass it entirely.
         val batchH = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
+          .withColumn("might", might($"h"))
+          .persist()
         val keepers = corpusH.groupBy($"h").agg(min($"doc_id").as("dup_of"))
-        val pass = batchH.filter(might($"h"))
+        val pass = batchH.filter($"might")
           .join(keepers, Seq("h"), "left") // bloom false positives → null
           .select($"doc_id", $"h", $"dup_of")
-        val skip = batchH.filter(!might($"h"))
+        val skip = batchH.filter(!$"might")
           .select($"doc_id", $"h", lit(null).cast("long").as("dup_of"))
         pass.union(skip)
           .select($"doc_id", $"h".as("content_hash"), $"dup_of",

@@ -488,8 +488,8 @@ object Misc {
       },
       Some("""WITH d AS (
           SELECT doc_id,
-            CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'web'
-                 WHEN CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+            CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                 WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 'books'
                  ELSE 'code' END AS domain,
             (doc_id * 2654435761 + 1013904223) % 4294967296 % 10000 AS bucket
           FROM documents),
