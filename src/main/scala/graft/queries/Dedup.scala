@@ -122,21 +122,84 @@ object Dedup {
     * persisted LSH INDEX stores — d9's incremental dedup probes it
     * with a new batch's band keys.
     */
-  private[graft] def lshBandKeys(sh: DataFrame): DataFrame = {
+  private[graft] def lshBandKeys(sh: DataFrame): DataFrame =
+    bandKeysOf(signaturesFrom(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** MinHash signatures (doc_id, sig) from a shingled frame: one pass
+    * over the exploded fingerprints (typed MinHashAgg, fixed-width
+    * buffer, map-side combine).
+    */
+  private[graft] def signaturesFrom(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val ex = sh
       .select($"doc_id", explode($"shs").as("sh"))
       .select($"doc_id", graft.functions.NativeExprs.rollingHash(s, $"sh").as("fp"))
     val minhash = udaf(new graft.operators.MinHashAgg(NUM_PERM))
-    val sig = ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ex.groupBy($"doc_id").agg(minhash($"fp").as("sig"))
+  }
+
+  /** (doc_id, band, bkey) from a (doc_id, sig) frame — banding is a
+    * pure projection of the signature, so a side whose signatures are
+    * LOADED (a persisted index) derives its band keys without touching
+    * corpus text.
+    */
+  private[graft] def bandKeysOf(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
     sig.select($"doc_id",
       explode(transform(sequence(lit(0), lit(15)), b => struct(
         b.as("band"),
         concat_ws(",", transform(slice($"sig", b * 4 + 1, lit(4)),
           v => v.cast("string"))).as("bkey")))).as("bk"))
       .select($"doc_id", $"bk.band", $"bk.bkey")
+  }
+
+  /** Persistable LSH index: one row per document with its distinct
+    * 3-gram shingles and 64-perm MinHash signature — everything an
+    * incremental probe needs, so ingest-time dedup reads the index
+    * TABLE and never re-scans or re-shingles corpus text. Publish via
+    * Warehouse (manifest mode) and keep it fresh by appending each
+    * accepted batch's own `buildLshIndex` rows. At 100 TB the `shs`
+    * column would hold 64-bit shingle fingerprints (same confirm join,
+    * ~10× smaller); strings are kept so the exact-Jaccard confirm is
+    * bit-identical to the whole-document oracle.
+    */
+  def buildLshIndex(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = shingledFrom(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.join(signaturesFrom(sh), "doc_id").select($"doc_id", $"shs", $"sig")
+  }
+
+  /** d9's incremental flow against a PERSISTED index: the corpus side
+    * is `index` (doc_id, shs, sig) — loaded, never recomputed; by
+    * construction this probe cannot re-shingle the corpus because it
+    * never sees corpus text. Batch signatures are computed fresh,
+    * candidates need ≥1 batch member (batch×corpus + batch×batch,
+    * never corpus×corpus), confirm is exact Jaccard over the stored
+    * shingle sets. Work ∝ |batch| · collision rate, independent of
+    * corpus size beyond the band-key equi-join.
+    */
+  def incrementalPairsAgainstIndex(index: DataFrame, batch: DataFrame,
+      tau: Double): DataFrame = {
+    val s = index.sparkSession
+    import s.implicits._
+    val bsh = shingledFrom(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsig = signaturesFrom(bsh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchBands = bandKeysOf(bsig)
+    val allBands = batchBands.unionByName(bandKeysOf(index.select($"doc_id", $"sig")))
+    val cands = batchBands.select($"doc_id".as("a_id"), $"band", $"bkey")
+      .join(allBands.select($"doc_id".as("b_id"), $"band", $"bkey"), Seq("band", "bkey"))
+      .filter($"a_id" =!= $"b_id")
+      .select(least($"a_id", $"b_id").as("a_id"),
+        greatest($"a_id", $"b_id").as("b_id"))
+      .distinct()
+    confirmJaccard(bsh.unionByName(index.select($"doc_id", $"shs")), cands, tau)
   }
 
   /** LSH candidate pairs from the band keys. `bucketCap = None` (d3's
@@ -361,6 +424,30 @@ object Dedup {
             greatest($"a_id", $"b_id").as("b_id"))
           .distinct()
         confirmJaccard(sh, cands, 0.5)
+      },
+      Some(s"""WITH ${jaccardPairsCte("0.5", 100)}
+        SELECT a_id, b_id, inter, jaccard FROM jpairs
+        WHERE a_id >= 400 OR b_id >= 400
+        ORDER BY a_id, b_id""")),
+
+    // ---- incremental near-dup via a PERSISTED LSH index ----------------
+    // The full production ingest round-trip: build the corpus index
+    // (shingles + signatures) ONCE, publish it through the manifest
+    // Warehouse, then dedup a new batch by PROBING THE LOADED TABLE —
+    // the corpus text is never re-read or re-shingled (the probe API
+    // never even receives it). Same oracle as d9: the incremental
+    // result equals the full exact pair set restricted to pairs
+    // touching the batch whenever LSH recall is 1.
+    Q("d11_index_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-lshidx").toString,
+          manifest = true)
+        wh.atomicPublish("lsh_index", buildLshIndex(d.filter($"doc_id" < 400)))
+        incrementalPairsAgainstIndex(
+          wh.read("lsh_index"), d.filter($"doc_id" >= 400), 0.5)
       },
       Some(s"""WITH ${jaccardPairsCte("0.5", 100)}
         SELECT a_id, b_id, inter, jaccard FROM jpairs

@@ -22,6 +22,31 @@ class DedupSimSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("persisted LSH index: probe of the LOADED table matches d9's recompute") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    val d = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshidx-spec").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    // index the corpus once, through the manifest publish (real
+    // parquet round-trip — signatures and shingles come back from
+    // disk, not from the lineage that computed them)
+    wh.atomicPublish("lsh_index", Dedup.buildLshIndex(d.filter($"doc_id" < 400)))
+    val idx = wh.read("lsh_index")
+    // the probe API receives ONLY the loaded index + the batch: it is
+    // structurally unable to re-shingle corpus text
+    val inc = Dedup.incrementalPairsAgainstIndex(idx, d.filter($"doc_id" >= 400), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = q("d9_incremental_dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full, "index probe must equal the recompute-everything path")
+    assert(inc.nonEmpty)
+    // incremental index maintenance: appending the accepted batch's own
+    // index rows keeps one queryable table covering corpus + batch
+    wh.append("lsh_index", Dedup.buildLshIndex(d.filter($"doc_id" >= 400)))
+    assert(wh.read("lsh_index").count() === d.count())
+  }
+
   test("simhash banding finds the hamming<=3 pairs (non-empty, symmetric-free)") {
     val pairs = q("d4_simhash").collect()
     assert(pairs.nonEmpty)
