@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The actual codec step is STUBBED — this container has no image or
-  * audio libraries — behind `MediaCodec`, a deterministic fake that
-  * "decodes" a fixed header + payload layout. Everything Spark-side is
-  * real and tested: the parquet-able schema, the mapPartitions batch
-  * shape (bounded batches, iterator-in/iterator-out — the same
-  * contract a vectorized/Arrow UDF would have), the partitioning
-  * behavior, and the output schemas. Swapping MediaCodec for a real
-  * JNI/javacpp codec changes no plan shape.
+  * The codec is PLUGGABLE (`Codec`). Two implementations ship:
+  * `ImageIoCodec` — REAL PNG/JPEG decode via the in-JDK
+  * javax.imageio, pixels → integer luma samples — and `MediaCodec`,
+  * the deterministic fake for the kinds this container has no library
+  * for (audio/video). `AutoCodec` (the default) dispatches on the
+  * payload's magic bytes. Everything Spark-side is real and tested:
+  * the parquet-able schema, the mapPartitions batch shape (bounded
+  * batches, iterator-in/iterator-out — the same contract a
+  * vectorized/Arrow UDF would have), the partitioning behavior, and
+  * the output schemas. Swapping in a JNI/javacpp audio/video codec
+  * changes no plan shape.
   *
   * Scale notes: payloads stay off the driver (mapPartitions only); a
   * 100 TB media table partitions by content hash; decode is
@@ -23,6 +26,14 @@ import org.apache.spark.sql.types._
   * small float vector), so the expensive scan writes a skinny result.
   */
 object Multimodal {
+
+  /** Payload → integer samples in [0, 256), or None for undecodable
+    * bytes (the caller's quarantine channel). Implementations must be
+    * closure-serializable — they ship to executors via mapPartitions.
+    */
+  trait Codec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[Array[Int]]
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -39,7 +50,7 @@ object Multimodal {
     * the deterministic fake derives "pixels"/"samples" from the payload
     * bytes so every downstream op has stable, assertable output.
     */
-  object MediaCodec {
+  object MediaCodec extends Codec {
     val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
 
     def encode(kind: String, payload: Array[Byte]): Array[Byte] =
@@ -54,6 +65,87 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Option[Array[Int]] =
       if (bytes == null || bytes.length < 5 || !bytes.take(4).sameElements(Magic)) None
       else Some(bytes.drop(5).map(b => b & 0xff))
+  }
+
+  /** REAL image decode via the in-JDK javax.imageio (PNG, JPEG, GIF,
+    * BMP — whatever the JRE's registered readers handle): pixels in
+    * row-major order → integer luma (ITU-R 601 in integer math, so the
+    * value is deterministic across JVMs; a gray pixel r=g=b=v maps to
+    * exactly v, which is what makes lossless PNG digest-oracle-able).
+    * Headless-safe: ImageIO needs no display.
+    */
+  object ImageIoCodec extends Codec {
+    def decode(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes == null || bytes.length == 0) return None
+      // ImageIO returns null for unrecognized formats but THROWS on a
+      // recognized-but-corrupt payload (truncated JPEG) — both are the
+      // same quarantine case for a 100 TB crawl
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(i) = (r * 299 + g * 587 + b * 114) / 1000
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+
+    /** Encode row-major gray samples as a real PNG (test/ingest
+      * helper; lossless, so decode(encodePng(px)) == px exactly).
+      */
+    def encodePng(width: Int, height: Int, samples: Array[Int]): Array[Byte] = {
+      require(samples.length == width * height, "samples must be width*height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      var i = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = samples(i) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Default codec: dispatch on the payload's magic bytes — GRFT →
+    * stub, PNG/JPEG/GIF/BMP signatures → ImageIO; anything else is
+    * undecodable (None → the row drops to the quarantine channel).
+    */
+  object AutoCodec extends Codec {
+    def decode(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes == null || bytes.length < 4) return None
+      val b0 = bytes(0) & 0xff
+      val b1 = bytes(1) & 0xff
+      if (bytes.take(4).sameElements(MediaCodec.Magic)) MediaCodec.decode(bytes)
+      else if ((b0 == 0x89 && b1 == 'P') || // PNG
+        (b0 == 0xff && b1 == 0xd8) || // JPEG
+        (b0 == 'G' && b1 == 'I') || // GIF
+        (b0 == 'B' && b1 == 'M')) // BMP
+        ImageIoCodec.decode(bytes)
+      else None
+    }
   }
 
   private val featDim = 16
@@ -87,7 +179,7 @@ object Multimodal {
     * n_samples in the output is the POST-resize length.
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64,
-      resizeTo: Option[Int] = None): DataFrame = {
+      resizeTo: Option[Int] = None, codec: Codec = AutoCodec): DataFrame = {
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -101,7 +193,7 @@ object Multimodal {
           // one "batch decode" call — the boundary a vectorized codec
           // (or mapInArrow) would cross once per batch, not per row
           batch.iterator.flatMap { r =>
-            MediaCodec.decode(r.getAs[Array[Byte]]("media")).map { decoded =>
+            codec.decode(r.getAs[Array[Byte]]("media")).map { decoded =>
               val samples = resizeTo.map(resize(decoded, _)).getOrElse(decoded)
               Row(r.getLong(0), r.getString(1), samples.length, features(samples))
             }
@@ -114,7 +206,8 @@ object Multimodal {
     * frames, keep every k-th frame, featurize each — one output row per
     * kept frame.
     */
-  def sampleFrames(media: DataFrame, everyK: Int = 2, batchSize: Int = 64): DataFrame = {
+  def sampleFrames(media: DataFrame, everyK: Int = 2, batchSize: Int = 64,
+      codec: Codec = AutoCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -126,7 +219,7 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.flatMap { r =>
             val nFrames = math.max(1, r.getInt(2))
-            MediaCodec.decode(r.getAs[Array[Byte]]("media")).toSeq.flatMap { samples =>
+            codec.decode(r.getAs[Array[Byte]]("media")).toSeq.flatMap { samples =>
               val frameLen = math.max(1, samples.length / nFrames)
               (0 until nFrames by everyK).map { f =>
                 val frame = samples.slice(f * frameLen, (f + 1) * frameLen)

@@ -314,6 +314,45 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM rs GROUP BY media_id, kind ORDER BY media_id""")),
 
+    // ---- REAL image decode: PNG bytes → javax.imageio → features -------
+    // m9's digest technique over ACTUAL image bytes: each payload is a
+    // real PNG (encoded driver-side from the same SQL-regenerable gray
+    // formula), decoded on executors by the in-JDK ImageIO through the
+    // default AutoCodec's magic-byte dispatch. Gray pixels survive the
+    // lossless round-trip exactly (integer luma of r=g=b=v is v), so
+    // the oracle regenerates the pixel formula and never sees PNG
+    // bytes — the decode step itself is what's under test.
+    Q("m17_png_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val w = 8 + i % 4
+          val h = 12
+          val px = Array.tabulate(w * h)(j => (i * 37 + j * 11) % 256)
+          org.apache.spark.sql.Row(i.toLong, "image",
+            Multimodal.ImageIoCodec.encodePng(w, h, px),
+            org.apache.spark.sql.Row(w, h, 0, 0))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.extractFeatures(media, batchSize = 16)
+          .select($"media_id", $"kind", $"n_samples",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"kind", $"n_samples")
+          .agg(sum(round($"f".cast("double") * $"n_samples") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST((8 + i % 4) * 12 AS INT) AS n_samples
+          FROM range(60) t(i)),
+        ex AS (SELECT media_id, n_samples, unnest(range(n_samples)) AS j FROM m)
+        SELECT media_id, 'image' AS kind, n_samples,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // At scale the sketch merge replaces a full shuffle-distinct; the
     // production query is approx-only. For the correctness gate the

@@ -63,6 +63,62 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).distinct.sorted.toSeq === Seq(0, 2))
   }
 
+  test("real PNG decode: ImageIO round-trip recovers exact gray pixels") {
+    import graft.multimodal.Multimodal.ImageIoCodec
+    // lossless contract: encodePng → decode is the identity on gray
+    // samples (luma of r=g=b=v is exactly v)
+    val px = Array.tabulate(96)(j => (j * 11) % 256)
+    val bytes = ImageIoCodec.encodePng(8, 12, px)
+    assert(bytes.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    assert(ImageIoCodec.decode(bytes).get.toSeq === px.toSeq)
+    // and the default AutoCodec dispatches PNG bytes to ImageIO
+    assert(Multimodal.AutoCodec.decode(bytes).get.toSeq === px.toSeq)
+  }
+
+  test("extractFeatures over real PNG bytes matches features of the raw pixels") {
+    val rows = (0 until 24).map { i =>
+      val w = 8 + i % 4
+      val px = Array.tabulate(w * 12)(j => (i * 37 + j * 11) % 256)
+      Row(i.toLong, "image", Multimodal.ImageIoCodec.encodePng(w, 12, px),
+        Row(w, 12, 0, 0))
+    }
+    val media = spark.createDataFrame(sc.parallelize(rows, 3), Multimodal.mediaSchema)
+    // no-resize path (m9 shape): features computed on executors from
+    // DECODED image bytes must equal features of the source pixels
+    val got = Multimodal.extractFeatures(media, batchSize = 8).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2),
+        r.getAs[scala.collection.Seq[Float]]("feature").toSeq)).toMap
+    (0 until 24).foreach { i =>
+      val w = 8 + i % 4
+      val px = Array.tabulate(w * 12)(j => (i * 37 + j * 11) % 256)
+      assert(got(i.toLong) === ((w * 12, Multimodal.features(px).toSeq)),
+        s"media $i: decoded-PNG features must equal raw-pixel features")
+    }
+    // resize path (m11 shape): stride-subsample AFTER the real decode
+    val resized = Multimodal.extractFeatures(media, batchSize = 8, resizeTo = Some(64))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(resized.values.toSet === Set(64))
+  }
+
+  test("real JPEG decodes through AutoCodec; garbage with a JPEG magic drops") {
+    import graft.multimodal.Multimodal.ImageIoCodec
+    // JPEG is lossy — assert decodability + shape, not exact pixels
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach { x =>
+      val v = (x * 16 + y) % 256; img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    })
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+    val decoded = Multimodal.AutoCodec.decode(jpeg)
+    assert(decoded.isDefined && decoded.get.length === 256)
+    assert(decoded.get.forall(v => v >= 0 && v < 256))
+    // truncated JPEG header only → ImageIO returns null → quarantine
+    assert(Multimodal.AutoCodec.decode(Array(0xff.toByte, 0xd8.toByte, 0, 0)).isEmpty)
+  }
+
   test("resize subsamples deterministically") {
     val s = Array.tabulate(100)(identity)
     val r = Multimodal.resize(s, 10)
