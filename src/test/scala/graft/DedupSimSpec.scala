@@ -76,13 +76,56 @@ class DedupSimSpec extends SparkSpec {
   }
 
   test("trained IVF codebook: recall on a clustered corpus >= the pinned floor") {
+    import graft.operators.IvfCodebook
+    // clustered synthetic corpus (clusteredCorpus below): the
+    // distribution where an UNTRAINED (sampled) codebook places
+    // arbitrary-quality centroids but Lloyd's recovers the true
+    // cluster structure; the every-37th init is misaligned (duplicate/
+    // missing clusters), so training has real work to do
+    val (e, init, queries) = clusteredCorpus()
+    val trained = clusteredRecall(e, queries,
+      IvfCodebook.train(e, init, 3).persist(), nprobe = 4)
+    // the floor pinned for sim2 on the driver corpus — a TRAINED
+    // codebook on a cleanly clustered corpus must clear it easily
+    assert(trained >= 0.6, s"trained recall $trained below pinned floor")
+    // and it must recover near-perfect structure here: at nprobe=4 of
+    // ~20 trained centroids, each query's true cluster is probed
+    assert(trained >= 0.9, s"trained recall $trained; Lloyd's failed to converge")
+  }
+
+  test("trained IVF recall curve: pinned floor per nprobe setting") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     import graft.operators.IvfCodebook
-    // clustered synthetic corpus: 20 well-separated gaussian centers,
-    // 50 points each — the distribution where an UNTRAINED (sampled)
-    // codebook places arbitrary-quality centroids but Lloyd's recovers
-    // the true cluster structure
+    // same clustered corpus + training as above (seed 42 — fully
+    // deterministic), swept over the probe width. These floors pin the
+    // quality contract: a codebook or assignment change that silently
+    // degrades recall at ANY probe width fails here, not in production.
+    val (e, init, queries) = clusteredCorpus()
+    val cents = IvfCodebook.train(e, init, 3).persist()
+    val recalls = Seq(1, 2, 4, 8).map(np => np -> clusteredRecall(e, queries, cents, np))
+    // floors pinned just below the deterministic measured values on
+    // this corpus (0.825 at nprobe=1; wider probes clear their floors
+    // with margin)
+    val floors = Map(1 -> 0.8, 2 -> 0.9, 4 -> 0.9, 8 -> 0.95)
+    recalls.foreach { case (np, r) =>
+      assert(r >= floors(np), s"recall@10 $r at nprobe=$np below pinned floor ${floors(np)}")
+    }
+    // widening the probe can only add candidate lists: recall is
+    // monotone non-decreasing in nprobe
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall fell from $r1 (nprobe=$np1) to $r2 (nprobe=$np2)")
+    }
+  }
+
+  /** The deterministic clustered corpus shared by the trained-codebook
+    * tests: 20 well-separated gaussian centers × 50 points (seed 42),
+    * a misaligned every-37th init, one query per cluster.
+    */
+  private def clusteredCorpus(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
     val dim = 16; val k = 20; val per = 50
     val centers = Array.fill(k, dim)(rnd.nextGaussian().toFloat * 3f)
@@ -93,38 +136,34 @@ class DedupSimSpec extends SparkSpec {
       .select($"vec_id", $"embedding",
         sqrt(graft.functions.NativeExprs.dot(spark, $"embedding", $"embedding")).as("nrm"))
       .persist()
-    // misaligned seed (every 37th): starts with duplicate/missing
-    // clusters, so training has real work to do
     val init = e.filter($"vec_id" % 37 === 0)
       .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
     val queries = e.filter($"vec_id" % per === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-    def recallOf(cents: org.apache.spark.sql.DataFrame): Double = {
-      val assigned = IvfCodebook.assign(e, cents)
-      val ivf = IvfCodebook.topk(e, queries, cents, assigned, 4, 10)
-        .select("q_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val brute = {
-        val q = queries
-        val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id",
-            (graft.functions.NativeExprs.dot(spark, $"q_emb", $"embedding")
-              / ($"q_nrm" * $"nrm")).as("cos"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-        scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
-          .select("q_id", "vec_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-      }
-      (brute & ivf).size.toDouble / brute.size
-    }
-    val trained = recallOf(IvfCodebook.train(e, init, 3).persist())
-    // the floor pinned for sim2 on the driver corpus — a TRAINED
-    // codebook on a cleanly clustered corpus must clear it easily
-    assert(trained >= 0.6, s"trained recall $trained below pinned floor")
-    // and it must recover near-perfect structure here: at nprobe=4 of
-    // ~20 trained centroids, each query's true cluster is probed
-    assert(trained >= 0.9, s"trained recall $trained; Lloyd's failed to converge")
+    (e, init, queries)
+  }
+
+  /** recall@10 of the IVF probe vs the brute-force cosine top-10. */
+  private def clusteredRecall(emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int): Double = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.IvfCodebook
+    val assigned = IvfCodebook.assign(emb, cents)
+    val ivf = IvfCodebook.topk(emb, queries, cents, assigned, nprobe, 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (graft.functions.NativeExprs.dot(spark, $"q_emb", $"embedding")
+          / ($"q_nrm" * $"nrm")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val brute = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (brute & ivf).size.toDouble / brute.size
   }
 
   test("cluster subdivision bounds SemDeDup pairwise work on a skewed corpus") {
