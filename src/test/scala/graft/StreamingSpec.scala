@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("events").select($"event_id").distinct().count() === expected)
   }
 
+  test("manifest commit CAS linearizes a compaction racing the streaming sink") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-race").toString
+    val src = s"$tmp/src"
+    val ckpt = s"$tmp/ckpt"
+    val whSink = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val whMaint = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val all = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+    def runSink(): Unit =
+      EventStream.sinkToWarehouse(
+        EventStream.read(spark, src), whSink, "events", Seq("event_id"), ckpt)
+        .awaitTermination(120000)
+    // wave 1 lands normally
+    all.filter($"event_id" % 2 === 0).write.mode("overwrite").parquet(src)
+    runSink()
+    val wave1 = whSink.read("events").count()
+    assert(wave1 > 0)
+    // arm: a maintenance compaction commits INSIDE wave 2's upsert
+    // commit window (after its manifest write, before the pointer CAS)
+    // — the exact interleaving where a last-PUT-wins pointer would
+    // silently drop either the compaction or the micro-batch
+    var fired = false
+    whSink.commitTestHook = _ => if (!fired) { fired = true; whMaint.compact("events") }
+    all.filter($"event_id" % 2 === 1).write.mode("append").parquet(src)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { runSink() }
+    whSink.commitTestHook = _ => ()
+    assert(e.getCause.toString.contains("ConcurrentModification") ||
+      e.toString.contains("concurrent commit"),
+      s"sink must lose the race LOUDLY, got: $e")
+    // the losing micro-batch never committed: the compaction's snapshot
+    // is intact and complete
+    assert(whSink.read("events").count() === wave1)
+    // restart over the same checkpoint: the failed batch re-delivers,
+    // the keyed upsert applies it idempotently on top of the compacted
+    // snapshot — exactly-once in effect across the injected compaction
+    runSink()
+    val expected = all.select($"event_id").distinct().count()
+    assert(whSink.read("events").count() === expected)
+    assert(whSink.read("events").select($"event_id").distinct().count() === expected)
+  }
+
   test("mapGroupsWithState: idle user state times out and is removed") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
