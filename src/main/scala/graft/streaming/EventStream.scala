@@ -118,12 +118,29 @@ object EventStream {
     */
   def sinkToWarehouse(df: DataFrame, wh: graft.sources.Warehouse, table: String,
       keyCols: Seq[String], checkpoint: String,
-      partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      partitionCols: Seq[String] = Nil,
+      commitRetries: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        wh.upsert(table, batch, keyCols, partitionCols)
+        // A concurrent publisher (e.g. a maintenance compact) racing
+        // this micro-batch makes the upsert's commit CAS abort loudly;
+        // the upsert is key-idempotent and re-resolves the fresh
+        // snapshot on entry, so a bounded retry is safe and keeps the
+        // stream alive through routine maintenance. Past the budget
+        // the loss propagates: the query fails, the batch stays
+        // uncommitted in the checkpoint, and a restart re-delivers it.
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { wh.upsert(table, batch, keyCols, partitionCols); done = true }
+          catch {
+            case e: java.util.ConcurrentModificationException =>
+              if (attempt >= commitRetries) throw e
+              attempt += 1
+          }
+        }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -138,9 +138,12 @@ class StreamingSpec extends SparkSpec {
     val whSink = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
     val whMaint = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
     val all = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+    // commitRetries = 0: prove the LOUD-loss path (the default bounded
+    // retry would absorb the race — covered by the next test)
     def runSink(): Unit =
       EventStream.sinkToWarehouse(
-        EventStream.read(spark, src), whSink, "events", Seq("event_id"), ckpt)
+        EventStream.read(spark, src), whSink, "events", Seq("event_id"), ckpt,
+        commitRetries = 0)
         .awaitTermination(120000)
     // wave 1 lands normally
     all.filter($"event_id" % 2 === 0).write.mode("overwrite").parquet(src)
@@ -166,6 +169,31 @@ class StreamingSpec extends SparkSpec {
     // the keyed upsert applies it idempotently on top of the compacted
     // snapshot — exactly-once in effect across the injected compaction
     runSink()
+    val expected = all.select($"event_id").distinct().count()
+    assert(whSink.read("events").count() === expected)
+    assert(whSink.read("events").select($"event_id").distinct().count() === expected)
+  }
+
+  test("sink's bounded retry absorbs a racing compaction without losing rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-retry").toString
+    val src = s"$tmp/src"
+    val whSink = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val whMaint = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val all = spark.read.schema(EventStream.eventSchema).parquet(eventsDir)
+    all.filter($"event_id" % 2 === 0).write.mode("overwrite").parquet(src)
+    EventStream.sinkToWarehouse(EventStream.read(spark, src), whSink, "events",
+      Seq("event_id"), s"$tmp/ckpt").awaitTermination(120000)
+    // same injected race as above, but the DEFAULT commitRetries=2
+    // absorbs it: first attempt loses the CAS, the retry re-resolves
+    // the compacted snapshot and lands — the stream stays alive
+    var fired = false
+    whSink.commitTestHook = _ => if (!fired) { fired = true; whMaint.compact("events") }
+    all.filter($"event_id" % 2 === 1).write.mode("append").parquet(src)
+    EventStream.sinkToWarehouse(EventStream.read(spark, src), whSink, "events",
+      Seq("event_id"), s"$tmp/ckpt").awaitTermination(120000)
+    whSink.commitTestHook = _ => ()
+    assert(fired, "the compaction must actually have raced the commit")
     val expected = all.select($"event_id").distinct().count()
     assert(whSink.read("events").count() === expected)
     assert(whSink.read("events").select($"event_id").distinct().count() === expected)
