@@ -30,7 +30,15 @@ object Bench {
     // a failed query is reported as -1 (not a plausible-looking wall
     // time) and named in "failed" — silent failure would corrupt the
     // benchmark comparison
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local root-causing of one
+    // query's number without paying the full 71-query run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         // queries that persist intermediate frames (d3/d7 shingles,
         // sim2/d8 codebook) would otherwise hand run 2 a live SQL cache

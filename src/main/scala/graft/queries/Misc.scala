@@ -60,9 +60,19 @@ object Misc {
     Q("m3_month_agg",
       (s, dir) => {
         import s.implicits._
+        // Aggregate on the numeric yyyymm key — year()/month() on a
+        // DateType are integer math on days-since-epoch, whereas
+        // date_format runs a timezone-aware formatter per input row.
+        // The pretty "yyyy-MM" string is produced AFTER the agg, on
+        // ~#months rows instead of #orders rows (r5 bench: 0.36 s →
+        // this shape; the formatter was the per-row hot path).
         Tables.load(s, dir, "orders")
-          .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+          .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate")).as("ym"))
           .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+          .select(
+            format_string("%04d-%02d", ($"ym" / 100).cast("int"), $"ym" % 100)
+              .as("month"),
+            $"n_orders", $"revenue")
           .orderBy($"month")
       },
       Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month,
