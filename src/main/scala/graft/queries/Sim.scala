@@ -18,6 +18,12 @@ import graft.Tables
   * centroids and only scans those posting lists. At 100 TB the corpus
   * is partitioned by centroid id, so a probe touches nprobe/|C| of the
   * data.
+  *
+  * sim3 and sim4 are the memory scale paths: sim3 stores int8 scalar-
+  * quantized vectors (4× smaller, near-lossless ranking), sim4 stores
+  * 8 product-quantization sub-codes per vector (~32× smaller) and
+  * re-ranks an ADC shortlist with full-precision vectors (the FAISS
+  * IVFPQ+refine shape; recall floors pinned in DedupSimSpec).
   */
 object Sim {
 
@@ -25,6 +31,16 @@ object Sim {
   def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a)+1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x,y) -> x+y)""".stripMargin
+
+  /** DuckDB mirror of sim4's squared-L2: the dot identity
+    * `(sd − 2·⟨a,b⟩) + cd` with precomputed self-dots, the same three
+    * elementary double ops in the same order as the Spark side — a
+    * fold-of-squared-diffs HOF would be CodegenFallback on Spark's
+    * side (interpreted per row on the n×|C| training expansion), while
+    * the inner product is the codegen'd NativeExprs.dot.
+    */
+  def duckL2(sd: String, a: String, b: String, cd: String): String =
+    s"""($sd - 2.0 * ${duckDot(a, b)}) + $cd"""
 
   /** Codegen'd dot product (NativeExprs) — bit-identical to
     * TextOps.dot, pinned by NativeExprsSpec.
@@ -282,6 +298,172 @@ object Sim {
               ORDER BY ${duckDot("q.q_emb", "e.demb")} / (q.q_nrm * e.dnrm) DESC,
                 e.vec_id) AS rank
           FROM q CROSS JOIN dqn e WHERE e.vec_id <> q.q_id)
+        WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // ---- product-quantized ANN: per-subspace codebooks + ADC -----------
+    // Product quantization (Jégou, Douze, Schmid 2011, "Product
+    // Quantization for Nearest Neighbor Search"): split the 64-d vector
+    // into 8 subspaces of 8 dims, train an independent codebook per
+    // subspace (one Lloyd's round from the deterministic every-50th
+    // seed, squared-L2 assignment — PQ's metric — with rounded
+    // centroids, the sim2 reproducibility recipe), and encode each
+    // vector as 8 sub-codes. That is the extreme memory scale path:
+    // 8 small codes per vector (vs 64 int8 for sim3's SQ, 256 bytes
+    // for float32) — at 100 TB the codes table is ~1/32 the corpus and
+    // the per-subspace codebooks are a broadcast-size lookup. Ranking
+    // is asymmetric distance (ADC): full-precision queries against the
+    // PQ-RECONSTRUCTED corpus. A production index computes ADC through
+    // per-subspace lookup tables (8 LUT adds per candidate instead of
+    // a 64-wide dot); reconstruct-then-dot computes the SAME scores
+    // with the ordered flatten of each vector's centroids — chosen
+    // here because the fold order is explicit and the oracle can
+    // replay it bit-for-bit (no cross-engine float-sum ambiguity).
+    // All pairwise training work is (vector × broadcast codebook);
+    // argmin is a min_by partial agg (one shuffled row per
+    // sub-vector, never a window over the n×|C| expansion).
+    Q("sim4_pq_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        // (vec_id, ss, semb): 8 sub-vectors of 8 dims per vector;
+        // persisted — it feeds the train assignment, the re-center,
+        // and the encode pass
+        val sub = e.select($"vec_id", $"embedding",
+            explode(sequence(lit(0), lit(7))).as("ss"))
+          .select($"vec_id", $"ss",
+            slice($"embedding", $"ss" * 8 + 1, lit(8)).as("semb"))
+          .select($"vec_id", $"ss", $"semb",
+            ndot(s, $"semb", $"semb").as("sd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // squared L2 via the dot identity (sd − 2⟨a,b⟩) + cd with the
+        // self-dots precomputed per sub-vector / per centroid: the
+        // hot n×|C| expression is the codegen'd NativeExprs.dot (a
+        // zip_with/aggregate fold would be CodegenFallback —
+        // interpreted per row). Mirrored op-for-op by duckL2.
+        // Nearest sub-centroid per (vec_id, ss); ties break to the
+        // smallest c_id (struct(d, c_id) lexicographic min — identical
+        // to a window's (d ASC, c_id ASC) with one row shuffled per
+        // sub-vector instead of |C|)
+        def assignTo(cents: DataFrame): DataFrame =
+          sub.join(broadcast(cents), "ss")
+            .select($"vec_id", $"ss", $"c_id",
+              (($"sd" - lit(2.0) * ndot(s, $"semb", $"c_emb")) + $"cd").as("d"))
+            .groupBy($"vec_id", $"ss")
+            .agg(min_by($"c_id", struct($"d", $"c_id")).as("c_id"))
+        val c0 = sub.filter($"vec_id" % 25 === 0)
+          .select($"ss", $"vec_id".as("c_id"), $"semb".as("c_emb"),
+            $"sd".as("cd"))
+        // one Lloyd's round: per-dimension partial-agg mean, rounded
+        // to 6 decimals (see IvfCodebook's class doc for why the
+        // rounding makes the distributed avg engine-reproducible)
+        val c1 = assignTo(c0).join(sub, Seq("vec_id", "ss"))
+          .select($"ss", $"c_id", posexplode($"semb"))
+          .groupBy($"ss", $"c_id", $"pos")
+          .agg(avg($"col".cast("double")).as("v"))
+          .groupBy($"ss", $"c_id")
+          .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
+          .select($"ss", $"c_id",
+            transform($"pv", x => round(x.getField("v"), 6).cast("float")).as("c_emb"))
+          .select($"ss", $"c_id", $"c_emb", ndot(s, $"c_emb", $"c_emb").as("cd"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // encode, then reconstruct each vector as the ordered concat
+        // of its 8 sub-centroids (what the codes table + codebook
+        // physically store at scale)
+        val rec = assignTo(c1).join(broadcast(c1), Seq("ss", "c_id"))
+          .groupBy($"vec_id")
+          .agg(array_sort(collect_list(struct($"ss", $"c_emb"))).as("sc"))
+          .select($"vec_id",
+            flatten(transform($"sc", x => x.getField("c_emb"))).as("remb"))
+          .select($"vec_id", $"remb", sqrt(ndot(s, $"remb", $"remb")).as("rnrm"))
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        // stage 1 — ADC shortlist (R=50): rank by the code-only
+        // approximate score; within-cluster fine order is beyond an
+        // 8-byte code's resolution, so PQ's production role is
+        // candidate generation, not final ranking
+        val adc = rec.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"remb") / ($"q_nrm" * $"rnrm")).as("adc"))
+        val shortlist = graft.operators.TopKAgg.rank(adc, 50, "adc")
+          .select($"q_id", $"vec_id")
+        // stage 2 — exact re-rank of the shortlist with full-precision
+        // vectors (the FAISS IVFPQ "refine" stage): at scale the wide
+        // float32 rows are fetched for R candidates per query — the
+        // codes table alone is scanned corpus-wide
+        val rer = shortlist
+          .join(e.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+          .join(broadcast(q), Seq("q_id"))
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("score"))
+        // bounded top-k aggregation (see sim1) — k rows per query
+        graft.operators.TopKAgg.rank(rer, 10, "score")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH n AS (
+          SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        sub AS (
+          SELECT vec_id, r.ss,
+            list_slice(embedding, r.ss * 8 + 1, (r.ss + 1) * 8) AS semb,
+            ${duckDot(
+              "list_slice(embedding, r.ss * 8 + 1, (r.ss + 1) * 8)",
+              "list_slice(embedding, r.ss * 8 + 1, (r.ss + 1) * 8)")} AS sd
+          FROM n CROSS JOIN range(8) r(ss)),
+        c0 AS (
+          SELECT ss, vec_id AS c_id, semb AS c_emb, sd AS cd
+          FROM sub WHERE vec_id % 25 = 0),
+        a1 AS (
+          SELECT vec_id, ss, c_id FROM (
+            SELECT s.vec_id, s.ss, c.c_id,
+              row_number() OVER (PARTITION BY s.vec_id, s.ss
+                ORDER BY ${duckL2("s.sd", "s.semb", "c.c_emb", "c.cd")}, c.c_id) AS rn
+            FROM sub s JOIN c0 c USING (ss))
+          WHERE rn = 1),
+        m1 AS (
+          SELECT a.ss, a.c_id, r.j, avg(CAST(s.semb[r.j + 1] AS DOUBLE)) AS v
+          FROM a1 a JOIN sub s USING (vec_id, ss) CROSS JOIN range(8) r(j)
+          GROUP BY a.ss, a.c_id, r.j),
+        c1 AS (
+          SELECT ss, c_id, c_emb, ${duckDot("c_emb", "c_emb")} AS cd FROM (
+            SELECT ss, c_id,
+              list(CAST(round(v, 6) AS FLOAT) ORDER BY j) AS c_emb
+            FROM m1 GROUP BY ss, c_id)),
+        codes AS (
+          SELECT vec_id, ss, c_id FROM (
+            SELECT s.vec_id, s.ss, c.c_id,
+              row_number() OVER (PARTITION BY s.vec_id, s.ss
+                ORDER BY ${duckL2("s.sd", "s.semb", "c.c_emb", "c.cd")}, c.c_id) AS rn
+            FROM sub s JOIN c1 c USING (ss))
+          WHERE rn = 1),
+        rec AS (
+          SELECT k.vec_id, flatten(list(c.c_emb ORDER BY k.ss)) AS remb
+          FROM codes k JOIN c1 c USING (ss, c_id)
+          GROUP BY k.vec_id),
+        rq AS (
+          SELECT vec_id, remb, sqrt(${duckDot("remb", "remb")}) AS rnrm
+          FROM rec),
+        q AS (
+          SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+          FROM n WHERE vec_id < 10),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, e.vec_id,
+              row_number() OVER (PARTITION BY q.q_id
+                ORDER BY ${duckDot("q.q_emb", "e.remb")} / (q.q_nrm * e.rnrm) DESC,
+                  e.vec_id) AS rn
+            FROM q CROSS JOIN rq e WHERE e.vec_id <> q.q_id)
+          WHERE rn <= 50),
+        rr AS (
+          SELECT s.q_id, s.vec_id,
+            ${duckDot("q.q_emb", "e.embedding")} / (q.q_nrm * e.nrm) AS score
+          FROM short s JOIN q ON q.q_id = s.q_id
+          JOIN n e ON e.vec_id = s.vec_id)
+        SELECT q_id, rank, vec_id, score FROM (
+          SELECT q_id, vec_id, score,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS rank
+          FROM rr)
         WHERE rank <= 10 ORDER BY q_id, rank"""))
   )
 }

@@ -75,6 +75,50 @@ class DedupSimSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("product-quantized ANN recall@10 vs brute force >= the pinned floor") {
+    val brute = q("sim1_brute_topk").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = q("sim4_pq_topk").select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"sim4 PQ recall@10 = $recall")
+    // measured 0.77 on the driver corpus. Code-only ADC ranking
+    // measured 0.35 here: an 8-byte code (32× compression) on
+    // NEAR-RANDOM vectors cannot preserve top-10 cosine order — which
+    // is exactly why sim4 is the production two-stage shape (ADC
+    // shortlist → exact re-rank); the shortlist recovers most of the
+    // true neighbors and the refine stage orders them exactly
+    assert(recall >= 0.6, s"recall $recall below pinned floor")
+  }
+
+  test("PQ on a clustered corpus: recall@10 >= the pinned floor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 64-d analogue of clusteredCorpus (sim4's subspace split is
+    // 8×8 over 64 dims): 20 well-separated gaussian centers × 50
+    // points, written as a real embeddings.parquet so the catalog
+    // queries run unchanged over the temp dir. Here neighbors share a
+    // cluster and PQ reconstruction preserves the cluster geometry —
+    // recall must be near-exact, unlike the near-random driver corpus.
+    val rnd = new scala.util.Random(7)
+    val dim = 64; val k = 20; val per = 50
+    val centers = Array.fill(k, dim)(rnd.nextGaussian().toFloat * 3f)
+    val pts = for (c <- 0 until k; i <- 0 until per) yield
+      (c.toLong * per + i, s"l$c",
+        Array.tabulate(dim)(d => centers(c)(d) + 0.3f * rnd.nextGaussian().toFloat))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-spec").toString
+    pts.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def top(name: String) = SparkEntry.queries(name)(spark, tmp)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top("sim1_brute_topk")
+    val pq = top("sim4_pq_topk")
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(s"sim4 PQ clustered recall@10 = $recall")
+    assert(recall >= 0.9, s"clustered recall $recall below pinned floor")
+  }
+
   test("trained IVF codebook: recall on a clustered corpus >= the pinned floor") {
     import graft.operators.IvfCodebook
     // clustered synthetic corpus (clusteredCorpus below): the
