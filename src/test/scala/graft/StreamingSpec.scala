@@ -234,4 +234,46 @@ class StreamingSpec extends SparkSpec {
       assert(!rows().contains((7L, 3L)), s"state survived the timeout: ${rows()}")
     } finally q.stop()
   }
+
+  test("dedup-gated streaming ingest: probe matches batch decision, index stays fresh, redelivery idempotent") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    import graft.streaming.StreamingDedup
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val corpus = d.filter($"doc_id" < 400)
+    wh.atomicPublish("corpus", corpus)
+    wh.atomicPublish("lsh_index", Dedup.buildLshIndex(corpus))
+    // one file → one micro-batch, so the streamed decision is
+    // comparable to the one-shot batch decision below
+    val incoming = s"$tmp/incoming"
+    val batch = d.filter($"doc_id" >= 400)
+    batch.coalesce(1).write.parquet(incoming)
+    val src = spark.readStream.schema(batch.schema).parquet(incoming)
+    StreamingDedup.dedupIngest(src, wh, "corpus", "lsh_index", 0.5, s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val expected = StreamingDedup
+      .acceptedOf(batch, Dedup.buildLshIndex(corpus), 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val admitted = wh.read("corpus").select($"doc_id").as[Long].collect().toSet --
+      corpus.select($"doc_id").as[Long].collect().toSet
+    assert(admitted === expected, "streamed admit set must equal the batch decision")
+    // near-dups of the seeded corpus must actually be rejected here —
+    // an always-admit bug would still pass an equality check alone
+    assert(admitted.size < batch.count(), "no batch doc was rejected; corpus has near-dups")
+    // the index covers exactly the corpus: the next batch probes
+    // admitted docs without any rescan
+    assert(wh.read("lsh_index").count() === wh.read("corpus").count())
+    // full redelivery (fresh checkpoint, same input): keyed upserts +
+    // an id-only accept rule converge to the same tables
+    StreamingDedup.dedupIngest(
+      spark.readStream.schema(batch.schema).parquet(incoming),
+      wh, "corpus", "lsh_index", 0.5, s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(wh.read("corpus").select($"doc_id").as[Long].collect().toSet
+      === (admitted ++ corpus.select($"doc_id").as[Long].collect().toSet))
+    assert(wh.read("lsh_index").count() === wh.read("corpus").count())
+  }
 }
