@@ -90,20 +90,36 @@ object StreamingDedup {
               }
             }
           }
+          // The probe pipeline persists intermediates internally
+          // (incrementalPairsAgainstIndex/buildLshIndex cache the
+          // shingled and signature frames they reference twice). In a
+          // one-shot batch query that cache dies with the job; in a
+          // CONTINUOUS stream it would accumulate per micro-batch —
+          // so drain every cache entry this batch created once its
+          // commits are done. foreachBatch bodies run serially per
+          // query, so the before/after diff is exactly this batch's.
+          // (CacheManager keeps plan-level metadata for the drained
+          // entries — bytes, not blocks, and per-batch plans never
+          // recur, so nothing can re-materialize them.)
+          val sc = batch.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet
           val b = batch.persist()
           try {
             val accepted = acceptedOf(b, wh.read(indexTable), tau).persist()
-            try {
-              // corpus first, index second: the crash window between
-              // them leaves the doc invisible to the NEXT probe, which
-              // at worst re-accepts the same content under redelivery —
-              // the reverse order could reject a document whose text
-              // never reached the corpus
-              retrying(wh.upsert(corpusTable, accepted, Seq("doc_id")))
-              retrying(wh.upsert(indexTable, Dedup.buildLshIndex(accepted),
-                Seq("doc_id")))
-            } finally { accepted.unpersist(); () }
-          } finally { b.unpersist(); () }
+            // corpus first, index second: the crash window between
+            // them leaves the doc invisible to the NEXT probe, which
+            // at worst re-accepts the same content under redelivery —
+            // the reverse order could reject a document whose text
+            // never reached the corpus
+            retrying(wh.upsert(corpusTable, accepted, Seq("doc_id")))
+            retrying(wh.upsert(indexTable, Dedup.buildLshIndex(accepted),
+              Seq("doc_id")))
+          } finally {
+            b.unpersist()
+            val after = sc.getPersistentRDDs
+            (after.keySet -- before).foreach(id =>
+              after.get(id).foreach(_.unpersist(false)))
+          }
         }
       }
       .start()

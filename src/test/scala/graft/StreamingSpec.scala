@@ -252,8 +252,16 @@ class StreamingSpec extends SparkSpec {
     val batch = d.filter($"doc_id" >= 400)
     batch.coalesce(1).write.parquet(incoming)
     val src = spark.readStream.schema(batch.schema).parquet(incoming)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     StreamingDedup.dedupIngest(src, wh, "corpus", "lsh_index", 0.5, s"$tmp/ckpt")
       .awaitTermination(120000)
+    // the per-batch cache drain must leave no persisted intermediates
+    // behind — a continuous stream would otherwise leak cache per batch
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !cachedBefore(id) }
+      .filter { case (_, rdd) => rdd.getStorageLevel.useMemory ||
+        rdd.getStorageLevel.useDisk }
+    assert(leaked.isEmpty, s"leaked cached RDDs: ${leaked.keySet}")
     val expected = StreamingDedup
       .acceptedOf(batch, Dedup.buildLshIndex(corpus), 0.5)
       .select($"doc_id").as[Long].collect().toSet
