@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape regression pins for flagship catalog queries: the
+  * explain gate (graft.Explain / Verify) rejects catastrophic shapes
+  * (CartesianProduct) catalog-wide; this spec pins the FINER
+  * invariants that make specific queries scale — broadcast vs
+  * sort-merge, map-side partial aggregation, column pruning reaching
+  * the parquet scan, and the absence of per-row formatter work a
+  * past regression reintroduced. Plans are inspected AFTER execution
+  * so AQE's final (re-planned) shape is what's asserted.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("j1: dim side broadcasts; no sort-merge join") {
+    val p = planOf("j1_bcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q1: aggregation combines map-side (partial_) before the shuffle") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("m3: no per-row date formatter — month key is integer math") {
+    val p = planOf("m3_month_agg")
+    assert(!p.contains("date_format"),
+      s"date_format back on the per-row path (the r5 0.36s regression):\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("m4: JSON extraction scan prunes to the two needed columns") {
+    val p = planOf("m4_json_extract")
+    assert(!p.contains("user_id"),
+      s"events scan reads unneeded columns (pruning lost):\n$p")
+  }
+
+  test("sim1: query side broadcasts; never a cartesian") {
+    val p = planOf("sim1_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("j5: existence probe is a broadcast anti-join") {
+    val p = planOf("j5_anti_join")
+    assert(p.contains("LeftAnti"), s"not an anti-join:\n$p")
+    assert(p.contains("Broadcast"), s"anti-join not broadcast:\n$p")
+  }
+
+  test("d1: exact dedup groups on the fixed-width digest, map-side combined") {
+    val p = planOf("d1_exact_dedup")
+    assert(p.contains("md5"), s"digest key missing:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+}
