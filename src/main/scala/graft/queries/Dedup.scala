@@ -454,6 +454,87 @@ object Dedup {
         WHERE a_id >= 400 OR b_id >= 400
         ORDER BY a_id, b_id""")),
 
+    // ---- sub-document span dedup (C4/Dolma-style) ----------------------
+    // Remove text REGIONS duplicated across documents, not whole
+    // documents: the C4 recipe drops any three-sentence span occurring
+    // more than once in the corpus (Raffel et al. 2020 §2.2); Dolma
+    // dedups at paragraph level. Here the unit is a non-overlapping
+    // 8-token chunk (the corpus is a word stream with no sentence
+    // marks), a chunk is dropped from EVERY document when ≥ 2 distinct
+    // documents contain it, and each document is reassembled from its
+    // surviving chunks in order. Scale shape: chunking is a zero-
+    // shuffle per-row transform; the corpus-wide occurrence count
+    // groups on the fixed-width md5 digest of the chunk (the d1
+    // rationale — 16-byte shuffle keys, never 8-token strings); the
+    // rebuild groups on doc_id. Two shuffles total, both map-side
+    // combined.
+    Q("d12_span_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val nch = ceil(size($"tk") / lit(8.0)).cast("int")
+        val ch = docs
+          .select($"doc_id",
+            filter(split($"text", " "), t => t =!= lit("")).as("tk"))
+          .select($"doc_id", posexplode(
+            when(nch > 0, transform(sequence(lit(0), nch - 1),
+              i => array_join(slice($"tk", i * 8 + 1, lit(8)), " ")))
+              .otherwise(array().cast("array<string>"))))
+          .select($"doc_id", $"pos".cast("long").as("idx"), $"col".as("span"),
+            md5($"col".cast("binary")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dup = ch.groupBy($"h")
+          .agg(count_distinct($"doc_id").as("nd"))
+          .filter($"nd" >= 2).select($"h")
+        val rebuilt = ch.join(dup, Seq("h"), "left_anti")
+          .groupBy($"doc_id")
+          .agg(array_sort(collect_list(struct($"idx", $"span"))).as("ks"),
+            count(lit(1)).as("n_kept"))
+          .select($"doc_id",
+            array_join(transform($"ks", x => x.getField("span")), " ")
+              .as("clean_text"),
+            $"n_kept")
+        val totals = ch.groupBy($"doc_id").agg(count(lit(1)).as("n_spans"))
+        docs.select($"doc_id")
+          .join(totals, Seq("doc_id"), "left")
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"clean_text", lit("")).as("clean_text"),
+            coalesce($"n_spans", lit(0L)).as("n_spans"),
+            (coalesce($"n_spans", lit(0L)) - coalesce($"n_kept", lit(0L)))
+              .as("n_dropped"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $duckToks AS tk FROM documents),
+        ch0 AS (
+          SELECT doc_id,
+            unnest(list_transform(range(CAST(ceil(len(tk)/8.0) AS BIGINT)),
+              i -> struct_pack(idx := i,
+                span := array_to_string(list_slice(tk, i*8+1, (i+1)*8), ' ')))) AS c
+          FROM toks),
+        ch AS (
+          SELECT doc_id, CAST(c.idx AS BIGINT) AS idx, c.span AS span,
+            md5(c.span) AS h
+          FROM ch0),
+        dup AS (
+          SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        reb AS (
+          SELECT doc_id, string_agg(span, ' ' ORDER BY idx) AS clean_text,
+            CAST(count(*) AS BIGINT) AS n_kept
+          FROM ch c LEFT JOIN dup d USING (h)
+          WHERE d.h IS NULL GROUP BY doc_id),
+        tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+          FROM ch GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(r.clean_text, '') AS clean_text,
+          coalesce(t.n_spans, 0) AS n_spans,
+          coalesce(t.n_spans, 0) - coalesce(r.n_kept, 0) AS n_dropped
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id) LEFT JOIN reb r USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // ---- SimHash + banded hamming join (exact recall for ham ≤ 3) ------
     Q("d4_simhash",
       (s, dir) => {
