@@ -584,6 +584,40 @@ object Misc {
             row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
           FROM h)
         SELECT lang, CAST(rnk AS BIGINT) AS rank, doc_id, CAST(hkey AS BIGINT) AS hkey
-        FROM r WHERE rnk <= 20 ORDER BY lang, rank"""))
+        FROM r WHERE rnk <= 20 ORDER BY lang, rank""")),
+
+    // ---- deterministic shuffle-and-shard (training-data write order) ----
+    // The LAST step of a curation pipeline: a global pseudorandom
+    // reorder of the corpus into N training shards with a stable
+    // within-shard sequence — what the shard writer consumes directly.
+    // Order comes from the same engine-neutral multiplicative hash as
+    // m12/m16 (no RNG state: re-running on the same corpus yields the
+    // same shards, and adding a document perturbs only its own
+    // placement). The plan IS the write shape at 100 TB:
+    // repartition-by-shard + sort-within-shard (here expressed as a
+    // 16-partition window, one task per shard, each sorting only its
+    // ~1/16 slice — never a global sort).
+    Q("m18_shuffle_shard",
+      (s, dir) => {
+        import s.implicits._
+        val shards = 16
+        val h = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            pmod($"doc_id" * 2654435761L + 1013904223L, lit(4294967296L)).as("hkey"))
+          .select($"doc_id", $"hkey", ($"hkey" % shards).as("shard"))
+        h.select($"doc_id", $"shard",
+            row_number().over(Window.partitionBy($"shard")
+              .orderBy($"hkey", $"doc_id")).cast("long").as("seq"))
+          .orderBy($"shard", $"seq")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            (doc_id * 2654435761 + 1013904223) % 4294967296 AS hkey
+          FROM documents),
+        sh AS (SELECT doc_id, hkey, hkey % 16 AS shard FROM h)
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+          CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+            AS BIGINT) AS seq
+        FROM sh ORDER BY shard, seq"""))
   )
 }
