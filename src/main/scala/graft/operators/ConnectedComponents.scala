@@ -31,12 +31,20 @@ object ConnectedComponents {
   /** edges: two Long columns (endpoint ids), undirected, self-loops and
     * duplicates tolerated. Returns (node, component) with component =
     * min node id in the connected component.
+    *
+    * `dedupEdges = false` skips the defensive `.distinct()` — one full
+    * shuffle of the edge list — when the caller guarantees edges are
+    * already unique with a < b (an LSH candidate generator's
+    * `.distinct()` output qualifies: the two union directions can then
+    * never collide). Duplicate edges only cost redundant min-work per
+    * round, they never change the fixpoint, so this is a pure
+    * performance contract.
     */
   def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
-      maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("n"), col(bCol).as("m"))
+      maxRounds: Int = 50, dedupEdges: Boolean = true): DataFrame = {
+    val both = edges.select(col(aCol).as("n"), col(bCol).as("m"))
       .union(edges.select(col(bCol).as("n"), col(aCol).as("m")))
-      .distinct()
+    val sym = (if (dedupEdges) both.distinct() else both)
       .repartition(col("m"))
       .persist()
     if (sym.isEmpty) {

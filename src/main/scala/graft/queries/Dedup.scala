@@ -332,7 +332,10 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val pairs = jaccardPairs(s, dir, 0.5, 100).select($"a_id", $"b_id")
-        graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id")
+        // pairs come off a groupBy with a_id < b_id — already unique,
+        // so skip the operator's defensive distinct (one full shuffle)
+        graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id",
+          dedupEdges = false)
           .select($"node".as("doc_id"), $"component",
             ($"node" === $"component").as("is_keeper"))
           .orderBy($"doc_id")
