@@ -693,6 +693,61 @@ object Dedup {
         WHERE list_reduce(list_transform(range(1, len(a.embedding)+1),
             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
             (x,y) -> x+y) / (a.nrm * b.nrm) >= 0.35
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ---- URL canonicalization + URL-level dedup ------------------------
+    // Web-crawl pipelines dedup by CANONICAL URL before touching content
+    // (CCNet, RefinedWeb): strip scheme, lowercase, drop the query
+    // string, strip a leading "www." and a trailing "/", then keep one
+    // document per canonical form. The testdata has no URL column, so
+    // each doc's URL is CONSTRUCTED deterministically from (source,
+    // doc_id) — mixed case, alternating ?query/trailing-slash suffixes,
+    // and a path bucket (doc_id % 50) that makes distinct raw URLs
+    // collide after canonicalization. The canonicalizer itself is the
+    // operator under test: pure codegen'd string/regex projections
+    // (zero UDFs), then one groupBy on the canonical key — exactly d1's
+    // exact-dedup shuffle shape, so it scales the same way (16-byte-ish
+    // key, map-side partial agg). Regexes are RE2-simple so Spark (Java
+    // regex) and DuckDB (RE2) agree.
+    Q("d13_url_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("url", concat(
+            when($"doc_id" % 2 === 0, "https://WWW.").otherwise("http://"),
+            $"source", lit(".Example.COM/p/"), ($"doc_id" % 50).cast("string"),
+            when($"doc_id" % 3 === 0,
+              concat(lit("/?utm_source=feed&id="), $"doc_id".cast("string")))
+              .when($"doc_id" % 3 === 1, "/").otherwise("")))
+        docs
+          .withColumn("canon",
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  lower(regexp_replace($"url", "^https?://", "")),
+                  "\\?.*$", ""),
+                "^www\\.", ""),
+              "/$", ""))
+          .groupBy($"canon")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_urls"))
+          .orderBy($"keep_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END)
+            || source || '.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0
+                  THEN '/?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) AS url
+          FROM documents)
+        SELECT regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                lower(regexp_replace(url, '^https?://', '')),
+                '\?.*$', ''),
+              '^www\.', ''),
+            '/$', '') AS canon,
+          min(doc_id) AS keep_id, count(*) AS n_urls
+        FROM u GROUP BY 1 ORDER BY keep_id"""))
   )
 }

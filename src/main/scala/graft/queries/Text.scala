@@ -662,6 +662,67 @@ object Text {
           (q.doc_id = k.keep_id AND q.quality >= 0.5
             AND r.top2_frac <= 0.2 AND r.dup2_frac <= 0.6) AS kept
         FROM q JOIN keeper k USING (h) JOIN r USING (doc_id)
-        ORDER BY q.doc_id"""))
+        ORDER BY q.doc_id""")),
+
+    // ---- model-based quality classifier (CCNet/fastText-style LLR) -----
+    // The learned quality filter every pretraining pipeline runs after
+    // the heuristic gates (Wenzek et al., CCNet 2020; fastText linear
+    // classifiers): label a reference subset as high-quality (here:
+    // source buckets src0..src9, the same split m15 uses), fit a
+    // Laplace-smoothed per-token log-likelihood ratio
+    //   w(tok) = ln((c_pos+1)/(N_pos+V)) - ln((c_neg+1)/(N_neg+V))
+    // and score each document by its mean token weight — exactly a
+    // binary Naive-Bayes / linear-in-token-counts classifier.
+    //
+    // Scale shape: ONE explode of the corpus tokens feeds both the
+    // training counts (a vocabulary-sized partial agg) and the scoring
+    // join; the totals row rides a broadcast cross join (never a
+    // collect). The vocabulary⋈tokens join is an equi-join on the token
+    // — linear in corpus size. At 100 TB the model would be fit once on
+    // a sample and broadcast as a weights table; the fit-on-the-fly
+    // form here exercises the same plan with the training pass fused in.
+    // Float discipline = x14's: both engines run the identical
+    // elementary-op sequence (long adds → double divide → ln →
+    // subtract → avg), rounded to 6 decimals.
+    Q("x17_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .withColumn("pos",
+            expr("try_cast(substring(source, 4, 10) AS INT) < 10"))
+          .select($"doc_id", $"pos", explode(TextOps.tokens($"text")).as("tok"))
+        val counts = toks.groupBy($"tok").agg(
+          sum(when($"pos", 1L).otherwise(0L)).as("cp"),
+          sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
+        val tot = counts.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
+          count(lit(1)).as("v"))
+        val w = counts.crossJoin(broadcast(tot)).select($"tok",
+          (log(($"cp" + 1L).cast("double") / ($"np" + $"v").cast("double"))
+            - log(($"cn" + 1L).cast("double") / ($"nn" + $"v").cast("double")))
+            .as("wt"))
+        toks.join(w, "tok")
+          .groupBy($"doc_id", $"pos")
+          .agg(count(lit(1)).as("n_toks"), round(avg($"wt"), 6).as("score"))
+          .select($"doc_id", $"pos".as("is_reference"), $"n_toks", $"score",
+            ($"score" > 0.0).as("predicted_hq"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, TRY_CAST(substr(source, 4) AS INT) < 10 AS pos,
+            unnest($duckToks) AS tok FROM documents),
+        c AS (SELECT tok,
+            SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+          FROM toks GROUP BY tok),
+        t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+            CAST(SUM(cn) AS BIGINT) AS nn, count(*) AS v FROM c),
+        w AS (SELECT tok,
+            ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+              - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)) AS wt
+          FROM c CROSS JOIN t)
+        SELECT doc_id, pos AS is_reference, count(*) AS n_toks,
+          round(avg(wt), 6) AS score, round(avg(wt), 6) > 0.0 AS predicted_hq
+        FROM toks JOIN w USING (tok)
+        GROUP BY doc_id, pos ORDER BY doc_id"""))
   )
 }
