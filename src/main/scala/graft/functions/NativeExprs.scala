@@ -153,7 +153,11 @@ object NativeExprs {
     "graft_rolling_hash2" -> (exprs => RollingHashExpr(exprs.head, 137L, 998244353L)),
     "graft_vec_dot" -> (exprs => FloatVecDotExpr(exprs(0), exprs(1))),
     "graft_shingles3" -> (exprs => WordShinglesExpr(exprs.head, 3)),
-    "graft_gram2_stats" -> (exprs => Gram2StatsExpr(exprs.head)))
+    "graft_gram2_stats" -> (exprs => Gram2StatsExpr(exprs.head)),
+    // bounds arrive as a foldable array literal — evaluated once at
+    // plan build, so the per-row path is a pure binary search
+    "graft_sorted_bucket" -> (exprs => SortedBucketExpr(exprs(0),
+      exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray())))
 
   /** Idempotent session registration; the catalog queries call this so
     * any fresh SparkSession (driver-owned) gets the functions. The
@@ -200,6 +204,47 @@ object NativeExprs {
     register(spark)
     call_function("graft_gram2_stats", toks)
   }
+
+  /** Quantile-bucket id of a double against a sorted boundary array
+    * (binary search, codegen'd) — the skew-robust rank proxy behind
+    * ZOrder.cluster. `bounds` is embedded as a plan-time constant.
+    */
+  def sortedBucket(spark: SparkSession, v: Column, bounds: Array[Double]): Column = {
+    register(spark)
+    call_function("graft_sorted_bucket", v,
+      org.apache.spark.sql.functions.lit(bounds))
+  }
+}
+
+/** Binary search a double into `bounds.length + 1` quantile buckets. */
+object ZOrderHelper {
+  def bucket(v: Double, bounds: Array[Double]): Int = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    if (i >= 0) i else -i - 1
+  }
+}
+
+/** Bucket id of `child` (double) in the sorted `bounds` array — a
+  * constant captured at plan build (see NativeExprs.sortedBucket).
+  * O(log bounds) per row inside whole-stage codegen; the array rides
+  * the generated class as a reference object, not per-row state.
+  */
+case class SortedBucketExpr(child: Expression, bounds: Array[Double])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ZOrderHelper.bucket(input.asInstanceOf[Double], bounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZOrderHelper.bucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedBucketExpr =
+    copy(child = newChild)
 }
 
 /** Distinct word n-gram shingles ('_'-joined), built in one pass — the

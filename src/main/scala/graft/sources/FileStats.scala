@@ -1,0 +1,231 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Per-file column min/max statistics for manifest-mode data skipping —
+  * the file-pruning layer Delta/Iceberg keep in their metadata, built
+  * here from the parquet FOOTERS the write already produced (no second
+  * pass over the data; row-group stats are aggregated per file).
+  *
+  * Stored as a `_stats` sidecar inside each `_vN` version dir, so GC of
+  * a version dir collects its stats with it and the manifest wire
+  * format is untouched (old snapshots without sidecars simply never
+  * prune — absence of stats always means "may contain").
+  *
+  * Scale: footer reads are distributed across executors when the
+  * version has many files (the 100 TB case: thousands of files → one
+  * ~8 KB footer read each, no data pages touched); the collected stats
+  * are O(files × columns) strings on the driver — the same order as the
+  * manifest file list itself. Pruning at read time is a driver-side
+  * filter over that list; the pruned scan then reads only surviving
+  * files. Parquet may truncate binary min/max (the truncated min is
+  * still a lower bound, the truncated max still an upper bound), so
+  * pruning on truncated stats remains safe, never exact — exactness
+  * comes from the residual predicate `readSkipping` applies on top.
+  */
+object FileStats {
+
+  /** One column's footer stats for one file. `typ` ∈ long|double|string;
+    * min/max are decimal strings (numeric) or base64 UTF-8 (string).
+    */
+  final case class ColStat(typ: String, min: String, max: String)
+
+  private val b64e = Base64.getEncoder
+  private val b64d = Base64.getDecoder
+
+  /** Aggregate row-group stats of one parquet file into per-column
+    * (typ, min, max). Only top-level primitive columns with usable
+    * stats appear; anything else is skippable-never (absent ⇒ keep).
+    * INT32/INT64 fold to `long`, FLOAT/DOUBLE to `double`, BINARY to
+    * `string` (parquet annotates Spark strings as UTF8; byte order =
+    * unsigned lexicographic, which is what `mayContain` compares).
+    */
+  def footerStats(conf: Configuration, absPath: String): Map[String, ColStat] = {
+    val in = HadoopInputFile.fromPath(new Path(absPath), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map[String, (String, Any, Any)]()
+      var statsComplete = Set[String]()
+      var seen = Set[String]()
+      for (block <- reader.getFooter.getBlocks.asScala;
+           col <- block.getColumns.asScala) {
+        val path = col.getPath.toDotString
+        if (!path.contains('.')) {
+          seen += path
+          val st = col.getStatistics
+          val ptn = col.getPrimitiveType.getPrimitiveTypeName
+          if (st != null && st.hasNonNullValue) {
+            val tv: Option[(String, Any, Any)] = ptn match {
+              case PrimitiveTypeName.INT32 =>
+                Some(("long",
+                  st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+              case PrimitiveTypeName.INT64 =>
+                Some(("long",
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+              case PrimitiveTypeName.FLOAT =>
+                Some(("double",
+                  st.genericGetMin.asInstanceOf[java.lang.Float].doubleValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Float].doubleValue))
+              case PrimitiveTypeName.DOUBLE =>
+                Some(("double",
+                  st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue))
+              case PrimitiveTypeName.BINARY
+                  if col.getPrimitiveType.getLogicalTypeAnnotation != null &&
+                    col.getPrimitiveType.getLogicalTypeAnnotation.toString == "STRING" =>
+                Some(("string",
+                  st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                    .genericGetMin.getBytes,
+                  st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                    .genericGetMax.getBytes))
+              case _ => None
+            }
+            tv.foreach { case (typ, mn, mx) =>
+              statsComplete += path
+              acc.get(path) match {
+                case None => acc(path) = (typ, mn, mx)
+                case Some((t, m0, m1)) =>
+                  acc(path) = (t, minOf(t, m0, mn), maxOf(t, m1, mx))
+              }
+            }
+          }
+        }
+      }
+      // a column missing stats in ANY row group has no file-level bound
+      acc.toMap.collect {
+        case (p, (typ, mn, mx)) if statsComplete(p) && blockCount(reader) == blocksWith(reader, p) =>
+          p -> ColStat(typ, enc(typ, mn), enc(typ, mx))
+      }
+    } finally reader.close()
+  }
+
+  private def blockCount(r: ParquetFileReader): Int = r.getFooter.getBlocks.size
+  private def blocksWith(r: ParquetFileReader, path: String): Int =
+    r.getFooter.getBlocks.asScala.count(_.getColumns.asScala.exists(c =>
+      c.getPath.toDotString == path && c.getStatistics != null &&
+        c.getStatistics.hasNonNullValue))
+
+  private def minOf(typ: String, a: Any, b: Any): Any = typ match {
+    case "long"   => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" => math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ =>
+      if (cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) <= 0) a else b
+  }
+  private def maxOf(typ: String, a: Any, b: Any): Any = typ match {
+    case "long"   => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "double" => math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ =>
+      if (cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) >= 0) a else b
+  }
+
+  /** Unsigned lexicographic byte compare — parquet's binary stat order. */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def enc(typ: String, v: Any): String = typ match {
+    case "string" => b64e.encodeToString(v.asInstanceOf[Array[Byte]])
+    case _        => v.toString
+  }
+
+  /** Collect stats for a version's data files. Driver-side for small
+    * versions; distributed footer reads (hadoop conf rebuilt from
+    * broadcast entries — public API only) above `distributedThreshold`.
+    */
+  def collect(spark: SparkSession, versionDir: String, relFiles: Seq[String],
+      distributedThreshold: Int = 64): Map[String, Map[String, ColStat]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val parquetFiles = relFiles.filter(_.endsWith(".parquet"))
+    if (parquetFiles.size <= distributedThreshold) {
+      parquetFiles.map(f => f -> footerStats(conf, s"$versionDir/$f")).toMap
+    } else {
+      val entries = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toVector
+      val bc = spark.sparkContext.broadcast(entries)
+      spark.sparkContext.parallelize(parquetFiles, math.max(1, parquetFiles.size / 16))
+        .map { f =>
+          val c = new Configuration(false)
+          bc.value.foreach { case (k, v) => c.set(k, v) }
+          f -> footerStats(c, s"$versionDir/$f")
+        }
+        .collect().toMap
+    }
+  }
+
+  /** Sidecar wire format: one `relPath \t col \t typ \t min \t max` line
+    * per (file, column); values never contain tabs (numerics are
+    * decimal, strings base64).
+    */
+  def write(fs: FileSystem, sidecar: Path,
+      stats: Map[String, Map[String, ColStat]]): Unit = {
+    val lines = for {
+      (f, cols) <- stats.toSeq.sortBy(_._1)
+      (c, s) <- cols.toSeq.sortBy(_._1)
+    } yield s"$f\t$c\t${s.typ}\t${s.min}\t${s.max}"
+    val out = fs.create(sidecar, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a `_stats` sidecar; absent sidecar ⇒ empty (prune nothing). */
+  def read(fs: FileSystem, sidecar: Path): Map[String, Map[String, ColStat]] = {
+    if (!fs.exists(sidecar)) return Map.empty
+    val in = fs.open(sidecar)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      line.split('\t') match {
+        case Array(f, c, t, mn, mx) => Some((f, c, ColStat(t, mn, mx)))
+        case _                      => None
+      }
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map(r => r._2 -> r._3).toMap
+    }
+  }
+
+  /** Can a file with these stats contain a value in [lower, upper]
+    * (either bound open)? Errs to `true` on any type mismatch — pruning
+    * must never drop a file it can't prove empty.
+    */
+  def mayContain(cs: ColStat, lower: Option[Any], upper: Option[Any]): Boolean =
+    try cs.typ match {
+      case "long" =>
+        val mn = cs.min.toLong; val mx = cs.max.toLong
+        lower.forall(l => mx >= toLong(l)) && upper.forall(u => mn <= toLong(u))
+      case "double" =>
+        val mn = cs.min.toDouble; val mx = cs.max.toDouble
+        lower.forall(l => mx >= toDouble(l)) && upper.forall(u => mn <= toDouble(u))
+      case "string" =>
+        val mn = b64d.decode(cs.min); val mx = b64d.decode(cs.max)
+        val lo = lower.map(v => v.toString.getBytes("UTF-8"))
+        val hi = upper.map(v => v.toString.getBytes("UTF-8"))
+        lo.forall(l => cmpBytes(mx, l) >= 0) && hi.forall(u => cmpBytes(mn, u) <= 0)
+      case _ => true
+    } catch { case _: NumberFormatException | _: IllegalArgumentException => true }
+
+  private def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue
+    case s: String => s.toLong
+    case other     => other.toString.toLong
+  }
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue
+    case s: String => s.toDouble
+    case other     => other.toString.toDouble
+  }
+}

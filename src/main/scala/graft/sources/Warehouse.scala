@@ -113,6 +113,56 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** File-level data skipping (manifest mode): the current snapshot's
+    * file list filtered to files whose footer min/max for `column` can
+    * overlap [lower, upper] (either bound open). Files without stats —
+    * legacy layouts, pre-sidecar snapshots, nested/unsupported column
+    * types — are always KEPT: pruning only ever removes files proven
+    * empty for the range. Returns (surviving files, total files) so
+    * callers (and tests) can see the skip rate.
+    */
+  def pruneFiles(name: String, column: String, lower: Option[Any],
+      upper: Option[Any]): (Seq[String], Int) = {
+    require(manifest, "data skipping requires manifest mode")
+    val files = snapshotFiles(name)
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val kept = files.groupBy(f =>
+        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+        if (v.isEmpty) fl // legacy layout: no sidecar, keep all
+        else {
+          val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+          fl.filter { f =>
+            stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)) match {
+              case Some(cs) => FileStats.mayContain(cs, lower, upper)
+              case None     => true
+            }
+          }
+        }
+      }
+    (kept, files.size)
+  }
+
+  /** Range scan with data skipping: prune files by footer stats, read
+    * the survivors, and apply the EXACT residual predicate on top (stats
+    * may be truncated or coarse — pruning is a fast-path, never the
+    * correctness boundary). The planned scan's file list shrinks with
+    * the selectivity of the range: on a range-clustered 100 TB table a
+    * narrow range reads a handful of files instead of the full listing.
+    */
+  def readSkipping(name: String, column: String, lower: Option[Any],
+      upper: Option[Any]): DataFrame = {
+    val (kept, _) = pruneFiles(name, column, lower, upper)
+    val base =
+      if (kept.nonEmpty) readFiles(name, kept)
+      else readFiles(name, snapshotFiles(name)).where(lit(false))
+    val c = col(column)
+    val lo = lower.map(v => c >= lit(v)).getOrElse(lit(true))
+    val hi = upper.map(v => c <= lit(v)).getOrElse(lit(true))
+    base.where(lo && hi)
+  }
+
   def exists(name: String): Boolean = {
     if (!manifest) recover(name)
     val p = new Path(tablePath(name))
@@ -212,11 +262,14 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
         .stripPrefix(root.toUri.getPath).stripPrefix("/"))
     }
 
-  /** All files under a version dir, relative to the table root. */
+  /** All DATA files under a version dir, relative to the table root
+    * (metadata — `_SUCCESS`, the `_stats` skipping sidecar — excluded,
+    * so manifests list only readable parquet).
+    */
   private def versionFiles(fs: FileSystem, root: Path, vdir: Path): Seq[String] = {
     def walk(d: Path): Seq[String] = fs.listStatus(d).toSeq.flatMap { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".") || n == "_SUCCESS") Nil
+      if (n.startsWith(".") || n.startsWith("_")) Nil
       else if (st.isDirectory) walk(st.getPath)
       else Seq(st.getPath.toUri.getPath
         .stripPrefix(root.toUri.getPath).stripPrefix("/"))
@@ -371,7 +424,15 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(vdir.toString)
-    (n, versionFiles(fs, root, vdir))
+    val rel = versionFiles(fs, root, vdir)
+    // data-skipping sidecar: per-file column min/max off the parquet
+    // footers just written (no data pages re-read; distributed when the
+    // version is large). Written before the manifest commit, so a
+    // snapshot is never current with its stats missing.
+    val inner = rel.map(_.stripPrefix(s"_v$n/"))
+    FileStats.write(fs, new Path(vdir, "_stats"),
+      FileStats.collect(spark, vdir.toString, inner))
+    (n, rel)
   }
 
   /** S7: set-oriented append — one write for N rows. In manifest mode

@@ -1,0 +1,128 @@
+package graft
+
+import graft.sources.Warehouse
+import org.apache.spark.sql.functions._
+
+/** Data-layout features of the manifest Warehouse: footer-stats data
+  * skipping (file pruning by column min/max). Correctness contract
+  * under test: pruning NEVER changes results (readSkipping ==
+  * full-scan filter) and on a range-clustered layout it actually
+  * prunes (kept ≪ total).
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def mk(tmpName: String): (Warehouse, String) = {
+    val tmp = java.nio.file.Files.createTempDirectory(tmpName).toString
+    (new Warehouse(spark, tmp, manifest = true), tmp)
+  }
+
+  /** 10k rows clustered into 8 contiguous-range files on k (long),
+    * with string/double columns clustered the same way.
+    */
+  private def clustered() = {
+    import spark.implicits._
+    spark.range(0, 10000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .withColumn("d", $"k".cast("double") / 100.0)
+      .withColumn("tag", ($"k" % 7).cast("int"))
+      .repartitionByRange(8, $"k")
+      .sortWithinPartitions($"k")
+  }
+
+  test("data skipping: narrow long range prunes most files, result exact") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-skip1")
+    wh.atomicPublish("t", clustered())
+
+    val (kept, total) = wh.pruneFiles("t", "k", Some(1500L), Some(1700L))
+    assert(total === 8, s"expected 8 data files, saw $total")
+    assert(kept.size <= 2, s"range [1500,1700] spans ≤2 of 8 range files, kept ${kept.size}")
+
+    val got = wh.readSkipping("t", "k", Some(1500L), Some(1700L))
+      .orderBy("k").select("k").as[Long].collect()
+    assert(got === (1500L to 1700L).toArray, "pruned scan must equal exact filter")
+  }
+
+  test("data skipping: string and double columns prune; unsupported keeps all") {
+    val (wh, _) = mk("graft-skip2")
+    wh.atomicPublish("t", clustered())
+
+    val (ks, _) = wh.pruneFiles("t", "s", Some("s02000"), Some("s02500"))
+    assert(ks.size <= 2, s"string range should prune to ≤2 files, kept ${ks.size}")
+    assert(wh.readSkipping("t", "s", Some("s02000"), Some("s02500")).count() === 501)
+
+    val (kd, _) = wh.pruneFiles("t", "d", Some(95.0), Some(96.0))
+    assert(kd.size <= 2, s"double range should prune to ≤2 files, kept ${kd.size}")
+    assert(wh.readSkipping("t", "d", Some(95.0), Some(96.0)).count() === 101)
+
+    // tag cycles 0..6 in every file — min/max overlap everywhere: stats
+    // exist but can prove nothing, so nothing may be pruned
+    val (kt, tot) = wh.pruneFiles("t", "tag", Some(3), Some(3))
+    assert(kt.size === tot, "unclustered column must not prune")
+
+    // open bounds: lower-only keeps only the tail files
+    val (ko, _) = wh.pruneFiles("t", "k", Some(9000L), None)
+    assert(ko.size <= 2, s"lower-only bound keeps the tail, kept ${ko.size}")
+
+    // fully out-of-range → zero files survive, read is empty not an error
+    val (kz, _) = wh.pruneFiles("t", "k", Some(50000L), None)
+    assert(kz.isEmpty)
+    assert(wh.readSkipping("t", "k", Some(50000L), None).count() === 0)
+  }
+
+  test("data skipping: appends keep per-version sidecars; snapshot prunes across versions") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-skip3")
+    wh.atomicPublish("t", clustered()) // _v1: k ∈ [0, 10000)
+    wh.append("t",
+      spark.range(20000, 30000).toDF("k")
+        .withColumn("s", format_string("s%05d", $"k"))
+        .withColumn("d", $"k".cast("double") / 100.0)
+        .withColumn("tag", ($"k" % 7).cast("int"))
+        .repartitionByRange(4, $"k").sortWithinPartitions($"k")) // _v2
+
+    val (kept, total) = wh.pruneFiles("t", "k", Some(20500L), Some(20600L))
+    assert(total === 12, s"8 + 4 files expected, saw $total")
+    assert(kept.size <= 2 && kept.forall(_.startsWith("_v2/")),
+      s"only _v2 files can hold k≈20500, kept $kept")
+    assert(wh.readSkipping("t", "k", Some(20500L), Some(20600L)).count() === 101)
+
+    // both versions carry their own sidecar; manifests never list it
+    assert(new java.io.File(s"$tmp/t/_v1/_stats").isFile)
+    assert(new java.io.File(s"$tmp/t/_v2/_stats").isFile)
+    assert(wh.read("t").count() === 20000)
+  }
+
+  test("z-order: BOTH clustered columns prune; linear layout prunes only its own") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-zorder")
+    // independent dimensions: a 100×100 grid, one row per cell
+    val grid = spark.range(0, 10000).toDF("id")
+      .withColumn("a", ($"id" / 100).cast("long"))
+      .withColumn("b", ($"id" % 100).cast("long"))
+
+    wh.atomicPublish("z", sources.ZOrder.cluster(grid, Seq("a", "b"), 16))
+    wh.atomicPublish("lin",
+      grid.repartitionByRange(16, $"a").sortWithinPartitions($"a"))
+
+    // a 16%-of-range box on either dimension: z-order keeps ≤ half the
+    // files on BOTH; the linear layout keeps ~1/6 on `a` but is useless
+    // on `b` (every file spans all of b)
+    val (za, zt) = wh.pruneFiles("z", "a", Some(10L), Some(25L))
+    val (zb, _)  = wh.pruneFiles("z", "b", Some(10L), Some(25L))
+    assert(zt === 16)
+    assert(za.size <= 8, s"z-order must prune on a: kept ${za.size}/16")
+    assert(zb.size <= 8, s"z-order must prune on b: kept ${zb.size}/16")
+
+    val (la, lt) = wh.pruneFiles("lin", "a", Some(10L), Some(25L))
+    val (lb, _)  = wh.pruneFiles("lin", "b", Some(10L), Some(25L))
+    assert(la.size <= 4, s"linear layout prunes its own key: kept ${la.size}/$lt")
+    assert(lb.size === lt, "linear layout cannot prune the other column")
+
+    // pruning never changes results
+    val zr = wh.readSkipping("z", "b", Some(10L), Some(25L))
+    assert(zr.count() === 1600)
+    assert(zr.agg(sum($"a" * 1000 + $"b")).as[Long].head() ===
+      grid.filter($"b".between(10, 25)).agg(sum($"a" * 1000 + $"b")).as[Long].head())
+  }
+}
