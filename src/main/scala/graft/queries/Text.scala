@@ -723,6 +723,75 @@ object Text {
         SELECT doc_id, pos AS is_reference, count(*) AS n_toks,
           round(avg(wt), 6) AS score, round(avg(wt), 6) > 0.0 AS predicted_hq
         FROM toks JOIN w USING (tok)
-        GROUP BY doc_id, pos ORDER BY doc_id"""))
+        GROUP BY doc_id, pos ORDER BY doc_id""")),
+
+    // ---- bigram-LM perplexity (the CCNet/KenLM filtering signal) -------
+    // CCNet filters by LM perplexity; the 5-gram KenLM is approximated
+    // here by the smallest model that exhibits the same pipeline shape:
+    // an interpolated bigram LM fit on the corpus itself,
+    //   p(w2|w1) = 0.75·c(w1,w2)/c1(w1) + 0.25·c(w2)/N
+    // and per-document cross-entropy H = avg(−ln p), ppl = e^H.
+    //
+    // Scale shape: bigrams come from a row-local slice/zip (NO window —
+    // a per-token lag() would sort-shuffle the corpus); the model is
+    // two vocabulary-sized count frames (map-side combined); scoring is
+    // two equi-joins on token keys plus a broadcast totals row — all
+    // linear in corpus size. At 100 TB the counts are fit on a sample,
+    // persisted, and broadcast, exactly like x17's weights.
+    // Float discipline: identical op sequence both engines; ppl is
+    // exp() of the ALREADY-ROUNDED entropy, so the rounding boundary
+    // is crossed before the amplifying exp, never after.
+    Q("x18_lm_perplexity",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        val bi = d.select($"doc_id",
+            explode(transform(sequence(lit(1), size($"toks") - 1),
+              i => struct(element_at($"toks", i).as("w1"),
+                element_at($"toks", i + 1).as("w2")))).as("p"))
+          .select($"doc_id", $"p.w1", $"p.w2")
+        val cb = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        val cw = cb.groupBy($"w1").agg(sum($"cb").as("cw"))
+        val uni = d.select(explode($"toks").as("w2"))
+          .groupBy($"w2").agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum($"cu").as("n"))
+        bi.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+          .join(uni, Seq("w2")).crossJoin(broadcast(tot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(
+              lit(0.75) * ($"cb".cast("double") / $"cw".cast("double"))
+                + lit(0.25) * ($"cu".cast("double") / $"n".cast("double")))), 6)
+              .as("entropy"))
+          .select($"doc_id", $"n_bigrams", $"entropy",
+            round(exp($"entropy"), 4).as("ppl"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, toks FROM
+            (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        bi AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+          FROM d),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+        cw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+        uni AS (SELECT w2, count(*) AS cu
+          FROM (SELECT unnest(toks) AS w2 FROM d) GROUP BY 1),
+        t AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        h AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+            round(avg(-ln(
+              0.75 * (CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE))
+                + 0.25 * (CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS entropy
+          FROM bi JOIN cb USING (w1, w2) JOIN cw USING (w1)
+            JOIN uni USING (w2) CROSS JOIN t
+          GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, entropy, round(exp(entropy), 4) AS ppl
+        FROM h ORDER BY doc_id"""))
   )
 }

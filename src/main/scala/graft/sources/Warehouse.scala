@@ -144,6 +144,51 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     (kept, files.size)
   }
 
+  /** Exact column min/max answered from the footer-stats sidecars
+    * alone — zero data files opened (the Iceberg-style metadata-only
+    * aggregate). Returns None unless EVERY snapshot file carries stats
+    * for `column` (legacy files, all-null files, unsupported types ⇒
+    * the caller must scan); when it answers, the answer is exact over
+    * non-null values because parquet file stats bound every row and
+    * `writeVersion` only records a column whose every row group has
+    * stats. Values come back as Long / Double / String per the stat
+    * type. At 100 TB this is O(files) driver metadata vs a full scan.
+    */
+  def statsMinMax(name: String, column: String): Option[(Any, Any)] = {
+    require(manifest, "stats queries require manifest mode")
+    val files = snapshotFiles(name)
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val perFile: Seq[Option[(Any, Any)]] = files
+      .groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.flatMap { case (v, fl) =>
+        if (v.isEmpty) fl.map(_ => None)
+        else {
+          val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+          fl.map { f =>
+            stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)).map {
+              case FileStats.ColStat("long", mn, mx)   => (mn.toLong, mx.toLong)
+              case FileStats.ColStat("double", mn, mx) => (mn.toDouble, mx.toDouble)
+              case FileStats.ColStat(_, mn, mx) =>
+                (new String(java.util.Base64.getDecoder.decode(mn), "UTF-8"),
+                  new String(java.util.Base64.getDecoder.decode(mx), "UTF-8"))
+            }
+          }
+        }
+      }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else {
+      val vals = perFile.flatten
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long)     => x < y
+        case (x: Double, y: Double) => x < y
+        case (x, y)                 => x.toString < y.toString
+      }
+      Some((vals.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
+        vals.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
+    }
+  }
+
   /** Range scan with data skipping: prune files by footer stats, read
     * the survivors, and apply the EXACT residual predicate on top (stats
     * may be truncated or coarse — pruning is a fast-path, never the

@@ -93,6 +93,19 @@ class LayoutSpec extends SparkSpec {
     assert(wh.read("t").count() === 20000)
   }
 
+  test("statsMinMax: exact metadata-only min/max, None when stats incomplete") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-mm")
+    wh.atomicPublish("t", clustered())
+    assert(wh.statsMinMax("t", "k") === Some((0L, 9999L)))
+    assert(wh.statsMinMax("t", "d") === Some((0.0, 99.99)))
+    assert(wh.statsMinMax("t", "s") === Some(("s00000", "s09999")))
+    // a column parquet carries no usable top-level stats for → None
+    wh.append("t", Seq((-5L, "a00001", -1.5, 1)).toDF("k", "s", "d", "tag"))
+    assert(wh.statsMinMax("t", "k") === Some((-5L, 9999L)))
+    assert(wh.statsMinMax("t", "nope") === None)
+  }
+
   test("z-order: BOTH clustered columns prune; linear layout prunes only its own") {
     import spark.implicits._
     val (wh, _) = mk("graft-zorder")
