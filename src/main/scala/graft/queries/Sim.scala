@@ -105,6 +105,29 @@ object Sim {
     assigned AS ${assignCte("c2")}"""
   }
 
+  /** Oracle of the IVF nprobe=8 top-10 probe — shared by sim2 (in-query
+    * training) and sim5 (probe of the PERSISTED index): the rounded
+    * codebook makes both runs re-derive identical centroids, so one SQL
+    * mirror serves both.
+    */
+  private def ivfTopkOracle: String =
+    s"""WITH $codebookCtes,
+        probes AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.embedding", "c.c_emb")} / (q.nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
+          WHERE rn <= 8),
+        cand AS (
+          SELECT DISTINCT p.q_id, a.vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+          FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
+          JOIN n q ON q.vec_id = p.q_id JOIN n e ON e.vec_id = a.vec_id)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id) AS rank FROM cand)
+        WHERE rank <= 10 ORDER BY q_id, rank"""
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (exact ANN baseline) -----------------
@@ -156,22 +179,7 @@ object Sim {
         graft.operators.IvfCodebook.topk(e, queries, cents, assigned, 8, 10)
           .orderBy($"q_id", $"rank")
       },
-      Some(s"""WITH $codebookCtes,
-        probes AS (
-          SELECT q_id, c_id FROM (
-            SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
-              ORDER BY ${duckDot("q.embedding", "c.c_emb")} / (q.nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
-          WHERE rn <= 8),
-        cand AS (
-          SELECT DISTINCT p.q_id, a.vec_id,
-            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
-          FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
-          JOIN n q ON q.vec_id = p.q_id JOIN n e ON e.vec_id = a.vec_id)
-        SELECT q_id, rank, vec_id, cos FROM (
-          SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
-            ORDER BY cos DESC, vec_id) AS rank FROM cand)
-        WHERE rank <= 10 ORDER BY q_id, rank""")),
+      Some(ivfTopkOracle)),
 
     // ---- SemDeDup: semantic dedup via trained-codebook clustering ------
     // The SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): k-means
@@ -464,6 +472,36 @@ object Sim {
             row_number() OVER (PARTITION BY q_id
               ORDER BY score DESC, vec_id) AS rank
           FROM rr)
-        WHERE rank <= 10 ORDER BY q_id, rank"""))
+        WHERE rank <= 10 ORDER BY q_id, rank""")),
+
+    // ---- probe of the PERSISTED IVF index (the production ANN shape) ---
+    // sim2 trains and probes in one plan; a real 100 TB deployment
+    // trains ONCE, persists the model artifact — the codebook and the
+    // posting lists — as tables, and serves every query from the
+    // stored index (the d11 pattern, applied to ANN). Here the
+    // codebook + postings are published through the manifest Warehouse
+    // and read back before probing: what's probed went through
+    // parquet, so the query proves the round-trip preserves the exact
+    // centroids (floats survive parquet bit-exactly; the rounded
+    // codebook then makes the oracle shared with sim2 hash-exact).
+    // Per-query serving cost is nprobe posting lists + a bounded
+    // TopKAgg — independent of corpus size once the index exists.
+    Q("sim5_index_topk",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val (cents, assigned) = trainedCodebook(s, e)
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-ivfidx").toString,
+          manifest = true)
+        wh.atomicPublish("ivf_centroids", cents)
+        wh.atomicPublish("ivf_postings", assigned)
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        graft.operators.IvfCodebook.topk(e, queries,
+          wh.read("ivf_centroids"), wh.read("ivf_postings"), 8, 10)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfTopkOracle))
   )
 }
