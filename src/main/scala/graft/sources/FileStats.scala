@@ -54,12 +54,10 @@ object FileStats {
     try {
       val acc = scala.collection.mutable.Map[String, (String, Any, Any)]()
       var statsComplete = Set[String]()
-      var seen = Set[String]()
       for (block <- reader.getFooter.getBlocks.asScala;
            col <- block.getColumns.asScala) {
         val path = col.getPath.toDotString
         if (!path.contains('.')) {
-          seen += path
           val st = col.getStatistics
           val ptn = col.getPrimitiveType.getPrimitiveTypeName
           if (st != null && st.hasNonNullValue) {

@@ -134,15 +134,43 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
         else {
           val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
           fl.filter { f =>
-            stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)) match {
+            // a hive `column=value` path segment prunes too — the
+            // partition column is never IN the file, so footer stats
+            // can't see it; the path is its exact single-value stat
+            partitionValueOf(f, column).forall(pv =>
+              FileStats.mayContain(pv, lower, upper)) &&
+            (stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)) match {
               case Some(cs) => FileStats.mayContain(cs, lower, upper)
               case None     => true
-            }
+            })
           }
         }
       }
     (kept, files.size)
   }
+
+  /** The `column=value` hive segment of a file's relative path as a
+    * single-value ColStat (typed long if the value parses, else
+    * string); None when the layout doesn't encode the column.
+    * `__HIVE_DEFAULT_PARTITION__` (null) is never prunable.
+    */
+  private def partitionValueOf(file: String,
+      column: String): Option[FileStats.ColStat] =
+    file.split('/').collectFirst {
+      case seg if seg.startsWith(column + "=") &&
+          !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") =>
+        val raw = java.net.URLDecoder.decode(
+          seg.substring(column.length + 1), "UTF-8")
+        (raw.toLongOption, raw.toDoubleOption) match {
+          case (Some(l), _) => FileStats.ColStat("long", l.toString, l.toString)
+          case (None, Some(d)) =>
+            FileStats.ColStat("double", d.toString, d.toString)
+          case _ =>
+            val b = java.util.Base64.getEncoder
+              .encodeToString(raw.getBytes("UTF-8"))
+            FileStats.ColStat("string", b, b)
+        }
+    }
 
   /** Exact column min/max answered from the footer-stats sidecars
     * alone — zero data files opened (the Iceberg-style metadata-only
@@ -445,6 +473,23 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       if (parts.isEmpty) snap.coalesce(numFiles)
       else snap.repartition(parts.map(col): _*)
     atomicPublish(name, arranged, parts)
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the current snapshot z-order-
+    * clustered on `cols` (ZOrder.cluster — quantile-bucket Morton
+    * interleave) so the footer-stats skipping layer prunes range scans
+    * on ANY of them. One snapshot publish: readers keep old-or-new,
+    * a racing writer loses the commit CAS loudly, and the fresh
+    * version's `_stats` sidecar reflects the new clustering
+    * automatically. Unpartitioned layouts only — inside a hive
+    * partition the partition column already prunes, and cross-
+    * partition z-ordering would break the layout contract.
+    */
+  def compactZOrder(name: String, cols: Seq[String], numFiles: Int,
+      bits: Int = 8): Unit = {
+    require(partitionColsOf(name).isEmpty,
+      "z-order compaction targets unpartitioned layouts")
+    atomicPublish(name, ZOrder.cluster(read(name), cols, numFiles, bits))
   }
 
   /** Write `df` into a fresh `_vN` dir and return (n, its files).

@@ -138,4 +138,47 @@ class LayoutSpec extends SparkSpec {
     assert(zr.agg(sum($"a" * 1000 + $"b")).as[Long].head() ===
       grid.filter($"b".between(10, 25)).agg(sum($"a" * 1000 + $"b")).as[Long].head())
   }
+
+  test("data skipping: hive partition column prunes from the path, not footer stats") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-skip4")
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("fy", lit(2020L) + $"k" % 5)
+      .withColumn("v", $"k" * 2)
+    wh.atomicPublish("t", df, partitionCols = Seq("fy"))
+
+    // the partition column is not IN the parquet files — only the
+    // path segment can prune it
+    val (kept, total) = wh.pruneFiles("t", "fy", Some(2021L), Some(2021L))
+    assert(kept.nonEmpty && kept.forall(_.contains("fy=2021")),
+      s"only fy=2021 files may survive: $kept")
+    assert(kept.size < total)
+    assert(wh.readSkipping("t", "fy", Some(2021L), Some(2021L)).count() === 200)
+
+    // a data column still prunes by footer stats inside the partitions
+    val (kv, _) = wh.pruneFiles("t", "v", Some(5000L), None)
+    assert(wh.readSkipping("t", "v", Some(5000L), None).count() ===
+      df.filter($"v" >= 5000).count())
+    assert(kv.size <= total)
+  }
+
+  test("compactZOrder: un-prunable table becomes prunable in place, data identical") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-optz")
+    val grid = spark.range(0, 10000).toDF("id")
+      .withColumn("a", ($"id" / 100).cast("long"))
+      .withColumn("b", ($"id" % 100).cast("long"))
+    // round-robin layout: every file spans all of a AND all of b
+    wh.atomicPublish("t", grid.repartition(16))
+    val (k0, t0) = wh.pruneFiles("t", "a", Some(10L), Some(25L))
+    assert(k0.size === t0, "round-robin layout must not prune")
+
+    wh.compactZOrder("t", Seq("a", "b"), 16)
+    val (ka, _) = wh.pruneFiles("t", "a", Some(10L), Some(25L))
+    val (kb, _) = wh.pruneFiles("t", "b", Some(10L), Some(25L))
+    assert(ka.size <= 8 && kb.size <= 8,
+      s"optimized layout must prune both dims: a=${ka.size} b=${kb.size} of 16")
+    assert(wh.read("t").agg(sum($"id")).as[Long].head() ===
+      grid.agg(sum($"id")).as[Long].head(), "rewrite must preserve the data")
+  }
 }

@@ -61,4 +61,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), s"digest key missing:\n$p")
     assert(p.contains("partial_"), s"no partial aggregation:\n$p")
   }
+
+  test("d13: URL canonicalization stays codegen'd — no UDF eval in the plan") {
+    val p = planOf("d13_url_dedup")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"canonicalizer fell out of codegen:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine on the canon groupBy:\n$p")
+  }
+
+  test("x17/x18: model scoring never sorts the corpus — no Window; totals broadcast") {
+    for (q <- Seq("x17_quality_classifier", "x18_lm_perplexity")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q: a window sort-shuffle replaced the row-local/agg shape:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: totals row is not broadcast:\n$p")
+    }
+  }
 }
