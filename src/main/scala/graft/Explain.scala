@@ -35,9 +35,32 @@ object Explain {
         "WholeStageCodegen" -> plan.contains("codegen id"),
         "CARTESIAN-PRODUCT" -> plan.contains("CartesianProduct"),
         "full-schema scan" -> {
-          // a ReadSchema listing every table column suggests no pruning
-          val rs = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
-          rs.exists(_.count(_ == ',') >= 8)
+          // no-pruning heuristic: flag a WIDE scan (≥8 columns) that
+          // also reads the table's FULL width. The old global ">=8
+          // commas" tripped on legitimately wide-but-pruned reads
+          // (9 of lineitem's 16 columns); narrow tables read whole are
+          // usually the query's semantics, so they stay unflagged.
+          // Width = struct fields at ReadSchema's top level.
+          val widest = Map("lineitem" -> 16, "orders" -> 9, "part" -> 9,
+            "customer" -> 8, "supplier" -> 7, "events" -> 6, "documents" -> 5,
+            "nation" -> 4, "embeddings" -> 3, "region" -> 3)
+          plan.split("(?=Location:)").exists { chunk =>
+            (for {
+              t <- "Location:[^\n]*/(\\w+)\\.parquet".r
+                .findFirstMatchIn(chunk).map(_.group(1))
+              rs <- "ReadSchema: struct<([^\n]*)>".r
+                .findFirstMatchIn(chunk).map(_.group(2))
+            } yield {
+              var depth = 0
+              val topCommas = rs.count {
+                case '<' => depth += 1; false
+                case '>' => depth -= 1; false
+                case ',' => depth == 0
+                case _   => false
+              }
+              topCommas + 1 >= 8 && widest.get(t).exists(w => topCommas + 1 >= w)
+            }).getOrElse(false)
+          }
         })
       if (plan.contains("CartesianProduct")) cartesian ::= name
       println(s"===== $name " + "=" * (60 - name.length))

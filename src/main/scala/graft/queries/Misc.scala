@@ -618,6 +618,78 @@ object Misc {
         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
           CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
             AS BIGINT) AS seq
-        FROM sh ORDER BY shard, seq"""))
+        FROM sh ORDER BY shard, seq""")),
+
+    // ---- PageRank over a derived link graph (integer-exact) ------------
+    // Link-graph centrality is a standard web-curation quality signal
+    // (Page et al. 1999; CommonCrawl's harmonic-centrality ranking).
+    // The corpus has no hyperlinks, so the graph is DERIVED
+    // deterministically (two out-edges per doc via multiplicative
+    // hashes mod N) — the operator under test is the ITERATION, the
+    // canonical iterative-join workload: 3 unrolled power iterations,
+    // each one edges⋈ranks equi-join + a dst-keyed partial agg. At
+    // 100 TB the edge list is the big table; each iteration shuffles
+    // edges once on src (the join) and contributions once on dst (the
+    // agg) — ConnectedComponents' steering pattern, fixed depth.
+    //
+    // EXACTNESS: ranks live in integer micro-units (10^12 total mass)
+    // and every step is integer math — DIV by out-degree, (85·x) DIV
+    // 100 damping — so sums are order-independent and the oracle is
+    // hash-exact with no float discipline needed at all.
+    Q("m19_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val S = 1000000000000L
+        val docs = Tables.load(s, dir, "documents").select($"doc_id")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val dn = docs.crossJoin(broadcast(n))
+        val edges = dn.select($"doc_id".as("src"),
+            explode(array(($"doc_id" * 17 + 3) % $"n",
+              ($"doc_id" * 29 + 11) % $"n")).as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pr0 = dn.select($"doc_id", expr(s"$S DIV n").as("pr"),
+          expr(s"(15 * ($S DIV n)) DIV 100").as("base"))
+        val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
+          val inflow = edges.join(pr, edges("src") === pr("doc_id"))
+            .groupBy($"dst").agg(sum(expr("pr DIV 2")).as("inflow"))
+          val base = pr.select($"doc_id", $"base")
+          base.join(inflow, base("doc_id") === inflow("dst"), "left")
+            .select($"doc_id", $"base",
+              ($"base" + expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) DIV 100"))
+                .as("pr"))
+        }
+        pr3.select($"doc_id", $"pr").orderBy($"doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+        docs AS (SELECT doc_id, n FROM documents CROSS JOIN n),
+        edges AS (
+          SELECT src, dst FROM (
+            SELECT doc_id AS src, (doc_id * 17 + 3) % n AS dst FROM docs
+            UNION ALL
+            SELECT doc_id AS src, (doc_id * 29 + 11) % n AS dst FROM docs)),
+        p0 AS (SELECT doc_id, 1000000000000 // n AS pr,
+            (15 * (1000000000000 // n)) // 100 AS base FROM docs),
+        p1 AS (
+          SELECT d.doc_id, d.base,
+            d.base + (85 * COALESCE(f.inflow, 0)) // 100 AS pr
+          FROM p0 d LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.pr // 2) AS BIGINT) AS inflow
+            FROM edges e JOIN p0 p ON e.src = p.doc_id GROUP BY e.dst) f
+          USING (doc_id)),
+        p2 AS (
+          SELECT d.doc_id, d.base,
+            d.base + (85 * COALESCE(f.inflow, 0)) // 100 AS pr
+          FROM p1 d LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.pr // 2) AS BIGINT) AS inflow
+            FROM edges e JOIN p1 p ON e.src = p.doc_id GROUP BY e.dst) f
+          USING (doc_id)),
+        p3 AS (
+          SELECT d.doc_id, d.base,
+            d.base + (85 * COALESCE(f.inflow, 0)) // 100 AS pr
+          FROM p2 d LEFT JOIN (
+            SELECT e.dst AS doc_id, CAST(SUM(p.pr // 2) AS BIGINT) AS inflow
+            FROM edges e JOIN p2 p ON e.src = p.doc_id GROUP BY e.dst) f
+          USING (doc_id))
+        SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"""))
   )
 }
