@@ -49,7 +49,7 @@ object Explain {
               t <- "Location:[^\n]*/(\\w+)\\.parquet".r
                 .findFirstMatchIn(chunk).map(_.group(1))
               rs <- "ReadSchema: struct<([^\n]*)>".r
-                .findFirstMatchIn(chunk).map(_.group(2))
+                .findFirstMatchIn(chunk).map(_.group(1))
             } yield {
               var depth = 0
               val topCommas = rs.count {

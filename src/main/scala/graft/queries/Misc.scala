@@ -690,6 +690,98 @@ object Misc {
             SELECT e.dst AS doc_id, CAST(SUM(p.pr // 2) AS BIGINT) AS inflow
             FROM edges e JOIN p2 p ON e.src = p.doc_id GROUP BY e.dst) f
           USING (doc_id))
-        SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id"""))
+        SELECT doc_id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY doc_id""")),
+
+    // ---- column profiling (Deequ/TFDV-style, one pass) -----------------
+    // The data-profiling sweep every ingestion pipeline runs before
+    // trusting a table: per-column null count, distinct count, min/max
+    // — here over `orders`. ONE scan computes every column's profile
+    // simultaneously (a per-column loop would rescan the table per
+    // column); the only shuffle is the final single-row agg merge.
+    // Distinct counts are exact here (the profile IS the oracle
+    // surface); at 100 TB swap count_distinct for approx_count_distinct
+    // per column — same plan shape, sketch-sized partial states.
+    Q("m20_profile",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        def prof(c: String, minmax: Boolean) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          count_distinct(col(c)).as(s"${c}_distinct")) ++
+          (if (minmax) Seq(min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max")) else Nil)
+        val aggs = prof("o_orderkey", minmax = true) ++
+          prof("o_custkey", minmax = true) ++
+          prof("o_orderstatus", minmax = true) ++
+          prof("o_orderdate", minmax = true)
+        o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      },
+      Some("""SELECT count(*) AS n_rows,
+          CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey_nulls,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS o_orderkey_distinct,
+          CAST(min(o_orderkey) AS VARCHAR) AS o_orderkey_min,
+          CAST(max(o_orderkey) AS VARCHAR) AS o_orderkey_max,
+          CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_custkey_nulls,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_distinct,
+          CAST(min(o_custkey) AS VARCHAR) AS o_custkey_min,
+          CAST(max(o_custkey) AS VARCHAR) AS o_custkey_max,
+          CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_distinct,
+          CAST(min(o_orderstatus) AS VARCHAR) AS o_orderstatus_min,
+          CAST(max(o_orderstatus) AS VARCHAR) AS o_orderstatus_max,
+          CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderdate_nulls,
+          CAST(count(DISTINCT o_orderdate) AS BIGINT) AS o_orderdate_distinct,
+          CAST(min(o_orderdate) AS VARCHAR) AS o_orderdate_min,
+          CAST(max(o_orderdate) AS VARCHAR) AS o_orderdate_max
+        FROM orders""")),
+
+    // ---- constraint checks (Deequ-style quality gates) -----------------
+    // Declarative data-quality assertions evaluated in bulk: key
+    // uniqueness, non-null, domain membership, referential integrity.
+    // Each check reduces to a count the engine already knows how to
+    // scale (partial-agg dup count; broadcast-anti-join orphan probe),
+    // and the result is one row per check — the shape a warehouse
+    // publish gate consumes (fail the publish when violations > 0).
+    Q("m21_quality_checks",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val uniq = o.groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+          .filter($"n" > 1).agg(coalesce(sum($"n"), lit(0L)).as("violations"))
+          .select(lit("o_orderkey_unique").as("check_name"), $"violations")
+        val nn = o.agg(sum(when($"o_orderdate".isNull, 1L).otherwise(0L))
+            .as("violations"))
+          .select(lit("o_orderdate_not_null").as("check_name"), $"violations")
+        val dom = o.agg(sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("violations"))
+          .select(lit("o_orderstatus_domain").as("check_name"), $"violations")
+        val ri = o.join(broadcast(c.select($"c_custkey")),
+            $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("o_custkey_references_customer").as("check_name"), $"violations")
+        uniq.unionByName(nn).unionByName(dom).unionByName(ri)
+          .withColumn("passed", $"violations" === 0L)
+          .orderBy($"check_name")
+      },
+      Some("""SELECT check_name, violations, violations = 0 AS passed FROM (
+          SELECT 'o_orderkey_unique' AS check_name,
+            CAST(COALESCE((SELECT SUM(n) FROM (
+              SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+              WHERE n > 1), 0) AS BIGINT) AS violations
+          UNION ALL
+          SELECT 'o_orderdate_not_null',
+            CAST((SELECT SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              FROM orders) AS BIGINT)
+          UNION ALL
+          SELECT 'o_orderstatus_domain',
+            CAST((SELECT SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+              THEN 1 ELSE 0 END) FROM orders) AS BIGINT)
+          UNION ALL
+          SELECT 'o_custkey_references_customer',
+            CAST((SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
+        ORDER BY check_name"""))
   )
 }

@@ -134,4 +134,26 @@ class NativeExprsSpec extends SparkSpec {
     // '*(n)' marks operators inside a WholeStageCodegen stage
     assert(plan.contains("*(1)"), plan)
   }
+
+  test("sortedBucket == count of bounds strictly below v (property), and codegen matches eval") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val gen = for {
+      bs <- Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+      v <- Gen.oneOf(Gen.chooseNum(-2e6, 2e6), Gen.oneOf(bs))
+    } yield (bs.distinct.sorted.toArray, v)
+    val prop = forAll(gen) { case (bounds, v) =>
+      graft.functions.ZOrderHelper.bucket(v, bounds) == bounds.count(_ < v)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop).passed)
+
+    // the Column path (codegen'd SortedBucketExpr) agrees with the helper
+    import spark.implicits._
+    val bounds = Array(-10.0, 0.0, 3.5, 100.0)
+    val vs = Seq(-11.0, -10.0, -1.0, 0.0, 2.0, 3.5, 99.9, 100.0, 101.0)
+    val got = vs.toDF("v")
+      .select(NativeExprs.sortedBucket(spark, $"v", bounds).as("b"))
+      .as[Int].collect().toSeq
+    assert(got === vs.map(v => graft.functions.ZOrderHelper.bucket(v, bounds)))
+  }
 }
