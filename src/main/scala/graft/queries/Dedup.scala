@@ -748,6 +748,52 @@ object Dedup {
               '^www\.', ''),
             '/$', '') AS canon,
           min(doc_id) AS keep_id, count(*) AS n_urls
-        FROM u GROUP BY 1 ORDER BY keep_id"""))
+        FROM u GROUP BY 1 ORDER BY keep_id""")),
+
+    // ---- quality-aware keeper per near-dup cluster ---------------------
+    // d6 keeps the min-id member of each duplicate cluster — simple,
+    // but production pipelines keep the BEST member (RefinedWeb keeps
+    // the longest document of a near-dup group). Same cluster
+    // machinery as d6 (pairs → connected components), then an arg-max
+    // by (n_chars, then smaller doc_id as tie-break) per component —
+    // max_by over a struct: one map-side-combined partial agg, one row
+    // per cluster crossing the shuffle, never a per-cluster sort.
+    // Docs with no near-dup edge never enter the component table and
+    // are trivially their own keepers (same contract as d6's oracle).
+    Q("d14_keep_best",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, dir, 0.5, 100).select($"a_id", $"b_id")
+        val comps = graft.operators.ConnectedComponents.run(
+            pairs, "a_id", "b_id", dedupEdges = false)
+          .select($"node".as("doc_id"), $"component")
+        val j = comps.join(
+          Tables.load(s, dir, "documents").select($"doc_id", $"n_chars"),
+          "doc_id")
+        val keep = j.groupBy($"component")
+          .agg(max_by($"doc_id", struct($"n_chars", -$"doc_id")).as("keep_id"))
+        j.join(keep, "component")
+          .select($"doc_id", $"component", $"n_chars", $"keep_id",
+            ($"doc_id" === $"keep_id").as("kept"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsCte("0.5", 100)},
+        edges AS (SELECT a_id AS x, b_id AS y FROM jpairs
+                  UNION SELECT b_id, a_id FROM jpairs),
+        reach(x, y) AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x),
+        comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS component
+                 FROM reach GROUP BY x),
+        j AS (SELECT c.doc_id, c.component, d.n_chars
+              FROM comp c JOIN documents d USING (doc_id)),
+        k AS (SELECT component, doc_id AS keep_id FROM (
+            SELECT component, doc_id, row_number() OVER (PARTITION BY component
+              ORDER BY n_chars DESC, doc_id) AS rn FROM j)
+          WHERE rn = 1)
+        SELECT j.doc_id, j.component, j.n_chars, k.keep_id,
+          j.doc_id = k.keep_id AS kept
+        FROM j JOIN k USING (component) ORDER BY j.doc_id"""))
   )
 }
