@@ -68,7 +68,7 @@ object ConnectedComponents {
     // Seeded from the fused round so a diameter-1 component (a clique —
     // the common near-dup cluster) converges after one join round.
     var prevSum: Option[java.math.BigDecimal] = Some(
-      labels.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head.getDecimal(0))
+      labels.agg(sum(col("lbl").cast("decimal(38,0)")).as("s")).head().getDecimal(0))
     while (!converged && rounds < maxRounds) {
       // each node pulls its neighbors' labels, keeps the min incl. own
       val neigh = sym.join(labels.withColumnRenamed("n", "m"), "m")
@@ -78,7 +78,7 @@ object ConnectedComponents {
         .persist()
       val labelSum = next
         .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
+        .head().getDecimal(0)
       labels.unpersist()
       labels = next
       rounds += 1

@@ -117,7 +117,7 @@ object StreamingDedup {
           } finally {
             b.unpersist()
             val after = sc.getPersistentRDDs
-            (after.keySet -- before).foreach(id =>
+            (after.keySet.diff(before)).foreach(id =>
               after.get(id).foreach(_.unpersist(false)))
           }
         }
