@@ -45,6 +45,12 @@ import org.apache.spark.sql.expressions.Window
   * across re-ingests. Collision risk at 64 bits is ~n²/2⁶⁵ (≪1 for the
   * reference's ~10⁷ keyspace).
   */
+/** Snapshot layout health (Warehouse.tableHealth) — all driver
+  * metadata, no data read.
+  */
+final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
+    maxBytes: Long, smallFiles: Int, versions: Int)
+
 class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
 
   private def tablePath(name: String) = s"$dir/$name"
@@ -473,6 +479,31 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
       if (parts.isEmpty) snap.coalesce(numFiles)
       else snap.repartition(parts.map(col): _*)
     atomicPublish(name, arranged, parts)
+  }
+
+  /** Small-file / layout health of the current snapshot, answered from
+    * driver metadata alone (manifest file list + one FileStatus per
+    * file — no data read): file count, byte totals and spread, and how
+    * many files sit under `smallBytes`. This is the signal a
+    * maintenance scheduler watches to decide when `compact` /
+    * `compactZOrder` pays for itself — at 100 TB the small-file count
+    * after many streaming micro-batch appends, not the byte total, is
+    * what degrades scan planning.
+    */
+  def tableHealth(name: String,
+      smallBytes: Long = 8L * 1024 * 1024): TableHealth = {
+    val files = snapshotFiles(name)
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val sizes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen)
+    val versions = if (fs.exists(root))
+      fs.listStatus(root).count(st =>
+        st.isDirectory && st.getPath.getName.matches("_v\\d+"))
+    else 0
+    TableHealth(files.size, sizes.sum,
+      if (sizes.isEmpty) 0L else sizes.min,
+      if (sizes.isEmpty) 0L else sizes.max,
+      sizes.count(_ < smallBytes), versions)
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the current snapshot z-order-

@@ -162,6 +162,21 @@ class LayoutSpec extends SparkSpec {
     assert(kv.size <= total)
   }
 
+  test("tableHealth: metadata-only layout report drives compaction") {
+    val (wh, _) = mk("graft-health")
+    wh.atomicPublish("t", clustered())          // 8 files
+    wh.append("t", clustered())                 // + 8 files
+    val h = wh.tableHealth("t")
+    assert(h.files === 16 && h.versions === 2)
+    assert(h.smallFiles === 16, "tiny test files all count as small")
+    assert(h.totalBytes > 0 && h.minBytes > 0 && h.maxBytes >= h.minBytes)
+
+    wh.compact("t", numFiles = 1)
+    val h2 = wh.tableHealth("t")
+    assert(h2.files === 1, s"compaction must collapse the layout: $h2")
+    assert(h2.totalBytes > 0)
+  }
+
   test("compactZOrder: un-prunable table becomes prunable in place, data identical") {
     import spark.implicits._
     val (wh, _) = mk("graft-optz")
