@@ -48,9 +48,28 @@ object Cli {
           .orderBy("edinet_code")
           .show(1000, truncate = false)
 
+      // table maintenance (manifest mode): layout health, bin-pack
+      // compaction, multi-column z-order clustering
+      case "health" :: whDir :: table :: Nil =>
+        println(new Warehouse(spark, whDir, manifest = true).tableHealth(table))
+
+      case "optimize" :: whDir :: table :: rest =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        wh.compact(table, rest.headOption.map(_.toInt).getOrElse(1))
+        println(wh.tableHealth(table))
+
+      case "optimize-zorder" :: whDir :: table :: n :: cols if cols.size >= 2 =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        wh.compactZOrder(table, cols, n.toInt)
+        println(wh.tableHealth(table))
+
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
-        System.err.println("usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | companies <whDir>")
+        System.err.println(
+          "usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | " +
+          "companies <whDir> | health <whDir> <table> | " +
+          "optimize <whDir> <table> [numFiles] | " +
+          "optimize-zorder <whDir> <table> <numFiles> <col> <col>...")
         sys.exit(2)
     }
     spark.stop()
