@@ -481,6 +481,29 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     atomicPublish(name, arranged, parts)
   }
 
+  /** Row-level diff between two committed snapshots (CDC-lite, the
+    * shape Delta's change-data-feed serves): `added` = rows of `v2`
+    * with no identical row in `v1`, `removed` = the converse — two
+    * full-row anti-joins (null-safe equality), so an UPDATE surfaces
+    * as remove(old)+add(new), exactly how a downstream incremental
+    * consumer replays it. GC keeps current + previous, so the
+    * always-available call is diff(previous, current) right after a
+    * publish — the per-publish changelog. Two shuffles, nothing
+    * driver-side; at scale both sides partition-prune through the
+    * same manifest reads as any query. SET semantics: duplicate-row
+    * multiplicities are not tracked (one surviving copy suppresses
+    * the diff for all its duplicates).
+    */
+  def diffVersions(name: String, v1: Long, v2: Long): (DataFrame, DataFrame) = {
+    require(manifest, "snapshot diff requires manifest mode")
+    val a = readVersion(name, v1)
+    val b = readVersion(name, v2)
+    val all = b.columns.toSeq
+    val added = b.join(a, all.map(c => b(c) <=> a(c)).reduce(_ && _), "left_anti")
+    val removed = a.join(b, all.map(c => a(c) <=> b(c)).reduce(_ && _), "left_anti")
+    (added, removed)
+  }
+
   /** Small-file / layout health of the current snapshot, answered from
     * driver metadata alone (manifest file list + one FileStatus per
     * file — no data read): file count, byte totals and spread, and how

@@ -162,6 +162,17 @@ class LayoutSpec extends SparkSpec {
     assert(kv.size <= total)
   }
 
+  test("diffVersions: per-publish changelog — update = remove(old) + add(new)") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-diff")
+    wh.atomicPublish("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // _v1
+    wh.upsert("t", Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k")) // _v2
+    val (added, removed) = wh.diffVersions("t", 1, 2)
+    assert(added.orderBy("k").as[(Long, String)].collect()
+      === Array((2L, "B"), (3L, "c")))
+    assert(removed.as[(Long, String)].collect() === Array((2L, "b")))
+  }
+
   test("tableHealth: metadata-only layout report drives compaction") {
     val (wh, _) = mk("graft-health")
     wh.atomicPublish("t", clustered())          // 8 files

@@ -78,4 +78,18 @@ class PlanSpec extends SparkSpec {
         s"$q: totals row is not broadcast:\n$p")
     }
   }
+
+  test("m19: integer ranks — no float math on the iteration path") {
+    val p = planOf("m19_pagerank")
+    assert(p.contains("partial_"), s"inflow agg not map-side combined:\n$p")
+    assert(!p.toLowerCase.contains("cast(pr"), // pr stays bigint end to end
+      s"rank column cast off integer:\n$p")
+  }
+
+  test("d14: keeper selection is a max_by partial agg, not a per-cluster sort") {
+    val p = planOf("d14_keep_best")
+    assert(p.contains("max_by") || p.contains("partial_"),
+      s"keeper arg-max lost partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"a window sort crept into keeper selection:\n$p")
+  }
 }
