@@ -60,13 +60,21 @@ object FileStats {
         if (!path.contains('.')) {
           val st = col.getStatistics
           val ptn = col.getPrimitiveType.getPrimitiveTypeName
+          // decimal/date/timestamp ride INT32/INT64 with ENCODED values
+          // (unscaled units, days, micros) — comparing those against a
+          // caller's raw bound can WRONGLY PRUNE (e.g. decimal(9,2)
+          // 5.00 is stored as 500: file min 500 > upper bound 50 even
+          // though the value 5 ≤ 50). Only plain ints are safe.
+          val ann = col.getPrimitiveType.getLogicalTypeAnnotation
+          val plainInt = ann == null || ann.isInstanceOf[
+            org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
           if (st != null && st.hasNonNullValue) {
             val tv: Option[(String, Any, Any)] = ptn match {
-              case PrimitiveTypeName.INT32 =>
+              case PrimitiveTypeName.INT32 if plainInt =>
                 Some(("long",
                   st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
                   st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
-              case PrimitiveTypeName.INT64 =>
+              case PrimitiveTypeName.INT64 if plainInt =>
                 Some(("long",
                   st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
                   st.genericGetMax.asInstanceOf[java.lang.Long].longValue))

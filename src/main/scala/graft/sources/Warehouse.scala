@@ -498,6 +498,10 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     require(manifest, "snapshot diff requires manifest mode")
     val a = readVersion(name, v1)
     val b = readVersion(name, v2)
+    require(a.columns.toSet == b.columns.toSet,
+      s"schema evolved between snapshots (v$v1: ${a.columns.mkString(",")} " +
+      s"vs v$v2: ${b.columns.mkString(",")}) — project both to the " +
+      "common columns and diff those explicitly")
     val all = b.columns.toSeq
     val added = b.join(a, all.map(c => b(c) <=> a(c)).reduce(_ && _), "left_anti")
     val removed = a.join(b, all.map(c => a(c) <=> b(c)).reduce(_ && _), "left_anti")

@@ -162,6 +162,27 @@ class LayoutSpec extends SparkSpec {
     assert(kv.size <= total)
   }
 
+  test("data skipping: encoded types (decimal/timestamp/date) never prune — and never lie") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-skip5")
+    // decimal(9,2) is stored UNSCALED in parquet (5.00 → 500): footer
+    // stats must not be recorded for it, else a raw bound would
+    // wrongly prune (500 > upper 50 though the value 5 ≤ 50)
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("dec", ($"k".cast("double") / 100.0).cast("decimal(9,2)"))
+      .withColumn("ts", expr("timestamp_seconds(1700000000 + k)"))
+      .withColumn("dt", expr("date_add(date'2020-01-01', CAST(k AS INT))"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    wh.atomicPublish("t", df)
+    for (c <- Seq("dec", "ts", "dt")) {
+      val (kept, total) = wh.pruneFiles("t", c, Some(50), Some(50))
+      assert(kept.size === total, s"encoded column $c must never prune")
+    }
+    // the exact residual predicate still applies on top
+    assert(wh.readSkipping("t", "dec", Some(java.math.BigDecimal.valueOf(1.00)),
+      Some(java.math.BigDecimal.valueOf(2.00))).count() === 101)
+  }
+
   test("diffVersions: per-publish changelog — update = remove(old) + add(new)") {
     import spark.implicits._
     val (wh, _) = mk("graft-diff")
