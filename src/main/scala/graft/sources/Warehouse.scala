@@ -508,6 +508,42 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     (added, removed)
   }
 
+  /** Snapshot integrity audit (fsck-lite), driver metadata only:
+    * the current pointer must resolve to a parseable manifest, every
+    * manifest-listed data file must exist, and every referenced
+    * version dir should carry its `_stats` sidecar (a sidecar may
+    * cover MORE files than the snapshot references — partition-scoped
+    * upserts legitimately keep only part of an old version). Returns
+    * human-readable issues — empty means healthy. Orphan version dirs are NOT issues (they are the
+    * next publish's GC candidates and a crashed writer's normal
+    * residue). The check an operator runs after an incident before
+    * trusting a table again — O(files) driver work, no data read.
+    */
+  def fsck(name: String): Seq[String] = {
+    require(manifest, "fsck audits manifest tables")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val issues = scala.collection.mutable.ListBuffer[String]()
+    val (mf, files) =
+      try resolveSnapshot(name)
+      catch { case e: Exception =>
+        return Seq(s"snapshot unresolvable: ${e.getMessage}")
+      }
+    if (mf.isEmpty && fs.exists(new Path(root, CurrentPtr)))
+      issues += "_CURRENT exists but names no manifest"
+    files.foreach { f =>
+      if (!fs.exists(new Path(root, f))) issues += s"missing data file: $f"
+    }
+    val versions = files.collect {
+      case f if f.matches("^_v\\d+/.*") => f.takeWhile(_ != '/')
+    }.distinct
+    versions.foreach { v =>
+      if (!fs.exists(new Path(new Path(root, v), "_stats")))
+        issues += s"version $v has no _stats sidecar"
+    }
+    issues.toList
+  }
+
   /** Small-file / layout health of the current snapshot, answered from
     * driver metadata alone (manifest file list + one FileStatus per
     * file — no data read): file count, byte totals and spread, and how

@@ -183,6 +183,25 @@ class LayoutSpec extends SparkSpec {
       Some(java.math.BigDecimal.valueOf(2.00))).count() === 101)
   }
 
+  test("fsck: healthy after publish/upsert; reports a deleted data file") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-fsck")
+    wh.atomicPublish("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    wh.upsert("t", Seq((2L, "B")).toDF("k", "v"), Seq("k"))
+    assert(wh.fsck("t") === Nil)
+
+    // simulate partial data loss: remove a parquet file of the CURRENT
+    // snapshot (the highest version dir — the GC'd-previous _v1 is not
+    // referenced by the current manifest and wouldn't be flagged)
+    val dead = new java.io.File(s"$tmp/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("_v\\d+"))
+      .maxBy(_.getName.drop(2).toInt)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(dead.delete())
+    val issues = wh.fsck("t")
+    assert(issues.exists(_.startsWith("missing data file:")), s"got: $issues")
+  }
+
   test("diffVersions: per-publish changelog — update = remove(old) + add(new)") {
     import spark.implicits._
     val (wh, _) = mk("graft-diff")
