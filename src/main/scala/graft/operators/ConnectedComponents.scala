@@ -73,9 +73,18 @@ object ConnectedComponents {
       // each node pulls its neighbors' labels, keeps the min incl. own
       val neigh = sym.join(labels.withColumnRenamed("n", "m"), "m")
         .select(col("n"), col("lbl"))
+      // localCheckpoint, not persist: `labels` is referenced TWICE per
+      // round (the neighbor join and the union), so an un-truncated
+      // logical plan doubles every round — a long-diameter graph (a
+      // path) makes round ~15's plan tree 2^15 nodes and AQE's
+      // explain-string rendering alone OOMs the driver. Eager local
+      // checkpoint materializes the round AND cuts the lineage, so
+      // every round carries a constant-size plan. (Same durability
+      // trade as the final checkpoint below — executor-local blocks,
+      // re-run the job on executor loss.)
       val next = labels.unionByName(neigh)
         .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
-        .persist()
+        .localCheckpoint(true)
       val labelSum = next
         .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)

@@ -132,6 +132,36 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("ConnectedComponents == union-find reference on random graphs, both dedup modes") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(40 + rnd.nextInt(40))(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      // driver-side union-find: attaching the larger root under the
+      // smaller keeps every root the min id of its component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      val gotDeduped = ConnectedComponents.run(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotDeduped === expect, s"seed=$seed (dedupEdges=true)")
+      val gotUnique = ConnectedComponents.run(edges.distinct.toDF("a", "b"),
+          dedupEdges = false)
+        .as[(Long, Long)].collect().toMap
+      assert(gotUnique === expect, s"seed=$seed (dedupEdges=false)")
+    }
+  }
+
   test("ConnectedComponents: empty edge list yields an empty frame, no crash") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
