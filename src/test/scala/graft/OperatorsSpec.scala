@@ -162,6 +162,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("PageRank == integer reference on random directed graphs (dangling nodes, 6 iters)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 20 + rnd.nextInt(20)
+      // directed, duplicates allowed; some nodes appear only as dst
+      // (dangling — no out-edges, their mass leaks, per the class doc)
+      val edges = Seq.fill(50 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val scale = 1000000000000L
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val pr0 = scale / nodes.size
+      val base = pr0 * 15 / 100
+      val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var ref = nodes.map(_ -> pr0).toMap
+      for (_ <- 1 to 6) {
+        val inflow = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, d) => inflow(d) += ref(s) / outdeg(s) }
+        ref = nodes.map(v => v -> (base + 85L * inflow(v) / 100L)).toMap
+      }
+      val got = graft.operators.PageRank.run(edges.toDF("src", "dst"), 6)
+        .as[(Long, Long)].collect().toMap
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
   test("ConnectedComponents: empty edge list yields an empty frame, no crash") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
