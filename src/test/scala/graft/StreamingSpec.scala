@@ -284,4 +284,51 @@ class StreamingSpec extends SparkSpec {
       === (admitted ++ corpus.select($"doc_id").as[Long].collect().toSet))
     assert(wh.read("lsh_index").count() === wh.read("corpus").count())
   }
+
+  test("streaming IVF indexer: streamed postings == batch assignment; redelivery converges") {
+    import spark.implicits._
+    import graft.operators.IvfCodebook
+    import graft.streaming.StreamingIndex
+    import graft.functions.NativeExprs
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val normed = e.withColumn("nrm",
+      sqrt(NativeExprs.dot(spark, $"embedding", $"embedding")))
+    val seed = normed.filter($"vec_id" < 300)
+    val cents = IvfCodebook.train(seed,
+      seed.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm")), 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ivf").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    wh.atomicPublish("centroids", cents)
+    wh.atomicPublish("vectors", seed.drop("nrm"))
+    wh.atomicPublish("postings", IvfCodebook.assign(seed, cents))
+
+    val incoming = s"$tmp/incoming"
+    val batch = e.filter($"vec_id" >= 300)
+    batch.coalesce(1).write.parquet(incoming)
+    StreamingIndex.indexIngest(
+      spark.readStream.schema(batch.schema).parquet(incoming),
+      wh, "vectors", "postings", "centroids", s"$tmp/ckpt")
+      .awaitTermination(120000)
+
+    // streamed postings for the new vectors == the one-shot assignment
+    val got = wh.read("postings").filter($"vec_id" >= 300)
+      .as[(Long, Long)].collect().toMap
+    val expect = StreamingIndex.postingsOf(batch, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expect, "streamed assignment must equal the batch decision")
+    // every vector is searchable: postings cover exactly the vectors
+    assert(wh.read("postings").count() === wh.read("vectors").count())
+
+    // full redelivery (fresh checkpoint, same input): keyed upserts on
+    // a frozen codebook converge to the identical index
+    StreamingIndex.indexIngest(
+      spark.readStream.schema(batch.schema).parquet(incoming),
+      wh, "vectors", "postings", "centroids", s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(wh.read("postings").filter($"vec_id" >= 300)
+      .as[(Long, Long)].collect().toMap === expect)
+    assert(wh.read("postings").count() === wh.read("vectors").count())
+  }
 }
