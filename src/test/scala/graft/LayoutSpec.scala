@@ -183,6 +183,21 @@ class LayoutSpec extends SparkSpec {
       Some(java.math.BigDecimal.valueOf(2.00))).count() === 101)
   }
 
+  test("FileStats: distributed footer reads == driver-side reads") {
+    import graft.sources.FileStats
+    val (wh, tmp) = mk("graft-dist")
+    wh.atomicPublish("t", clustered())
+    val vdir = s"$tmp/t/_v1"
+    val files = new java.io.File(vdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    val driver = FileStats.collect(spark, vdir, files)
+    // threshold 0 forces the executor path (conf rebuilt from
+    // broadcast entries) — must agree byte-for-byte with driver reads
+    val dist = FileStats.collect(spark, vdir, files, distributedThreshold = 0)
+    assert(dist === driver)
+    assert(driver.nonEmpty && driver.values.forall(_.contains("k")))
+  }
+
   test("fsck: healthy after publish/upsert; reports a deleted data file") {
     import spark.implicits._
     val (wh, tmp) = mk("graft-fsck")
