@@ -792,6 +792,55 @@ object Text {
             JOIN uni USING (w2) CROSS JOIN t
           GROUP BY doc_id)
         SELECT doc_id, n_bigrams, entropy, round(exp(entropy), 4) AS ppl
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // ---- script / charset composition (curation pre-filter) ------------
+    // The character-class profile crawl pipelines gate on before any
+    // tokenization (CCNet drops pages by non-printable/letter ratios;
+    // charset mix also catches mojibake): per-document ratios of
+    // ASCII letters, digits, uppercase, whitespace, and non-ASCII code
+    // units. Counts come from length(text) − length(regexp_replace):
+    // pure codegen'd string ops, zero explode — a per-codepoint
+    // transform would allocate an array per row for what a regex scan
+    // counts in place. (DuckDB regexp_replace needs the 'g' flag to
+    // mirror Spark's replace-all.)
+    Q("x19_charset_profile",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .filter(length($"text") > 0)
+        def cnt(re: String) =
+          length($"text") - length(regexp_replace($"text", re, ""))
+        d.select($"doc_id", length($"text").cast("double").as("n"),
+            cnt("[A-Za-z]").as("alpha"), cnt("[0-9]").as("digit"),
+            cnt("[A-Z]").as("upper"), cnt("[ ]").as("space"),
+            cnt("[^\\x00-\\x7f]").as("nonascii"))
+          .select($"doc_id",
+            round($"alpha" / $"n", 6).as("alpha_ratio"),
+            round($"digit" / $"n", 6).as("digit_ratio"),
+            round($"upper" / $"n", 6).as("upper_ratio"),
+            round($"space" / $"n", 6).as("space_ratio"),
+            round($"nonascii" / $"n", 6).as("nonascii_ratio"))
+          .withColumn("charset_ok",
+            $"alpha_ratio" >= 0.5 && $"nonascii_ratio" <= 0.1)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+            length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+            length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+            length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper,
+            length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS space,
+            length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS nonascii
+          FROM documents WHERE length(text) > 0)
+        SELECT doc_id,
+          round(alpha / n, 6) AS alpha_ratio,
+          round(digit / n, 6) AS digit_ratio,
+          round(upper / n, 6) AS upper_ratio,
+          round(space / n, 6) AS space_ratio,
+          round(nonascii / n, 6) AS nonascii_ratio,
+          (round(alpha / n, 6) >= 0.5 AND round(nonascii / n, 6) <= 0.1)
+            AS charset_ok
+        FROM c ORDER BY doc_id"""))
   )
 }
