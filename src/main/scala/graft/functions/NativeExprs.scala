@@ -154,10 +154,19 @@ object NativeExprs {
     "graft_vec_dot" -> (exprs => FloatVecDotExpr(exprs(0), exprs(1))),
     "graft_shingles3" -> (exprs => WordShinglesExpr(exprs.head, 3)),
     "graft_gram2_stats" -> (exprs => Gram2StatsExpr(exprs.head)),
-    // bounds arrive as a foldable array literal — evaluated once at
-    // plan build, so the per-row path is a pure binary search
-    "graft_sorted_bucket" -> (exprs => SortedBucketExpr(exprs(0),
-      exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray())))
+    // bounds MUST be a foldable array literal — they are evaluated once
+    // at plan build (the per-row path is then a pure binary search).
+    // A non-foldable second argument (a column, a subquery) would be
+    // eval'd against a null input row — an obscure exception at best, a
+    // silently wrong constant at worst — so it is rejected loudly here.
+    "graft_sorted_bucket" -> (exprs => {
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "graft_sorted_bucket(v, bounds): bounds must be a foldable " +
+            s"array literal, got non-foldable ${exprs(1).sql}")
+      SortedBucketExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq)
+    }))
 
   /** Idempotent session registration; the catalog queries call this so
     * any fresh SparkSession (driver-owned) gets the functions. The
@@ -229,17 +238,24 @@ object ZOrderHelper {
   * O(log bounds) per row inside whole-stage codegen; the array rides
   * the generated class as a reference object, not per-row state.
   */
-case class SortedBucketExpr(child: Expression, bounds: Array[Double])
+case class SortedBucketExpr(child: Expression, bounds: Seq[Double])
     extends UnaryExpression {
+
+  // bounds is a Seq (value equality), NOT an Array (reference
+  // equality): case-class equality drives expression canonicalization,
+  // and an Array field would make semantically identical expressions
+  // never compare equal — missed common-subexpression elimination and
+  // confusing plan diffs
+  private lazy val arr: Array[Double] = bounds.toArray
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    ZOrderHelper.bucket(input.asInstanceOf[Double], bounds)
+    ZOrderHelper.bucket(input.asInstanceOf[Double], arr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bounds", bounds, "double[]")
+    val ref = ctx.addReferenceObj("bounds", arr, "double[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.ZOrderHelper.bucket($c, $ref)")
   }
 

@@ -61,6 +61,11 @@ object ConnectedComponents {
       .persist()
     var rounds = 1
     var converged = false
+    // the PREVIOUS round's checkpoint blocks — Dataset.unpersist is a
+    // no-op on a localCheckpoint'd frame (see Lineage), so each round
+    // frees its predecessor's RDD directly once the new round is
+    // eagerly materialized
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     // convergence via the label-sum invariant: labels are per-node
     // non-increasing (min of self + neighbors), so the exact decimal
     // sum is strictly decreasing until fixpoint and equal AT it — one
@@ -88,7 +93,9 @@ object ConnectedComponents {
       val labelSum = next
         .agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
-      labels.unpersist()
+      labels.unpersist() // frees the init persist (round 1); no-op after
+      Lineage.free(prevCkpt) // prior round's blocks — next is materialized
+      prevCkpt = Lineage.ckptRdd(next)
       labels = next
       rounds += 1
       converged = prevSum.exists(_.compareTo(labelSum) == 0)
@@ -101,6 +108,7 @@ object ConnectedComponents {
     // multi-tenant cluster, write to a checkpoint dir instead)
     val out = labels.localCheckpoint(true)
     labels.unpersist()
+    Lineage.free(prevCkpt) // last round's blocks — out is its own copy
     sym.unpersist()
     out.withColumnRenamed("n", "node").withColumnRenamed("lbl", "component")
   }

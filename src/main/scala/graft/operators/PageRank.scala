@@ -47,6 +47,9 @@ object PageRank {
     val pr0 = scale / n
     val base = (pr0 * (dampDen - dampNum)) / dampDen
     var pr = nodes.select(col("node"), lit(pr0).as("pr"))
+    // previous truncation's checkpoint blocks (see Lineage: unpersist
+    // on the Dataset itself frees nothing)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     for (i <- 1 to iterations) {
       val inflow = withDeg.join(pr, withDeg("src") === pr("node"))
         .select(col("dst"), expr("pr DIV outdeg").as("c"))
@@ -60,12 +63,18 @@ object PageRank {
       // twice), so cut it every 4th round — ≤2^4 plan nodes between
       // cuts, and short runs (the common 3-iteration case) stay a
       // single lazy plan with no materialization jobs at all
-      pr = if (i % 4 == 0 && i < iterations) next.localCheckpoint(true) else next
+      pr = if (i % 4 == 0 && i < iterations) {
+        val ck = next.localCheckpoint(true)
+        Lineage.free(prevCkpt) // rounds between cuts read the NEW blocks
+        prevCkpt = Lineage.ckptRdd(ck)
+        ck
+      } else next
     }
     // materialize the result BEFORE dropping the edge cache (the same
     // discipline as ConnectedComponents): a lazy return would recompute
     // every iteration against an uncached edge list
     val result = pr.localCheckpoint(true)
+    Lineage.free(prevCkpt) // result is materialized; mid-run blocks free
     withDeg.unpersist()
     result
   }

@@ -134,8 +134,12 @@ object FileStats {
       if (cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) >= 0) a else b
   }
 
-  /** Unsigned lexicographic byte compare — parquet's binary stat order. */
-  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+  /** Unsigned lexicographic byte compare — parquet's binary stat order
+    * (= UTF-8 code-point order, matching Spark's string ordering).
+    * Shared with Warehouse's partition-path pruning and statsMinMax so
+    * every string comparison in the skipping layer uses ONE order.
+    */
+  private[sources] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     while (i < a.length && i < b.length) {
       val d = (a(i) & 0xff) - (b(i) & 0xff)

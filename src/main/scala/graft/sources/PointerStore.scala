@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The commit pointer's read / compare-and-set seam.
+  *
+  * `Warehouse.commitSnapshot`'s optimistic-concurrency guard needs ONE
+  * primitive the storage layer must supply: "flip the `_CURRENT`
+  * pointer to my manifest iff the snapshot it was computed against is
+  * still current". How that conditional is made atomic is
+  * deployment-specific — a plain filesystem has atomic
+  * create-no-overwrite (used here as a lock), S3/GCS have conditional
+  * PUT (`If-Match` on the pointer object's ETag / `x-goog-if-
+  * generation-match`) — so the primitive lives behind this trait and a
+  * deployment plugs its store into the `Warehouse` constructor. The
+  * reference gets the same guarantee from Postgres transactions
+  * (utils/service/unitofwork.py:89-143); a lakehouse must build it
+  * from the store's own atomic.
+  */
+trait PointerStore {
+
+  /** Current pointer value (the manifest name it names), None when the
+    * pointer object doesn't exist or is empty.
+    */
+  def read(fs: FileSystem, root: Path, ptrName: String): Option[String]
+
+  /** Atomically — with respect to every other `compareAndSet` on the
+    * same table — set the pointer to `next` iff `observe()` still
+    * returns `expected`. `observe` resolves the snapshot a reader
+    * would see NOW (pointer, with the caller's legacy fallbacks) and
+    * MUST be evaluated inside the critical section: evaluating it
+    * before mutual exclusion recreates exactly the check-then-rename
+    * lost-update window this trait exists to close. Returns false —
+    * and flips nothing — when the observation no longer matches.
+    */
+  def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
+      expected: Option[String], next: String,
+      observe: () => Option[String]): Boolean
+}
+
+/** Default filesystem implementation: mutual exclusion via an
+  * atomically-created `.<ptr>.lock` file (create-no-overwrite is
+  * atomic on HDFS and is the same primitive the `_manifest_vN`
+  * create-if-absent commit step already relies on), then
+  * check-observe-flip inside the lock. Two writers can therefore no
+  * longer interleave between the re-read and the rename: the loser's
+  * observe() runs after the winner's flip and reports the mismatch.
+  *
+  * Honest limits, in writing: (1) on `file://` Hadoop's
+  * create-no-overwrite is exists-then-create, not a single syscall, so
+  * the lock is taken with NIO `Files.createFile` there (O_CREAT|O_EXCL,
+  * genuinely atomic); HDFS's create-no-overwrite is atomic natively;
+  * (2) a crashed lock holder leaves a stale lock, broken after
+  * `staleLockMs` by mtime — a clock-skewed breaker could break a LIVE
+  * lock, so keep `staleLockMs` well above any real commit's
+  * pointer-flip duration (the critical section is two tiny-file ops,
+  * microseconds). Object-store deployments should replace this class
+  * with a conditional-PUT store rather than rely on lock files.
+  */
+final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
+    staleLockMs: Long = 60000L) extends PointerStore {
+
+  override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] = {
+    val ptr = new Path(root, ptrName)
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    Some(v).filter(_.nonEmpty)
+  }
+
+  override def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
+      expected: Option[String], next: String,
+      observe: () => Option[String]): Boolean = {
+    val lock = new Path(root, s".$ptrName.lock")
+    acquire(fs, lock)
+    try {
+      if (observe() != expected) false
+      else {
+        // flip via tmp + rename: the pointer is never half-written —
+        // a reader sees the old full line or the new full line
+        val tmp = new Path(root, s".$ptrName.tmp.$next")
+        val out = fs.create(tmp, true)
+        try out.write((next + "\n").getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(new Path(root, ptrName), false)
+        fs.rename(tmp, new Path(root, ptrName))
+        true
+      }
+    } finally fs.delete(lock, false)
+  }
+
+  private def tryCreate(fs: FileSystem, lock: Path): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        // Hadoop's local create-no-overwrite is exists-then-create —
+        // NOT atomic. NIO createFile is O_CREAT|O_EXCL.
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } else {
+        fs.create(lock, false).close() // atomic on HDFS
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException                      => false
+    }
+
+  private def acquire(fs: FileSystem, lock: Path): Unit = {
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    while (!tryCreate(fs, lock)) {
+      // held by someone: break if stale (holder crashed), else wait
+      try {
+        val st = fs.getFileStatus(lock)
+        if (System.currentTimeMillis() - st.getModificationTime > staleLockMs)
+          fs.delete(lock, false)
+      } catch { case _: java.io.FileNotFoundException => () }
+      if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"could not acquire commit-pointer lock $lock within " +
+            s"$acquireTimeoutMs ms — a concurrent committer is stuck " +
+            "or the lock is stale with a future mtime")
+      Thread.sleep(10)
+    }
+  }
+}

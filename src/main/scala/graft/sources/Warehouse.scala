@@ -51,7 +51,8 @@ import org.apache.spark.sql.expressions.Window
 final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
     maxBytes: Long, smallFiles: Int, versions: Int)
 
-class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
+class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
+    pointerStore: PointerStore = new FsPointerStore()) {
 
   private def tablePath(name: String) = s"$dir/$name"
 
@@ -143,8 +144,7 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
             // a hive `column=value` path segment prunes too — the
             // partition column is never IN the file, so footer stats
             // can't see it; the path is its exact single-value stat
-            partitionValueOf(f, column).forall(pv =>
-              FileStats.mayContain(pv, lower, upper)) &&
+            partitionMayContain(f, column, lower, upper) &&
             (stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)) match {
               case Some(cs) => FileStats.mayContain(cs, lower, upper)
               case None     => true
@@ -155,27 +155,54 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     (kept, files.size)
   }
 
-  /** The `column=value` hive segment of a file's relative path as a
-    * single-value ColStat (typed long if the value parses, else
-    * string); None when the layout doesn't encode the column.
+  /** Can the `column=value` hive segment of a file's path contain a
+    * value in [lower, upper]? True (keep) when the layout doesn't
+    * encode the column or the comparison type is ambiguous;
     * `__HIVE_DEFAULT_PARTITION__` (null) is never prunable.
+    *
+    * The comparison is typed from the CALLER'S bounds — the same types
+    * the residual predicate in `readSkipping` compares with — never
+    * from how the path value happens to look: a numeric-looking value
+    * '9' in a STRING-typed partition column must compare
+    * lexicographically like the residual ('9' ∈ ['10','95'] as
+    * strings), or a numeric guess would wrongly prune the file and
+    * silently drop matching rows. When the value can't be read in the
+    * bounds' type, or the bounds mix types, keep — pruning only ever
+    * removes files proven empty, exactly `mayContain`'s contract.
     */
-  private def partitionValueOf(file: String,
-      column: String): Option[FileStats.ColStat] =
+  private def partitionMayContain(file: String, column: String,
+      lower: Option[Any], upper: Option[Any]): Boolean =
     file.split('/').collectFirst {
       case seg if seg.startsWith(column + "=") &&
           !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") =>
-        val raw = java.net.URLDecoder.decode(
-          seg.substring(column.length + 1), "UTF-8")
-        (raw.toLongOption, raw.toDoubleOption) match {
-          case (Some(l), _) => FileStats.ColStat("long", l.toString, l.toString)
-          case (None, Some(d)) =>
-            FileStats.ColStat("double", d.toString, d.toString)
-          case _ =>
-            val b = java.util.Base64.getEncoder
-              .encodeToString(raw.getBytes("UTF-8"))
-            FileStats.ColStat("string", b, b)
+        java.net.URLDecoder.decode(seg.substring(column.length + 1), "UTF-8")
+    } match {
+      case None => true
+      case Some(raw) =>
+        val bounds = lower.toSeq ++ upper.toSeq
+        val integral = bounds.nonEmpty && bounds.forall {
+          case _: java.lang.Long | _: java.lang.Integer |
+               _: java.lang.Short | _: java.lang.Byte => true
+          case _ => false
         }
+        val numeric = bounds.nonEmpty && bounds.forall(_.isInstanceOf[Number])
+        if (bounds.isEmpty) true
+        else if (integral) raw.toLongOption.forall { v =>
+          lower.forall(l => v >= l.asInstanceOf[Number].longValue) &&
+          upper.forall(u => v <= u.asInstanceOf[Number].longValue)
+        }
+        else if (numeric) raw.toDoubleOption.forall { v =>
+          lower.forall(l => v >= l.asInstanceOf[Number].doubleValue) &&
+          upper.forall(u => v <= u.asInstanceOf[Number].doubleValue)
+        }
+        else if (bounds.forall(_.isInstanceOf[String])) {
+          val v = raw.getBytes("UTF-8")
+          lower.forall(l => FileStats.cmpBytes(v,
+            l.asInstanceOf[String].getBytes("UTF-8")) >= 0) &&
+          upper.forall(u => FileStats.cmpBytes(v,
+            u.asInstanceOf[String].getBytes("UTF-8")) <= 0)
+        }
+        else true
     }
 
   /** Exact column min/max answered from the footer-stats sidecars
@@ -213,9 +240,20 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
     else {
       val vals = perFile.flatten
+      // string branch compares UTF-8 bytes (FileStats.cmpBytes), NOT
+      // Java String '<': per-file parquet stats were folded in unsigned
+      // UTF-8 byte order (= code-point order, Spark's string order);
+      // UTF-16 code-unit order disagrees for U+E000–U+FFFF vs
+      // supplementary-plane chars, so mixing orders could surface a
+      // non-extreme value. Exactness for strings additionally assumes
+      // untruncated binary stats — writeVersion writes with Spark's
+      // parquet defaults (no parquet.statistics.truncate.length), and
+      // a truncated stat would be caught as a bound, not an exact value.
       def lt(a: Any, b: Any): Boolean = (a, b) match {
         case (x: Long, y: Long)     => x < y
         case (x: Double, y: Double) => x < y
+        case (x: String, y: String) =>
+          FileStats.cmpBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
         case (x, y)                 => x.toString < y.toString
       }
       Some((vals.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
@@ -311,14 +349,8 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
   private def currentManifest(fs: FileSystem, root: Path): Option[String] =
     readPointer(fs, root).orElse(highestManifest(fs, root, exclude = None))
 
-  private def readPointer(fs: FileSystem, root: Path): Option[String] = {
-    val ptr = new Path(root, CurrentPtr)
-    if (!fs.exists(ptr)) return None
-    val in = fs.open(ptr)
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    Some(v).filter(_.nonEmpty)
-  }
+  private def readPointer(fs: FileSystem, root: Path): Option[String] =
+    pointerStore.read(fs, root, CurrentPtr)
 
   private def highestManifest(fs: FileSystem, root: Path,
       exclude: Option[String]): Option[String] =
@@ -373,6 +405,16 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     */
   private[graft] var commitTestHook: String => Unit = _ => ()
 
+  /** Second test seam: invoked AFTER this commit's optimistic pre-check
+    * has already passed, immediately before the pointer
+    * compare-and-set — i.e. a competing commit injected here and this
+    * one have BOTH observed the same expected snapshot and both believe
+    * they may flip. The r6 check-then-rename lost-update window lived
+    * exactly here; the PointerStore's locked CAS must let at most one
+    * of the two flips survive and fail the other loudly.
+    */
+  private[graft] var casTestHook: String => Unit = _ => ()
+
   /** Commit a snapshot with optimistic concurrency control:
     *
     *  1. write `_manifest_v<n>` create-if-absent (two writers that
@@ -389,11 +431,15 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     *     by the new OR the immediately-previous snapshot (readers that
     *     resolved before the flip keep one publish of grace).
     *
-    * The check-then-flip pair is not itself atomic on a generic
-    * filesystem — the residual window is the microseconds of the
-    * pointer rename, vs. the whole write-job duration before this
-    * guard. On S3/GCS close it completely with a conditional PUT
-    * (If-Match on the pointer's ETag) in step 3.
+    * The check-then-flip pair is made atomic by the pluggable
+    * `PointerStore`: the observation is RE-RUN inside the store's
+    * critical section (a lock file for the FS default, a conditional
+    * PUT for an object-store impl), so two writers that both passed
+    * the optimistic pre-check can no longer interleave between re-read
+    * and rename — the second one's in-lock observation sees the first
+    * flip and aborts. The pre-check outside the store remains as a
+    * fast path: a stale commit aborts before ever touching the
+    * pointer's critical section.
     */
   private def commitSnapshot(name: String, n: Long, files: Seq[String],
       expectedPrev: Option[String]): Unit = {
@@ -405,11 +451,12 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
     try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     commitTestHook(name)
-    // CAS: resolve what a reader would see now, ignoring our own
-    // not-yet-current manifest (it may already be the highest-numbered)
-    val observed = readPointer(fs, root)
+    // what a reader would resolve now, ignoring our own not-yet-current
+    // manifest (it may already be the highest-numbered) — shared by the
+    // optimistic pre-check here and the store's in-lock re-check
+    def observe(): Option[String] = readPointer(fs, root)
       .orElse(highestManifest(fs, root, exclude = Some(mf.getName)))
-    if (observed != expectedPrev) {
+    def abort(observed: Option[String]): Nothing = {
       fs.delete(mf, false)
       fs.delete(new Path(root, s"_v$n"), true)
       throw new java.util.ConcurrentModificationException(
@@ -418,13 +465,12 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false) {
         s"names ${observed.getOrElse("<none>")} — aborted (orphan manifest " +
         "and version dir removed); re-read the table and retry")
     }
-    val tmp = new Path(root, s"._CURRENT.tmp$n")
-    val pout = fs.create(tmp, true)
-    try pout.write((mf.getName + "\n").getBytes("UTF-8"))
-    finally pout.close()
-    val ptr = new Path(root, CurrentPtr)
-    fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    val observed = observe()
+    if (observed != expectedPrev) abort(observed)
+    casTestHook(name)
+    if (!pointerStore.compareAndSet(fs, root, CurrentPtr, expectedPrev,
+        mf.getName, () => observe()))
+      abort(observe())
     // GC: a _vN dir is deletable only when NEITHER the new nor the
     // previous snapshot references any file in it; manifests older than
     // the just-superseded one go too (metadata would otherwise grow one

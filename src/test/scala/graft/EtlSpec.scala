@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.etl.{Extract, Ingest, Model, Standardize, Summary}
-import graft.sources.Warehouse
+import graft.sources.{FsPointerStore, Warehouse}
 
 /** Golden-path ETL tests mirroring the reference's mapping/service test
   * expectations (tests/test_mapping.py:102-290,
@@ -398,6 +398,65 @@ class EtlSpec extends SparkSpec {
     whA.append("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
       === Array((1L, "base"), (2L, "A"), (3L, "B")), "retry must land on top of the winner")
+  }
+
+  test("warehouse: both writers pass the pre-check — locked CAS keeps at most one flip") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whcas2").toString
+    val whA = new Warehouse(spark, tmp, manifest = true)
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
+    // Inject B's FULL commit after A's optimistic pre-check has already
+    // PASSED — the r6 check-then-rename lost-update window: both
+    // writers observed the same expected snapshot and both believe they
+    // may flip. The PointerStore re-observes INSIDE its critical
+    // section, so A's flip must now fail loudly instead of silently
+    // clobbering B's committed snapshot.
+    var fired = false
+    whA.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((3L, "B")).toDF("k", "v"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    }
+    whA.casTestHook = _ => ()
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (3L, "B")),
+      "the winner's flip must survive; the loser must not clobber it")
+    val entries = new java.io.File(s"$tmp/t").listFiles().map(_.getName).toSet
+    assert(!entries.exists(_.contains(".lock")),
+      s"the loser must release the pointer lock: $entries")
+    // the loser's retry against the fresh snapshot lands cleanly
+    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (2L, "A"), (3L, "B")))
+  }
+
+  test("pointer store: threads racing one CAS — exactly one flip wins") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ptr").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new FsPointerStore()
+    def obs(): Option[String] = store.read(fs, root, "_CURRENT")
+    assert(store.compareAndSet(fs, root, "_CURRENT", None, "m0", () => obs()))
+    // all racers hold the SAME expectation; the lock serializes them so
+    // the first to flip wins and every later in-lock observation fails
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        if (store.compareAndSet(fs, root, "_CURRENT", Some("m0"), s"m$i",
+            () => obs())) { wins.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(wins.get() === 1, "exactly one racer may flip")
+    val v = obs().get
+    assert(v.matches("m[1-8]"), s"pointer must name the winner, got $v")
+    assert(!new java.io.File(tmp).list().exists(_.contains(".lock")),
+      "all lock files released")
   }
 
   test("warehouse: manifest partition-scoped upsert references untouched files") {
