@@ -62,6 +62,46 @@ case class RollingHashExpr(child: Expression, base: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe over a BROADCAST sketch — the native
+  * replacement for the one Scala UDF that used to break codegen in the
+  * bloom-gated incremental dedup (d10) hot filter: Spark exposes no
+  * public bloom-probe expression (BloomFilterMightContain is reserved
+  * for its own runtime row-group filtering), so this one probes the
+  * same `org.apache.spark.util.sketch.BloomFilter` the public
+  * `df.stat.bloomFilter` builds.
+  *
+  * The sketch rides the task as a Broadcast HANDLE — one executor-wide
+  * copy, never serialized into the codegen references per task — and
+  * is resolved to the filter ONCE per generated-class instance (a
+  * mutable-state init), so the per-row path is a single
+  * `mightContainBinary` over the string's UTF-8 bytes (bit-identical
+  * to `mightContainString`, minus the String allocation). Null in →
+  * null out (standard expression semantics); callers that need the
+  * old UDF's `false`-on-null wrap with `coalesce(..., false)`.
+  */
+case class BloomMightContainExpr(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val filter = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloom",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    defineCodeGen(ctx, ev, c => s"$filter.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainExpr =
+    copy(child = newChild)
+}
+
 /** Exact double dot product of two float arrays — left-fold in element
   * order, identical op sequence to TextOps.dot (zip_with + aggregate)
   * and the DuckDB list_reduce mirror. Null input or a null element ⇒
@@ -166,6 +206,16 @@ object NativeExprs {
             s"array literal, got non-foldable ${exprs(1).sql}")
       SortedBucketExpr(exprs(0),
         exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq)
+    }),
+    "graft_sorted_bucket_str" -> (exprs => {
+      if (!exprs(1).foldable)
+        throw new IllegalArgumentException(
+          "graft_sorted_bucket_str(v, bounds): bounds must be a foldable " +
+            s"array literal, got non-foldable ${exprs(1).sql}")
+      SortedBucketStrExpr(exprs(0),
+        exprs(1).eval(null).asInstanceOf[ArrayData]
+          .toObjectArray(StringType).map(_.asInstanceOf[UTF8String].toString)
+          .toIndexedSeq)
     }))
 
   /** Idempotent session registration; the catalog queries call this so
@@ -214,6 +264,35 @@ object NativeExprs {
     call_function("graft_gram2_stats", toks)
   }
 
+  /** Codegen'd probe of a broadcast BloomFilter (see
+    * BloomMightContainExpr). The sketch can't travel as a SQL literal,
+    * so the probe is registered as a session function whose builder
+    * captures THIS broadcast; `createOrReplaceTempFunction` means the
+    * LAST registration wins — the returned Column resolves at Dataset
+    * construction (analysis is eager), so build-and-use immediately
+    * and don't interleave two different blooms inside one unanalyzed
+    * plan construction.
+    */
+  def bloomMightContain(spark: SparkSession,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      h: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => BloomMightContainExpr(exprs.head, bloom), "scala_udf")
+    call_function("graft_bloom_might_contain", h)
+  }
+
+  /** Bucket id of a string against sorted boundaries in unsigned byte
+    * order (see SortedBucketStrExpr) — lets ZOrder.cluster rank string
+    * columns (url_host, lang) consistently with the footer-stats order
+    * readSkipping prunes by.
+    */
+  def sortedBucketStr(spark: SparkSession, v: Column, bounds: Array[String]): Column = {
+    register(spark)
+    call_function("graft_sorted_bucket_str", v,
+      org.apache.spark.sql.functions.lit(bounds))
+  }
+
   /** Quantile-bucket id of a double against a sorted boundary array
     * (binary search, codegen'd) — the skew-robust rank proxy behind
     * ZOrder.cluster. `bounds` is embedded as a plan-time constant.
@@ -230,6 +309,22 @@ object ZOrderHelper {
   def bucket(v: Double, bounds: Array[Double]): Int = {
     val i = java.util.Arrays.binarySearch(bounds, v)
     if (i >= 0) i else -i - 1
+  }
+
+  /** String variant: rank of `v` among sorted boundaries in UNSIGNED
+    * BYTE order (UTF8String.compareTo) — the one string order the
+    * whole skipping layer shares (parquet binary stats, Spark string
+    * sort, FileStats.cmpBytes), so a z-layout bucketed here prunes
+    * correctly against footer stats later.
+    */
+  def bucketStr(v: UTF8String, bounds: Array[UTF8String]): Int = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid).compareTo(v) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 }
 
@@ -260,6 +355,34 @@ case class SortedBucketExpr(child: Expression, bounds: Seq[Double])
   }
 
   override protected def withNewChildInternal(newChild: Expression): SortedBucketExpr =
+    copy(child = newChild)
+}
+
+/** String counterpart of SortedBucketExpr: bucket id of `child` among
+  * `bounds` in unsigned byte order (see ZOrderHelper.bucketStr).
+  * Bounds are plan-time constants held as Seq[String] for value-based
+  * expression equality; the UTF8String array the search runs on is
+  * built once per instance.
+  */
+case class SortedBucketStrExpr(child: Expression, bounds: Seq[String])
+    extends UnaryExpression {
+
+  private lazy val arr: Array[UTF8String] =
+    bounds.map(UTF8String.fromString).toArray
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ZOrderHelper.bucketStr(input.asInstanceOf[UTF8String], arr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bounds", arr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZOrderHelper.bucketStr($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedBucketStrExpr =
     copy(child = newChild)
 }
 

@@ -621,19 +621,21 @@ object Dedup {
         val corpusH = corpus.select(md5($"text".cast("binary")).as("h"), $"doc_id")
         val bloom = corpusH.stat.bloomFilter("h", 100000L, 0.03)
         val bc = s.sparkContext.broadcast(bloom)
-        // null-guarded: a null text digests to a null h, which is
+        // native codegen'd probe (BloomMightContainExpr) — the last
+        // UDF in this query's hot path is gone, so the whole batch
+        // projection stays inside whole-stage codegen. Null-guarded
+        // via coalesce: a null text digests to a null h, which is
         // trivially NEW (routes to the skip branch; the oracle's left
-        // join on NULL never matches either). The probe is a Scala UDF
-        // because Spark exposes no public bloom-probe expression — but
-        // it runs ONCE per row, on the persisted narrow frame below.
-        val might = udf((h: String) => h != null && bc.value.mightContainString(h))
+        // join on NULL never matches either).
+        val might = coalesce(
+          graft.functions.NativeExprs.bloomMightContain(s, bc, $"h"), lit(false))
         // ONE scan of the batch, ONE md5 + bloom probe per row: the
         // (id, 32-char hash, flag) projection is persisted so the two
         // branches below read columnar cache, not the source twice.
         // Only the bloom-pass fraction (dups + fpp × new) shuffles
         // into the keeper join; definite-new rows bypass it entirely.
         val batchH = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
-          .withColumn("might", might($"h"))
+          .withColumn("might", might)
           .persist()
         val keepers = corpusH.groupBy($"h").agg(min($"doc_id").as("dup_of"))
         val pass = batchH.filter($"might")

@@ -319,16 +319,20 @@ object Sim {
     // 8 small codes per vector (vs 64 int8 for sim3's SQ, 256 bytes
     // for float32) — at 100 TB the codes table is ~1/32 the corpus and
     // the per-subspace codebooks are a broadcast-size lookup. Ranking
-    // is asymmetric distance (ADC): full-precision queries against the
-    // PQ-RECONSTRUCTED corpus. A production index computes ADC through
-    // per-subspace lookup tables (8 LUT adds per candidate instead of
-    // a 64-wide dot); reconstruct-then-dot computes the SAME scores
-    // with the ordered flatten of each vector's centroids — chosen
-    // here because the fold order is explicit and the oracle can
-    // replay it bit-for-bit (no cross-engine float-sum ambiguity).
-    // All pairwise training work is (vector × broadcast codebook);
-    // argmin is a min_by partial agg (one shuffled row per
-    // sub-vector, never a window over the n×|C| expansion).
+    // is asymmetric distance (ADC) THROUGH PER-SUBSPACE LOOKUP TABLES
+    // (Jégou 2011 §5.2): per query, an 8×|C| table of partial dots
+    // lut(ss,c) = ⟨q_ss, c_emb⟩ is built from queries × codebook (both
+    // broadcast-size); a candidate's score is then EIGHT table adds —
+    // one per stored sub-code — so the corpus-wide scan touches only
+    // the codes table, never a reconstructed 64-float vector. The
+    // adds are explicit left-associated column sums (d0+d1+…+d7), a
+    // fixed ss-order float sequence the DuckDB oracle replays
+    // bit-for-bit (no cross-engine float-sum ambiguity); the
+    // candidate's norm comes from the same tables (cd self-dots,
+    // summed in the same order). All pairwise training work is
+    // (vector × broadcast codebook); argmin is a min_by partial agg
+    // (one shuffled row per sub-vector, never a window over the n×|C|
+    // expansion).
     Q("sim4_pq_topk",
       (s, dir) => {
         import s.implicits._
@@ -374,24 +378,40 @@ object Sim {
             transform($"pv", x => round(x.getField("v"), 6).cast("float")).as("c_emb"))
           .select($"ss", $"c_id", $"c_emb", ndot(s, $"c_emb", $"c_emb").as("cd"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // encode, then reconstruct each vector as the ordered concat
-        // of its 8 sub-centroids (what the codes table + codebook
-        // physically store at scale)
-        val rec = assignTo(c1).join(broadcast(c1), Seq("ss", "c_id"))
-          .groupBy($"vec_id")
-          .agg(array_sort(collect_list(struct($"ss", $"c_emb"))).as("sc"))
-          .select($"vec_id",
-            flatten(transform($"sc", x => x.getField("c_emb"))).as("remb"))
-          .select($"vec_id", $"remb", sqrt(ndot(s, $"remb", $"remb")).as("rnrm"))
+        // the CODES table — what physically exists corpus-wide at
+        // scale: 8 small (ss, c_id) codes per vector. Re-clustered by
+        // vec_id so all 8 sub-codes of a vector share a partition:
+        // the LUT probe below is then a broadcast join and the
+        // per-candidate combine finishes MAP-SIDE — one narrow
+        // shuffle of the codes table, one combined row per
+        // (query, candidate) crossing the final exchange.
+        val codes = assignTo(c1).repartition($"vec_id")
         val q = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-        // stage 1 — ADC shortlist (R=50): rank by the code-only
-        // approximate score; within-cluster fine order is beyond an
-        // 8-byte code's resolution, so PQ's production role is
-        // candidate generation, not final ranking
-        val adc = rec.join(broadcast(q), $"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id",
-            (ndot(s, $"q_emb", $"remb") / ($"q_nrm" * $"rnrm")).as("adc"))
+        // stage 1 — LUT-based ADC shortlist (R=50): per-query tables
+        // of per-subspace partial dots (8×|C| rows per query, built
+        // from two broadcast-size frames); a candidate's approximate
+        // score is 8 table adds in fixed ss order. Within-cluster
+        // fine order is beyond an 8-byte code's resolution, so PQ's
+        // production role is candidate generation, not final ranking.
+        val lut = q.crossJoin(broadcast(c1))
+          .select($"q_id", $"q_nrm", $"ss", $"c_id",
+            ndot(s, slice($"q_emb", $"ss" * 8 + 1, lit(8)), $"c_emb").as("pd"),
+            $"cd")
+        // exactly one LUT row matches each (code row × query), so each
+        // sum() below folds a single value — exact, order-free; the
+        // cross-subspace association is the explicit d0+d1+…+d7 chain
+        val pair = codes.join(broadcast(lut), Seq("ss", "c_id"))
+          .filter($"vec_id" =!= $"q_id")
+          .groupBy($"q_id", $"vec_id", $"q_nrm")
+          .agg(
+            (0 to 7).map(i => sum(when($"ss" === i, $"pd")).as(s"d$i")).head,
+            ((1 to 7).map(i => sum(when($"ss" === i, $"pd")).as(s"d$i")) ++
+              (0 to 7).map(i => sum(when($"ss" === i, $"cd")).as(s"t$i"))): _*)
+        val dsum = (1 to 7).foldLeft(col("d0"))((a, i) => a + col(s"d$i"))
+        val tsum = (1 to 7).foldLeft(col("t0"))((a, i) => a + col(s"t$i"))
+        val adc = pair.select($"q_id", $"vec_id",
+          (dsum / ($"q_nrm" * sqrt(tsum))).as("adc"))
         val shortlist = graft.operators.TopKAgg.rank(adc, 50, "adc")
           .select($"q_id", $"vec_id")
         // stage 2 — exact re-rank of the shortlist with full-precision
@@ -444,23 +464,33 @@ object Sim {
                 ORDER BY ${duckL2("s.sd", "s.semb", "c.c_emb", "c.cd")}, c.c_id) AS rn
             FROM sub s JOIN c1 c USING (ss))
           WHERE rn = 1),
-        rec AS (
-          SELECT k.vec_id, flatten(list(c.c_emb ORDER BY k.ss)) AS remb
-          FROM codes k JOIN c1 c USING (ss, c_id)
-          GROUP BY k.vec_id),
-        rq AS (
-          SELECT vec_id, remb, sqrt(${duckDot("remb", "remb")}) AS rnrm
-          FROM rec),
         q AS (
           SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
           FROM n WHERE vec_id < 10),
+        lut AS (
+          SELECT q.q_id, q.q_nrm, c.ss, c.c_id,
+            ${duckDot(
+              "list_slice(q.q_emb, c.ss * 8 + 1, (c.ss + 1) * 8)",
+              "c.c_emb")} AS pd,
+            c.cd
+          FROM q CROSS JOIN c1 c),
+        pair AS (
+          SELECT l.q_id, k.vec_id, l.q_nrm,
+            ${(0 to 7).map(i =>
+              s"sum(CASE WHEN l.ss = $i THEN l.pd END) AS d$i").mkString(", ")},
+            ${(0 to 7).map(i =>
+              s"sum(CASE WHEN l.ss = $i THEN l.cd END) AS t$i").mkString(", ")}
+          FROM codes k JOIN lut l USING (ss, c_id)
+          WHERE k.vec_id <> l.q_id
+          GROUP BY l.q_id, k.vec_id, l.q_nrm),
         short AS (
           SELECT q_id, vec_id FROM (
-            SELECT q.q_id, e.vec_id,
-              row_number() OVER (PARTITION BY q.q_id
-                ORDER BY ${duckDot("q.q_emb", "e.remb")} / (q.q_nrm * e.rnrm) DESC,
-                  e.vec_id) AS rn
-            FROM q CROSS JOIN rq e WHERE e.vec_id <> q.q_id)
+            SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY ${(1 to 7).foldLeft("d0")((a, i) => s"($a + d$i)")}
+                  / (q_nrm * sqrt(${(1 to 7).foldLeft("t0")((a, i) => s"($a + t$i)")})) DESC,
+                  vec_id) AS rn
+            FROM pair)
           WHERE rn <= 50),
         rr AS (
           SELECT s.q_id, s.vec_id,

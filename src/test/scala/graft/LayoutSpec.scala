@@ -139,6 +139,30 @@ class LayoutSpec extends SparkSpec {
       grid.filter($"b".between(10, 25)).agg(sum($"a" * 1000 + $"b")).as[Long].head())
   }
 
+  test("z-order: STRING columns cluster and prune on both dimensions") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-zorder-str")
+    // two independent string dimensions — a (lang, url_host)-shaped
+    // layout: 100×100 grid of l00..l99 × h00..h99
+    val grid = spark.range(0, 10000).toDF("id")
+      .withColumn("lang", format_string("l%02d", ($"id" / 100).cast("int")))
+      .withColumn("host", format_string("h%02d", ($"id" % 100).cast("int")))
+    wh.atomicPublish("zs", sources.ZOrder.cluster(grid, Seq("lang", "host"), 16))
+    // a 16%-of-range box on EITHER string column prunes ≥ half the
+    // files — byte-order bucketing must agree with the byte-order
+    // footer stats the pruner compares against
+    val (za, zt) = wh.pruneFiles("zs", "lang", Some("l10"), Some("l25"))
+    val (zb, _)  = wh.pruneFiles("zs", "host", Some("h10"), Some("h25"))
+    assert(zt === 16)
+    assert(za.size <= 8, s"string z-order must prune on lang: kept ${za.size}/16")
+    assert(zb.size <= 8, s"string z-order must prune on host: kept ${zb.size}/16")
+    // pruning never changes results
+    val zr = wh.readSkipping("zs", "host", Some("h10"), Some("h25"))
+    assert(zr.count() === 1600)
+    assert(zr.agg(sum($"id")).as[Long].head() ===
+      grid.filter($"host".between("h10", "h25")).agg(sum($"id")).as[Long].head())
+  }
+
   test("data skipping: hive partition column prunes from the path, not footer stats") {
     import spark.implicits._
     val (wh, _) = mk("graft-skip4")

@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine on the canon groupBy:\n$p")
   }
 
+  test("d10: bloom probe is the native expression — no UDF eval in the plan") {
+    val p = planOf("d10_bloom_dedup")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"bloom probe fell back to a UDF (codegen broken at the gate filter):\n$p")
+    assert(p.toLowerCase.contains("bloommightcontain") || p.contains("graft_bloom"),
+      s"native bloom probe missing from the plan:\n$p")
+  }
+
   test("x17/x18: model scoring never sorts the corpus — no Window; totals broadcast") {
     for (q <- Seq("x17_quality_classifier", "x18_lm_perplexity")) {
       val p = planOf(q)
