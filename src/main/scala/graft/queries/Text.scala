@@ -841,6 +841,151 @@ object Text {
           round(nonascii / n, 6) AS nonascii_ratio,
           (round(alpha / n, 6) >= 0.5 AND round(nonascii / n, 6) <= 0.1)
             AS charset_ok
-        FROM c ORDER BY doc_id"""))
+        FROM c ORDER BY doc_id""")),
+
+    // ---- x17's weights, PERSISTED then served (the 100 TB shape) -------
+    // x17 fits its LLR weights fused into the scoring plan; at 100 TB
+    // the model is fit ONCE on a labeled sample, published as a table,
+    // and every later corpus slice is scored from the LOADED weights —
+    // the d11/sim5 discipline applied to a text model. Here the
+    // weights are fit on the doc_id < 250 sample, go through the
+    // manifest Warehouse (parquet round-trip — doubles survive
+    // bit-exactly), and score the DISJOINT doc_id ≥ 250 slice by one
+    // broadcast equi-join against the loaded table: scoring touches no
+    // training doc and re-derives nothing. The oracle re-fits the same
+    // weights inline — hash-match proves the persisted path changes
+    // no bit of any score. Unseen tokens drop at the inner join, the
+    // standard vocabulary-gated scoring semantics.
+    Q("x20_model_persist_score",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", TextOps.tokens($"text").as("toks"))
+        val train = docs.filter($"doc_id" < 250)
+          .withColumn("pos",
+            expr("try_cast(substring(source, 4, 10) AS INT) < 10"))
+          .select($"pos", explode($"toks").as("tok"))
+        val counts = train.groupBy($"tok").agg(
+          sum(when($"pos", 1L).otherwise(0L)).as("cp"),
+          sum(when(!$"pos", 1L).otherwise(0L)).as("cn"))
+        val tot = counts.agg(sum($"cp").as("np"), sum($"cn").as("nn"),
+          count(lit(1)).as("v"))
+        val w = counts.crossJoin(broadcast(tot)).select($"tok",
+          (log(($"cp" + 1L).cast("double") / ($"np" + $"v").cast("double"))
+            - log(($"cn" + 1L).cast("double") / ($"nn" + $"v").cast("double")))
+            .as("wt"))
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-llrw").toString,
+          manifest = true)
+        wh.atomicPublish("llr_weights", w)
+        val weights = wh.read("llr_weights")
+        docs.filter($"doc_id" >= 250)
+          .select($"doc_id", explode($"toks").as("tok"))
+          .join(broadcast(weights), "tok")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"), round(avg($"wt"), 6).as("score"))
+          .select($"doc_id", $"n_toks", $"score",
+            ($"score" > 0.0).as("predicted_hq"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH train AS (
+          SELECT TRY_CAST(substr(source, 4) AS INT) < 10 AS pos,
+            unnest($duckToks) AS tok FROM documents WHERE doc_id < 250),
+        c AS (SELECT tok,
+            SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+            SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+          FROM train GROUP BY tok),
+        t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+            CAST(SUM(cn) AS BIGINT) AS nn, count(*) AS v FROM c),
+        w AS (SELECT tok,
+            ln(CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+              - ln(CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)) AS wt
+          FROM c CROSS JOIN t),
+        eval AS (
+          SELECT doc_id, unnest($duckToks) AS tok
+          FROM documents WHERE doc_id >= 250)
+        SELECT doc_id, count(*) AS n_toks, round(avg(wt), 6) AS score,
+          round(avg(wt), 6) > 0.0 AS predicted_hq
+        FROM eval JOIN w USING (tok)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- x18's LM counts, PERSISTED then served ------------------------
+    // Same discipline for the perplexity model: the bigram/unigram
+    // count frames and the totals row are fit on the doc_id < 250
+    // sample, published as FOUR tables (lm_cb, lm_cw, lm_uni, lm_tot),
+    // and the disjoint slice is scored entirely from the loaded
+    // tables — two equi-joins plus a broadcast 1-row totals table.
+    // Bigrams unseen in training drop at the inner join (n_bigrams
+    // counts SCORED bigrams), exactly what the oracle's inline re-fit
+    // computes.
+    Q("x21_lm_persist_score",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") >= 2)
+        def bigrams(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+            explode(transform(sequence(lit(1), size($"toks") - 1),
+              i => struct(element_at($"toks", i).as("w1"),
+                element_at($"toks", i + 1).as("w2")))).as("p"))
+          .select($"doc_id", $"p.w1", $"p.w2")
+        val train = d.filter($"doc_id" < 250)
+        val cb = bigrams(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+        val cw = cb.groupBy($"w1").agg(sum($"cb").as("cw"))
+        val uni = train.select(explode($"toks").as("w2"))
+          .groupBy($"w2").agg(count(lit(1)).as("cu"))
+        val tot = uni.agg(sum($"cu").as("n"))
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-lmidx").toString,
+          manifest = true)
+        wh.atomicPublish("lm_cb", cb)
+        wh.atomicPublish("lm_cw", cw)
+        wh.atomicPublish("lm_uni", uni)
+        wh.atomicPublish("lm_tot", tot)
+        bigrams(d.filter($"doc_id" >= 250))
+          .join(wh.read("lm_cb"), Seq("w1", "w2"))
+          .join(wh.read("lm_cw"), Seq("w1"))
+          .join(wh.read("lm_uni"), Seq("w2"))
+          .crossJoin(broadcast(wh.read("lm_tot")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(-log(
+              lit(0.75) * ($"cb".cast("double") / $"cw".cast("double"))
+                + lit(0.25) * ($"cu".cast("double") / $"n".cast("double")))), 6)
+              .as("entropy"))
+          .select($"doc_id", $"n_bigrams", $"entropy",
+            round(exp($"entropy"), 4).as("ppl"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, toks FROM
+            (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 2),
+        tr AS (SELECT doc_id, toks FROM d WHERE doc_id < 250),
+        bi_t AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+          FROM tr),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bi_t GROUP BY w1, w2),
+        cw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY w1),
+        uni AS (SELECT w2, count(*) AS cu
+          FROM (SELECT unnest(toks) AS w2 FROM tr) GROUP BY 1),
+        t AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+        bi_e AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+            unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+          FROM d WHERE doc_id >= 250),
+        h AS (
+          SELECT doc_id, count(*) AS n_bigrams,
+            round(avg(-ln(
+              0.75 * (CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE))
+                + 0.25 * (CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS entropy
+          FROM bi_e JOIN cb USING (w1, w2) JOIN cw USING (w1)
+            JOIN uni USING (w2) CROSS JOIN t
+          GROUP BY doc_id)
+        SELECT doc_id, n_bigrams, entropy, round(exp(entropy), 4) AS ppl
+        FROM h ORDER BY doc_id"""))
   )
 }

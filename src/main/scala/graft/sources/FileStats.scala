@@ -38,6 +38,14 @@ object FileStats {
     */
   final case class ColStat(typ: String, min: String, max: String)
 
+  /** One file's row-level footer stats: exact row count (always present
+    * in a parquet footer) and per-column null counts (present only for
+    * columns where EVERY row group recorded numNulls — absent means
+    * "unknown", never zero). Powers metadata-only `count(*)` and
+    * IS NULL / IS NOT NULL file pruning.
+    */
+  final case class RowStat(numRows: Long, nullCounts: Map[String, Long])
+
   private val b64e = Base64.getEncoder
   private val b64d = Base64.getDecoder
 
@@ -48,14 +56,36 @@ object FileStats {
     * `string` (parquet annotates Spark strings as UTF8; byte order =
     * unsigned lexicographic, which is what `mayContain` compares).
     */
-  def footerStats(conf: Configuration, absPath: String): Map[String, ColStat] = {
+  def footerStats(conf: Configuration, absPath: String): Map[String, ColStat] =
+    footerAll(conf, absPath)._1
+
+  /** One footer open → BOTH stat families: per-column min/max (as
+    * footerStats) and the file's RowStat (row count + null counts).
+    */
+  def footerAll(conf: Configuration,
+      absPath: String): (Map[String, ColStat], RowStat) = {
     val in = HadoopInputFile.fromPath(new Path(absPath), conf)
     val reader = ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map[String, (String, Any, Any)]()
       var statsComplete = Set[String]()
+      var numRows = 0L
+      val nulls = scala.collection.mutable.Map[String, Long]()
+      var nullsBad = Set[String]()
+      for (block <- reader.getFooter.getBlocks.asScala) numRows += block.getRowCount
       for (block <- reader.getFooter.getBlocks.asScala;
            col <- block.getColumns.asScala) {
+        // null counts ride the same loop: a column's count is usable
+        // only when every row group set numNulls — "absent" must mean
+        // unknown, never a silent zero that would wrongly prune IS NULL
+        locally {
+          val path = col.getPath.toDotString
+          if (!path.contains('.')) {
+            val st = col.getStatistics
+            if (st == null || !st.isNumNullsSet) nullsBad += path
+            else nulls(path) = nulls.getOrElse(path, 0L) + st.getNumNulls
+          }
+        }
         val path = col.getPath.toDotString
         if (!path.contains('.')) {
           val st = col.getStatistics
@@ -108,10 +138,11 @@ object FileStats {
         }
       }
       // a column missing stats in ANY row group has no file-level bound
-      acc.toMap.collect {
+      val cols = acc.toMap.collect {
         case (p, (typ, mn, mx)) if statsComplete(p) && blockCount(reader) == blocksWith(reader, p) =>
           p -> ColStat(typ, enc(typ, mn), enc(typ, mx))
       }
+      (cols, RowStat(numRows, (nulls -- nullsBad).toMap))
     } finally reader.close()
   }
 
@@ -159,19 +190,32 @@ object FileStats {
     * broadcast entries — public API only) above `distributedThreshold`.
     */
   def collect(spark: SparkSession, versionDir: String, relFiles: Seq[String],
-      distributedThreshold: Int = 64): Map[String, Map[String, ColStat]] = {
+      distributedThreshold: Int = 64): Map[String, Map[String, ColStat]] =
+    collectAll(spark, versionDir, relFiles, distributedThreshold)
+      .map { case (f, (cols, _)) => f -> cols }
+
+  /** Both stat families from ONE footer pass per file (min/max for the
+    * `_stats` sidecar, row/null counts for `_rows`). The broadcast
+    * conf is filtered to the filesystem/IO keys a footer read needs
+    * (fs./dfs./io./hadoop./parquet.) — a secured cluster's unrelated
+    * credential and service entries stay on the driver.
+    */
+  def collectAll(spark: SparkSession, versionDir: String, relFiles: Seq[String],
+      distributedThreshold: Int = 64): Map[String, (Map[String, ColStat], RowStat)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val parquetFiles = relFiles.filter(_.endsWith(".parquet"))
     if (parquetFiles.size <= distributedThreshold) {
-      parquetFiles.map(f => f -> footerStats(conf, s"$versionDir/$f")).toMap
+      parquetFiles.map(f => f -> footerAll(conf, s"$versionDir/$f")).toMap
     } else {
-      val entries = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toVector
+      val keep = Seq("fs.", "dfs.", "io.", "hadoop.", "parquet.")
+      val entries = conf.iterator().asScala.map(e => e.getKey -> e.getValue)
+        .filter { case (k, _) => keep.exists(k.startsWith) }.toVector
       val bc = spark.sparkContext.broadcast(entries)
       spark.sparkContext.parallelize(parquetFiles, math.max(1, parquetFiles.size / 16))
         .map { f =>
           val c = new Configuration(false)
           bc.value.foreach { case (k, v) => c.set(k, v) }
-          f -> footerStats(c, s"$versionDir/$f")
+          f -> footerAll(c, s"$versionDir/$f")
         }
         .collect().toMap
     }
@@ -190,6 +234,42 @@ object FileStats {
     val out = fs.create(sidecar, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** `_rows` sidecar wire format, one record per line distinguished by
+    * arity: `relPath \t numRows` (2 fields, exact file row count) and
+    * `relPath \t col \t nullCount` (3 fields, one per column whose
+    * null count is known). Tabs cannot occur in paths or column names.
+    */
+  def writeRows(fs: FileSystem, sidecar: Path,
+      rows: Map[String, RowStat]): Unit = {
+    val lines = rows.toSeq.sortBy(_._1).flatMap { case (f, rs) =>
+      s"$f\t${rs.numRows}" +:
+        rs.nullCounts.toSeq.sortBy(_._1).map { case (c, n) => s"$f\t$c\t$n" }
+    }
+    val out = fs.create(sidecar, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a `_rows` sidecar; absent ⇒ empty (counts unknown — callers
+    * must fall back to scanning, never assume zero).
+    */
+  def readRows(fs: FileSystem, sidecar: Path): Map[String, RowStat] = {
+    if (!fs.exists(sidecar)) return Map.empty
+    val in = fs.open(sidecar)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val recs = txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.split('\t'))
+    val counts = recs.collect { case Array(f, n) => f -> n.toLong }.toMap
+    val nulls = recs.collect { case Array(f, c, n) => (f, c, n.toLong) }
+      .groupBy(_._1).map { case (f, rows) =>
+        f -> rows.map(r => r._2 -> r._3).toMap
+      }
+    counts.map { case (f, n) =>
+      f -> RowStat(n, nulls.getOrElse(f, Map.empty))
+    }
   }
 
   /** Read a `_stats` sidecar; absent sidecar ⇒ empty (prune nothing). */

@@ -46,10 +46,11 @@ import org.apache.spark.sql.expressions.Window
   * reference's ~10⁷ keyspace).
   */
 /** Snapshot layout health (Warehouse.tableHealth) — all driver
-  * metadata, no data read.
+  * metadata, no data read. `rows` is the exact snapshot row count from
+  * the `_rows` sidecars, None when any file predates them.
   */
 final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
-    maxBytes: Long, smallFiles: Int, versions: Int)
+    maxBytes: Long, smallFiles: Int, versions: Int, rows: Option[Long])
 
 class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
     pointerStore: PointerStore = new FsPointerStore()) {
@@ -259,6 +260,73 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
       Some((vals.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
         vals.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
     }
+  }
+
+  /** Per-file RowStat for every snapshot file that has one — shared
+    * lookup for the metadata-only count/null paths. Files without a
+    * `_rows` record map to None (legacy versions, non-parquet).
+    */
+  private def snapshotRowStats(name: String): Seq[(String, Option[FileStats.RowStat])] = {
+    val files = snapshotFiles(name)
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+        if (v.isEmpty) fl.map(f => f -> None)
+        else {
+          val rows = FileStats.readRows(fs, new Path(new Path(root, v), "_rows"))
+          fl.map(f => f -> rows.get(f.stripPrefix(v + "/")))
+        }
+      }
+  }
+
+  /** Exact `count(*)` answered from the `_rows` sidecars alone — zero
+    * data files opened. None unless EVERY snapshot file carries a row
+    * count (legacy versions ⇒ the caller must scan); when it answers,
+    * it is exact: parquet footers always record block row counts. At
+    * 100 TB this is O(files) driver metadata vs a full count scan.
+    */
+  def statsRowCount(name: String): Option[Long] = {
+    require(manifest, "stats queries require metadata mode")
+    val per = snapshotRowStats(name)
+    if (per.isEmpty || per.exists(_._2.isEmpty)) None
+    else Some(per.flatMap(_._2).map(_.numRows).sum)
+  }
+
+  /** Exact total null count of `column`, metadata-only. None unless
+    * every snapshot file knows its null count for the column (a row
+    * group that didn't record numNulls makes its file unknown —
+    * unknown is never treated as zero).
+    */
+  def statsNullCount(name: String, column: String): Option[Long] = {
+    require(manifest, "stats queries require metadata mode")
+    val per = snapshotRowStats(name)
+    val counts = per.map(_._2.flatMap(_.nullCounts.get(column)))
+    if (counts.isEmpty || counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum)
+  }
+
+  /** IS NULL / IS NOT NULL scan with file skipping: `isNull = true`
+    * keeps only files whose null count is unknown or > 0; false keeps
+    * files with unknown counts or any non-null row. The exact
+    * predicate still applies on the survivors — skipping is a fast
+    * path, never the correctness boundary.
+    */
+  def readSkippingIsNull(name: String, column: String,
+      isNull: Boolean): DataFrame = {
+    val kept = snapshotRowStats(name).collect {
+      case (f, rs) if rs.forall { r =>
+        r.nullCounts.get(column) match {
+          case None     => true // unknown ⇒ keep, as always
+          case Some(nc) => if (isNull) nc > 0 else nc < r.numRows
+        }
+      } => f
+    }
+    val c = col(column)
+    val base =
+      if (kept.nonEmpty) readFiles(name, kept)
+      else readFiles(name, snapshotFiles(name)).where(lit(false))
+    base.where(if (isNull) c.isNull else c.isNotNull)
   }
 
   /** Range scan with data skipping: prune files by footer stats, read
@@ -612,7 +680,8 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
     TableHealth(files.size, sizes.sum,
       if (sizes.isEmpty) 0L else sizes.min,
       if (sizes.isEmpty) 0L else sizes.max,
-      sizes.count(_ < smallBytes), versions)
+      sizes.count(_ < smallBytes), versions,
+      if (manifest) statsRowCount(name) else None)
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the current snapshot z-order-
@@ -655,13 +724,19 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(vdir.toString)
     val rel = versionFiles(fs, root, vdir)
-    // data-skipping sidecar: per-file column min/max off the parquet
-    // footers just written (no data pages re-read; distributed when the
-    // version is large). Written before the manifest commit, so a
-    // snapshot is never current with its stats missing.
+    // data-skipping sidecars off the parquet footers just written (no
+    // data pages re-read; distributed when the version is large; ONE
+    // footer pass feeds both): `_stats` = per-file column min/max,
+    // `_rows` = per-file row counts + per-column null counts (the
+    // metadata-only count(*) / IS NULL pruning surface). Written
+    // before the manifest commit, so a snapshot is never current with
+    // its stats missing.
     val inner = rel.map(_.stripPrefix(s"_v$n/"))
+    val all = FileStats.collectAll(spark, vdir.toString, inner)
     FileStats.write(fs, new Path(vdir, "_stats"),
-      FileStats.collect(spark, vdir.toString, inner))
+      all.map { case (f, (cols, _)) => f -> cols })
+    FileStats.writeRows(fs, new Path(vdir, "_rows"),
+      all.map { case (f, (_, rows)) => f -> rows })
     (n, rel)
   }
 

@@ -252,6 +252,56 @@ class LayoutSpec extends SparkSpec {
     assert(removed.as[(Long, String)].collect() === Array((2L, "b")))
   }
 
+  test("_rows sidecar: metadata-only count(*) and null counts read no data files") {
+    import spark.implicits._
+    val (wh, dir) = mk("graft-rows")
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", when($"id" % 3 === 0, lit(null).cast("string"))
+        .otherwise(format_string("s%04d", $"id")))
+      .repartition(4)
+    wh.atomicPublish("t", df)
+    assert(wh.statsRowCount("t") === Some(1000L))
+    assert(wh.statsNullCount("t", "v") === Some(334L)) // ids 0,3,…,999
+    assert(wh.statsNullCount("t", "id") === Some(0L))
+    assert(wh.tableHealth("t").rows === Some(1000L))
+    // overwrite every data file with garbage: the metadata-only
+    // answers must be unchanged — proof the path opened ZERO data
+    // files (an actual scan would now fail on the magic bytes)
+    new java.io.File(s"$dir/t/_v1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        try w.write("not parquet".getBytes("UTF-8")) finally w.close()
+      }
+    assert(wh.statsRowCount("t") === Some(1000L))
+    assert(wh.statsNullCount("t", "v") === Some(334L))
+    assert(wh.statsNullCount("t", "missing_col") === None,
+      "unknown column must be unknown, never zero")
+  }
+
+  test("IS NULL skipping: files proven null-free never enter the scan") {
+    import spark.implicits._
+    val (wh, dir) = mk("graft-nullskip")
+    // version 1: 100 of 500 rows null; version 2: null-free
+    val withNulls = spark.range(0, 500).toDF("id")
+      .withColumn("v", when($"id" < 100, lit(null).cast("string"))
+        .otherwise(format_string("a%04d", $"id")))
+      .coalesce(1)
+    val noNulls = spark.range(500, 800).toDF("id")
+      .withColumn("v", format_string("b%04d", $"id")).coalesce(1)
+    wh.atomicPublish("t", withNulls)
+    wh.append("t", noNulls)
+    assert(wh.readSkippingIsNull("t", "v", isNull = true).count() === 100)
+    assert(wh.readSkippingIsNull("t", "v", isNull = false).count() === 700)
+    // corrupt the null-free version's data: an IS NULL scan must
+    // still succeed — that file is pruned from the plan entirely
+    new java.io.File(s"$dir/t/_v2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val w = new java.io.FileOutputStream(f)
+        try w.write("not parquet".getBytes("UTF-8")) finally w.close()
+      }
+    assert(wh.readSkippingIsNull("t", "v", isNull = true).count() === 100)
+  }
+
   test("tableHealth: metadata-only layout report drives compaction") {
     val (wh, _) = mk("graft-health")
     wh.atomicPublish("t", clustered())          // 8 files
