@@ -129,9 +129,83 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the in-JDK javax.sound.sampled (WAV/RIFF —
+    * the JRE's WaveFileReader; headless-safe, no audio device needed).
+    * PCM 8/16-bit, any channel count (channel 0 is taken — a
+    * deterministic choice, where mixing would need float math);
+    * samples map to [0, 256) by the top byte: a 16-bit value s becomes
+    * (s >> 8) + 128 — the exact inverse of `encodeWav`'s
+    * (v − 128) << 8, so a generated WAV round-trips its samples
+    * bit-exactly (what makes WAV digest-oracle-able, m22). Compressed
+    * encodings (μ-law, MP3) and corrupt payloads quarantine as None.
+    */
+  object WavCodec extends Codec {
+    def decode(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes == null || bytes.length < 12) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val enc = fmt.getEncoding
+          val bits = fmt.getSampleSizeInBits
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+          if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16) || frameSize <= 0) return None
+          val raw = ais.readAllBytes()
+          val nFrames = raw.length / frameSize
+          val out = new Array[Int](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            val off = f * frameSize // channel 0 of the frame
+            out(f) =
+              if (bits == 8) {
+                val b = raw(off)
+                if (enc == PCM_UNSIGNED) b & 0xff else (b + 128) & 0xff
+              } else {
+                val lo = if (big) raw(off + 1) else raw(off)
+                val hi = if (big) raw(off) else raw(off + 1)
+                val s = (hi << 8) | (lo & 0xff) // hi sign-extends: signed 16
+                ((s >> 8) + 128) & 0xff
+              }
+            f += 1
+          }
+          Some(out)
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Encode [0, 256) samples as a REAL 16-bit PCM mono little-endian
+      * WAV: v ↦ (v − 128) << 8, so decode(encodeWav(_, vs)) == vs
+      * exactly (test/ingest helper, the audio counterpart of
+      * encodePng).
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = ((samples(i) & 0xff) - 128) << 8
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** Default codec: dispatch on the payload's magic bytes — GRFT →
-    * stub, PNG/JPEG/GIF/BMP signatures → ImageIO; anything else is
-    * undecodable (None → the row drops to the quarantine channel).
+    * stub, PNG/JPEG/GIF/BMP signatures → ImageIO, RIFF → WAV;
+    * anything else is undecodable (None → the row drops to the
+    * quarantine channel).
     */
   object AutoCodec extends Codec {
     def decode(bytes: Array[Byte]): Option[Array[Int]] = {
@@ -144,6 +218,8 @@ object Multimodal {
         (b0 == 'G' && b1 == 'I') || // GIF
         (b0 == 'B' && b1 == 'M')) // BMP
         ImageIoCodec.decode(bytes)
+      else if (b0 == 'R' && b1 == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+        WavCodec.decode(bytes)
       else None
     }
   }

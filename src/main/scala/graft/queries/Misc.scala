@@ -363,6 +363,44 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
 
+    // ---- REAL audio decode: WAV bytes → javax.sound.sampled → features -
+    // m17's technique for audio: each payload is a real RIFF/WAV file
+    // (16-bit PCM mono, encoded driver-side from the same
+    // SQL-regenerable sample formula), decoded on executors by the
+    // in-JDK sound stack through AutoCodec's RIFF magic dispatch. The
+    // (v−128)<<8 / (s>>8)+128 mapping is lossless, so the oracle
+    // regenerates the sample formula and never sees WAV bytes — the
+    // decode step itself is what's under test.
+    Q("m22_wav_features",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val n = 80 + i % 40
+          val samples = Array.tabulate(n)(j => (i * 37 + j * 11) % 256)
+          org.apache.spark.sql.Row(i.toLong, "audio",
+            Multimodal.WavCodec.encodeWav(16000, samples),
+            org.apache.spark.sql.Row(0, 0, 16000, 0))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.extractFeatures(media, batchSize = 16)
+          .select($"media_id", $"kind", $"n_samples",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"kind", $"n_samples")
+          .agg(sum(round($"f".cast("double") * $"n_samples") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST(80 + i % 40 AS INT) AS n_samples
+          FROM range(60) t(i)),
+        ex AS (SELECT media_id, n_samples, unnest(range(n_samples)) AS j FROM m)
+        SELECT media_id, 'audio' AS kind, n_samples,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // At scale the sketch merge replaces a full shuffle-distinct; the
     // production query is approx-only. For the correctness gate the

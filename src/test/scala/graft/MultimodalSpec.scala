@@ -126,4 +126,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.toSeq === Seq(0, 10, 20, 30, 40, 50, 60, 70, 80, 90))
     assert(Multimodal.resize(Array(1, 2, 3), 10).toSeq === Seq(1, 2, 3))
   }
+
+  test("real WAV decode: 16-bit PCM round-trip recovers exact samples") {
+    val samples = Array.tabulate(777)(j => (j * 31 + 5) % 256)
+    val wav = Multimodal.WavCodec.encodeWav(16000, samples)
+    // a real RIFF file, dispatched by AutoCodec's magic check
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(Multimodal.WavCodec.decode(wav).get.toSeq === samples.toSeq)
+    assert(Multimodal.AutoCodec.decode(wav).get.toSeq === samples.toSeq)
+  }
+
+  test("corrupt or compressed WAV quarantines as None, never throws") {
+    // RIFF magic but garbage body
+    val junk = "RIFFxxxxWAVEfmt garbage".getBytes("US-ASCII")
+    assert(Multimodal.AutoCodec.decode(junk).isEmpty)
+    // truncated real WAV: header survives, data chunk cut mid-frame —
+    // decode must not throw (partial frames drop)
+    val wav = Multimodal.WavCodec.encodeWav(8000,
+      Array.tabulate(100)(identity))
+    val truncated = wav.take(wav.length - 3)
+    Multimodal.WavCodec.decode(truncated) // any Option is fine; no throw
+  }
 }
