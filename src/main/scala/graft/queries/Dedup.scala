@@ -489,6 +489,14 @@ object Dedup {
         val dup = ch.groupBy($"h")
           .agg(count_distinct($"doc_id").as("nd"))
           .filter($"nd" >= 2).select($"h")
+        // DOCUMENTED BOUND (the Gram2Helper discipline): rebuilding
+        // clean_text collects one document's surviving spans into one
+        // agg buffer — memory is bounded by the DOCUMENT size, the
+        // same bound the original row already imposed on every
+        // upstream operator. A pathological multi-GB document
+        // concentrates its buffer on one task; a pipeline expecting
+        // those should cap document length upstream (x1's length gate)
+        // or emit spans without reassembly.
         val rebuilt = ch.join(dup, Seq("h"), "left_anti")
           .groupBy($"doc_id")
           .agg(array_sort(collect_list(struct($"idx", $"span"))).as("ks"),

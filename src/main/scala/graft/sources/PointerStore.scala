@@ -125,3 +125,39 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
     }
   }
 }
+
+/** Conditional-PUT pointer store — the object-store shape (S3
+  * `If-Match`, GCS `x-goog-if-generation-match`) modeled on an atomic
+  * in-process register so the seam's pluggability is TESTABLE without
+  * an object store: `compareAndSet` is one atomic
+  * observe-compare-swap, no lock file, no rename. The pointer's
+  * source of truth lives in the register (keyed by table root), not on
+  * the filesystem — exactly how an S3 deployment would treat the
+  * pointer object, with the manifest/version files still on shared
+  * storage. A real S3 impl replaces the AtomicReference with a
+  * conditional PUT and the observe() re-read with the PUT's
+  * precondition; everything else in the commit path is unchanged —
+  * which is the point of the seam.
+  */
+final class InMemoryPointerStore extends PointerStore {
+  private val registers =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] =
+    registers.getOrDefault(s"$root/$ptrName", None)
+
+  override def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
+      expected: Option[String], next: String,
+      observe: () => Option[String]): Boolean = {
+    val key = s"$root/$ptrName"
+    registers.putIfAbsent(key, None)
+    // the register IS the pointer: a concurrent flip between observe()
+    // and the swap is caught by the register compare itself (the
+    // If-Match semantics), so the swap condition is the register value,
+    // with observe() consulted once for the caller's legacy fallback
+    val cur = registers.get(key)
+    val effective = cur.orElse(observe())
+    if (effective != expected) false
+    else registers.replace(key, cur, Some(next))
+  }
+}

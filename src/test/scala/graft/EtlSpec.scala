@@ -434,6 +434,36 @@ class EtlSpec extends SparkSpec {
       === Array((1L, "base"), (2L, "A"), (3L, "B")))
   }
 
+  test("warehouse: conditional-PUT pointer store plugs into the same commit path") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whmem").toString
+    // the object-store-shaped store: CAS is a native atomic register
+    // swap (If-Match semantics) — no lock files, no rename
+    val store = new graft.sources.InMemoryPointerStore
+    val whA = new Warehouse(spark, tmp, manifest = true, pointerStore = store)
+    val whB = new Warehouse(spark, tmp, manifest = true, pointerStore = store)
+    whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
+    assert(whA.read("t").count() === 1)
+    // same lost-update interleaving as the FS-store test: both writers
+    // pass the pre-check, the conditional PUT fails exactly one
+    var fired = false
+    whA.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((3L, "B")).toDF("k", "v"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    }
+    whA.casTestHook = _ => ()
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (3L, "B")))
+    assert(!new java.io.File(s"$tmp/t").list().exists(_.contains(".lock")),
+      "a conditional-PUT store must never create lock files")
+    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    assert(whA.read("t").count() === 3)
+  }
+
   test("pointer store: threads racing one CAS — exactly one flip wins") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ptr").toString
     val root = new org.apache.hadoop.fs.Path(tmp)
