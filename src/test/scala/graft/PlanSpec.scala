@@ -87,6 +87,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x20/x21: persisted-model scoring joins broadcast; no corpus Window") {
+    for (q <- Seq("x20_model_persist_score", "x21_lm_persist_score")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"),
+        s"$q: a window sort-shuffle crept into model scoring:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: the loaded model table is not broadcast to the scoring scan:\n$p")
+    }
+  }
+
   test("m19: integer ranks — no float math on the iteration path") {
     val p = planOf("m19_pagerank")
     assert(p.contains("partial_"), s"inflow agg not map-side combined:\n$p")
