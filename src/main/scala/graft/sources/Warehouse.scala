@@ -339,9 +339,28 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
   def readSkipping(name: String, column: String, lower: Option[Any],
       upper: Option[Any]): DataFrame = {
     val (kept, _) = pruneFiles(name, column, lower, upper)
+    // schema truth is the FULL snapshot (plan-only: one footer + the
+    // path listing already in hand — no data scan): hive partition
+    // column types are INFERRED from the surviving paths, so a pruned
+    // subset can infer a DIFFERENT type than the full table — drop the
+    // one non-numeric partition of a string column and the remainder
+    // looks numeric, flipping the residual from lexicographic to
+    // numeric comparison and silently dropping in-range rows
+    // (LayoutSpec pins the '9' ∈ ['10','95'] case). Casting the
+    // pruned read back to the full-table type keeps the residual's
+    // semantics identical to an unpruned scan.
+    val full = readFiles(name, snapshotFiles(name))
     val base =
-      if (kept.nonEmpty) readFiles(name, kept)
-      else readFiles(name, snapshotFiles(name)).where(lit(false))
+      if (kept.isEmpty) full.where(lit(false))
+      else {
+        val pruned = readFiles(name, kept)
+        (full.schema.find(_.name == column),
+          pruned.schema.find(_.name == column)) match {
+          case (Some(f), Some(p)) if f.dataType != p.dataType =>
+            pruned.withColumn(column, col(column).cast(f.dataType))
+          case _ => pruned
+        }
+      }
     val c = col(column)
     val lo = lower.map(v => c >= lit(v)).getOrElse(lit(true))
     val hi = upper.map(v => c <= lit(v)).getOrElse(lit(true))

@@ -163,6 +163,49 @@ class LayoutSpec extends SparkSpec {
       grid.filter($"host".between("h10", "h25")).agg(sum($"id")).as[Long].head())
   }
 
+  test("partition pruning types from the caller's bounds, not the value's looks") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-ptype")
+    // STRING partition column whose values LOOK numeric: '9' with
+    // string bounds ['10','95'] is IN range lexicographically ('9' >
+    // '1') — a numeric guess (9 < 10) would wrongly prune the file and
+    // silently drop rows (the r6 advice scenario)
+    val df = Seq((1L, "9"), (2L, "50"), (3L, "abc")).toDF("k", "part")
+    wh.upsert("t", df, Seq("k"), Seq("part"))
+    val got = wh.readSkipping("t", "part", Some("10"), Some("95"))
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L),
+      "value '9' is inside the STRING range ['10','95'] and must survive pruning")
+    // numeric bounds against a STRING column are an ill-typed query
+    // under ANSI: an unpruned scan throws CAST_INVALID_INPUT on 'abc'.
+    // Pruning must not MASK that error — the unparseable partition is
+    // kept (toLongOption=None ⇒ keep), so the pruned scan throws the
+    // same ANSI error instead of silently returning a subset.
+    val e = intercept[Exception] {
+      wh.readSkipping("t", "part", Some(10L), Some(95L)).collect()
+    }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT"),
+      s"pruned scan must surface the same ANSI error as unpruned: $e")
+  }
+
+  test("statsMinMax: string order is code-point order, not UTF-16 units") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-utf")
+    // U+E000 (private use, one UTF-16 unit 0xE000) vs U+1F600 (emoji,
+    // surrogate pair led by 0xD83D): UTF-16 code-unit order says the
+    // EMOJI is smaller; code-point/UTF-8-byte order (parquet's stat
+    // order, Spark's string order) says it is LARGER. The cross-file
+    // fold must agree with the per-file parquet order or a non-extreme
+    // value surfaces (the r6 advice scenario) — one value per file so
+    // the fold across files is what's exercised.
+    wh.atomicPublish("t", Seq((1L, "")).toDF("k", "s"))
+    wh.append("t", Seq((2L, "😀")).toDF("k", "s"))
+    wh.append("t", Seq((3L, "aaa")).toDF("k", "s"))
+    val mm = wh.statsMinMax("t", "s")
+    assert(mm === Some(("aaa", "😀")),
+      s"max must be the emoji in code-point order, got $mm")
+  }
+
   test("data skipping: hive partition column prunes from the path, not footer stats") {
     import spark.implicits._
     val (wh, _) = mk("graft-skip4")

@@ -197,6 +197,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.count() === 0)
   }
 
+  test("ConnectedComponents: replaced rounds free their checkpoint storage") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    // a 60-node path graph: diameter 59 ⇒ many label-propagation
+    // rounds, each an eager localCheckpoint. Dataset.unpersist is a
+    // no-op on those (they persist OUTSIDE the CacheManager), so
+    // without explicit RDD frees every round's blocks would linger —
+    // the accumulation ADVICE r6 flagged. After run(), only the
+    // returned frame's own checkpoint may remain registered.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.run(edges, maxRounds = 100)
+    assert(out.as[(Long, Long)].collect().forall(_._2 === 0L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1,
+      s"checkpoint blocks accumulated: $before persistent RDDs before, $after after")
+  }
+
   test("TopKAgg.rank == row_number window form, ties and partial-agg safe") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
