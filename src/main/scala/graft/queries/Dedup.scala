@@ -804,6 +804,61 @@ object Dedup {
           WHERE rn = 1)
         SELECT j.doc_id, j.component, j.n_chars, k.keep_id,
           j.doc_id = k.keep_id AS kept
-        FROM j JOIN k USING (component) ORDER BY j.doc_id"""))
+        FROM j JOIN k USING (component) ORDER BY j.doc_id""")),
+
+    // ---- domain blocklist filter (suffix-chain match) ------------------
+    // Crawl pipelines drop documents whose host matches a blocklist
+    // entry OR any parent domain of it ('example.com' blocks
+    // 'a.b.example.com'). The scale-right shape is NOT a per-row regex
+    // over the blocklist: each host explodes into its ≤depth suffix
+    // chain (w2.src3.example.com → itself, src3.example.com,
+    // example.com, com — row-local, bounded by label count), which
+    // equi-joins the BROADCAST blocklist — linear in corpus size,
+    // independent of blocklist size up to broadcast limits. Hosts are
+    // constructed deterministically from (source, doc_id) as in d13;
+    // the blocklist mixes an apex domain, an apex on another TLD, and
+    // one exact subdomain entry, so both match modes are exercised.
+    Q("d15_blocklist_filter",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("host", concat(
+            lit("w"), ($"doc_id" % 5).cast("string"), lit("."),
+            lower($"source"), lit(".example."),
+            when($"doc_id" % 2 === 0, "com").otherwise("org")))
+        val bl = Seq("src3.example.com", "src7.example.org",
+          "w1.src4.example.com").toDF("entry")
+        val parts = split($"host", "\\.")
+        val chain = docs.select($"doc_id", $"host",
+          explode(transform(sequence(lit(0), size(parts) - 1),
+            i => array_join(slice(parts, i + 1, size(parts) - i), ".")))
+            .as("sfx"))
+        val hits = chain.join(broadcast(bl), $"sfx" === $"entry")
+          .groupBy($"doc_id").agg(min($"entry").as("block_entry"))
+        docs.select($"doc_id", $"host")
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id", $"host", $"block_entry",
+            $"block_entry".isNotNull.as("blocked"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            'w' || CAST(doc_id % 5 AS VARCHAR) || '.' || lower(source)
+            || '.example.'
+            || (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END) AS host
+          FROM documents),
+        bl(entry) AS (VALUES ('src3.example.com'), ('src7.example.org'),
+          ('w1.src4.example.com')),
+        chain AS (
+          SELECT doc_id, host,
+            unnest(list_transform(
+              range(1, len(string_split(host, '.')) + 1),
+              i -> array_to_string(string_split(host, '.')[i:], '.'))) AS sfx
+          FROM d),
+        hits AS (SELECT doc_id, min(entry) AS block_entry
+          FROM chain JOIN bl ON sfx = entry GROUP BY doc_id)
+        SELECT d.doc_id, d.host, h.block_entry,
+          h.block_entry IS NOT NULL AS blocked
+        FROM d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"""))
   )
 }

@@ -401,6 +401,36 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
 
+    // ---- leakage-safe train/valid/test split (group-aware) -------------
+    // Eval splits hashed per-DOCUMENT leak: near-duplicate pages from
+    // one domain straddle train and test, and the eval set silently
+    // measures memorization. The guard is to hash the GROUP key (the
+    // domain/source), not the document — every document of a source
+    // lands in ONE split by construction. Same engine-neutral
+    // multiplicative hash as m12 (exact BIGINT math, no RNG state), so
+    // the assignment is bit-reproducible across engines and runs; pure
+    // projection, no shuffle — the split of 100 TB is a free column.
+    Q("m23_group_split",
+      (s, dir) => {
+        import s.implicits._
+        val bucket = pmod(
+          expr("try_cast(substring(source, 4, 10) AS INT)").cast("long")
+            * 2654435761L + 1013904223L, lit(4294967296L)) % 100
+        Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source",
+            when(bucket < 80, "train").when(bucket < 90, "valid")
+              .otherwise("test").as("split"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+        FROM (SELECT doc_id, source,
+            ((TRY_CAST(substr(source, 4) AS BIGINT) * 2654435761
+              + 1013904223) % 4294967296) % 100 AS b
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // ---- HLL sketch: approx distinct at 100 TB scale --------------------
     // At scale the sketch merge replaces a full shuffle-distinct; the
     // production query is approx-only. For the correctness gate the
