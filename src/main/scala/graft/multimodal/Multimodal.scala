@@ -278,18 +278,20 @@ object Multimodal {
       }(encoder)
   }
 
-  /** Frame sampling for "video": split samples into n_frames equal
-    * frames, keep every k-th frame, featurize each — one output row per
-    * kept frame.
+  /** Frame sampling: split samples into n_frames equal frames, keep
+    * every k-th frame, featurize each — one output row per kept frame.
+    * Defaults to video rows; pass `kinds = Seq("audio")` to window
+    * real audio the same way (fixed-length analysis windows over WAV
+    * samples — the same op, m24 proves it over real RIFF bytes).
     */
   def sampleFrames(media: DataFrame, everyK: Int = 2, batchSize: Int = 64,
-      codec: Codec = AutoCodec): DataFrame = {
+      codec: Codec = AutoCodec, kinds: Seq[String] = Seq("video")): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("feature", ArrayType(FloatType), nullable = false)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
-    media.filter(col("kind") === "video")
+    media.filter(col("kind").isin(kinds: _*))
       .select(col("media_id"), col("media"), col("meta.n_frames").as("n_frames"))
       .mapPartitions { rows: Iterator[Row] =>
         rows.grouped(batchSize).flatMap { batch =>

@@ -401,6 +401,49 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
 
+    // ---- REAL audio frame sampling: WAV → fixed analysis windows -------
+    // m10's frame-sampling op over ACTUAL RIFF bytes (not the GRFT
+    // stub): each payload is a real 16-bit PCM WAV; executors decode
+    // via the in-JDK sound stack and window the samples into
+    // n_frames=4 equal frames, keeping every 2nd — the standard
+    // fixed-window audio featurization shape. Lossless sample
+    // round-trip ⇒ m10's digest oracle applies unchanged.
+    Q("m24_wav_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val n = 80 + i % 40
+          val samples = Array.tabulate(n)(j => (i * 37 + j * 11) % 256)
+          org.apache.spark.sql.Row(i.toLong, "audio",
+            Multimodal.WavCodec.encodeWav(16000, samples),
+            org.apache.spark.sql.Row(0, 0, 16000, 4))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.sampleFrames(media, everyK = 2, batchSize = 16,
+            kinds = Seq("audio"))
+          .withColumn("frame_len", ((lit(80) + $"media_id" % 40) / 4).cast("int"))
+          .select($"media_id", $"frame_idx", $"frame_len",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"frame_idx", $"frame_len")
+          .agg(sum(round($"f".cast("double") * $"frame_len") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST((80 + i % 40) // 4 AS INT) AS frame_len
+          FROM range(60) t(i)),
+        fr AS (SELECT media_id, frame_len, unnest([0, 2]) AS frame_idx FROM m),
+        ex AS (SELECT media_id, frame_idx, frame_len,
+            frame_idx * frame_len + unnest(range(frame_len)) AS j
+          FROM fr)
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_len,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, frame_idx, frame_len
+        ORDER BY media_id, frame_idx""")),
+
     // ---- leakage-safe train/valid/test split (group-aware) -------------
     // Eval splits hashed per-DOCUMENT leak: near-duplicate pages from
     // one domain straddle train and test, and the eval set silently
