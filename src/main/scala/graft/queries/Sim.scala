@@ -532,6 +532,38 @@ object Sim {
           wh.read("ivf_centroids"), wh.read("ivf_postings"), 8, 10)
           .orderBy($"q_id", $"rank")
       },
-      Some(ivfTopkOracle))
+      Some(ivfTopkOracle)),
+
+    // ---- corpus cartography: per-cluster profile -----------------------
+    // The data-mixing view SemDeDup/cluster-curation pipelines decide
+    // from: assign every embedding to the trained codebook and profile
+    // each semantic cluster against document metadata (volume, char
+    // mass, language spread) — the table a curator reads to up/down-
+    // weight regions of the corpus. Shape: the sim2 training prelude,
+    // one embeddings⋈documents equi-join on the shared id, one
+    // partial-agg groupBy |C| — no new shuffle structure; at 100 TB
+    // the profile is a |C|-row table from one corpus pass.
+    Q("sim6_cluster_profile",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val (_, assigned) = trainedCodebook(s, e)
+        val docs = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang", $"n_chars")
+        assigned.join(docs, assigned("vec_id") === docs("doc_id"))
+          .groupBy($"c_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_chars").cast("long").as("total_chars"),
+            count_distinct($"lang").as("n_langs"),
+            min($"doc_id").as("min_doc"))
+          .orderBy($"c_id")
+      },
+      Some(s"""WITH $codebookCtes
+        SELECT a.c_id, count(*) AS n_docs,
+          CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+          count(DISTINCT d.lang) AS n_langs,
+          CAST(min(d.doc_id) AS BIGINT) AS min_doc
+        FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+        GROUP BY a.c_id ORDER BY a.c_id"""))
   )
 }
