@@ -893,6 +893,41 @@ object Misc {
             CAST((SELECT count(*) FROM orders o
               WHERE NOT EXISTS (SELECT 1 FROM customer c
                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT))
-        ORDER BY check_name"""))
+        ORDER BY check_name""")),
+
+    // ---- metadata-only table stats (count / nulls / min-max) -----------
+    // The Iceberg-style "answer from manifests" query: documents is
+    // published once through the manifest Warehouse, then EVERY number
+    // in the result is answered from the _rows/_stats footer sidecars
+    // alone — zero data files opened (LayoutSpec pins the no-data-read
+    // property; this catalog entry proves the NUMBERS against the
+    // DuckDB full-scan oracle). At 100 TB this is O(files) driver
+    // metadata vs a full corpus scan — the shape behind `SELECT
+    // count(*)`, publish gates, and table-health dashboards.
+    Q("m25_meta_count",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-meta").toString,
+          manifest = true)
+        wh.atomicPublish("docs_meta", docs)
+        // Each accessor is exact-or-None (absence never guessed); the
+        // published table is fresh, so all stats exist by construction.
+        val nRows = wh.statsRowCount("docs_meta").get
+        val nullText = wh.statsNullCount("docs_meta", "text").get
+        val (minDoc, maxDoc) = wh.statsMinMax("docs_meta", "doc_id").get
+        val (minCh, maxCh) = wh.statsMinMax("docs_meta", "n_chars").get
+        Seq((nRows, nullText, minDoc.asInstanceOf[Long],
+          maxDoc.asInstanceOf[Long], minCh.asInstanceOf[Long],
+          maxCh.asInstanceOf[Long]))
+          .toDF("n_rows", "null_text", "min_doc", "max_doc",
+            "min_chars", "max_chars")
+      },
+      Some("""SELECT count(*) AS n_rows,
+        count(*) - count(text) AS null_text,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents"""))
   )
 }

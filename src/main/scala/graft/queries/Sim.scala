@@ -564,6 +564,36 @@ object Sim {
           count(DISTINCT d.lang) AS n_langs,
           CAST(min(d.doc_id) AS BIGINT) AS min_doc
         FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
-        GROUP BY a.c_id ORDER BY a.c_id"""))
+        GROUP BY a.c_id ORDER BY a.c_id""")),
+
+    // ---- per-dimension embedding profile (index health) ----------------
+    // Corpus-level embedding diagnostics — per-dimension min/max/mean —
+    // the signal that catches dead dimensions, scale drift, and
+    // normalization bugs before they poison an ANN index. posexplode
+    // streams (dim, value) pairs into ONE partial-agg shuffle keyed by
+    // dimension (64 keys, map-side combined): linear scan, no collect,
+    // constant-size result regardless of corpus size. Mean follows the
+    // house round(avg, 6) discipline (x14); min/max are
+    // order-independent and exact.
+    Q("sim7_dim_profile",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "embeddings")
+          .select(posexplode($"embedding").as(Seq("pos", "v")))
+          .groupBy($"pos".cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"),
+            min($"v".cast("double")).as("mn"),
+            max($"v".cast("double")).as("mx"),
+            round(avg($"v".cast("double")), 6).as("mean"))
+          .orderBy($"dim")
+      },
+      Some("""WITH e AS (
+          SELECT unnest(range(0, len(embedding))) AS dim,
+            unnest(embedding) AS v
+          FROM embeddings)
+        SELECT dim, count(*) AS n,
+          min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx,
+          round(avg(CAST(v AS DOUBLE)), 6) AS mean
+        FROM e GROUP BY dim ORDER BY dim"""))
   )
 }

@@ -986,6 +986,80 @@ object Text {
             JOIN uni USING (w2) CROSS JOIN t
           GROUP BY doc_id)
         SELECT doc_id, n_bigrams, entropy, round(exp(entropy), 4) AS ppl
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // ---- Zipf frequency spectrum (frequency-of-frequencies) ------------
+    // Corpus vocabulary health signal (the Zipf/Heaps curve every
+    // corpus report plots): term counts, then how many distinct terms
+    // occur exactly f times. Two partial-aggregated shuffles — the
+    // first keyed by token (map-side combined), the second keyed by
+    // frequency, whose key space is tiny (distinct frequencies grow
+    // ~log corpus) — so at 100 TB the cost is one token-keyed pass.
+    Q("x22_freq_spectrum",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .groupBy($"freq").agg(count(lit(1)).as("n_terms"))
+          .orderBy($"freq")
+      },
+      Some(s"""WITH f AS (
+          SELECT tok, count(*) AS freq FROM (
+            SELECT unnest($duckToks) AS tok FROM documents)
+          GROUP BY tok)
+        SELECT freq, count(*) AS n_terms FROM f GROUP BY freq
+        ORDER BY freq""")),
+
+    // ---- cross-source shingle overlap matrix (corpus contamination) ----
+    // Which sources share content? The source-level contamination
+    // matrix (same question x15 answers doc-vs-benchmark, asked
+    // pairwise across the corpus's own sources). Distinct
+    // (source, 3-gram) stream → per-shingle source set → pairs
+    // exploded from each set → per-pair counts; Jaccard from broadcast
+    // per-source set sizes. Linear in corpus size: NO shingle
+    // self-join — the per-shingle pair fan-out is bounded by
+    // |sources|² and `source` is a dimension (~20 values), not data;
+    // the collect_set buffer is bounded the same way.
+    Q("x23_source_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val grams = Tables.load(s, dir, "documents")
+          .select($"source", explode(NativeExprs.shingles3(s, $"text")).as("g"))
+          .distinct()
+        val sizes = grams.groupBy($"source").agg(count(lit(1)).as("n"))
+        val pairs = grams.groupBy($"g").agg(collect_set($"source").as("raw"))
+          .filter(size($"raw") >= 2)
+          .select(array_sort($"raw").as("ss"))
+          .select(explode(expr(
+            """flatten(transform(ss, (a, i) ->
+                 transform(slice(ss, i + 2, size(ss)),
+                   b -> named_struct('src_a', a, 'src_b', b))))""")).as("p"))
+          .select($"p.src_a", $"p.src_b")
+          .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))), "src_a")
+          .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))), "src_b")
+          .select($"src_a", $"src_b", $"n_common",
+            ($"n_common".cast("double") / ($"na" + $"nb" - $"n_common")).as("jaccard"))
+          .orderBy($"src_a", $"src_b")
+      },
+      Some(s"""WITH sh AS (
+          SELECT source, list_distinct(CASE WHEN len(toks) < 3 THEN []
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS shs
+          FROM (SELECT source, $duckToks AS toks FROM documents)),
+        g AS (SELECT DISTINCT source, g FROM
+          (SELECT source, unnest(shs) AS g FROM sh)),
+        sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+            count(*) AS n_common
+          FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+          CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM p JOIN sz sa ON p.src_a = sa.source
+          JOIN sz sb ON p.src_b = sb.source
+        ORDER BY src_a, src_b"""))
   )
 }
