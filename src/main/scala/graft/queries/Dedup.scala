@@ -859,6 +859,43 @@ object Dedup {
           FROM chain JOIN bl ON sfx = entry GROUP BY doc_id)
         SELECT d.doc_id, d.host, h.block_entry,
           h.block_entry IS NOT NULL AS blocked
-        FROM d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id"""))
+        FROM d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""")),
+
+    // ---- dedup savings report: cluster-size spectrum -------------------
+    // The number every dedup run publishes before anyone trusts it:
+    // how many near-dup clusters of each size exist and how many
+    // documents deduplication removes from each size class. d6's
+    // components feed two tiny partial aggs (component → size,
+    // size → class count); docs with no near-dup edge never enter the
+    // pair set (they are their own keepers and remove nothing), so the
+    // report covers exactly the clusters with ≥2 members. At 100 TB
+    // the spectrum's key space is ~log corpus — the output is
+    // dashboard-sized no matter the input.
+    Q("d16_cluster_spectrum",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = jaccardPairs(s, dir, 0.5, 100).select($"a_id", $"b_id")
+        graft.operators.ConnectedComponents.run(pairs, "a_id", "b_id",
+            dedupEdges = false)
+          .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy($"cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            (sum($"cluster_size") - count(lit(1))).cast("long").as("docs_removed"))
+          .orderBy($"cluster_size")
+      },
+      Some(s"""WITH RECURSIVE ${jaccardPairsCte("0.5", 100)},
+        edges AS (SELECT a_id AS x, b_id AS y FROM jpairs
+                  UNION SELECT b_id, a_id FROM jpairs),
+        reach(x, y) AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x AND e.y <> r.x),
+        comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS component
+          FROM reach GROUP BY x),
+        csz AS (SELECT component, count(*) AS cluster_size
+          FROM comp GROUP BY component)
+        SELECT cluster_size, count(*) AS n_clusters,
+          CAST(SUM(cluster_size) - count(*) AS BIGINT) AS docs_removed
+        FROM csz GROUP BY cluster_size ORDER BY cluster_size"""))
   )
 }

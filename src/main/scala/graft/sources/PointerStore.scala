@@ -77,14 +77,41 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
     try {
       if (observe() != expected) false
       else {
-        // flip via tmp + rename: the pointer is never half-written —
-        // a reader sees the old full line or the new full line
+        // flip via tmp + ATOMIC OVERWRITE rename: the pointer is never
+        // half-written AND never momentarily absent. A delete+rename
+        // pair would open a window where a concurrent reader finds no
+        // pointer and falls back to the highest-numbered manifest —
+        // which can be a racing LOSER'S not-yet-aborted manifest, a
+        // dirty read of never-committed data. posix rename(2) (local)
+        // and FileContext overwrite-rename (HDFS) replace the
+        // destination atomically, so readers always see old-or-new.
         val tmp = new Path(root, s".$ptrName.tmp.$next")
         val out = fs.create(tmp, true)
         try out.write((next + "\n").getBytes("UTF-8"))
         finally out.close()
-        fs.delete(new Path(root, ptrName), false)
-        fs.rename(tmp, new Path(root, ptrName))
+        val ptr = new Path(root, ptrName)
+        if (fs.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(ptr.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              fs.getUri, fs.getConf)
+            fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            // UnsupportedOperationException: FS has a FileContext but no
+            // overwrite-rename; UnsupportedFileSystemException: scheme
+            // has no AbstractFileSystem binding at all (some object
+            // stores) — either way, fall back to the non-atomic pair,
+            // inside this lock — writers stay serialized; only the
+            // reader-absence window above reopens on such stores
+            case _: UnsupportedOperationException |
+                 _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              fs.delete(ptr, false)
+              fs.rename(tmp, ptr)
+          }
         true
       }
     } finally fs.delete(lock, false)
@@ -110,11 +137,22 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
   private def acquire(fs: FileSystem, lock: Path): Unit = {
     val deadline = System.currentTimeMillis() + acquireTimeoutMs
     while (!tryCreate(fs, lock)) {
-      // held by someone: break if stale (holder crashed), else wait
+      // held by someone: break if stale (holder crashed), else wait.
+      // Double-stat before the break: a FRESH lock recreated between
+      // the first stat and the delete has a new mtime, so re-checking
+      // right before deleting keeps the break from killing a live
+      // holder. The residual stat→delete race is inherent to
+      // lock-file breaking on a generic FS (no conditional delete) —
+      // its window is one metadata op wide, and staleLockMs ≫ any
+      // real flip bounds the exposure; conditional-PUT stores have no
+      // lock files and no such window.
       try {
         val st = fs.getFileStatus(lock)
-        if (System.currentTimeMillis() - st.getModificationTime > staleLockMs)
-          fs.delete(lock, false)
+        if (System.currentTimeMillis() - st.getModificationTime > staleLockMs) {
+          val st2 = fs.getFileStatus(lock)
+          if (st2.getModificationTime == st.getModificationTime)
+            fs.delete(lock, false)
+        }
       } catch { case _: java.io.FileNotFoundException => () }
       if (System.currentTimeMillis() > deadline)
         throw new java.util.ConcurrentModificationException(

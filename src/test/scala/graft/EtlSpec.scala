@@ -489,6 +489,39 @@ class EtlSpec extends SparkSpec {
       "all lock files released")
   }
 
+  test("pointer store: a reader never observes a missing pointer mid-flip") {
+    // the flip must be atomic-overwrite, not delete+rename: a reader
+    // finding NO pointer falls back to highestManifest, which during a
+    // commit race can be a loser's not-yet-aborted manifest — a dirty
+    // read. Hammer flips on one thread, reads on another: with the old
+    // delete+rename this trips within a few hundred iterations on a
+    // local FS; with posix-rename overwrite it never can.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ptrflip").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new FsPointerStore()
+    def obs(): Option[String] = store.read(fs, root, "_CURRENT")
+    assert(store.compareAndSet(fs, root, "_CURRENT", None, "m0", () => obs()))
+    val gaps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) if (obs().isEmpty) { gaps.incrementAndGet(); () }
+    })
+    reader.start()
+    var cur = "m0"
+    for (i <- 1 to 400) {
+      val next = s"m$i"
+      assert(store.compareAndSet(fs, root, "_CURRENT", Some(cur), next,
+        () => obs()))
+      cur = next
+    }
+    stop.set(true)
+    reader.join()
+    assert(gaps.get() === 0,
+      s"reader observed a missing pointer ${gaps.get()} times mid-flip")
+    assert(obs() === Some("m400"))
+  }
+
   test("warehouse: manifest partition-scoped upsert references untouched files") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh10").toString
