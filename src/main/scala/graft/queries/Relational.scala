@@ -499,6 +499,66 @@ object Relational {
             (5000, 20000, 't3_mid'), (20000, 100000, 't4_large'),
             (100000, 1000000, 't5_jumbo')) t(lo, hi, tier)
           ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
-        GROUP BY t.tier ORDER BY t.tier"""))
+        GROUP BY t.tier ORDER BY t.tier""")),
+
+    // ---- skew-salted join, driver-verified -----------------------------
+    // SkewJoin.saltedJoin on the catalog surface: the big side is
+    // salted into 8 sub-keys and the small side replicated 8×, so one
+    // hot customer's orders spread over 8 reducers instead of one
+    // straggler task. The oracle is the PLAIN join — salting only
+    // changes physical distribution, so value-parity against the
+    // unsalted SQL is exactly the operator's contract. The small side
+    // is hinted shuffle_hash (not broadcast) because that is the plan
+    // family where explicit salting matters at 100 TB: AQE rebalances
+    // skewed sort-merge joins but not shuffle-hash joins or skewed
+    // aggregations.
+    Q("j9_skew_salted",
+      (s, dir) => {
+        import s.implicits._
+        val big = t(s, dir, "orders").select($"o_custkey", $"o_orderkey")
+        val small = t(s, dir, "customer")
+          .select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+          .hint("shuffle_hash")
+        graft.operators.SkewJoin.saltedJoin(big, small, "o_custkey", 8)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), sum($"o_orderkey").as("key_sum"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- co-bucketed warehouse join, driver-verified --------------------
+    // Warehouse.createBucketed on the catalog surface: both sides are
+    // published pre-shuffled + per-bucket-sorted on the join key, and
+    // the bucketed read joins them with no Exchange on either side
+    // (EtlSpec pins the plan property; this entry proves the bucketed
+    // write/read path round-trips VALUES exactly — a mis-bucketed or
+    // mis-sorted layout would silently drop/duplicate join matches,
+    // which the plain-SQL oracle catches). This is the repeated
+    // fact⋈fact shape at 100 TB: pay the shuffle once at publish,
+    // never per query.
+    Q("j10_bucketed_join",
+      (s, dir) => {
+        import s.implicits._
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-bkt").toString)
+        wh.createBucketed("bkt_orders",
+          t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+          Seq("o_custkey"), 8)
+        wh.createBucketed("bkt_cust",
+          t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
+          Seq("c_custkey"), 8)
+        wh.readBucketed("bkt_orders")
+          .join(wh.readBucketed("bkt_cust"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 }

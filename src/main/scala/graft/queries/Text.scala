@@ -1060,6 +1060,43 @@ object Text {
           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
         FROM p JOIN sz sa ON p.src_a = sa.source
           JOIN sz sb ON p.src_b = sb.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ---- Heaps'-law vocabulary growth curve ----------------------------
+    // x22's Zipf spectrum says how often terms repeat; this says how
+    // fast NEW terms keep arriving — the other axis of every corpus
+    // vocabulary report (sub-linear growth ⇒ healthy natural text;
+    // near-linear ⇒ ids/noise inflating the vocab). Measured over the
+    // 3-gram shingle vocabulary (x23's unit — the corpus's word-level
+    // vocab is too small to curve). One shingle-keyed partial agg
+    // (shingle → first doc that introduces it), then counts per
+    // 50-doc ingest step and a running sum over the step rows alone —
+    // the window's input is corpus_size/50 rows (dashboard size),
+    // never the corpus, so the single-task window is free at 100 TB
+    // while the heavy lifting stays map-side combined.
+    Q("x24_vocab_growth",
+      (s, dir) => {
+        import s.implicits._
+        val first = Tables.load(s, dir, "documents")
+          .select($"doc_id", explode(NativeExprs.shingles3(s, $"text")).as("g"))
+          .groupBy($"g").agg(min($"doc_id").as("first_doc"))
+        first
+          .groupBy((floor($"first_doc" / 50) * 50 + 50).cast("long").as("n_docs"))
+          .agg(count(lit(1)).as("new_terms"))
+          .withColumn("vocab",
+            sum($"new_terms").over(Window.orderBy($"n_docs")))
+          .orderBy($"n_docs")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END) AS g
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+        tf AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g),
+        b AS (SELECT (first_doc // 50) * 50 + 50 AS n_docs,
+            count(*) AS new_terms FROM tf GROUP BY 1)
+        SELECT n_docs, new_terms,
+          CAST(SUM(new_terms) OVER (ORDER BY n_docs) AS BIGINT) AS vocab
+        FROM b ORDER BY n_docs"""))
   )
 }

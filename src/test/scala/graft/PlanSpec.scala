@@ -110,4 +110,27 @@ class PlanSpec extends SparkSpec {
       s"keeper arg-max lost partial aggregation:\n$p")
     assert(!p.contains("Window"), s"a window sort crept into keeper selection:\n$p")
   }
+
+  test("j9: salted join plans as shuffle-hash on the (key, salt) pair") {
+    // the hint must survive saltedJoin's projections: a broadcast here
+    // would make the salt columns dead weight (broadcast joins have no
+    // reducer skew), and a sort-merge would hand the skew problem to
+    // AQE instead of exercising the explicit salting path
+    val p = planOf("j9_skew_salted")
+    assert(p.contains("ShuffledHashJoin"), s"salted join not shuffle-hash:\n$p")
+    assert(p.contains("_salt"), s"salt key absent from the join:\n$p")
+  }
+
+  test("j10: co-bucketed sides scan without their own shuffle") {
+    // the join keys' Exchanges must be satisfied by the bucketed
+    // layout: no shuffle on either custkey — the only hash exchange
+    // allowed is the tiny post-join groupBy's (on c_mktsegment; the
+    // AQE dump can print that one per stage view).
+    val p = planOf("j10_bucketed_join")
+    assert(!"Exchange hashpartitioning\\((o_custkey|c_custkey)".r
+        .findFirstIn(p).isDefined,
+      s"bucketed join side re-shuffled on the join key:\n$p")
+    assert(p.contains("Bucketed: true"),
+      s"scan did not use the bucketed layout:\n$p")
+  }
 }
