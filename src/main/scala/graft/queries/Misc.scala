@@ -928,6 +928,63 @@ object Misc {
         count(*) - count(text) AS null_text,
         min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         min(n_chars) AS min_chars, max(n_chars) AS max_chars
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- temperature-flattened source mix (α = 0.5) ---------------------
+    // m15 resamples to EXPLICIT target weights; this is the other
+    // standard mixer (the multilingual-corpus temperature trick): keep
+    // probability (n_min/n_s)^(1-α), so the smallest domain keeps
+    // everything and bigger domains are downsampled toward the
+    // flattened α-distribution — rare sources gain relative share
+    // without hand-picked weights. Exactness discipline: the keep
+    // threshold per domain is floor(10000·sqrt(n_min/n_s)) from two
+    // exact longs — divide, sqrt, multiply, floor, the identical
+    // elementary-op sequence on both engines (sqrt is IEEE
+    // correctly-rounded), and deliberately NO cross-domain double sum
+    // (a softmax-style normalizer would make the result depend on
+    // aggregation order). Keep decision = the m12/m15 multiplicative
+    // hash — pure projection + broadcast-joined thresholds; the corpus
+    // is never shuffled.
+    Q("m26_temp_mix",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("srcnum", expr("try_cast(substring(source, 4, 10) AS INT)"))
+          .withColumn("domain",
+            when($"srcnum" < 10, "web")
+              .when($"srcnum" < 15, "books").otherwise("code"))
+        val counts = docs.groupBy($"domain").agg(count(lit(1)).as("nd"))
+        val nmin = counts.agg(min($"nd").as("nmin"))
+        val rates = counts.crossJoin(broadcast(nmin))
+          .select($"domain",
+            floor(lit(10000.0)
+              * sqrt($"nmin".cast("double") / $"nd".cast("double")))
+              .cast("long").as("bp"))
+        docs
+          .withColumn("bucket",
+            (pmod($"doc_id" * 2654435761L + 1013904223L, lit(4294967296L)) % 10000)
+              .cast("long"))
+          .join(broadcast(rates), "domain")
+          .filter($"bucket" < $"bp")
+          .select($"doc_id", $"domain", $"bucket")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id,
+            CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 'web'
+                 WHEN TRY_CAST(substr(source, 4) AS INT) < 15 THEN 'books'
+                 ELSE 'code' END AS domain,
+            (doc_id * 2654435761 + 1013904223) % 4294967296 % 10000 AS bucket
+          FROM documents),
+        c AS (SELECT domain, count(*) AS nd FROM d GROUP BY 1),
+        t AS (SELECT min(nd) AS nmin FROM c),
+        r AS (SELECT domain,
+            CAST(floor(10000.0
+              * sqrt(CAST(nmin AS DOUBLE) / CAST(nd AS DOUBLE))) AS BIGINT) AS bp
+          FROM c CROSS JOIN t)
+        SELECT d.doc_id, d.domain, CAST(d.bucket AS BIGINT) AS bucket
+        FROM d JOIN r ON d.domain = r.domain
+        WHERE d.bucket < r.bp
+        ORDER BY d.doc_id"""))
   )
 }

@@ -594,6 +594,68 @@ object Sim {
         SELECT dim, count(*) AS n,
           min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx,
           round(avg(CAST(v AS DOUBLE)), 6) AS mean
-        FROM e GROUP BY dim ORDER BY dim"""))
+        FROM e GROUP BY dim ORDER BY dim""")),
+
+    // ---- ANN recall@10 — index QUALITY on the driver surface -----------
+    // Every ANN deployment reports recall before anyone trusts the
+    // index; DedupSimSpec pins recall floors in tests, and this entry
+    // puts the NUMBER itself under the correctness gate: per query,
+    // how many of the exact brute-force top-10 the nprobe=8 IVF probe
+    // returned. Both lists are deterministic (cosine ties break by
+    // vec_id on both engines; the rounded codebook re-derives
+    // identically in SQL), so recall is exact-comparable — a changed
+    // tie-break, codebook drift, or a posting-list bug moves it. Cost
+    // is sim1 + sim2's plans plus one equi-join of two 10k-row lists;
+    // at 100 TB the brute side runs on a fixed evaluation sample, the
+    // standard recall-eval shape.
+    Q("sim8_recall",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+        val brute = graft.operators.TopKAgg.rank(scored, 10, "cos")
+          .select($"q_id", $"vec_id")
+        val (cents, assigned) = trainedCodebook(s, e)
+        val ivf = graft.operators.IvfCodebook.topk(e, q, cents, assigned, 8, 10)
+          .select($"q_id", $"vec_id")
+        brute.join(ivf, Seq("q_id", "vec_id"))
+          .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+          .select($"q_id", $"n_hits",
+            round($"n_hits".cast("double") / 10.0, 2).as("recall_at_10"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH $codebookCtes,
+        probes AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.embedding", "c.c_emb")} / (q.nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM n q CROSS JOIN c2 c WHERE q.vec_id < 10)
+          WHERE rn <= 8),
+        icand AS (
+          SELECT DISTINCT p.q_id, a.vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+          FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
+          JOIN n q ON q.vec_id = p.q_id JOIN n e ON e.vec_id = a.vec_id),
+        ivf AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM icand)
+          WHERE rank <= 10),
+        brute AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) DESC,
+                  e.vec_id) AS rank
+            FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
+          round(CAST(count(*) AS DOUBLE) / 10.0, 2) AS recall_at_10
+        FROM brute JOIN ivf USING (q_id, vec_id)
+        GROUP BY q_id ORDER BY q_id"""))
   )
 }
