@@ -489,6 +489,31 @@ class EtlSpec extends SparkSpec {
       "all lock files released")
   }
 
+  test("pointer store: flip works on a scheme with no FileContext binding") {
+    // non-"file" schemes take the FileContext overwrite-rename path;
+    // a scheme with no AbstractFileSystem binding (many object-store
+    // connectors) throws UnsupportedFileSystemException there and must
+    // fall back to the serialized delete+rename pair instead of
+    // failing the commit. GraftTestFs registers RawLocal under the
+    // unbound scheme "graftfs" to drive exactly that branch.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ptrfs").toString
+    val root = new org.apache.hadoop.fs.Path(
+      new java.net.URI("graftfs", null, tmp, null))
+    val fs = root.getFileSystem(conf)
+    assert(fs.getScheme === "graftfs") // precondition: not the NIO branch
+    val store = new FsPointerStore()
+    def obs(): Option[String] = store.read(fs, root, "_CURRENT")
+    assert(store.compareAndSet(fs, root, "_CURRENT", None, "m1", () => obs()))
+    assert(store.compareAndSet(fs, root, "_CURRENT", Some("m1"), "m2", () => obs()))
+    assert(obs() === Some("m2"))
+    // stale expectation still refused on the fallback path
+    assert(!store.compareAndSet(fs, root, "_CURRENT", Some("m1"), "m3", () => obs()))
+    assert(obs() === Some("m2"))
+  }
+
   test("pointer store: a reader never observes a missing pointer mid-flip") {
     // the flip must be atomic-overwrite, not delete+rename: a reader
     // finding NO pointer falls back to highestManifest, which during a
@@ -751,4 +776,14 @@ class EtlSpec extends SparkSpec {
       .renameTo(new java.io.File(s"$tmp/t2/._old_fy=2023")))
     assert(wh2.read("t2").count() === 2) // recover() restored the partition
   }
+}
+
+/** RawLocalFileSystem re-registered under a scheme that has NO
+  * AbstractFileSystem (FileContext) binding — drives FsPointerStore's
+  * UnsupportedFileSystemException fallback in tests. Top-level class:
+  * Hadoop instantiates it reflectively from `fs.graftfs.impl`.
+  */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
 }
