@@ -985,6 +985,54 @@ object Misc {
         SELECT d.doc_id, d.domain, CAST(d.bucket AS BIGINT) AS bucket
         FROM d JOIN r ON d.domain = r.domain
         WHERE d.bucket < r.bp
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- quantile sketch vs exact (the m6 discipline for percentiles) --
+    // Length/score percentiles are the other sketch every corpus
+    // dashboard runs; at 100 TB `approx_percentile` (Greenwald-Khanna,
+    // one partial-agg pass, mergeable summaries) replaces the exact
+    // per-group sort entirely. Gate discipline as m6: the EXACT
+    // discrete quantile is the hash surface — rank ceil(p·n) in the
+    // sorted multiset, a definition both engines compute identically
+    // (the value at a rank is unique no matter how ties order) — and
+    // the sketch contributes only `sketch_ok`, an INTEGER-exact
+    // tolerance check (|apx − v|·20 ≤ v, i.e. within 5%) the oracle
+    // asserts as literal TRUE. The exact side's per-lang sort window
+    // is the toy-scale oracle anchor, not the production plan — the
+    // in-code point of the query is that the sketch column is what
+    // you'd keep at scale.
+    Q("m27_quantile_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val ps = Seq(0.5, 0.9, 0.99)
+        val d = Tables.load(s, dir, "documents").select($"lang", $"n_chars")
+        val counts = d.groupBy($"lang").agg(count(lit(1)).as("n"))
+        val targets = counts.select($"lang", $"n",
+            explode(array(ps.zipWithIndex.map { case (p, i) =>
+              struct(lit(p).as("p"), lit(i).as("pi"),
+                ceil($"n" * p).cast("long").as("rk"))
+            }: _*)).as("t"))
+          .select($"lang", $"n", $"t.p", $"t.pi", $"t.rk")
+        val ranked = d.withColumn("rk",
+          row_number().over(Window.partitionBy($"lang").orderBy($"n_chars")))
+        val apx = d.groupBy($"lang").agg(
+          expr("approx_percentile(n_chars, array(0.5, 0.9, 0.99), 10000)").as("a"))
+        ranked.join(broadcast(targets), Seq("lang", "rk"))
+          .join(broadcast(apx), "lang")
+          .select($"lang", $"p", $"n", $"n_chars".as("v"),
+            (abs(element_at($"a", $"pi" + 1) - $"n_chars") * 20L <= $"n_chars")
+              .as("sketch_ok"))
+          .orderBy($"lang", $"p")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars FROM documents),
+        c AS (SELECT lang, count(*) AS n FROM d GROUP BY lang),
+        r AS (SELECT lang, n_chars, row_number()
+            OVER (PARTITION BY lang ORDER BY n_chars) AS rk FROM d),
+        t AS (SELECT lang, n, CAST(p AS DOUBLE) AS p,
+            CAST(ceil(n * CAST(p AS DOUBLE)) AS BIGINT) AS rk
+          FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p))
+        SELECT t.lang, t.p, t.n, r.n_chars AS v, TRUE AS sketch_ok
+        FROM t JOIN r ON t.lang = r.lang AND t.rk = r.rk
+        ORDER BY t.lang, t.p"""))
   )
 }
