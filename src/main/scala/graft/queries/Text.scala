@@ -1097,6 +1097,90 @@ object Text {
             count(*) AS new_terms FROM tf GROUP BY 1)
         SELECT n_docs, new_terms,
           CAST(SUM(new_terms) OVER (ORDER BY n_docs) AS BIGINT) AS vocab
-        FROM b ORDER BY n_docs"""))
+        FROM b ORDER BY n_docs""")),
+
+    // ---- BM25 keyword retrieval: top-10 docs for a 3-term query --------
+    // Completes the retrieval story next to x7 (TF-IDF keyword
+    // EXTRACTION ranks terms within a doc; BM25 ranks DOCS for a
+    // query — Robertson & Zaragoza 2009, k1=1.2 b=0.75). Engine-parity
+    // discipline: the usual ln() idf is replaced by the monotone
+    // rational idf (2(N−df)+1)/(2df+1) (the same odds ratio without
+    // the log — libm last-ulp divergence is the only thing the log
+    // adds at ranking time), and the per-term saturation is scaled
+    // through by 10·L (avgdl = L/N folded in) so every operand is an
+    // exact int64: score_t = idf · 22·tf·L / (10·tf·L + 3·L + 9·dl·N).
+    // Both engines then run the IDENTICAL IEEE sequence — two exact
+    // int64→double casts, two divisions, one multiply per term, and a
+    // fixed-order 3-term add via a CASE pivot (never a SUM over
+    // engine-chosen order) — so the double score is bit-identical and
+    // sits on the hash surface directly. Scale shape: the isin filter
+    // lands BEFORE the tf groupBy, so only the query terms' postings
+    // ever shuffle (at 100 TB you'd serve this from a persisted
+    // inverted index — the d11/sim5 publish pattern); df and the
+    // corpus totals are broadcast scalars; top-10 plans as
+    // TakeOrderedAndProject (per-partition heads + one merge), never
+    // a global sort or single-partition window.
+    Q("x25_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("dup", "vector", "join") // rare → common df
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        val dl = d.select($"doc_id", size($"toks").cast("long").as("dl"))
+        val tot = dl.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
+        val tf = d.select($"doc_id", explode($"toks").as("term"))
+          .filter($"term".isin(qterms: _*))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        val sc = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
+          .crossJoin(broadcast(tot))
+          .withColumn("sterm",
+            ((lit(2L) * ($"nd" - $"df") + lit(1L)).cast("double") /
+              (lit(2L) * $"df" + lit(1L)).cast("double")) *
+            ((lit(22L) * $"tf" * $"lsum").cast("double") /
+              (lit(10L) * $"tf" * $"lsum" + lit(3L) * $"lsum" +
+                lit(9L) * $"dl" * $"nd").cast("double")))
+        def pick(t: String, c: String) = max(when($"term" === t, col(c)))
+        sc.groupBy($"doc_id", $"dl")
+          .agg(
+            coalesce(pick(qterms(0), "tf"), lit(0L)).as("tf_dup"),
+            coalesce(pick(qterms(1), "tf"), lit(0L)).as("tf_vector"),
+            coalesce(pick(qterms(2), "tf"), lit(0L)).as("tf_join"),
+            coalesce(pick(qterms(0), "sterm"), lit(0.0)).as("s0"),
+            coalesce(pick(qterms(1), "sterm"), lit(0.0)).as("s1"),
+            coalesce(pick(qterms(2), "sterm"), lit(0.0)).as("s2"))
+          .select($"doc_id", $"dl", $"tf_dup", $"tf_vector", $"tf_join",
+            ($"s0" + $"s1" + $"s2").as("score"))
+          .orderBy($"score".desc, $"doc_id")
+          .limit(10)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+          WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+            (CAST(2 * (nd - df) + 1 AS DOUBLE) /
+              CAST(2 * df + 1 AS DOUBLE)) *
+            (CAST(22 * tf * lsum AS DOUBLE) /
+              CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
+          FROM tf JOIN dfq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        p AS (SELECT doc_id, dl,
+            COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
+            COALESCE(MAX(CASE WHEN term = 'vector' THEN tf END), 0) AS tf_vector,
+            COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
+            COALESCE(MAX(CASE WHEN term = 'dup' THEN sterm END), 0.0) AS s0,
+            COALESCE(MAX(CASE WHEN term = 'vector' THEN sterm END), 0.0) AS s1,
+            COALESCE(MAX(CASE WHEN term = 'join' THEN sterm END), 0.0) AS s2
+          FROM sc GROUP BY doc_id, dl)
+        SELECT doc_id, dl, CAST(tf_dup AS BIGINT) AS tf_dup,
+          CAST(tf_vector AS BIGINT) AS tf_vector,
+          CAST(tf_join AS BIGINT) AS tf_join,
+          s0 + s1 + s2 AS score
+        FROM p ORDER BY score DESC, doc_id LIMIT 10"""))
   )
 }

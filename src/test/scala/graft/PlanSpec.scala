@@ -133,4 +133,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"),
       s"scan did not use the bucketed layout:\n$p")
   }
+
+  test("x25: BM25 top-k is a heap merge, never a global sort or window") {
+    // top-10 must plan as TakeOrderedAndProject (per-partition heads
+    // + one driver merge); a Sort or Window here would total-order
+    // the whole candidate set — the shape that dies first at 100 TB.
+    // The query-term filter must also land BEFORE the tf aggregation
+    // (only the 3 query terms' postings may shuffle).
+    val p = planOf("x25_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost the heap-merge plan:\n$p")
+    assert(!p.contains("Window"), s"a window crept into BM25 ranking:\n$p")
+    assert(p.contains("dup"), s"query-term filter missing from the plan:\n$p")
+  }
 }
