@@ -30,6 +30,76 @@ object Text {
 
   val duckToks = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** BM25 per-term partial score over columns (tf, df, dl, nd, lsum) —
+    * k1=1.2, b=0.75, log-free rational idf, saturation scaled through
+    * by 10·L so every operand is an exact int64 before the two
+    * divisions and one multiply (see x25's header comment). Shared by
+    * x25 (inline fit) and x26 (served from the published index) so
+    * the IEEE op sequence cannot drift between the two paths.
+    */
+  private def bm25Sterm: org.apache.spark.sql.Column =
+    ((lit(2L) * (col("nd") - col("df")) + lit(1L)).cast("double") /
+      (lit(2L) * col("df") + lit(1L)).cast("double")) *
+    ((lit(22L) * col("tf") * col("lsum")).cast("double") /
+      (lit(10L) * col("tf") * col("lsum") + lit(3L) * col("lsum") +
+        lit(9L) * col("dl") * col("nd")).cast("double"))
+
+  /** Fixed-order CASE-pivot sum of the ≤3 per-term scores plus the
+    * heap-merge top-10 — the back half x25 and x26 share. Input needs
+    * columns (doc_id, dl, term, tf, sterm).
+    */
+  private def bm25TopK(sc: org.apache.spark.sql.DataFrame,
+      qterms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    def pick(t: String, c: String) = max(when(col("term") === t, col(c)))
+    sc.groupBy(col("doc_id"), col("dl"))
+      .agg(
+        coalesce(pick(qterms(0), "tf"), lit(0L)).as("tf_" + qterms(0)),
+        coalesce(pick(qterms(1), "tf"), lit(0L)).as("tf_" + qterms(1)),
+        coalesce(pick(qterms(2), "tf"), lit(0L)).as("tf_" + qterms(2)),
+        coalesce(pick(qterms(0), "sterm"), lit(0.0)).as("s0"),
+        coalesce(pick(qterms(1), "sterm"), lit(0.0)).as("s1"),
+        coalesce(pick(qterms(2), "sterm"), lit(0.0)).as("s2"))
+      .select(col("doc_id"), col("dl"),
+        col("tf_" + qterms(0)), col("tf_" + qterms(1)),
+        col("tf_" + qterms(2)),
+        (col("s0") + col("s1") + col("s2")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** x25/x26 shared oracle: BM25 is deterministic given the corpus, so
+    * the served path's oracle is the inline fit verbatim.
+    */
+  private def bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+          WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+            (CAST(2 * (nd - df) + 1 AS DOUBLE) /
+              CAST(2 * df + 1 AS DOUBLE)) *
+            (CAST(22 * tf * lsum AS DOUBLE) /
+              CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
+          FROM tf JOIN dfq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+        p AS (SELECT doc_id, dl,
+            COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
+            COALESCE(MAX(CASE WHEN term = 'vector' THEN tf END), 0) AS tf_vector,
+            COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
+            COALESCE(MAX(CASE WHEN term = 'dup' THEN sterm END), 0.0) AS s0,
+            COALESCE(MAX(CASE WHEN term = 'vector' THEN sterm END), 0.0) AS s1,
+            COALESCE(MAX(CASE WHEN term = 'join' THEN sterm END), 0.0) AS s2
+          FROM sc GROUP BY doc_id, dl)
+        SELECT doc_id, dl, CAST(tf_dup AS BIGINT) AS tf_dup,
+          CAST(tf_vector AS BIGINT) AS tf_vector,
+          CAST(tf_join AS BIGINT) AS tf_join,
+          s0 + s1 + s2 AS score
+        FROM p ORDER BY score DESC, doc_id LIMIT 10"""
+
   /** Lexicon for marker-based language ID (x3). Tokens drawn from the
     * corpus vocabulary; deterministic and engine-neutral.
     */
@@ -1134,53 +1204,51 @@ object Text {
         val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
         val sc = tf.join(broadcast(dfq), "term").join(dl, "doc_id")
           .crossJoin(broadcast(tot))
-          .withColumn("sterm",
-            ((lit(2L) * ($"nd" - $"df") + lit(1L)).cast("double") /
-              (lit(2L) * $"df" + lit(1L)).cast("double")) *
-            ((lit(22L) * $"tf" * $"lsum").cast("double") /
-              (lit(10L) * $"tf" * $"lsum" + lit(3L) * $"lsum" +
-                lit(9L) * $"dl" * $"nd").cast("double")))
-        def pick(t: String, c: String) = max(when($"term" === t, col(c)))
-        sc.groupBy($"doc_id", $"dl")
-          .agg(
-            coalesce(pick(qterms(0), "tf"), lit(0L)).as("tf_dup"),
-            coalesce(pick(qterms(1), "tf"), lit(0L)).as("tf_vector"),
-            coalesce(pick(qterms(2), "tf"), lit(0L)).as("tf_join"),
-            coalesce(pick(qterms(0), "sterm"), lit(0.0)).as("s0"),
-            coalesce(pick(qterms(1), "sterm"), lit(0.0)).as("s1"),
-            coalesce(pick(qterms(2), "sterm"), lit(0.0)).as("s2"))
-          .select($"doc_id", $"dl", $"tf_dup", $"tf_vector", $"tf_join",
-            ($"s0" + $"s1" + $"s2").as("score"))
-          .orderBy($"score".desc, $"doc_id")
-          .limit(10)
+          .withColumn("sterm", bm25Sterm)
+        bm25TopK(sc, qterms)
       },
-      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
-        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-        tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-            CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
-        tf AS (SELECT doc_id, term, count(*) AS tf
-          FROM (SELECT doc_id, unnest(toks) AS term FROM d)
-          WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
-        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
-            (CAST(2 * (nd - df) + 1 AS DOUBLE) /
-              CAST(2 * df + 1 AS DOUBLE)) *
-            (CAST(22 * tf * lsum AS DOUBLE) /
-              CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
-          FROM tf JOIN dfq USING (term)
-            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
-        p AS (SELECT doc_id, dl,
-            COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
-            COALESCE(MAX(CASE WHEN term = 'vector' THEN tf END), 0) AS tf_vector,
-            COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
-            COALESCE(MAX(CASE WHEN term = 'dup' THEN sterm END), 0.0) AS s0,
-            COALESCE(MAX(CASE WHEN term = 'vector' THEN sterm END), 0.0) AS s1,
-            COALESCE(MAX(CASE WHEN term = 'join' THEN sterm END), 0.0) AS s2
-          FROM sc GROUP BY doc_id, dl)
-        SELECT doc_id, dl, CAST(tf_dup AS BIGINT) AS tf_dup,
-          CAST(tf_vector AS BIGINT) AS tf_vector,
-          CAST(tf_join AS BIGINT) AS tf_join,
-          s0 + s1 + s2 AS score
-        FROM p ORDER BY score DESC, doc_id LIMIT 10"""))
+      Some(bm25OracleSql)),
+
+    // ---- BM25 served from a PUBLISHED inverted index -------------------
+    // x25's scale claim, proven the d11/sim5/x20 way: the one-time
+    // batch job builds the FULL-vocabulary index — (term, doc_id, tf)
+    // postings, (term, df) dictionary, per-doc lengths, and the 1-row
+    // corpus totals — and publishes all four through the manifest
+    // Warehouse; the query then scores ONLY from the loaded tables.
+    // The serve-side plan is what makes this an index: the postings
+    // scan carries the query terms as a pushed parquet filter (only
+    // the 3 terms' posting rows are read — per-query cost scales with
+    // posting-list length, not corpus size), the dictionary and
+    // totals are broadcast, and the identical bm25Sterm/bm25TopK op
+    // sequence makes the served scores bit-equal to x25's inline fit
+    // — so the oracle is x25's verbatim.
+    Q("x26_bm25_index_serve",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("dup", "vector", "join")
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        val postings = d.select($"doc_id", explode($"toks").as("term"))
+          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+        val dict = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+        val dls = d.select($"doc_id", size($"toks").cast("long").as("dl"))
+        val tots = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
+        val wh = new graft.sources.Warehouse(s,
+          java.nio.file.Files.createTempDirectory("graft-bm25ix").toString,
+          manifest = true)
+        wh.atomicPublish("bm25_postings", postings)
+        wh.atomicPublish("bm25_dict", dict)
+        wh.atomicPublish("bm25_doclen", dls)
+        wh.atomicPublish("bm25_totals", tots)
+        val sc = wh.read("bm25_postings")
+          .filter($"term".isin(qterms: _*))
+          .join(broadcast(wh.read("bm25_dict")
+            .filter($"term".isin(qterms: _*))), "term")
+          .join(wh.read("bm25_doclen"), "doc_id")
+          .crossJoin(broadcast(wh.read("bm25_totals")))
+          .withColumn("sterm", bm25Sterm)
+        bm25TopK(sc, qterms)
+      },
+      Some(bm25OracleSql))
   )
 }

@@ -146,4 +146,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"a window crept into BM25 ranking:\n$p")
     assert(p.contains("dup"), s"query-term filter missing from the plan:\n$p")
   }
+
+  test("x26: served BM25 pushes the query terms into the postings scan") {
+    // the published index only pays off if the serve-side scan reads
+    // the 3 query terms' posting rows and nothing else — the In()
+    // predicate must reach the parquet reader, not evaluate post-scan;
+    // and the top-k must stay a heap merge like x25's.
+    val p = planOf("x26_bm25_index_serve")
+    assert("PushedFilters: \\[In\\(term".r.findFirstIn(p).isDefined,
+      s"query-term In() not pushed into the postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k lost the heap-merge plan:\n$p")
+    assert(!p.contains("Window"), s"a window crept into served BM25:\n$p")
+  }
 }
