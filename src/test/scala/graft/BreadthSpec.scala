@@ -111,4 +111,28 @@ class BreadthSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
   }
+
+  test("x25/x26: BM25 ranks the rare term first; served == inline") {
+    import spark.implicits._
+    // semantic pin the hash oracle can't see: 'dup' is ~35× rarer
+    // than the other query terms, so its rational idf dominates —
+    // every doc that contains it must outrank every doc that doesn't
+    // (scores of dup-less docs are bounded by the common terms'
+    // near-zero idf). And the served path must reproduce the inline
+    // fit row-for-row, score bits included.
+    val inline = run("x25_bm25_topk").collect()
+    assert(inline.length === 10)
+    val withDup = inline.takeWhile(_.getAs[Long]("tf_dup") > 0)
+    val nDupDocs = Tables.load(spark, dir, "documents")
+      .select(explode(graft.operators.TextOps.tokens($"text")).as("t"),
+        $"doc_id")
+      .filter($"t" === "dup").select($"doc_id").distinct().count()
+    assert(withDup.length === math.min(nDupDocs, 10L).toInt,
+      s"a dup-less doc outranked a dup doc: ${inline.mkString("; ")}")
+    assert(inline.map(_.getAs[Double]("score")).sliding(2)
+      .forall(p => p(0) >= p(1)), "scores not descending")
+    val served = run("x26_bm25_index_serve").collect()
+    assert(served.toSeq === inline.toSeq,
+      "served index diverged from the inline fit")
+  }
 }
