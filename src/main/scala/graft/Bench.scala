@@ -2,16 +2,38 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line of per-query wall
-  * seconds. A warmup pass (tiny sf) first amortizes JVM/codegen/
-  * catalog startup out of the measurements, then each query is timed
-  * SPARK_GRAFT_BENCH_RUNS times (default 2) and the MIN is reported —
-  * min-of-n is the standard robust estimator against scheduler /
-  * cache-pressure contention noise (one slow neighbor can only inflate
-  * a run, never deflate it), so cross-round per-query diffs are real
-  * plan changes, not run-order artifacts.
+  * SPARK_GRAFT_SF_DIR. A warmup pass (tiny sf) first amortizes
+  * JVM/codegen/catalog startup out of the measurements, then each
+  * query is timed SPARK_GRAFT_BENCH_RUNS times (default 3) and the MIN
+  * is reported — min-of-n is the standard robust estimator against
+  * scheduler / cache-pressure contention noise (one slow neighbor can
+  * only inflate a run, never deflate it), so cross-round per-query
+  * diffs are real plan changes, not run-order artifacts.
+  *
+  * Output contract (round 8 restructure): the driver captures only the
+  * LAST ~2 KB of the run's output, and a 103-query map no longer fits —
+  * BENCH_r07 lost 20 query timings (including the exact query that
+  * round was asked to clear) to tail truncation. So:
+  *   - FULL per-query detail (full-precision) goes to
+  *     BENCH_DETAIL.json in the repo root (committed per round, like
+  *     EXPLAIN_GATE) and target/bench_detail.json (scratch).
+  *   - stdout's final line is a COMPACT summary guaranteed to fit the
+  *     tail window: total, query count, failures, and the watched-query
+  *     subset (perf-flag history + the most expensive plans) at
+  *     millisecond precision, plus a pointer to the detail file.
   */
 object Bench {
+  /** Queries whose timings always ride the stdout line: every query
+    * that has ever carried a perf-weak flag (m3 r6, m20 r7) or cleared
+    * one (m16/j2/s9), plus the standing top-cost plans from the r7
+    * audit — the set a reader needs to judge a round without the
+    * detail file. */
+  val watched: Seq[String] = Seq(
+    "m3_month_agg", "m16_keyed_sample", "m20_profile", "j2_join_sort",
+    "s9_delete_antijoin", "m21_quality_checks", "d6_neardup_components",
+    "d14_keep_best", "d16_cluster_spectrum", "x24_vocab_growth",
+    "sim5_index_topk", "x26_bm25_index_serve")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -31,7 +53,7 @@ object Bench {
     // time) and named in "failed" — silent failure would corrupt the
     // benchmark comparison
     // optional comma-separated subset for local root-causing of one
-    // query's number without paying the full 71-query run
+    // query's number without paying the full catalog run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
@@ -54,32 +76,32 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    // The driver captures only the LAST ~2000 chars of the run's
-    // output (BENCH_r04's tail lost the line's head — and the total —
-    // to full-precision doubles across 66 queries). Millisecond
-    // precision is far below run-to-run noise, so round to 3 decimals
-    // on the reported line and keep the full-precision dump in
-    // target/bench_detail.json for local diffing.
     // String.format with an explicit ROOT locale: the f-interpolator
     // uses the JVM default, and a comma-decimal locale (de_DE) would
     // emit "1,234" — breaking the one-line JSON the driver parses
     def r3(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-        .mkString("[", ",", "]")
-      val total = fmt(results.values.filter(_ >= 0).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    def qmap(rs: Iterable[(String, Double)], fmt: Double => String): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"failed":$failed,"sf":"$sfDir","runs":$runs}"""
+    // full detail: committed artifact in the repo root + scratch copy
+    for (path <- Seq("BENCH_DETAIL.json", "target/bench_detail.json")) {
+      val f = new java.io.File(path)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try w.println(detailLine) finally w.close()
     }
-    val detail = new java.io.File("target/bench_detail.json")
-    detail.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(detail)
-    try w.println(line(_.toString)) finally w.close()
+    val watchedRs = results.filter { case (k, _) => watched.contains(k) }
     spark.stop()
     // printed after spark.stop() so no shutdown logging can land
-    // between this line and end-of-output
-    println(line(r3))
+    // between this line and end-of-output; "queries" carries the
+    // watched subset so the line stays ~0.5 KB regardless of catalog
+    // growth — the full map lives in BENCH_DETAIL.json
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"detail":"BENCH_DETAIL.json"}""")
   }
 }
