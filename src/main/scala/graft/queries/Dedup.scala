@@ -445,9 +445,7 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val d = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-lshidx").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "lshidx")
         wh.atomicPublish("lsh_index", buildLshIndex(d.filter($"doc_id" < 400)))
         incrementalPairsAgainstIndex(
           wh.read("lsh_index"), d.filter($"doc_id" >= 400), 0.5)

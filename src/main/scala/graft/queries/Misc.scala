@@ -908,9 +908,7 @@ object Misc {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.load(s, dir, "documents")
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-meta").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "meta")
         wh.atomicPublish("docs_meta", docs)
         // Each accessor is exact-or-None (absence never guessed); the
         // published table is fresh, so all stats exist by construction.

@@ -542,16 +542,20 @@ object Relational {
     Q("j10_bucketed_join",
       (s, dir) => {
         import s.implicits._
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-bkt").toString)
-        wh.createBucketed("bkt_orders",
+        // Scratch-namespaced: a fresh dir + per-invocation catalog
+        // names, so concurrent runs in one session can't race on the
+        // table entries and repeated runs don't stack warehouse copies
+        val wh = new graft.sources.Warehouse(s, graft.sources.Scratch.dir(s, "bkt"))
+        val ordersT = graft.sources.Scratch.tableName(s, "bkt_orders")
+        val custT = graft.sources.Scratch.tableName(s, "bkt_cust")
+        wh.createBucketed(ordersT,
           t(s, dir, "orders").select($"o_custkey", $"o_orderkey", $"o_totalprice"),
           Seq("o_custkey"), 8)
-        wh.createBucketed("bkt_cust",
+        wh.createBucketed(custT,
           t(s, dir, "customer").select($"c_custkey", $"c_mktsegment"),
           Seq("c_custkey"), 8)
-        wh.readBucketed("bkt_orders")
-          .join(wh.readBucketed("bkt_cust"), $"o_custkey" === $"c_custkey")
+        wh.readBucketed(ordersT)
+          .join(wh.readBucketed(custT), $"o_custkey" === $"c_custkey")
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
           .orderBy($"c_mktsegment")

@@ -521,9 +521,7 @@ object Sim {
         import s.implicits._
         val e = withNorm(s, dir)
         val (cents, assigned) = trainedCodebook(s, e)
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-ivfidx").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "ivfidx")
         wh.atomicPublish("ivf_centroids", cents)
         wh.atomicPublish("ivf_postings", assigned)
         val queries = e.filter($"vec_id" < 10)

@@ -944,9 +944,7 @@ object Text {
           (log(($"cp" + 1L).cast("double") / ($"np" + $"v").cast("double"))
             - log(($"cn" + 1L).cast("double") / ($"nn" + $"v").cast("double")))
             .as("wt"))
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-llrw").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "llrw")
         wh.atomicPublish("llr_weights", w)
         val weights = wh.read("llr_weights")
         docs.filter($"doc_id" >= 250)
@@ -1005,9 +1003,7 @@ object Text {
         val uni = train.select(explode($"toks").as("w2"))
           .groupBy($"w2").agg(count(lit(1)).as("cu"))
         val tot = uni.agg(sum($"cu").as("n"))
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-lmidx").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "lmidx")
         wh.atomicPublish("lm_cb", cb)
         wh.atomicPublish("lm_cw", cw)
         wh.atomicPublish("lm_uni", uni)
@@ -1233,9 +1229,7 @@ object Text {
         val dict = postings.groupBy($"term").agg(count(lit(1)).as("df"))
         val dls = d.select($"doc_id", size($"toks").cast("long").as("dl"))
         val tots = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
-        val wh = new graft.sources.Warehouse(s,
-          java.nio.file.Files.createTempDirectory("graft-bm25ix").toString,
-          manifest = true)
+        val wh = graft.sources.Scratch.warehouse(s, "bm25ix")
         wh.atomicPublish("bm25_postings", postings)
         wh.atomicPublish("bm25_dict", dict)
         wh.atomicPublish("bm25_doclen", dls)

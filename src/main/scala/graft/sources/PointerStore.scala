@@ -63,9 +63,19 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
   override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] = {
     val ptr = new Path(root, ptrName)
     if (!fs.exists(ptr)) return None
-    val in = fs.open(ptr)
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    // local FS: NIO read, bypassing ChecksumFileSystem — a stale
+    // .<ptr>.crc left by an older checksummed writer would otherwise
+    // fail the open with ChecksumException even though the pointer
+    // itself is intact (the CAS writes via NIO and carries no sidecar)
+    val v =
+      if (fs.getScheme == "file")
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ptr.toUri.getPath)), "UTF-8").trim
+      else {
+        val in = fs.open(ptr)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
     Some(v).filter(_.nonEmpty)
   }
 
@@ -86,16 +96,28 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
         // and FileContext overwrite-rename (HDFS) replace the
         // destination atomically, so readers always see old-or-new.
         val tmp = new Path(root, s".$ptrName.tmp.$next")
-        val out = fs.create(tmp, true)
-        try out.write((next + "\n").getBytes("UTF-8"))
-        finally out.close()
         val ptr = new Path(root, ptrName)
-        if (fs.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(ptr.toUri.getPath),
+        if (fs.getScheme == "file") {
+          // raw NIO end-to-end on the local FS: writing the tmp through
+          // fs.create would go via Hadoop's ChecksumFileSystem, whose
+          // .crc sidecar the NIO ATOMIC_MOVE below doesn't carry along —
+          // every flip would orphan one tiny .crc in the table root, and
+          // a stale .<ptr>.crc from any earlier checksummed writer makes
+          // the next checksummed fs.open(ptr) throw ChecksumException.
+          // So: write the tmp with NIO (no sidecar created), delete any
+          // sidecars a previous code path left behind, then move.
+          val dir = java.nio.file.Paths.get(root.toUri.getPath)
+          java.nio.file.Files.write(dir.resolve(tmp.getName),
+            (next + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.deleteIfExists(dir.resolve(s".${tmp.getName}.crc"))
+          java.nio.file.Files.deleteIfExists(dir.resolve(s".${ptr.getName}.crc"))
+          java.nio.file.Files.move(dir.resolve(tmp.getName),
+            dir.resolve(ptr.getName),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        else
+        } else {
+          val out = fs.create(tmp, true)
+          try out.write((next + "\n").getBytes("UTF-8"))
+          finally out.close()
           try {
             val fc = org.apache.hadoop.fs.FileContext.getFileContext(
               fs.getUri, fs.getConf)
@@ -110,8 +132,17 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
             case _: UnsupportedOperationException |
                  _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
               fs.delete(ptr, false)
-              fs.rename(tmp, ptr)
+              // a false return here after the delete succeeded means the
+              // pointer is GONE (readers fall back to highest manifest —
+              // which may be a racing loser's orphan): surface it as a
+              // failed commit, never a silent true
+              if (!fs.rename(tmp, ptr))
+                throw new java.io.IOException(
+                  s"pointer flip failed on $ptr: rename returned false " +
+                  "after the old pointer was deleted — pointer lost; " +
+                  "failing the commit loudly instead of reporting success")
           }
+        }
         true
       }
     } finally fs.delete(lock, false)

@@ -359,12 +359,28 @@ class EtlSpec extends SparkSpec {
       === Array((1L, "A"), (3L, "c")), "post-flip reader must see the new snapshot")
     // the only pointer state on disk is one tiny _CURRENT file
     assert(new java.io.File(s"$tmp/t/_CURRENT").isFile)
+    // checksum hygiene: the NIO pointer flip bypasses Hadoop's
+    // ChecksumFileSystem, so it must leave neither an orphaned
+    // `.._CURRENT.tmp.*.crc` per flip (unbounded tiny-file growth) nor
+    // a `._CURRENT.crc` at all (a stale one fails a later checksummed
+    // open with ChecksumException). Manifest sidecars are fine — they
+    // live and die with their manifest through the checksummed fs.
+    val ptrCrcs = new java.io.File(s"$tmp/t").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".crc") && n.contains("_CURRENT")).toSeq
+    assert(ptrCrcs.isEmpty, s"pointer flips must not leave pointer .crc sidecars: $ptrCrcs")
     // GC keeps exactly current + previous snapshots' version dirs
     wh.atomicPublish("t", Seq((9L, "z")).toDF("k", "v"))
     wh.atomicPublish("t", Seq((10L, "y")).toDF("k", "v"))
     val vdirs = new java.io.File(s"$tmp/t").listFiles()
       .filter(f => f.isDirectory && f.getName.matches("_v\\d+")).map(_.getName).toSet
     assert(vdirs === Set("_v3", "_v4"), s"stale versions not GC'd: $vdirs")
+    // no orphaned sidecars after GC either: every .crc on disk must
+    // still have its base file (GC through the checksummed fs removes
+    // manifest+sidecar together)
+    val names = new java.io.File(s"$tmp/t").listFiles().map(_.getName).toSet
+    val orphans = names.filter(_.endsWith(".crc"))
+      .filterNot(n => names.contains(n.stripPrefix(".").stripSuffix(".crc")))
+    assert(orphans.isEmpty, s"orphaned .crc sidecars after GC: $orphans")
   }
 
   test("warehouse: racing manifest commits — exactly one wins, loser aborts loudly") {
