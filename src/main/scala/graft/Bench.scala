@@ -67,6 +67,11 @@ object Bench {
         // (CacheManager matches canonicalized plans across invocations)
         // and min-of-n would report warm-cache time, not query cost
         spark.catalog.clearCache()
+        // scratch-warehouse reclamation (previous run's published
+        // indexes, warmup leftovers on run 1) happens HERE, outside the
+        // timer — r8 paid a full recursive index delete inside runs 2-3
+        // of every serve query (x20 22×, x26 10× inflation)
+        graft.sources.Scratch.clearAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 } catch {
           case e: Throwable =>

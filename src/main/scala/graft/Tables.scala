@@ -18,14 +18,33 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright. Read the raw int64 nanos and truncate to a microsecond
-      // timestamp (exact integer arithmetic — `div`, not `/`). The conf
-      // write is guarded so repeated loads don't churn session state.
+      // events.ts has shipped both as parquet TIMESTAMP(NANOS) — which
+      // Spark 4 rejects outright unless read as raw int64 under
+      // nanosAsLong — and as plain TIMESTAMP(MICROS) (no UTC flag →
+      // Spark infers TIMESTAMP_NTZ). Never assume one physical type:
+      // dispatch on what the scan actually produces, and normalize every
+      // variant to TimestampType so downstream consumers (unix_micros,
+      // watermarks, window()) see one stable type.
+      //  - LongType: nanos under nanosAsLong → truncate to microseconds
+      //    (exact integer arithmetic — `div`, not `/`);
+      //  - TimestampNTZType: cast — the catalog runs sessions in UTC, so
+      //    the wall-clock reinterpretation is value-identical to what
+      //    the DuckDB oracle computes from the same naive column;
+      //  - TimestampType: pass through.
+      // The conf write is guarded so repeated loads don't churn session
+      // state, and is harmless for micros data (it only affects NANOS
+      // columns).
       if (!spark.conf.getOption(NanosKey).contains("true"))
         spark.conf.set(NanosKey, "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -42,6 +42,16 @@ object Scratch {
   // without a live SparkSession (spark may already be stopped then)
   @volatile private var conf: org.apache.hadoop.conf.Configuration = _
 
+  // All tree deletes run on this single daemon thread, never on the
+  // allocating (possibly benchmark-timed) caller: a recursive delete of
+  // the previous invocation's multi-table index is real IO, and paying
+  // it synchronously inside `dir()` put it inside Bench's measurement
+  // window (runs 2..n each started by deleting run n-1's index).
+  private val cleaner = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-scratch-cleaner"); t.setDaemon(true); t
+    })
+
   Runtime.getRuntime.addShutdownHook(new Thread(() => {
     val c = if (conf != null) conf else new org.apache.hadoop.conf.Configuration()
     live.forEach(s => deleteTree(s, c))
@@ -67,9 +77,27 @@ object Scratch {
     }
     live.add(d)
     Option(prevDir.put(key, d)).foreach { old =>
-      deleteTree(old, conf); live.remove(old)
+      live.remove(old)
+      val c = conf
+      cleaner.execute(() => deleteTree(old, c))
     }
     d
+  }
+
+  /** Delete every scratch dir this JVM has created and WAIT for all
+    * pending async deletes to finish. For harness callers (Bench) to
+    * invoke BETWEEN timed runs: after this returns, no cleanup IO from
+    * a previous invocation can land inside the next measurement window,
+    * and the next `dir()` call finds no previous dir to reclaim.
+    */
+  def clearAll(): Unit = {
+    prevDir.clear()
+    val c = if (conf != null) conf else new org.apache.hadoop.conf.Configuration()
+    live.forEach(s => cleaner.execute(() => deleteTree(s, c)))
+    live.clear()
+    // barrier: the single-thread executor runs tasks in order, so an
+    // empty task completing means every queued delete has completed
+    cleaner.submit(new Runnable { def run(): Unit = () }).get()
   }
 
   /** Scratch manifest Warehouse rooted per `dir(key)`. */
