@@ -30,7 +30,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var cartesian = List.empty[String]
     val gateLog = new StringBuilder
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional comma-separated subset (the Bench SPARK_GRAFT_BENCH_ONLY
+    // pattern): dump + oracle only the named queries, for fast local
+    // iteration on one operator without the full-catalog run
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir).coalesce(1)
         df.write.mode("overwrite").parquet(s"$outDir/$name")
@@ -69,6 +78,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

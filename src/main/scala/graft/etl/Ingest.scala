@@ -140,6 +140,16 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
       .dropDuplicates("data_id")
     wh.upsert("financial_data", fact, Seq("data_id"), Seq("fiscal_year"))
 
+    // cross-table UoW (reference unitofwork.py:89-143): the four
+    // publishes above are each atomic but land one at a time — a crash
+    // mid-sequence would leave reports without facts for a `read`
+    // caller. In manifest mode, ONE DB-pointer flip now pins the
+    // consistent four-table set for `readSnapshot` callers; until it
+    // lands they keep the previous ingest's snapshot.
+    if (wh.manifest)
+      wh.commitDbSnapshot(Seq(
+        "companies", "financial_items", "financial_reports", "financial_data"))
+
     // materialize the (tiny) quarantine before releasing the lineage
     val out = quarantine.unionByName(dupReportDocs).persist()
     out.count()

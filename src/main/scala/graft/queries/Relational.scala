@@ -563,6 +563,42 @@ object Relational {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---- S11+: cross-table UoW snapshot read -------------------------
+    // The reference commits company+report+items+facts in ONE Postgres
+    // transaction (utils/service/unitofwork.py:89-143); the warehouse's
+    // equivalent is per-table manifest publishes + ONE DB-level
+    // `_CURRENT` flip (Warehouse.commitDbSnapshot). This entry proves
+    // the read side end-to-end: publish two tables, flip once, then
+    // republish one table TORN (a crashed second UoW — its partner
+    // table and its flip never happen). A snapshot reader must resolve
+    // BOTH tables to the flipped consistent set — the torn republish is
+    // invisible — so the oracle is plain SQL over the original inputs.
+    // Scale shape: snapshot resolution is three tiny-file reads on the
+    // driver; the data-side plan is the same broadcast join + partial
+    // agg it would be reading the live tables.
+    Q("s12_uow_snapshot",
+      (s, dir) => {
+        import s.implicits._
+        val wh = graft.sources.Scratch.warehouse(s, "uow")
+        wh.atomicPublish("snap_nation", t(s, dir, "nation"))
+        wh.atomicPublish("snap_region", t(s, dir, "region"))
+        wh.commitDbSnapshot(Seq("snap_nation", "snap_region"))
+        // crashed second UoW: one table republished mangled, no flip
+        wh.atomicPublish("snap_nation",
+          t(s, dir, "nation").withColumn("n_name", lit("TORN")))
+        wh.readSnapshot("snap_nation")
+          .join(broadcast(wh.readSnapshot("snap_region")),
+            $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            concat_ws(",", array_sort(collect_list($"n_name"))).as("nations"))
+          .orderBy($"r_name")
+      },
+      Some("""SELECT r_name, count(*) AS n_nations,
+          string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""))
   )
 }

@@ -110,8 +110,14 @@ object Sim {
     * codebook makes both runs re-derive identical centroids, so one SQL
     * mirror serves both.
     */
-  private def ivfTopkOracle: String =
-    s"""WITH $codebookCtes,
+  private def ivfTopkOracle: String = ivfTopkOracleFrom("assigned", "")
+
+  /** The probe oracle with a pluggable posting-list source: sim2/sim5
+    * probe `assigned` verbatim; sim9 probes the postings AFTER a
+    * delete, expressed as the extra CTE `kept`.
+    */
+  private def ivfTopkOracleFrom(src: String, extraCte: String): String =
+    s"""WITH $codebookCtes,$extraCte
         probes AS (
           SELECT q_id, c_id FROM (
             SELECT q.vec_id AS q_id, c.c_id, row_number() OVER (PARTITION BY q.vec_id
@@ -121,7 +127,7 @@ object Sim {
         cand AS (
           SELECT DISTINCT p.q_id, a.vec_id,
             ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
-          FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
+          FROM probes p JOIN $src a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
           JOIN n q ON q.vec_id = p.q_id JOIN n e ON e.vec_id = a.vec_id)
         SELECT q_id, rank, vec_id, cos FROM (
           SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id
@@ -531,6 +537,42 @@ object Sim {
           .orderBy($"q_id", $"rank")
       },
       Some(ivfTopkOracle)),
+
+    // ---- index DELETION propagated through the served IVF index --------
+    // sim5's persisted index, minus k vectors, still serving: the
+    // doomed ids are dropped from the POSTING LISTS via the warehouse's
+    // S9 anti-join delete and the probe reruns against the surviving
+    // index. The codebook stays FROZEN — deletion must not retrain
+    // (the same frozen-codebook contract the streaming indexer keeps);
+    // a deleted vector simply stops being a candidate, so every probe
+    // result is exactly what the same codebook yields over the reduced
+    // posting lists — which is what the oracle computes (full-corpus
+    // codebook CTEs, `kept` postings). Cost ∝ |postings|, no corpus
+    // rescan; the probe's per-query cost is unchanged.
+    Q("sim9_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val (cents, assigned) = trainedCodebook(s, e)
+        val wh = graft.sources.Scratch.warehouse(s, "ivfdel")
+        wh.atomicPublish("ivf_centroids", cents)
+        wh.atomicPublish("ivf_postings", assigned)
+        // doomed: deterministic ~1/7 of the corpus, disjoint from the
+        // query ids (deleting a query is a different op — the queries
+        // here are external probes, not corpus members)
+        val doomed = wh.read("ivf_postings")
+          .filter($"vec_id" % 7 === 0 && $"vec_id" >= 10)
+          .select($"vec_id")
+        wh.delete("ivf_postings", doomed, Seq("vec_id"))
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        graft.operators.IvfCodebook.topk(e, queries,
+          wh.read("ivf_centroids"), wh.read("ivf_postings"), 8, 10)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfTopkOracleFrom("kept", """
+        kept AS (SELECT vec_id, c_id FROM assigned
+          WHERE vec_id % 7 <> 0 OR vec_id < 10),"""))),
 
     // ---- corpus cartography: per-cluster profile -----------------------
     // The data-mixing view SemDeDup/cluster-curation pipelines decide

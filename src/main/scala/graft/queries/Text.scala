@@ -1222,27 +1222,190 @@ object Text {
       (s, dir) => {
         import s.implicits._
         val qterms = Seq("dup", "vector", "join")
-        val d = Tables.load(s, dir, "documents")
-          .select($"doc_id", TextOps.tokens($"text").as("toks"))
-        val postings = d.select($"doc_id", explode($"toks").as("term"))
-          .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-        val dict = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-        val dls = d.select($"doc_id", size($"toks").cast("long").as("dl"))
-        val tots = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
-        val wh = graft.sources.Scratch.warehouse(s, "bm25ix")
-        wh.atomicPublish("bm25_postings", postings)
-        wh.atomicPublish("bm25_dict", dict)
-        wh.atomicPublish("bm25_doclen", dls)
-        wh.atomicPublish("bm25_totals", tots)
-        val sc = wh.read("bm25_postings")
-          .filter($"term".isin(qterms: _*))
-          .join(broadcast(wh.read("bm25_dict")
-            .filter($"term".isin(qterms: _*))), "term")
-          .join(wh.read("bm25_doclen"), "doc_id")
-          .crossJoin(broadcast(wh.read("bm25_totals")))
-          .withColumn("sterm", bm25Sterm)
+        val wh = buildBm25Index(s, dir, "bm25ix")
+        val sc = servedSterms(wh, qterms)
         bm25TopK(sc, qterms)
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // ---- batch BM25 serve: a TABLE of queries against one index --------
+    // x26 serves one query; production retrieval serves thousands per
+    // index scan. The batch is a (query_id, pos, term) table joined
+    // against the SAME published index — per-term scores compute once
+    // per (term, doc) and fan out to every query containing the term
+    // via one broadcast join, so 1 query or 10 000 queries cost one
+    // postings pass over the UNION of their terms. The postings scan
+    // still carries that union as a pushed In() filter (driver-known:
+    // the batch is the query input), the per-query accumulation is the
+    // same fixed-pos CASE pivot as bm25TopK (bit-stable sum order),
+    // and per-query top-5 is a query-partitioned window — parallel in
+    // queries, never a global sort.
+    Q("x27_bm25_batch_serve",
+      (s, dir) => {
+        import s.implicits._
+        val batch = Seq( // (query_id, pos, term)
+          (1L, 0, "dup"), (1L, 1, "vector"), (1L, 2, "join"),
+          (2L, 0, "sort"), (2L, 1, "merge"), (2L, 2, "batch"),
+          (3L, 0, "stream"), (3L, 1, "window"), (3L, 2, "group"))
+        val allTerms = batch.map(_._3).distinct
+        val wh = buildBm25Index(s, dir, "bm25bx")
+        val sc = servedSterms(wh, allTerms)
+          .join(broadcast(batch.toDF("query_id", "pos", "term")), "term")
+        def pick(p: Int) =
+          coalesce(max(when($"pos" === p, $"sterm")), lit(0.0))
+        val scored = sc.groupBy($"query_id", $"doc_id")
+          .agg(pick(0).as("s0"), pick(1).as("s1"), pick(2).as("s2"))
+          .select($"query_id", $"doc_id",
+            ($"s0" + $"s1" + $"s2").as("score"))
+        val w = Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"doc_id")
+        scored.withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 5)
+          .orderBy($"query_id", $"rnk")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+              CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
+          q(query_id, pos, term) AS (VALUES
+            (1, 0, 'dup'), (1, 1, 'vector'), (1, 2, 'join'),
+            (2, 0, 'sort'), (2, 1, 'merge'), (2, 2, 'batch'),
+            (3, 0, 'stream'), (3, 1, 'window'), (3, 2, 'group')),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT tf.doc_id, tf.term,
+              (CAST(2 * (nd - df) + 1 AS DOUBLE) /
+                CAST(2 * df + 1 AS DOUBLE)) *
+              (CAST(22 * tf * lsum AS DOUBLE) /
+                CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
+            FROM tf JOIN dfq USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+          p AS (SELECT q.query_id, sc.doc_id,
+              COALESCE(MAX(CASE WHEN q.pos = 0 THEN sterm END), 0.0) AS s0,
+              COALESCE(MAX(CASE WHEN q.pos = 1 THEN sterm END), 0.0) AS s1,
+              COALESCE(MAX(CASE WHEN q.pos = 2 THEN sterm END), 0.0) AS s2
+            FROM sc JOIN q ON sc.term = q.term
+            GROUP BY q.query_id, sc.doc_id),
+          r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              s0 + s1 + s2 AS score,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY s0 + s1 + s2 DESC, doc_id) AS rnk
+            FROM p)
+          SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+          FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
+
+    // ---- index DELETION propagated through the served BM25 tables ------
+    // The op a served index needs that a rebuild-the-world batch job
+    // doesn't: remove k docs and keep serving, without rescanning the
+    // corpus. One bounded pass over the DELETED docs' postings derives
+    // every decrement — per-term df drops (dict rows hitting zero are
+    // removed), the 1-row totals lose the deleted docs' counts — then
+    // postings and doc-lengths drop the doomed rows via the warehouse's
+    // S9 anti-join delete, and dict/totals republish from their pinned
+    // pre-delete snapshots. Cost ∝ |deleted| + |dict|, never corpus.
+    // Correctness bar (the point of the oracle): the surviving index
+    // must be INDISTINGUISHABLE from a fresh build on the reduced
+    // corpus — the oracle rebuilds from `documents` minus the same ids
+    // and the driver hash-compares the served scores.
+    Q("x28_bm25_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("dup", "vector", "join")
+        val wh = buildBm25Index(s, dir, "bm25dx")
+        // doomed ids: deterministic, ~1/7 of the corpus
+        val doomed = wh.read("bm25_doclen")
+          .filter($"doc_id" % 7 === 0).select($"doc_id")
+        // decrements from the doomed docs' postings (snapshot-pinned
+        // frames: wh.read resolves the manifest at call time, so these
+        // see the PRE-delete index no matter when they execute)
+        val dec = wh.read("bm25_postings")
+          .join(doomed, Seq("doc_id"), "left_semi")
+          .groupBy($"term").agg(count(lit(1)).as("ddf"))
+        val dictNew = wh.read("bm25_dict")
+          .join(dec, Seq("term"), "left")
+          .select($"term", ($"df" - coalesce($"ddf", lit(0L))).as("df"))
+          .filter($"df" > 0)
+        val delStats = wh.read("bm25_doclen")
+          .join(doomed, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("dnd"), coalesce(sum($"dl"), lit(0L)).as("dlsum"))
+        val totNew = wh.read("bm25_totals").crossJoin(broadcast(delStats))
+          .select(($"nd" - $"dnd").as("nd"), ($"lsum" - $"dlsum").as("lsum"))
+        wh.atomicPublish("bm25_dict", dictNew)
+        wh.atomicPublish("bm25_totals", totNew)
+        wh.delete("bm25_postings", doomed, Seq("doc_id"))
+        wh.delete("bm25_doclen", doomed, Seq("doc_id"))
+        // re-probe the surviving index — same serve path as x26
+        val sc = servedSterms(wh, qterms)
+        bm25TopK(sc, qterms)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents
+            WHERE doc_id % 7 <> 0),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+              CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+              (CAST(2 * (nd - df) + 1 AS DOUBLE) /
+                CAST(2 * df + 1 AS DOUBLE)) *
+              (CAST(22 * tf * lsum AS DOUBLE) /
+                CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
+            FROM tf JOIN dfq USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
+          p AS (SELECT doc_id, dl,
+              COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
+              COALESCE(MAX(CASE WHEN term = 'vector' THEN tf END), 0) AS tf_vector,
+              COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
+              COALESCE(MAX(CASE WHEN term = 'dup' THEN sterm END), 0.0) AS s0,
+              COALESCE(MAX(CASE WHEN term = 'vector' THEN sterm END), 0.0) AS s1,
+              COALESCE(MAX(CASE WHEN term = 'join' THEN sterm END), 0.0) AS s2
+            FROM sc GROUP BY doc_id, dl)
+          SELECT doc_id, dl, CAST(tf_dup AS BIGINT) AS tf_dup,
+            CAST(tf_vector AS BIGINT) AS tf_vector,
+            CAST(tf_join AS BIGINT) AS tf_join,
+            s0 + s1 + s2 AS score
+          FROM p ORDER BY score DESC, doc_id LIMIT 10"""))
   )
+
+  /** Build + publish the 4-table BM25 index (postings, dict, doc
+    * lengths, corpus totals) into a Scratch manifest warehouse — the
+    * one-time batch job x26/x27/x28 serve from.
+    */
+  private def buildBm25Index(s: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): graft.sources.Warehouse = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "documents")
+      .select($"doc_id", TextOps.tokens($"text").as("toks"))
+    val postings = d.select($"doc_id", explode($"toks").as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val dict = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dls = d.select($"doc_id", size($"toks").cast("long").as("dl"))
+    val tots = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
+    val wh = graft.sources.Scratch.warehouse(s, key)
+    wh.atomicPublish("bm25_postings", postings)
+    wh.atomicPublish("bm25_dict", dict)
+    wh.atomicPublish("bm25_doclen", dls)
+    wh.atomicPublish("bm25_totals", tots)
+    wh
+  }
+
+  /** Serve-side per-term scores from a published BM25 index: postings
+    * scanned under a pushed In() on the query terms (per-query cost ∝
+    * posting-list length, not corpus size), dictionary and totals
+    * broadcast. Shared by x26 (single query), x27 (query batch), and
+    * x28 (post-delete re-probe).
+    */
+  private def servedSterms(wh: graft.sources.Warehouse,
+      qterms: Seq[String]): org.apache.spark.sql.DataFrame =
+    wh.read("bm25_postings")
+      .filter(col("term").isin(qterms: _*))
+      .join(broadcast(wh.read("bm25_dict")
+        .filter(col("term").isin(qterms: _*))), "term")
+      .join(wh.read("bm25_doclen"), "doc_id")
+      .crossJoin(broadcast(wh.read("bm25_totals")))
+      .withColumn("sterm", bm25Sterm)
 }

@@ -195,6 +195,125 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
   }
 }
 
+/** Generation-fenced FILE pointer store: multi-process-safe conditional
+  * flips from nothing but atomic create-no-overwrite — no lock files to
+  * break, no in-JVM state (two separate processes coordinating through
+  * a shared filesystem get real mutual exclusion, which the lock-file
+  * store only approximates via breakable stale-lock heuristics and the
+  * in-memory store cannot give at all).
+  *
+  * Layout: the pointer is a ladder of per-generation files,
+  *
+  *   `.<ptr>.gen-N`  — the CLAIM: empty, created O_EXCL; owning
+  *                     generation N means winning the right to publish
+  *                     flip N. The creation is the linearization point:
+  *                     two processes racing for the same N cannot both
+  *                     win a create-no-overwrite.
+  *   `.<ptr>.val-N`  — the VALUE: written only by gen-N's claim winner
+  *                     (so the name is uncontended), carrying the
+  *                     pointer's content for that flip.
+  *
+  * read() = content of the highest-N val file. compareAndSet() =
+  * observe highest val (falling back to the caller's legacy observe()
+  * when no flip ever happened), require it equals `expected`, then
+  * claim gen max(allClaims)+1 — losing the claim create returns false
+  * (a concurrent flip is in flight), winning it publishes the val file
+  * and GCs generations below N-1 (one-generation reader grace).
+  *
+  * Crash safety: a writer that dies between claim and val leaves a
+  * valueless claim; readers skip it (highest VAL wins — the crashed
+  * flip never published, which is correct) and the next writer simply
+  * claims one generation higher. Nothing needs breaking or repair.
+  *
+  * Fencing vs ABA: the compare is on the observed CONTENT (matching the
+  * trait contract), but the claim is on a GENERATION — so even two
+  * flips carrying identical content cannot both land on one
+  * observation, and a zombie writer resumed after a long pause cannot
+  * overwrite a successor's flip (its claim number is already taken).
+  */
+final class GenFencedPointerStore extends PointerStore {
+
+  private def claimRe(ptrName: String) =
+    ("\\Q." + ptrName + ".gen-\\E(\\d+)").r
+  private def valRe(ptrName: String) =
+    ("\\Q." + ptrName + ".val-\\E(\\d+)").r
+
+  private def listGens(fs: FileSystem, root: Path, re: scala.util.matching.Regex): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case re(n) => n.toLong
+    }
+
+  private def readFile(fs: FileSystem, p: Path): String =
+    if (fs.getScheme == "file")
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toUri.getPath)), "UTF-8").trim
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+
+  /** Highest published (gen, value), None before the first flip. */
+  private def current(fs: FileSystem, root: Path,
+      ptrName: String): Option[(Long, String)] =
+    listGens(fs, root, valRe(ptrName)).sorted.lastOption.map { g =>
+      (g, readFile(fs, new Path(root, s".$ptrName.val-$g")))
+    }
+
+  override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] =
+    current(fs, root, ptrName).map(_._2).filter(_.nonEmpty)
+
+  override def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
+      expected: Option[String], next: String,
+      observe: () => Option[String]): Boolean = {
+    val cur = current(fs, root, ptrName)
+    // legacy fallback only before the FIRST flip, like the in-memory
+    // store: once the ladder exists it IS the pointer's source of truth
+    val effective = cur.map(_._2).orElse(observe())
+    if (effective != expected) return false
+    val allClaims = listGens(fs, root, claimRe(ptrName))
+    val nextGen = (allClaims ++ cur.map(_._1)).foldLeft(0L)(_ max _) + 1
+    val claim = new Path(root, s".$ptrName.gen-$nextGen")
+    if (!tryCreate(fs, claim)) return false // lost the fence — conflict
+    val valPath = new Path(root, s".$ptrName.val-$nextGen")
+    if (fs.getScheme == "file")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(valPath.toUri.getPath),
+        (next + "\n").getBytes("UTF-8"))
+    else {
+      val out = fs.create(valPath, false)
+      try out.write((next + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    // stale-generation GC with one generation of reader grace: a reader
+    // that resolved N-1 just before this flip can still read its val
+    for (g <- (allClaims ++ listGens(fs, root, valRe(ptrName)))
+         .distinct.filter(_ < nextGen - 1)) {
+      fs.delete(new Path(root, s".$ptrName.gen-$g"), false)
+      fs.delete(new Path(root, s".$ptrName.val-$g"), false)
+    }
+    true
+  }
+
+  private def tryCreate(fs: FileSystem, p: Path): Boolean =
+    try {
+      if (fs.getScheme == "file") {
+        // Hadoop's local create-no-overwrite is exists-then-create —
+        // NOT atomic. NIO createFile is O_CREAT|O_EXCL.
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } else {
+        fs.create(p, false).close() // atomic on HDFS
+        true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException                      => false
+    }
+}
+
 /** Conditional-PUT pointer store — the object-store shape (S3
   * `If-Match`, GCS `x-goog-if-generation-match`) modeled on an atomic
   * in-process register so the seam's pluggability is TESTABLE without

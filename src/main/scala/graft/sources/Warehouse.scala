@@ -52,7 +52,7 @@ import org.apache.spark.sql.expressions.Window
 final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
     maxBytes: Long, smallFiles: Int, versions: Int, rows: Option[Long])
 
-class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
+class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     pointerStore: PointerStore = new FsPointerStore()) {
 
   private def tablePath(name: String) = s"$dir/$name"
@@ -576,6 +576,144 @@ class Warehouse(spark: SparkSession, dir: String, manifest: Boolean = false,
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Cross-table UoW snapshot (DB-level _CURRENT; manifest mode)
+  // ------------------------------------------------------------------
+
+  private val DbManifestRe = "_db_manifest_v(\\d+)".r
+
+  /** Test seam: invoked after this DB commit's expected pointer was
+    * observed and its db-manifest written, immediately before the
+    * pointer CAS — the window a racing DB flip exploits. Production
+    * leaves it a no-op.
+    */
+  private[graft] var dbCommitTestHook: () => Unit = () => ()
+
+  /** Commit ONE cross-table snapshot: a `_db_manifest_vN` file at the
+    * warehouse root mapping each of `tables` to its CURRENT per-table
+    * manifest, made current by a single `_CURRENT` pointer CAS at the
+    * root — the same primitive (and the same pluggable store) as the
+    * per-table commit. This is the unit-of-work shape the reference
+    * gets from one Postgres transaction over company+report+items+facts
+    * (utils/service/unitofwork.py:89-143): the per-table publishes land
+    * first (each individually atomic but visible one at a time to
+    * `read`), then ONE tiny-file flip makes the whole set current for
+    * `readSnapshot` callers — a crash mid-sequence leaves the DB
+    * pointer naming the previous consistent set, never reports without
+    * facts.
+    *
+    * Concurrency: optimistic, like the table commit — the expected DB
+    * pointer is observed BEFORE the table manifests are captured, and
+    * the CAS re-observes inside the store's critical section; a racing
+    * DB flip aborts this one loudly (orphan db-manifest removed) and
+    * the caller re-captures against the fresh state.
+    *
+    * Durability grace: the snapshot pins manifests that per-table GC
+    * keeps only while they are each table's current or
+    * immediately-previous manifest — i.e. a DB snapshot stays fully
+    * readable until a table it pins has published TWICE more. Flip the
+    * DB pointer after every UoW (as `Ingest` does) and the pinned set
+    * is always within that grace.
+    */
+  def commitDbSnapshot(tables: Seq[String]): Long = {
+    require(manifest, "cross-table snapshots require manifest mode")
+    require(tables.nonEmpty, "commitDbSnapshot needs at least one table")
+    val root = new Path(dir)
+    val fs = fileSystem(root)
+    def observe(exclude: Option[String]): Option[String] =
+      pointerStore.read(fs, root, CurrentPtr)
+        .orElse(highestDbManifest(fs, root, exclude))
+    val expected = observe(None)
+    val mapping = tables.map { t =>
+      val troot = new Path(tablePath(t))
+      val m = currentManifest(fileSystem(troot), troot).getOrElse(
+        throw new IllegalStateException(
+          s"commitDbSnapshot: table '$t' has no committed snapshot"))
+      t -> m
+    }
+    val n = nextDbVersion(fs, root)
+    val mf = new Path(root, s"_db_manifest_v$n")
+    val out = fs.create(mf, false)
+    try out.write(mapping.map { case (t, m) => s"$t=$m" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    dbCommitTestHook()
+    if (!pointerStore.compareAndSet(fs, root, CurrentPtr, expected,
+        mf.getName, () => observe(exclude = Some(mf.getName)))) {
+      fs.delete(mf, false)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent DB snapshot commit on $dir: expected " +
+        s"${expected.getOrElse("<none>")} but the pointer moved — aborted " +
+        "(orphan db-manifest removed); re-capture and retry")
+    }
+    // GC: keep the new and the immediately-previous db manifest (same
+    // one-publish reader grace as table manifests)
+    val keep = Set(mf.getName) ++ expected
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case m @ DbManifestRe(_) if st.isFile && !keep.contains(m) =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    n
+  }
+
+  private def highestDbManifest(fs: FileSystem, root: Path,
+      exclude: Option[String]): Option[String] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).map(_.getPath.getName).collect {
+      case n @ DbManifestRe(v) if !exclude.contains(n) => (v.toLong, n)
+    }.sortBy(_._1).lastOption.map(_._2)
+
+  private def nextDbVersion(fs: FileSystem, root: Path): Long =
+    if (!fs.exists(root)) 1L
+    else {
+      val seen = fs.listStatus(root).map(_.getPath.getName).collect {
+        case DbManifestRe(v) => v.toLong
+      }
+      if (seen.isEmpty) 1L else seen.max + 1
+    }
+
+  /** The current DB-level snapshot: {table → pinned per-table manifest},
+    * empty when no `commitDbSnapshot` has ever run.
+    */
+  def dbSnapshot(): Map[String, String] = {
+    val root = new Path(dir)
+    val fs = fileSystem(root)
+    pointerStore.read(fs, root, CurrentPtr)
+      .orElse(highestDbManifest(fs, root, None))
+      .filter(m => fs.exists(new Path(root, m)))
+      .map { m =>
+        readManifest(fs, new Path(root, m)).map { line =>
+          val i = line.indexOf('=')
+          require(i > 0, s"malformed db-manifest line: $line")
+          (line.take(i), line.drop(i + 1))
+        }.toMap
+      }.getOrElse(Map.empty)
+  }
+
+  /** Read `name` through the DB-level snapshot: tables the snapshot
+    * pins resolve to EXACTLY the manifest the last `commitDbSnapshot`
+    * captured — publishes since then (including a crashed multi-table
+    * sequence's partial output) are invisible until the next flip.
+    * Tables outside the snapshot fall back to the per-table current
+    * read.
+    */
+  def readSnapshot(name: String): DataFrame =
+    dbSnapshot().get(name) match {
+      case Some(m) =>
+        val troot = new Path(tablePath(name))
+        val fs = fileSystem(troot)
+        val mf = new Path(troot, m)
+        require(fs.exists(mf),
+          s"db snapshot pins $name@$m but the manifest was GC'd — the " +
+          "table published twice since the last commitDbSnapshot; flip " +
+          "the DB pointer after every UoW to stay within the grace")
+        readFiles(name, readManifest(fs, mf))
+      case None => read(name)
+    }
 
   /** Columns of the hive-style partition layout encoded in a data
     * file's relative path (empty for unpartitioned layouts).

@@ -792,6 +792,178 @@ class EtlSpec extends SparkSpec {
       .renameTo(new java.io.File(s"$tmp/t2/._old_fy=2023")))
     assert(wh2.read("t2").count() === 2) // recover() restored the partition
   }
+
+  // ---- cross-table UoW snapshot (DB-level _CURRENT) ------------------
+
+  test("warehouse: DB snapshot pins a consistent multi-table set across a crashed sequence") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uow").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    // UoW 1: reports + facts published, then ONE db flip
+    wh.atomicPublish("reports", Seq((1L, "r1")).toDF("report_id", "title"))
+    wh.atomicPublish("facts", Seq((1L, 100L)).toDF("report_id", "value"))
+    wh.commitDbSnapshot(Seq("reports", "facts"))
+    // UoW 2 crashes mid-sequence: reports v2 published, facts NOT, no flip
+    wh.append("reports", Seq((2L, "r2")).toDF("report_id", "title"))
+    // per-table read sees the torn state (documented), snapshot read does NOT:
+    assert(wh.read("reports").count() === 2)
+    assert(wh.readSnapshot("reports").as[(Long, String)].collect() === Array((1L, "r1")),
+      "snapshot reader must keep the last consistent UoW through a crashed sequence")
+    assert(wh.readSnapshot("facts").count() === 1)
+    // a report in the snapshot always has its facts: the consistency invariant
+    val torn = wh.readSnapshot("reports").join(
+      wh.readSnapshot("facts"), Seq("report_id"), "left_anti").count()
+    assert(torn === 0, "snapshot must never show reports without facts")
+    // UoW 2 retried to completion: facts land, flip lands, snapshot advances
+    wh.append("facts", Seq((2L, 200L)).toDF("report_id", "value"))
+    wh.commitDbSnapshot(Seq("reports", "facts"))
+    assert(wh.readSnapshot("reports").count() === 2)
+    assert(wh.readSnapshot("facts").count() === 2)
+    // a table outside the snapshot falls back to its per-table current
+    wh.atomicPublish("extra", Seq((1L, "x")).toDF("k", "v"))
+    assert(wh.readSnapshot("extra").count() === 1)
+  }
+
+  test("ingest: killed between table publishes — snapshot readers never see reports without facts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uowingest").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    // ingest 1 completes: the baseline consistent UoW
+    new Ingest(spark, wh).runStaged(Standardize(rawFixture()), strict = false)
+    val baseReports = wh.readSnapshot("financial_reports").count()
+    val baseFacts = wh.readSnapshot("financial_data").count()
+    assert(baseReports > 0 && baseFacts > 0)
+    // ingest 2 (a NEW fiscal period → new report + facts) is killed at
+    // the financial_data publish: companies/items/reports landed, facts
+    // did not, and the db flip never ran
+    var killed = false
+    wh.commitTestHook = name => if (name == "financial_data") {
+      killed = true
+      throw new RuntimeException("simulated crash before fact publish")
+    }
+    intercept[RuntimeException] {
+      new Ingest(spark, wh).runStaged(Standardize(rawFixture(
+        docId = "DOC002",
+        period = "第122期 第３四半期(自  2024年10月１日  至  2024年12月31日)")),
+        strict = false)
+    }
+    wh.commitTestHook = _ => ()
+    assert(killed)
+    // per-table read shows the torn write (one more report, same facts);
+    // the snapshot read shows the PREVIOUS consistent UoW
+    assert(wh.read("financial_reports").count() === baseReports + 1)
+    assert(wh.readSnapshot("financial_reports").count() === baseReports)
+    assert(wh.readSnapshot("financial_data").count() === baseFacts)
+    val torn = wh.readSnapshot("financial_reports")
+      .join(wh.readSnapshot("financial_data"), Seq("report_id"), "left_anti")
+      .count()
+    assert(torn === 0, "snapshot must never show reports without facts")
+    // the retry converges (deterministic keys → idempotent) and flips
+    new Ingest(spark, wh).runStaged(Standardize(rawFixture(
+      docId = "DOC002",
+      period = "第122期 第３四半期(自  2024年10月１日  至  2024年12月31日)")),
+      strict = false)
+    assert(wh.readSnapshot("financial_reports").count() === baseReports + 1)
+    assert(wh.readSnapshot("financial_reports")
+      .join(wh.readSnapshot("financial_data"), Seq("report_id"), "left_anti")
+      .count() === 0)
+  }
+
+  test("warehouse: racing DB snapshot commits — exactly one wins") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-uowrace").toString
+    val whA = new Warehouse(spark, tmp, manifest = true)
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    whA.atomicPublish("t", Seq((1L, "a")).toDF("k", "v"))
+    whA.commitDbSnapshot(Seq("t"))
+    // B's full commit lands inside A's window (after A observed its
+    // expected pointer, before A's CAS): A must abort loudly, leave B's
+    // snapshot current, and remove its orphan db-manifest.
+    whA.append("t", Seq((2L, "b")).toDF("k", "v"))
+    var fired = false
+    whA.dbCommitTestHook = () => if (!fired) {
+      fired = true
+      whB.commitDbSnapshot(Seq("t"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      whA.commitDbSnapshot(Seq("t"))
+    }
+    whA.dbCommitTestHook = () => ()
+    assert(e.getMessage.contains("concurrent DB snapshot"))
+    assert(whA.readSnapshot("t").count() === 2,
+      "the winner's DB flip must survive the race")
+    // A retries against the fresh state — fine
+    whA.append("t", Seq((3L, "c")).toDF("k", "v"))
+    whA.commitDbSnapshot(Seq("t"))
+    assert(whA.readSnapshot("t").count() === 3)
+    // db-manifest GC keeps current + previous only
+    val dbMfs = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.matches("_db_manifest_v\\d+")).toSet
+    assert(dbMfs.size <= 2, s"stale db manifests not GC'd: $dbMfs")
+  }
+
+  // ---- generation-fenced file pointer store --------------------------
+
+  test("gen-fenced store: lost-update interleaving across two independent store instances") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-genptr").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two SEPARATE instances — no shared JVM state, exactly what two
+    // processes coordinating through a shared filesystem look like
+    val a = new graft.sources.GenFencedPointerStore
+    val b = new graft.sources.GenFencedPointerStore
+    assert(a.compareAndSet(fs, root, "_CURRENT", None, "m1", () => None))
+    assert(b.read(fs, root, "_CURRENT") === Some("m1"),
+      "instance B must see A's flip through the filesystem alone")
+    // both observe m1; A flips first; B's stale CAS must fail
+    val obsA = a.read(fs, root, "_CURRENT")
+    val obsB = b.read(fs, root, "_CURRENT")
+    assert(obsA === obsB)
+    assert(a.compareAndSet(fs, root, "_CURRENT", obsA, "m2", () => None))
+    assert(!b.compareAndSet(fs, root, "_CURRENT", obsB, "m2b", () => None),
+      "the stale writer must lose the conditional put")
+    assert(b.read(fs, root, "_CURRENT") === Some("m2"))
+    // a crashed flip (claim without value) neither corrupts reads nor
+    // blocks later writers — no lock to break, the ladder just grows past it
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "._CURRENT.gen-99"))
+    assert(a.read(fs, root, "_CURRENT") === Some("m2"),
+      "a valueless claim must be invisible to readers")
+    assert(a.compareAndSet(fs, root, "_CURRENT", Some("m2"), "m3", () => None))
+    assert(b.read(fs, root, "_CURRENT") === Some("m3"))
+    // stale-generation GC: at most claim+val for current and previous gens
+    val genFiles = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.startsWith("._CURRENT.")).toSeq
+    assert(genFiles.count(_.contains(".val-")) <= 2,
+      s"stale generations not GC'd: $genFiles")
+  }
+
+  test("gen-fenced store: plugs into the warehouse commit path, CAS race aborts the loser") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-genwh").toString
+    val whA = new Warehouse(spark, tmp, manifest = true,
+      pointerStore = new graft.sources.GenFencedPointerStore)
+    val whB = new Warehouse(spark, tmp, manifest = true,
+      pointerStore = new graft.sources.GenFencedPointerStore)
+    whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
+    // the r6 lost-update window: both pass the pre-check, B completes a
+    // full commit inside A's window, A's fenced CAS must fail loudly
+    var fired = false
+    whA.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((3L, "B")).toDF("k", "v"))
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    }
+    whA.casTestHook = _ => ()
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (3L, "B")))
+    assert(!new java.io.File(s"$tmp/t").list().exists(_.contains(".lock")),
+      "the gen-fenced store must never create lock files")
+    // loser retries cleanly on the fresh snapshot
+    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    assert(whA.read("t").count() === 3)
+  }
 }
 
 /** RawLocalFileSystem re-registered under a scheme that has NO
