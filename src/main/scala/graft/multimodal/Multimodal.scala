@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators.
   *
-  * The codec is PLUGGABLE (`Codec`). Two implementations ship:
-  * `ImageIoCodec` — REAL PNG/JPEG decode via the in-JDK
-  * javax.imageio, pixels → integer luma samples — and `MediaCodec`,
-  * the deterministic fake for the kinds this container has no library
-  * for (audio/video). `AutoCodec` (the default) dispatches on the
-  * payload's magic bytes. Everything Spark-side is real and tested:
-  * the parquet-able schema, the mapPartitions batch shape (bounded
-  * batches, iterator-in/iterator-out — the same contract a
-  * vectorized/Arrow UDF would have), the partitioning behavior, and
-  * the output schemas. Swapping in a JNI/javacpp audio/video codec
-  * changes no plan shape.
+  * The codec is PLUGGABLE (`Codec`). All three modalities decode REAL
+  * container formats with nothing but the JVM: `ImageIoCodec`
+  * (PNG/JPEG/GIF/BMP via javax.imageio), `WavCodec` (RIFF/WAV PCM via
+  * javax.sound.sampled), and `Y4mCodec` (YUV4MPEG2 uncompressed video
+  * — pure-Scala stream parse). `MediaCodec` remains as the
+  * deterministic stub proving the codec seam itself (a JNI/javacpp
+  * H.264 decoder would plug in the same way). `AutoCodec` (the
+  * default) dispatches on the payload's magic bytes. Everything
+  * Spark-side is real and tested: the parquet-able schema, the
+  * mapPartitions batch shape (bounded batches, iterator-in/
+  * iterator-out — the same contract a vectorized/Arrow UDF would
+  * have), the partitioning behavior, and the output schemas. Swapping
+  * in a compressed-video codec changes no plan shape.
   *
   * Scale notes: payloads stay off the driver (mapPartitions only); a
   * 100 TB media table partitions by content hash; decode is
@@ -202,10 +204,81 @@ object Multimodal {
     }
   }
 
+  /** REAL video decode: YUV4MPEG2 (y4m) — the uncompressed
+    * interchange container mjpegtools/ffmpeg emit (`-f yuv4mpegpipe`);
+    * pure-Scala stream parse, no native codec. Layout: one ASCII
+    * stream header `YUV4MPEG2 W<w> H<h> ...\n`, then per frame a
+    * `FRAME...\n` marker followed by planar YUV — Y is w·h bytes,
+    * chroma size from the C tag (C420*: two (⌈w/2⌉·⌈h/2⌉) planes,
+    * C422: two ⌈w/2⌉·h, C444: two w·h; default 420). Decode returns
+    * the LUMA samples of every frame concatenated (chroma skipped) —
+    * luma bytes live verbatim in the container, so a generated y4m
+    * round-trips them exactly, which is what makes real video
+    * digest-oracle-able (m10/m28) the same way PNG (m17) and WAV
+    * (m22) are. Truncated/malformed streams quarantine as None.
+    */
+  object Y4mCodec extends Codec {
+    val Magic: Array[Byte] = "YUV4MPEG2 ".getBytes("US-ASCII")
+
+    def decode(bytes: Array[Byte]): Option[Array[Int]] = {
+      if (bytes == null || bytes.length < Magic.length ||
+        !bytes.take(Magic.length).sameElements(Magic)) return None
+      val nl = bytes.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val params = new String(bytes, 0, nl, "US-ASCII").split(' ').drop(1)
+      def tag(c: Char): Option[String] =
+        params.find(p => p.nonEmpty && p.head == c).map(_.tail)
+      (tag('W').flatMap(_.toIntOption), tag('H').flatMap(_.toIntOption)) match {
+        case (Some(w), Some(h)) if w > 0 && h > 0 =>
+          val cs = tag('C').getOrElse("420jpeg")
+          val chroma =
+            if (cs.startsWith("444")) 2 * w * h
+            else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
+            else 2 * ((w + 1) / 2) * ((h + 1) / 2) // 420 family
+          val luma = w * h
+          val out = new scala.collection.mutable.ArrayBuffer[Int]()
+          var pos = nl + 1
+          while (pos < bytes.length) {
+            val fnl = bytes.indexOf('\n'.toByte, pos)
+            if (fnl < 0 || fnl - pos < 5 ||
+              new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
+            pos = fnl + 1
+            if (pos + luma > bytes.length) return None // truncated frame
+            var j = 0
+            while (j < luma) { out += bytes(pos + j) & 0xff; j += 1 }
+            pos += luma + chroma
+          }
+          Some(out.toArray)
+        case _ => None
+      }
+    }
+
+    /** Encode luma frames as a real y4m stream (C420jpeg, neutral-gray
+      * chroma planes) — test/ingest helper, the video counterpart of
+      * encodePng/encodeWav: decode(encodeY4m(w, h, fs)) == fs.flatten
+      * exactly.
+      */
+    def encodeY4m(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+      require(frames.forall(_.length == width * height),
+        "every frame must be width*height luma samples")
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII"))
+      val chroma = Array.fill[Byte](
+        2 * ((width + 1) / 2) * ((height + 1) / 2))(128.toByte)
+      frames.foreach { f =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        f.foreach(v => bos.write(v & 0xff))
+        bos.write(chroma)
+      }
+      bos.toByteArray
+    }
+  }
+
   /** Default codec: dispatch on the payload's magic bytes — GRFT →
-    * stub, PNG/JPEG/GIF/BMP signatures → ImageIO, RIFF → WAV;
-    * anything else is undecodable (None → the row drops to the
-    * quarantine channel).
+    * stub, PNG/JPEG/GIF/BMP signatures → ImageIO, RIFF → WAV,
+    * YUV4MPEG2 → y4m video; anything else is undecodable (None → the
+    * row drops to the quarantine channel).
     */
   object AutoCodec extends Codec {
     def decode(bytes: Array[Byte]): Option[Array[Int]] = {
@@ -220,6 +293,8 @@ object Multimodal {
         ImageIoCodec.decode(bytes)
       else if (b0 == 'R' && b1 == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
         WavCodec.decode(bytes)
+      else if (b0 == 'Y' && b1 == 'U' && bytes(2) == 'V' && bytes(3) == '4')
+        Y4mCodec.decode(bytes)
       else None
     }
   }

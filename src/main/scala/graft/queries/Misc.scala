@@ -247,19 +247,25 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, kind, n_samples ORDER BY media_id""")),
 
-    // ---- multimodal frame sampling, driver-visible: video payloads →
-    // every-2nd-frame features (m9's digest technique: integer bin
-    // digest, counts recovered by round(f·frame_len), payload formula
-    // regenerated in SQL).
+    // ---- multimodal frame sampling over REAL video bytes: each payload
+    // is a genuine YUV4MPEG2 stream (4 FRAMEs of w×1 luma encoded
+    // driver-side from the same SQL-regenerable formula, neutral
+    // chroma), parsed on executors by the pure-Scala Y4mCodec through
+    // AutoCodec's magic dispatch. Luma bytes live verbatim in the
+    // container, so the oracle regenerates the pixel formula and never
+    // sees y4m bytes — the container parse + frame slice + featurize
+    // is what's under test (m9's digest technique).
     Q("m10_frame_sample",
       (s, dir) => {
         import s.implicits._
         import graft.multimodal.Multimodal
         val rows = (0 until 60).collect { case i if i % 3 == 2 =>
-          val payload = Array.tabulate(80 + i % 40)(j => ((i * 37 + j * 11) % 256).toByte)
+          val fl = (80 + i % 40) / 4
+          val frames = (0 until 4).map(f =>
+            Array.tabulate(fl)(k => (i * 37 + (f * fl + k) * 11) % 256))
           org.apache.spark.sql.Row(i.toLong, "video",
-            Multimodal.MediaCodec.encode("video", payload),
-            org.apache.spark.sql.Row(64, 64, 16000, 4))
+            Multimodal.Y4mCodec.encodeY4m(fl, 1, frames),
+            org.apache.spark.sql.Row(fl, 1, 0, 4))
         }
         val media = s.createDataFrame(
           s.sparkContext.parallelize(rows.toSeq, 3), Multimodal.mediaSchema)
@@ -279,6 +285,50 @@ object Misc {
             CAST((80 + i % 40) // 4 AS INT) AS frame_len
           FROM range(60) t(i) WHERE i % 3 = 2),
         fr AS (SELECT media_id, frame_len, unnest([0, 2]) AS frame_idx FROM m),
+        ex AS (SELECT media_id, frame_idx, frame_len,
+            frame_idx * frame_len + unnest(range(frame_len)) AS j
+          FROM fr)
+        SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, frame_len,
+          CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
+        FROM ex GROUP BY media_id, frame_idx, frame_len
+        ORDER BY media_id, frame_idx""")),
+
+    // ---- 2-D multi-frame y4m: every-3rd-frame features -----------------
+    // m10 with the full video shape: 6 FRAMEs of (8+i%4)×6 luma per
+    // stream (chroma planes present and skipped by the parser — the
+    // C420 plane arithmetic is what a wrong stride would corrupt),
+    // sampled every 3rd frame. Same digest technique; the oracle
+    // regenerates the luma formula per kept frame.
+    Q("m28_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).collect { case i if i % 3 == 2 =>
+          val w = 8 + i % 4
+          val h = 6
+          val fl = w * h
+          val frames = (0 until 6).map(f =>
+            Array.tabulate(fl)(k => (i * 37 + (f * fl + k) * 11) % 256))
+          org.apache.spark.sql.Row(i.toLong, "video",
+            Multimodal.Y4mCodec.encodeY4m(w, h, frames),
+            org.apache.spark.sql.Row(w, h, 0, 6))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows.toSeq, 3), Multimodal.mediaSchema)
+        Multimodal.sampleFrames(media, everyK = 3, batchSize = 16)
+          .withColumn("frame_len", (lit(8) + $"media_id" % 4).cast("int") * 6)
+          .select($"media_id", $"frame_idx", $"frame_len",
+            posexplode($"feature").as(Seq("j", "f")))
+          .groupBy($"media_id", $"frame_idx", $"frame_len")
+          .agg(sum(round($"f".cast("double") * $"frame_len") * ($"j" + 1))
+            .cast("long").as("bin_digest"))
+          .orderBy($"media_id", $"frame_idx")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST((8 + i % 4) * 6 AS INT) AS frame_len
+          FROM range(60) t(i) WHERE i % 3 = 2),
+        fr AS (SELECT media_id, frame_len, unnest([0, 3]) AS frame_idx FROM m),
         ex AS (SELECT media_id, frame_idx, frame_len,
             frame_idx * frame_len + unnest(range(frame_len)) AS j
           FROM fr)
@@ -1031,6 +1081,65 @@ object Misc {
           FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p))
         SELECT t.lang, t.p, t.n, r.n_chars AS v, TRUE AS sketch_ok
         FROM t JOIN r ON t.lang = r.lang AND t.rk = r.rk
+        ORDER BY t.lang, t.p""")),
+
+    // ---- PUBLISHED mergeable quantile sketches (m25's pattern for
+    // percentiles). m27 computes the sketch inline; at 100 TB the
+    // sketch is a WRITE-TIME artifact: each ingest shard (here the
+    // data-inherent shard key `source`) persists one bounded
+    // (shard, lang, bucket) → count histogram row-set — mergeable by
+    // pure addition, ~|langs|·|buckets| rows per shard — and the
+    // percentile query then reads ONLY the sketch table: merge shards
+    // (one partial-agg shuffle over sketch rows), cumulate per lang,
+    // and pick rank ceil(p·n)'s bucket. The corpus is NEVER rescanned
+    // — the est_lo answer is exact histogram arithmetic, deterministic
+    // on both engines, and structurally within one bucket width (64
+    // chars, pinned in BreadthSpec against the exact quantile) of the
+    // true percentile: the true rank-ceil(p·n) value lies inside the
+    // bucket whose cumulative count first reaches the rank.
+    Q("m29_sketch_percentiles",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"source", $"lang", $"n_chars")
+        // write time: per-shard mergeable histogram, published
+        val sketch = d.groupBy($"source", $"lang",
+            expr("CAST(n_chars AS BIGINT) div 64").as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val wh = graft.sources.Scratch.warehouse(s, "qsk")
+        wh.atomicPublish("doc_sketch", sketch)
+        // query time: sketch table ONLY
+        val merged = wh.read("doc_sketch")
+          .groupBy($"lang", $"bucket").agg(sum($"cnt").as("cnt"))
+        val tot = merged.groupBy($"lang").agg(sum($"cnt").as("n"))
+        val cum = merged.withColumn("cum",
+          sum($"cnt").over(Window.partitionBy($"lang").orderBy($"bucket")))
+        val targets = tot.select($"lang", $"n",
+            explode(array(Seq(0.5, 0.9, 0.99).map(p =>
+              struct(lit(p).as("p"), ceil($"n" * p).cast("long").as("rk"))): _*))
+              .as("t"))
+          .select($"lang", $"n", $"t.p", $"t.rk")
+        cum.join(broadcast(targets), Seq("lang"))
+          .filter($"cum" >= $"rk")
+          .groupBy($"lang", $"p", $"n")
+          .agg((min($"bucket") * 64L).as("est_lo"))
+          .orderBy($"lang", $"p")
+      },
+      Some("""WITH h AS (
+          SELECT lang, CAST(n_chars AS BIGINT) // 64 AS bucket,
+            count(*) AS cnt
+          FROM documents GROUP BY lang, bucket),
+        tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY lang),
+        cum AS (SELECT lang, bucket,
+            CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS BIGINT) AS cum
+          FROM h),
+        t AS (SELECT lang, n, CAST(p AS DOUBLE) AS p,
+            CAST(ceil(n * CAST(p AS DOUBLE)) AS BIGINT) AS rk
+          FROM tot CROSS JOIN (VALUES (0.5), (0.9), (0.99)) pp(p))
+        SELECT t.lang, t.p, t.n, CAST(MIN(cum.bucket) * 64 AS BIGINT) AS est_lo
+        FROM cum JOIN t ON cum.lang = t.lang
+        WHERE cum.cum >= t.rk
+        GROUP BY t.lang, t.p, t.n
         ORDER BY t.lang, t.p"""))
   )
 }

@@ -135,4 +135,24 @@ class BreadthSpec extends SparkSpec {
     assert(served.toSeq === inline.toSeq,
       "served index diverged from the inline fit")
   }
+
+  test("m29: sketch-only percentile lands within one bucket width of the exact quantile") {
+    import spark.implicits._
+    val est = graft.SparkEntry.queries("m29_sketch_percentiles")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("p")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est_lo"))).toMap
+    // exact discrete quantile: value at rank ceil(p·n) in the sorted
+    // per-lang multiset (the m27 definition)
+    val d = graft.Tables.load(spark, dir, "documents")
+      .select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    est.foreach { case ((lang, p), (n, estLo)) =>
+      val vs = d(lang)
+      assert(n === vs.length.toLong, s"$lang: sketch total diverged")
+      val exact = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(estLo <= exact && exact < estLo + 64,
+        s"$lang p=$p: exact=$exact outside sketch bucket [$estLo, ${estLo + 64})")
+    }
+    assert(est.size >= 3, "expected at least one lang x three percentiles")
+  }
 }

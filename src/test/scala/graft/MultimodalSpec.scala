@@ -136,6 +136,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AutoCodec.decode(wav).get.toSeq === samples.toSeq)
   }
 
+  test("real y4m video decode: luma of every frame round-trips exactly; chroma skipped") {
+    val w = 9 // odd width exercises the ceil(w/2) chroma plane math
+    val h = 5
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(k => (f * 97 + k * 13) % 256))
+    val y4m = Multimodal.Y4mCodec.encodeY4m(w, h, frames)
+    // a real YUV4MPEG2 stream, dispatched by AutoCodec's magic check
+    assert(new String(y4m.take(9), "US-ASCII") === "YUV4MPEG2")
+    assert(Multimodal.Y4mCodec.decode(y4m).get.toSeq === frames.flatten)
+    assert(Multimodal.AutoCodec.decode(y4m).get.toSeq === frames.flatten)
+  }
+
+  test("malformed y4m quarantines as None, never throws") {
+    // magic but garbage header
+    assert(Multimodal.AutoCodec.decode(
+      "YUV4MPEG2 WX HY\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    // truncated mid-frame: last frame's luma cut short
+    val good = Multimodal.Y4mCodec.encodeY4m(4, 4,
+      Seq(Array.tabulate(16)(identity), Array.tabulate(16)(_ + 16)))
+    assert(Multimodal.Y4mCodec.decode(good.take(good.length - 20)).isEmpty)
+    // a frame marker that isn't FRAME
+    val bad = good.clone()
+    val fi = good.indexOfSlice("FRAME".getBytes("US-ASCII"))
+    bad(fi) = 'X'.toByte
+    assert(Multimodal.Y4mCodec.decode(bad).isEmpty)
+  }
+
   test("corrupt or compressed WAV quarantines as None, never throws") {
     // RIFF magic but garbage body
     val junk = "RIFFxxxxWAVEfmt garbage".getBytes("US-ASCII")
