@@ -159,4 +159,42 @@ class PlanSpec extends SparkSpec {
       s"top-k lost the heap-merge plan:\n$p")
     assert(!p.contains("Window"), s"a window crept into served BM25:\n$p")
   }
+
+  test("x27: batch serve pushes the UNION of all query terms into one postings scan") {
+    // the batch's scale contract: ONE postings pass whose parquet
+    // filter is the union of every query's terms (9 here) — not one
+    // scan per query, and the In() must reach the reader. The
+    // per-query top-5 window is fine (partitioned by query_id, never
+    // a global sort); the heavy candidate set stays out of it because
+    // the pivot aggregates per (query, doc) first.
+    val p = planOf("x27_bm25_batch_serve")
+    val in = "PushedFilters: \\[In\\(term, \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(in.isDefined,
+      s"union-of-terms In() not pushed into the postings scan:\n$p")
+    assert(in.get.group(1).split(",").length === 9,
+      s"pushed In() does not carry all 9 batch terms: ${in.get.group(1)}")
+    // exactly one postings parquet scan carries the pushed union: the
+    // index is read once for the whole batch (count the FINAL plan
+    // only — an AQE explain repeats every scan in its initial-plan
+    // section; ≤2 = postings + the filtered dict)
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert("PushedFilters: \\[In\\(term".r.findAllIn(finalPlan).size <= 2,
+      s"postings scanned more than once per batch:\n$p")
+  }
+
+  test("x28/sim9: index deletes keep the serve-side plan shapes") {
+    // post-delete re-probes must serve exactly like their pre-delete
+    // counterparts: pushed In() on the BM25 postings, heap-merge
+    // top-k; the IVF probe keeps its bounded TopKAgg (objHashAggregate
+    // carries the typed buffer) rather than degenerating into a
+    // global window over all candidates.
+    val bp = planOf("x28_bm25_index_delete")
+    assert("PushedFilters: \\[In\\(term".r.findFirstIn(bp).isDefined,
+      s"x28: query-term In() not pushed into the surviving postings scan:\n$bp")
+    assert(bp.contains("TakeOrderedAndProject"),
+      s"x28: top-k lost the heap-merge plan:\n$bp")
+    val sp = planOf("sim9_index_delete")
+    assert(!sp.contains("CartesianProduct"),
+      s"sim9: cartesian crept into the post-delete probe:\n$sp")
+  }
 }
