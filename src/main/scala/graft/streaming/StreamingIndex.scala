@@ -91,4 +91,75 @@ object StreamingIndex {
         }
       }
       .start()
+
+  /** CDC-style continuous index MAINTENANCE: a stream of
+    * (vec_id, embedding, op) change events — op "u" upserts (frozen-
+    * codebook assignment + keyed upsert, exactly `indexIngest`), op
+    * "d" DELETES the id from the index via the warehouse's anti-join
+    * delete (sim9's batch op, applied per micro-batch). A key with
+    * both ops in ONE batch converges on the delete (upserts apply
+    * first — the tombstone-wins reading of an unordered CDC batch).
+    *
+    * Commit order per batch: upserts land vectors-then-postings (a
+    * crash leaves a vector unsearchable, never a dangling posting);
+    * deletes land postings-then-vectors (a half-deleted doc stops
+    * being SERVED before its data goes — the probe never surfaces
+    * it). Both directions heal on redelivery: every op is a keyed
+    * upsert or anti-join delete, idempotent by construction, so
+    * re-applying a batch is a no-op — the exactly-once story is
+    * unchanged from `indexIngest`.
+    *
+    * Scale shape: per-batch cost is |batch| assignment dots + four
+    * keyed publishes bounded by |batch| and the touched partitions —
+    * nothing rescans the index; deletes cost one anti-join over the
+    * two tables, the same shape as the batch path.
+    */
+  def indexMaintain(changes: DataFrame, wh: Warehouse, vectorsTable: String,
+      postingsTable: String, centroidsTable: String, checkpoint: String,
+      commitRetries: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .queryName("ivf-index-maintain")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          def retrying(commit: => Unit): Unit = {
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try { commit; done = true }
+              catch {
+                case e: java.util.ConcurrentModificationException =>
+                  if (attempt >= commitRetries) throw e
+                  attempt += 1
+              }
+            }
+          }
+          val sc = batch.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val b = batch.persist()
+          try {
+            val ups = b.filter(col("op") === "u")
+              .select(col("vec_id"), col("embedding"))
+            val dels = b.filter(col("op") === "d").select(col("vec_id"))
+            if (!ups.isEmpty) {
+              val postings = postingsOf(ups, wh.read(centroidsTable))
+              retrying(wh.upsert(vectorsTable, ups, Seq("vec_id")))
+              retrying(wh.upsert(postingsTable, postings, Seq("vec_id")))
+            }
+            if (!dels.isEmpty) {
+              retrying(wh.delete(postingsTable, dels, Seq("vec_id")))
+              retrying(wh.delete(vectorsTable, dels, Seq("vec_id")))
+            }
+          } finally {
+            b.unpersist()
+            val after = sc.getPersistentRDDs
+            after.keySet.diff(before).foreach(id =>
+              after.get(id).foreach(_.unpersist(false)))
+          }
+        }
+      }
+      .start()
 }

@@ -936,6 +936,38 @@ class EtlSpec extends SparkSpec {
       s"stale generations not GC'd: $genFiles")
   }
 
+  test("gen-fenced store: REAL separate processes racing one CAS — exactly one flip wins") {
+    // the claim the in-JVM tests can't make: four independent JVMs,
+    // sharing nothing but the filesystem, all observe the same pointer
+    // value and race one conditional flip. The gen-claim O_EXCL create
+    // is the only coordination — exactly one process may exit 0.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-genproc").toString
+    val root = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new graft.sources.GenFencedPointerStore
+    assert(store.compareAndSet(fs, root, "_CURRENT", None, "m1", () => None))
+    val cp = Seq(
+      "target/scala-2.13/test-classes", "target/scala-2.13/classes",
+      "/opt/spark/jars/*").mkString(":")
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    def launch(next: String) = new ProcessBuilder(
+      javaBin, "-cp", cp, "graft.GenPtrCli", tmp, "m1", next)
+      .redirectErrorStream(true).start()
+    val procs = (1 to 4).map(i => launch(s"m2-p$i"))
+    val exits = procs.map(_.waitFor())
+    assert(exits.count(_ == 0) === 1,
+      s"exactly one process must win the flip, got exits=$exits")
+    assert(!exits.contains(2), s"a process errored: exits=$exits")
+    val winner = exits.indexOf(0) + 1
+    assert(store.read(fs, root, "_CURRENT") === Some(s"m2-p$winner"),
+      "the surviving pointer must be the winning process's value")
+    // and a fresh process against the NEW value still works
+    assert(launch("m3").waitFor() === 1, "stale expected must lose")
+    assert(new ProcessBuilder(javaBin, "-cp", cp, "graft.GenPtrCli",
+      tmp, s"m2-p$winner", "m3").start().waitFor() === 0)
+    assert(store.read(fs, root, "_CURRENT") === Some("m3"))
+  }
+
   test("gen-fenced store: plugs into the warehouse commit path, CAS race aborts the loser") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-genwh").toString

@@ -331,4 +331,62 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap === expect)
     assert(wh.read("postings").count() === wh.read("vectors").count())
   }
+
+  test("streaming index maintenance: CDC upserts+deletes converge to the batch-built index") {
+    import spark.implicits._
+    import graft.operators.IvfCodebook
+    import graft.streaming.StreamingIndex
+    import graft.functions.NativeExprs
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val normed = e.withColumn("nrm",
+      sqrt(NativeExprs.dot(spark, $"embedding", $"embedding")))
+    val seed = normed.filter($"vec_id" < 300)
+    val cents = IvfCodebook.train(seed,
+      seed.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("c_id"), $"embedding".as("c_emb"), $"nrm".as("c_nrm")), 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    wh.atomicPublish("centroids", cents)
+    wh.atomicPublish("vectors", seed.drop("nrm"))
+    wh.atomicPublish("postings", IvfCodebook.assign(seed, cents))
+
+    // change stream: new vectors 300+ arrive AND every vec_id % 5 == 1
+    // is deleted (spanning both the seeded index and the new arrivals);
+    // one key (301) gets both an upsert and a delete — tombstone wins
+    val incoming = s"$tmp/incoming"
+    val ups = e.filter($"vec_id" >= 300)
+      .select($"vec_id", $"embedding", lit("u").as("op"))
+    val dels = e.filter($"vec_id" % 5 === 1)
+      .select($"vec_id", $"embedding", lit("d").as("op"))
+    ups.unionByName(dels).coalesce(1).write.parquet(incoming)
+    StreamingIndex.indexMaintain(
+      spark.readStream.schema(ups.schema).parquet(incoming),
+      wh, "vectors", "postings", "centroids", s"$tmp/ckpt")
+      .awaitTermination(120000)
+
+    // the maintained index == a from-scratch build on the surviving set
+    val survivors = normed.filter($"vec_id" % 5 =!= 1)
+    val expectPost = IvfCodebook.assign(survivors, cents)
+      .as[(Long, Long)].collect().toMap
+    assert(wh.read("postings").as[(Long, Long)].collect().toMap === expectPost,
+      "maintained postings must equal a fresh assignment of the survivors")
+    assert(wh.read("vectors").select($"vec_id").as[Long].collect().sorted.toSeq
+      === survivors.select($"vec_id").as[Long].collect().sorted.toSeq)
+    // no deleted id is ever served: probe the maintained index
+    val queries = survivors.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val served = IvfCodebook.topk(
+      wh.read("vectors").withColumn("nrm",
+        sqrt(NativeExprs.dot(spark, $"embedding", $"embedding"))),
+      queries, wh.read("centroids"), wh.read("postings"), 8, 10)
+    assert(served.filter($"vec_id" % 5 === 1).count() === 0,
+      "a deleted vector surfaced from the maintained index")
+    // redelivery (fresh checkpoint, same changes): converges, no drift
+    StreamingIndex.indexMaintain(
+      spark.readStream.schema(ups.schema).parquet(incoming),
+      wh, "vectors", "postings", "centroids", s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(wh.read("postings").as[(Long, Long)].collect().toMap === expectPost)
+  }
 }
