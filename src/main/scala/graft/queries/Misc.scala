@@ -1140,6 +1140,45 @@ object Misc {
         FROM cum JOIN t ON cum.lang = t.lang
         WHERE cum.cum >= t.rk
         GROUP BY t.lang, t.p, t.n
-        ORDER BY t.lang, t.p"""))
+        ORDER BY t.lang, t.p""")),
+
+    // ---- compaction round-trip on the catalog surface ------------------
+    // The maintenance op every append-heavy (streaming micro-batch)
+    // table needs, driver-verified: 8 small appends accumulate the
+    // small-file residue (tableHealth watches it — the m25 metadata
+    // surface), one `compact` folds the snapshot to 2 files as ONE
+    // atomic publish, and the content must survive bit-exactly — the
+    // exact sums the plain-SQL oracle computes from the original
+    // table. The two boolean columns pin the layout transition itself
+    // (≥8 files before, exactly 2 after, both from manifest metadata,
+    // no data read); at 100 TB this is the scheduled job that keeps
+    // scan planning from drowning in files.
+    Q("m30_compact_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "cmp")
+        (0 until 8).foreach { i =>
+          val slice = o.filter($"o_orderkey" % 8 === i)
+          if (i == 0) wh.atomicPublish("ord", slice)
+          else wh.append("ord", slice)
+        }
+        val before = wh.tableHealth("ord")
+        wh.compact("ord", numFiles = 2)
+        val after = wh.tableHealth("ord")
+        wh.read("ord").agg(
+            count(lit(1)).as("n"),
+            Q.dsum($"o_totalprice").as("revenue"),
+            sum($"o_orderkey").as("key_sum"))
+          .select($"n", $"revenue", $"key_sum",
+            lit(before.files >= 8).as("had_small_files"),
+            lit(after.files == 2).as("compacted"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+          TRUE AS had_small_files, TRUE AS compacted
+        FROM orders"""))
   )
 }

@@ -1368,28 +1368,93 @@ object Text {
             CAST(tf_vector AS BIGINT) AS tf_vector,
             CAST(tf_join AS BIGINT) AS tf_join,
             s0 + s1 + s2 AS score
-          FROM p ORDER BY score DESC, doc_id LIMIT 10"""))
+          FROM p ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // ---- incremental BM25 ADD — x28's other direction ------------------
+    // New docs arrive after the index is built. The batch's postings
+    // and lengths APPEND (new doc ids — no key overlap, and the
+    // manifest append only references old files, never rewrites them);
+    // the dictionary takes per-term df INCREMENTS via one full-outer
+    // merge (new terms enter, cost ∝ |dict|+|batch vocab|, never the
+    // corpus); the 1-row totals add the batch's counts. Correctness
+    // bar, same as x28: the incremented index must be
+    // INDISTINGUISHABLE from a full rebuild — the oracle is x25's
+    // full-corpus SQL verbatim, so the driver hash-proves convergence.
+    // This is the batch half of continuous text indexing (the vector
+    // half is streaming/StreamingIndex.indexMaintain): at 100 TB the
+    // daily ingest appends its delta and merges the vocab-sized dict,
+    // and compaction (Warehouse.compact, m30) later folds the
+    // accumulated small postings files.
+    Q("x29_bm25_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("dup", "vector", "join")
+        val d = docToks(s, dir)
+        val wh = graft.sources.Scratch.warehouse(s, "bm25inc")
+        // base index over the corpus as of yesterday
+        publishBm25(wh, d.filter($"doc_id" < 350))
+        // today's batch: the remaining docs, derived and merged in
+        val batch = d.filter($"doc_id" >= 350)
+        val (np, _, nl, _) = bm25Tables(batch)
+        val inc = np.groupBy($"term").agg(count(lit(1)).as("dfinc"))
+        val dictNew = wh.read("bm25_dict")
+          .join(inc, Seq("term"), "full_outer")
+          .select($"term",
+            (coalesce($"df", lit(0L)) + coalesce($"dfinc", lit(0L))).as("df"))
+        val bstats = nl.agg(count(lit(1)).as("bnd"),
+          coalesce(sum($"dl"), lit(0L)).as("blsum"))
+        val totNew = wh.read("bm25_totals").crossJoin(broadcast(bstats))
+          .select(($"nd" + $"bnd").as("nd"), ($"lsum" + $"blsum").as("lsum"))
+        wh.append("bm25_postings", np)
+        wh.append("bm25_doclen", nl)
+        wh.atomicPublish("bm25_dict", dictNew)
+        wh.atomicPublish("bm25_totals", totNew)
+        val sc = servedSterms(wh, qterms)
+        bm25TopK(sc, qterms)
+      },
+      Some(bm25OracleSql))
   )
 
-  /** Build + publish the 4-table BM25 index (postings, dict, doc
-    * lengths, corpus totals) into a Scratch manifest warehouse — the
-    * one-time batch job x26/x27/x28 serve from.
+  /** (doc_id, toks) view of the documents table — the tokenized input
+    * every BM25 build derives from.
     */
-  private def buildBm25Index(s: org.apache.spark.sql.SparkSession,
-      dir: String, key: String): graft.sources.Warehouse = {
-    import s.implicits._
-    val d = Tables.load(s, dir, "documents")
-      .select($"doc_id", TextOps.tokens($"text").as("toks"))
-    val postings = d.select($"doc_id", explode($"toks").as("term"))
-      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
-    val dict = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val dls = d.select($"doc_id", size($"toks").cast("long").as("dl"))
-    val tots = dls.agg(count(lit(1)).as("nd"), sum($"dl").as("lsum"))
-    val wh = graft.sources.Scratch.warehouse(s, key)
+  private def docToks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  /** The 4 BM25 index tables (postings, dict, doc lengths, corpus
+    * totals) derived from a (doc_id, toks) frame — used for the base
+    * build AND for an incremental batch's delta (x29).
+    */
+  private def bm25Tables(d: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val dict = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dls = d.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tots = dls.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lsum"))
+    (postings, dict, dls, tots)
+  }
+
+  private def publishBm25(wh: graft.sources.Warehouse,
+      d: org.apache.spark.sql.DataFrame): Unit = {
+    val (postings, dict, dls, tots) = bm25Tables(d)
     wh.atomicPublish("bm25_postings", postings)
     wh.atomicPublish("bm25_dict", dict)
     wh.atomicPublish("bm25_doclen", dls)
     wh.atomicPublish("bm25_totals", tots)
+  }
+
+  /** Build + publish the full-corpus BM25 index into a Scratch
+    * manifest warehouse — the one-time batch job x26/x27/x28 serve
+    * from.
+    */
+  private def buildBm25Index(s: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): graft.sources.Warehouse = {
+    val wh = graft.sources.Scratch.warehouse(s, key)
+    publishBm25(wh, docToks(s, dir))
     wh
   }
 
