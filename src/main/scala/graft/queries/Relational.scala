@@ -599,6 +599,84 @@ object Relational {
       Some("""SELECT r_name, count(*) AS n_nations,
           string_agg(n_name, ',' ORDER BY n_name) AS nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name ORDER BY r_name"""))
+        GROUP BY r_name ORDER BY r_name""")),
+
+    // ---- schema evolution: append a batch with a NEW column ----------
+    // The lakehouse contract a long-lived table needs: a later ingest
+    // adds `n_regionkey`, and the snapshot read serves BOTH vintages —
+    // pre-evolution rows null-fill the new column (parquet mergeSchema
+    // semantics via the manifest reader's unionByName), nothing is
+    // rewritten, nothing fails. The oracle regenerates the vintage
+    // split from the original table.
+    Q("s13_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val n = t(s, dir, "nation")
+        val wh = graft.sources.Scratch.warehouse(s, "sev")
+        wh.atomicPublish("nat_ev",
+          n.filter($"n_nationkey" < 12).select($"n_nationkey", $"n_name"))
+        wh.append("nat_ev",
+          n.filter($"n_nationkey" >= 12)
+            .select($"n_nationkey", $"n_name", $"n_regionkey"))
+        wh.read("nat_ev").orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name,
+          CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- time travel: read the PREVIOUS committed snapshot -----------
+    // GC keeps current + previous, so v_current−1 is always resolvable
+    // — the incident-response read ("what did this table say before
+    // that publish?"). The appended rows are visible to the current
+    // read (pinned by the boolean) and invisible to the versioned
+    // read, whose content the oracle regenerates from the source.
+    Q("s14_time_travel",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+        val wh = graft.sources.Scratch.warehouse(s, "ttr")
+        wh.atomicPublish("reg_tt", r)                       // v1
+        wh.append("reg_tt", r.withColumn("r_regionkey",
+          $"r_regionkey" + 100))                            // v2
+        val cur = wh.read("reg_tt")
+          .agg((count(lit(1)) === 10L).as("appended_visible"))
+        wh.readVersion("reg_tt", 1)
+          .crossJoin(broadcast(cur))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, TRUE AS appended_visible
+        FROM region ORDER BY r_regionkey""")),
+
+    // ---- CDC: row-level diff between two snapshots -------------------
+    // Warehouse.diffVersions (the change-data-feed shape): v2 zeroes
+    // every negative balance and drops every 100th customer; the diff
+    // must surface exactly the changed rows as remove(old)+add(new)
+    // and the dropped rows as removes. Two full-row anti-joins, no
+    // driver loops; summarized per side so the plain-SQL oracle can
+    // regenerate the expectation from the original table.
+    Q("s15_cdc_diff",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+        val wh = graft.sources.Scratch.warehouse(s, "cdc")
+        wh.atomicPublish("cust_cdc", c)                     // v1
+        wh.atomicPublish("cust_cdc",                        // v2
+          c.filter($"c_custkey" % 100 =!= 0)
+            .select($"c_custkey", greatest($"c_acctbal", lit(0.0)).as("c_acctbal")))
+        val (added, removed) = wh.diffVersions("cust_cdc", 1, 2)
+        added.select(lit("added").as("side"), $"c_acctbal")
+          .unionByName(removed.select(lit("removed").as("side"), $"c_acctbal"))
+          .groupBy($"side")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"))
+          .orderBy($"side")
+      },
+      Some("""SELECT 'added' AS side, count(*) AS n,
+          CAST(SUM(CAST(greatest(c_acctbal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 100 <> 0 AND c_acctbal < 0
+        UNION ALL
+        SELECT 'removed' AS side, count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        FROM customer WHERE c_custkey % 100 = 0 OR c_acctbal < 0
+        ORDER BY side"""))
   )
 }
