@@ -70,8 +70,17 @@ object Text {
   /** x25/x26 shared oracle: BM25 is deterministic given the corpus, so
     * the served path's oracle is the inline fit verbatim.
     */
-  private def bm25OracleSql: String =
-    s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents),
+  private def bm25OracleSql: String = bm25OracleSqlFrom("documents")
+
+  /** x28/x30 shared oracle: the fresh-build expectation on the REDUCED
+    * corpus — eager-fold and merge-on-read deletion must both serve
+    * exactly this.
+    */
+  private def bm25ReducedOracleSql: String =
+    bm25OracleSqlFrom("documents WHERE doc_id % 7 <> 0")
+
+  private def bm25OracleSqlFrom(src: String): String =
+    s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM $src),
         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
         tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
             CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
@@ -1296,19 +1305,22 @@ object Text {
           SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
           FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""")),
 
-    // ---- index DELETION propagated through the served BM25 tables ------
+    // ---- index DELETION folded through the served BM25 tables ----------
     // The op a served index needs that a rebuild-the-world batch job
     // doesn't: remove k docs and keep serving, without rescanning the
-    // corpus. One bounded pass over the DELETED docs' postings derives
-    // every decrement — per-term df drops (dict rows hitting zero are
-    // removed), the 1-row totals lose the deleted docs' counts — then
-    // postings and doc-lengths drop the doomed rows via the warehouse's
-    // S9 anti-join delete, and dict/totals republish from their pinned
-    // pre-delete snapshots. Cost ∝ |deleted| + |dict|, never corpus.
-    // Correctness bar (the point of the oracle): the surviving index
-    // must be INDISTINGUISHABLE from a fresh build on the reduced
-    // corpus — the oracle rebuilds from `documents` minus the same ids
-    // and the driver hash-compares the served scores.
+    // RAW CORPUS. One bounded pass over the DELETED docs' postings
+    // derives every decrement (applyBm25Deletes: per-term df drops,
+    // dict rows hitting zero removed, the 1-row totals lose the
+    // deleted docs' counts), then postings and doc-lengths FOLD the
+    // doomed rows out via the warehouse's S9 anti-join delete. The
+    // fold rewrites those two index tables — the maintenance-window
+    // shape (run it like compaction); x30 is the serve-time
+    // merge-on-read alternative whose delete cost is only the
+    // tombstone publish. Correctness bar (the point of the oracle):
+    // the surviving index must be INDISTINGUISHABLE from a fresh
+    // build on the reduced corpus — the oracle rebuilds from
+    // `documents` minus the same ids and the driver hash-compares the
+    // served scores.
     Q("x28_bm25_index_delete",
       (s, dir) => {
         import s.implicits._
@@ -1317,58 +1329,14 @@ object Text {
         // doomed ids: deterministic, ~1/7 of the corpus
         val doomed = wh.read("bm25_doclen")
           .filter($"doc_id" % 7 === 0).select($"doc_id")
-        // decrements from the doomed docs' postings (snapshot-pinned
-        // frames: wh.read resolves the manifest at call time, so these
-        // see the PRE-delete index no matter when they execute)
-        val dec = wh.read("bm25_postings")
-          .join(doomed, Seq("doc_id"), "left_semi")
-          .groupBy($"term").agg(count(lit(1)).as("ddf"))
-        val dictNew = wh.read("bm25_dict")
-          .join(dec, Seq("term"), "left")
-          .select($"term", ($"df" - coalesce($"ddf", lit(0L))).as("df"))
-          .filter($"df" > 0)
-        val delStats = wh.read("bm25_doclen")
-          .join(doomed, Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("dnd"), coalesce(sum($"dl"), lit(0L)).as("dlsum"))
-        val totNew = wh.read("bm25_totals").crossJoin(broadcast(delStats))
-          .select(($"nd" - $"dnd").as("nd"), ($"lsum" - $"dlsum").as("lsum"))
-        wh.atomicPublish("bm25_dict", dictNew)
-        wh.atomicPublish("bm25_totals", totNew)
+        applyBm25Deletes(wh, doomed)
         wh.delete("bm25_postings", doomed, Seq("doc_id"))
         wh.delete("bm25_doclen", doomed, Seq("doc_id"))
         // re-probe the surviving index — same serve path as x26
         val sc = servedSterms(wh, qterms)
         bm25TopK(sc, qterms)
       },
-      Some(s"""WITH d AS (SELECT doc_id, $duckToks AS toks FROM documents
-            WHERE doc_id % 7 <> 0),
-          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
-          tot AS (SELECT CAST(count(*) AS BIGINT) AS nd,
-              CAST(SUM(dl) AS BIGINT) AS lsum FROM dl),
-          tf AS (SELECT doc_id, term, count(*) AS tf
-            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
-            WHERE term IN ('dup', 'vector', 'join') GROUP BY doc_id, term),
-          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          sc AS (SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
-              (CAST(2 * (nd - df) + 1 AS DOUBLE) /
-                CAST(2 * df + 1 AS DOUBLE)) *
-              (CAST(22 * tf * lsum AS DOUBLE) /
-                CAST(10 * tf * lsum + 3 * lsum + 9 * dl * nd AS DOUBLE)) AS sterm
-            FROM tf JOIN dfq USING (term)
-              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot),
-          p AS (SELECT doc_id, dl,
-              COALESCE(MAX(CASE WHEN term = 'dup' THEN tf END), 0) AS tf_dup,
-              COALESCE(MAX(CASE WHEN term = 'vector' THEN tf END), 0) AS tf_vector,
-              COALESCE(MAX(CASE WHEN term = 'join' THEN tf END), 0) AS tf_join,
-              COALESCE(MAX(CASE WHEN term = 'dup' THEN sterm END), 0.0) AS s0,
-              COALESCE(MAX(CASE WHEN term = 'vector' THEN sterm END), 0.0) AS s1,
-              COALESCE(MAX(CASE WHEN term = 'join' THEN sterm END), 0.0) AS s2
-            FROM sc GROUP BY doc_id, dl)
-          SELECT doc_id, dl, CAST(tf_dup AS BIGINT) AS tf_dup,
-            CAST(tf_vector AS BIGINT) AS tf_vector,
-            CAST(tf_join AS BIGINT) AS tf_join,
-            s0 + s1 + s2 AS score
-          FROM p ORDER BY score DESC, doc_id LIMIT 10""")),
+      Some(bm25ReducedOracleSql)),
 
     // ---- incremental BM25 ADD — x28's other direction ------------------
     // New docs arrive after the index is built. The batch's postings
@@ -1412,7 +1380,36 @@ object Text {
         val sc = servedSterms(wh, qterms)
         bm25TopK(sc, qterms)
       },
-      Some(bm25OracleSql))
+      Some(bm25OracleSql)),
+
+    // ---- MERGE-ON-READ deletion: tombstones, no index rewrite ----------
+    // x28's fold rewrites the two corpus-sized index tables — fine in
+    // a maintenance window, wrong at delete time on a 100 TB index.
+    // The Delta/Iceberg deletion-vector shape instead: the delete
+    // publishes ONLY the tombstone id set (cost ∝ |deleted|, one tiny
+    // table) plus the vocab-bounded dict/totals decrements
+    // (applyBm25Deletes — scoring must see the reduced df/N
+    // immediately); postings and doc-lengths are NOT touched. Serving
+    // anti-joins the broadcast tombstones into the postings read —
+    // the per-query cost adds one broadcast probe. The fold (x28's
+    // wh.delete pair) then runs later as scheduled maintenance, like
+    // compaction. Same oracle as x28: served scores must be
+    // hash-identical to a fresh build on the reduced corpus, proving
+    // merge-on-read and eager-fold serve the SAME index.
+    Q("x30_bm25_tombstone_serve",
+      (s, dir) => {
+        import s.implicits._
+        val qterms = Seq("dup", "vector", "join")
+        val wh = buildBm25Index(s, dir, "bm25ts")
+        val doomed = wh.read("bm25_doclen")
+          .filter($"doc_id" % 7 === 0).select($"doc_id")
+        wh.atomicPublish("bm25_tombstones", doomed)
+        applyBm25Deletes(wh, doomed)
+        val sc = servedSterms(wh, qterms,
+          tombstones = Some(wh.read("bm25_tombstones")))
+        bm25TopK(sc, qterms)
+      },
+      Some(bm25ReducedOracleSql))
   )
 
   /** (doc_id, toks) view of the documents table — the tokenized input
@@ -1458,19 +1455,57 @@ object Text {
     wh
   }
 
+  /** Decrement the derived BM25 aggregates for a deleted-doc set: one
+    * bounded pass over the doomed docs' postings yields per-term df
+    * drops (dict rows hitting zero are removed) and the totals' count/
+    * length losses; dict and totals republish from snapshot-pinned
+    * pre-delete reads (wh.read resolves the manifest at call time, so
+    * the derivation sees the old index no matter when it executes).
+    * Cost ∝ |deleted| + |dict| — both tables are vocab-bounded / 1
+    * row. Shared by x28 (eager fold) and x30 (merge-on-read).
+    */
+  private def applyBm25Deletes(wh: graft.sources.Warehouse,
+      doomed: org.apache.spark.sql.DataFrame): Unit = {
+    val dec = wh.read("bm25_postings")
+      .join(doomed, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("ddf"))
+    val dictNew = wh.read("bm25_dict")
+      .join(dec, Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val delStats = wh.read("bm25_doclen")
+      .join(doomed, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("dnd"),
+        coalesce(sum(col("dl")), lit(0L)).as("dlsum"))
+    val totNew = wh.read("bm25_totals").crossJoin(broadcast(delStats))
+      .select((col("nd") - col("dnd")).as("nd"),
+        (col("lsum") - col("dlsum")).as("lsum"))
+    wh.atomicPublish("bm25_dict", dictNew)
+    wh.atomicPublish("bm25_totals", totNew)
+  }
+
   /** Serve-side per-term scores from a published BM25 index: postings
     * scanned under a pushed In() on the query terms (per-query cost ∝
     * posting-list length, not corpus size), dictionary and totals
-    * broadcast. Shared by x26 (single query), x27 (query batch), and
-    * x28 (post-delete re-probe).
+    * broadcast. `tombstones` (x30) anti-joins a broadcast deleted-doc
+    * set into the postings read — merge-on-read semantics with no
+    * index rewrite. Shared by x26 (single query), x27 (query batch),
+    * x28 (post-fold re-probe), x29 (post-increment), x30 (tombstoned).
     */
   private def servedSterms(wh: graft.sources.Warehouse,
-      qterms: Seq[String]): org.apache.spark.sql.DataFrame =
-    wh.read("bm25_postings")
+      qterms: Seq[String],
+      tombstones: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val post0 = wh.read("bm25_postings")
       .filter(col("term").isin(qterms: _*))
+    val post = tombstones.map(t =>
+      post0.join(broadcast(t), Seq("doc_id"), "left_anti")).getOrElse(post0)
+    post
       .join(broadcast(wh.read("bm25_dict")
         .filter(col("term").isin(qterms: _*))), "term")
       .join(wh.read("bm25_doclen"), "doc_id")
       .crossJoin(broadcast(wh.read("bm25_totals")))
       .withColumn("sterm", bm25Sterm)
+  }
 }
