@@ -574,6 +574,39 @@ object Sim {
         kept AS (SELECT vec_id, c_id FROM assigned
           WHERE vec_id % 7 <> 0 OR vec_id < 10),"""))),
 
+    // ---- MERGE-ON-READ IVF deletion: tombstones, no posting rewrite ----
+    // sim9's fold republishes the posting lists — x28/x30's trade-off,
+    // vector-side: at 100 TB the delete should cost |deleted|, not a
+    // postings rewrite. The tombstone table publishes alone; the probe
+    // anti-joins it (broadcast) into the posting-list read before
+    // candidate generation — IvfCodebook.topk is unchanged, the
+    // tombstoned frame just IS its `assigned` input. Same frozen
+    // codebook, same oracle as sim9: the driver hash-proves both
+    // deletion strategies serve the identical index.
+    Q("sim10_ivf_tombstone",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val (cents, assigned) = trainedCodebook(s, e)
+        val wh = graft.sources.Scratch.warehouse(s, "ivfts")
+        wh.atomicPublish("ivf_centroids", cents)
+        wh.atomicPublish("ivf_postings", assigned)
+        val doomed = wh.read("ivf_postings")
+          .filter($"vec_id" % 7 === 0 && $"vec_id" >= 10)
+          .select($"vec_id")
+        wh.atomicPublish("ivf_tombstones", doomed)
+        val served = wh.read("ivf_postings")
+          .join(broadcast(wh.read("ivf_tombstones")), Seq("vec_id"), "left_anti")
+        val queries = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        graft.operators.IvfCodebook.topk(e, queries,
+          wh.read("ivf_centroids"), served, 8, 10)
+          .orderBy($"q_id", $"rank")
+      },
+      Some(ivfTopkOracleFrom("kept", """
+        kept AS (SELECT vec_id, c_id FROM assigned
+          WHERE vec_id % 7 <> 0 OR vec_id < 10),"""))),
+
     // ---- corpus cartography: per-cluster profile -----------------------
     // The data-mixing view SemDeDup/cluster-curation pipelines decide
     // from: assign every embedding to the trained codebook and profile

@@ -196,53 +196,69 @@ final class FsPointerStore(acquireTimeoutMs: Long = 30000L,
 }
 
 /** Generation-fenced FILE pointer store: multi-process-safe conditional
-  * flips from nothing but atomic create-no-overwrite — no lock files to
-  * break, no in-JVM state (two separate processes coordinating through
-  * a shared filesystem get real mutual exclusion, which the lock-file
-  * store only approximates via breakable stale-lock heuristics and the
-  * in-memory store cannot give at all).
+  * flips from nothing but one atomic publish-no-overwrite primitive —
+  * no lock files to break, no in-JVM state (two separate processes
+  * coordinating through a shared filesystem get real mutual exclusion,
+  * which the lock-file store only approximates via breakable
+  * stale-lock heuristics and the in-memory store cannot give at all).
   *
-  * Layout: the pointer is a ladder of per-generation files,
+  * Layout: the pointer is a ladder of per-generation VALUE files
+  * `.<ptr>.gen-N`, each carrying the full pointer content for flip N,
+  * plus transient `.<ptr>.tmp-*` staging files. A flip stages its
+  * content to a tmp (fully written and closed), then publishes the tmp
+  * AS generation N+1 in one atomic fail-if-exists step:
   *
-  *   `.<ptr>.gen-N`  — the CLAIM: empty, created O_EXCL; owning
-  *                     generation N means winning the right to publish
-  *                     flip N. The creation is the linearization point:
-  *                     two processes racing for the same N cannot both
-  *                     win a create-no-overwrite.
-  *   `.<ptr>.val-N`  — the VALUE: written only by gen-N's claim winner
-  *                     (so the name is uncontended), carrying the
-  *                     pointer's content for that flip.
+  *   - `file://` — NIO `createLink` (POSIX link(2)): atomic, EEXIST if
+  *     the name is taken, and the linked file already has its content.
+  *     (A plain rename(2) silently OVERWRITES — never usable here; an
+  *     empty O_EXCL claim + separate value write is a two-step publish
+  *     whose half-done states reintroduce races, see below.)
+  *   - elsewhere — `fs.rename(tmp, gen)`: atomic in the HDFS namenode
+  *     and returns false when the destination exists. A store whose
+  *     rename overwrites (some object stores) must use a native
+  *     conditional-PUT implementation instead — which is this trait's
+  *     whole point.
   *
-  * read() = content of the highest-N val file. compareAndSet() =
-  * observe highest val (falling back to the caller's legacy observe()
-  * when no flip ever happened), require it equals `expected`, then
-  * claim gen max(allClaims)+1 — losing the claim create returns false
-  * (a concurrent flip is in flight), winning it publishes the val file
-  * and GCs generations below N-1 (one-generation reader grace).
+  * read() = content of the highest-N gen file (complete by
+  * construction — there is no observable claimed-but-valueless state).
   *
-  * Crash safety: a writer that dies between claim and val leaves a
-  * valueless claim; readers skip it (highest VAL wins — the crashed
-  * flip never published, which is correct) and the next writer simply
-  * claims one generation higher. Nothing needs breaking or repair.
+  * compareAndSet() = observe the current (gen g, value v) — falling
+  * back to the caller's legacy observe() before the first flip —
+  * require v == expected, then publish generation EXACTLY g+1. The
+  * strict +1 is load-bearing: the publish can only succeed for a
+  * writer that validated against the CURRENT generation's value, so
+  * the fail-if-exists publish IS the compare-and-swap, linearized by
+  * the filesystem. (The prior design claimed max(existing claims)+1;
+  * a writer that had validated against gen g but seen gen g+1's
+  * in-flight claim would claim g+2 and win WITHOUT ever comparing
+  * against g+1's value — two racing processes could both flip. The
+  * forked-JVM EtlSpec race caught exactly that.)
   *
-  * Fencing vs ABA: the compare is on the observed CONTENT (matching the
-  * trait contract), but the claim is on a GENERATION — so even two
-  * flips carrying identical content cannot both land on one
-  * observation, and a zombie writer resumed after a long pause cannot
-  * overwrite a successor's flip (its claim number is already taken).
+  * Crash safety: a writer that dies before the publish leaves only an
+  * orphan tmp — invisible to readers and writers (never part of the
+  * gen ladder), reaped by the next successful flip's GC. A writer
+  * that dies after the publish completed a valid flip. There is no
+  * state that blocks the ladder — no lock to break, no repair step.
+  *
+  * Fencing vs ABA: the compare is on the observed CONTENT (the trait
+  * contract), but the publish is fenced by GENERATION — two flips
+  * carrying identical content cannot both land on one observation,
+  * and a zombie writer resumed after a long pause cannot overwrite a
+  * successor's flip (its generation name is already taken).
   */
 final class GenFencedPointerStore extends PointerStore {
 
-  private def claimRe(ptrName: String) =
+  private def genRe(ptrName: String) =
     ("\\Q." + ptrName + ".gen-\\E(\\d+)").r
-  private def valRe(ptrName: String) =
-    ("\\Q." + ptrName + ".val-\\E(\\d+)").r
+  private def tmpPrefix(ptrName: String) = s".$ptrName.tmp-"
 
-  private def listGens(fs: FileSystem, root: Path, re: scala.util.matching.Regex): Seq[Long] =
+  private def listGens(fs: FileSystem, root: Path, ptrName: String): Seq[Long] = {
+    val re = genRe(ptrName)
     if (!fs.exists(root)) Nil
     else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
       case re(n) => n.toLong
     }
+  }
 
   private def readFile(fs: FileSystem, p: Path): String =
     if (fs.getScheme == "file")
@@ -254,11 +270,11 @@ final class GenFencedPointerStore extends PointerStore {
       finally in.close()
     }
 
-  /** Highest published (gen, value), None before the first flip. */
+  /** Current (gen, value), None before the first flip. */
   private def current(fs: FileSystem, root: Path,
       ptrName: String): Option[(Long, String)] =
-    listGens(fs, root, valRe(ptrName)).sorted.lastOption.map { g =>
-      (g, readFile(fs, new Path(root, s".$ptrName.val-$g")))
+    listGens(fs, root, ptrName).sorted.lastOption.map { g =>
+      (g, readFile(fs, new Path(root, s".$ptrName.gen-$g")))
     }
 
   override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] =
@@ -272,46 +288,64 @@ final class GenFencedPointerStore extends PointerStore {
     // store: once the ladder exists it IS the pointer's source of truth
     val effective = cur.map(_._2).orElse(observe())
     if (effective != expected) return false
-    val allClaims = listGens(fs, root, claimRe(ptrName))
-    val nextGen = (allClaims ++ cur.map(_._1)).foldLeft(0L)(_ max _) + 1
-    val claim = new Path(root, s".$ptrName.gen-$nextGen")
-    if (!tryCreate(fs, claim)) return false // lost the fence — conflict
-    val valPath = new Path(root, s".$ptrName.val-$nextGen")
+    // strictly observedGen+1 — see class doc; claiming past an
+    // in-flight generation would bypass the fence
+    val nextGen = cur.map(_._1).getOrElse(0L) + 1
+    val gen = new Path(root, s".$ptrName.gen-$nextGen")
+    val tmp = new Path(root,
+      tmpPrefix(ptrName) + java.util.UUID.randomUUID().toString)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    // stage the full content first — the publish step below is atomic
+    // and carries it whole; readers can never see a partial value
     if (fs.getScheme == "file")
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(valPath.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath),
         (next + "\n").getBytes("UTF-8"))
     else {
-      val out = fs.create(valPath, false)
+      val out = fs.create(tmp, false)
       try out.write((next + "\n").getBytes("UTF-8"))
       finally out.close()
     }
-    // stale-generation GC with one generation of reader grace: a reader
-    // that resolved N-1 just before this flip can still read its val
-    for (g <- (allClaims ++ listGens(fs, root, valRe(ptrName)))
-         .distinct.filter(_ < nextGen - 1)) {
+    val won =
+      try {
+        if (fs.getScheme == "file") {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(gen.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } else fs.rename(tmp, gen)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException                      => false
+      }
+    // the tmp is garbage whether we won (file://: the link carries the
+    // content) or lost (rename left it in place on failure)
+    try {
+      if (fs.getScheme == "file")
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      else fs.delete(tmp, false)
+    } catch { case _: java.io.IOException => () }
+    if (!won) return false
+    // GC with one generation of reader grace (a reader that resolved
+    // N-1 just before this flip can still read it), plus orphan tmps
+    // from CRASHED writers — age-gated well past any real stage→publish
+    // gap, so a live writer's in-flight tmp is never reaped (deleting
+    // one would only fail that writer's publish as a plain conflict,
+    // but spurious aborts are rude; a crashed writer's tmp is the only
+    // state this store can leak, and this bounds it)
+    for (g <- listGens(fs, root, ptrName).filter(_ < nextGen - 1))
       fs.delete(new Path(root, s".$ptrName.gen-$g"), false)
-      fs.delete(new Path(root, s".$ptrName.val-$g"), false)
-    }
+    val staleTmpMs = 600000L
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith(tmpPrefix(ptrName)) &&
+          System.currentTimeMillis() - st.getModificationTime > staleTmpMs)
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+      }
     true
   }
-
-  private def tryCreate(fs: FileSystem, p: Path): Boolean =
-    try {
-      if (fs.getScheme == "file") {
-        // Hadoop's local create-no-overwrite is exists-then-create —
-        // NOT atomic. NIO createFile is O_CREAT|O_EXCL.
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(p.toUri.getPath))
-        true
-      } else {
-        fs.create(p, false).close() // atomic on HDFS
-        true
-      }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: java.io.IOException                      => false
-    }
 }
 
 /** Conditional-PUT pointer store — the object-store shape (S3

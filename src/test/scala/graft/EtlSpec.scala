@@ -922,18 +922,20 @@ class EtlSpec extends SparkSpec {
     assert(!b.compareAndSet(fs, root, "_CURRENT", obsB, "m2b", () => None),
       "the stale writer must lose the conditional put")
     assert(b.read(fs, root, "_CURRENT") === Some("m2"))
-    // a crashed flip (claim without value) neither corrupts reads nor
-    // blocks later writers — no lock to break, the ladder just grows past it
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "._CURRENT.gen-99"))
+    // a crashed flip leaves ONLY an orphan staging tmp — invisible to
+    // readers, never blocking later writers (no lock to break; the
+    // publish-no-overwrite design has no claimed-but-valueless state)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp, "._CURRENT.tmp-deadwriter"),
+      "mX\n".getBytes("UTF-8"))
     assert(a.read(fs, root, "_CURRENT") === Some("m2"),
-      "a valueless claim must be invisible to readers")
+      "an orphan staging tmp must be invisible to readers")
     assert(a.compareAndSet(fs, root, "_CURRENT", Some("m2"), "m3", () => None))
     assert(b.read(fs, root, "_CURRENT") === Some("m3"))
-    // stale-generation GC: at most claim+val for current and previous gens
+    // stale-generation GC: at most current + previous gen files remain
     val genFiles = new java.io.File(tmp).listFiles()
-      .map(_.getName).filter(_.startsWith("._CURRENT.")).toSeq
-    assert(genFiles.count(_.contains(".val-")) <= 2,
-      s"stale generations not GC'd: $genFiles")
+      .map(_.getName).filter(_.startsWith("._CURRENT.gen-")).toSeq
+    assert(genFiles.size <= 2, s"stale generations not GC'd: $genFiles")
   }
 
   test("gen-fenced store: REAL separate processes racing one CAS — exactly one flip wins") {
