@@ -1180,5 +1180,76 @@ object Misc {
           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
           TRUE AS had_small_files, TRUE AS compacted
         FROM orders"""))
+    ,
+
+    // ---- Structured Streaming under the driver gate --------------------
+    // The full streaming pipeline end-to-end as a catalog row: events
+    // land as parquet files, `readStream` (file source) → watermarked
+    // 1-hour tumbling windows (EventStream.windowedCounts: partial agg
+    // before the (window, type) shuffle, state bounded by the
+    // watermark) → `foreachBatch` + keyed upsert into the manifest
+    // Warehouse (exactly-once: checkpointed batch ids + idempotent
+    // merge), Trigger.AvailableNow. The landing fits one trigger
+    // (4 files < maxFilesPerTrigger), so no window is ever evicted
+    // before a late file arrives and the result is deterministically
+    // the batch answer — StreamingSpec separately pins multi-batch
+    // stream==batch; THIS row pins the machinery itself (source,
+    // state, sink, checkpoint) to the DuckDB oracle. Window starts
+    // hash-compare as epoch micros (UTC session, the m7 discipline);
+    // totals use the exact DECIMAL(18,2)→double sequence.
+    Q("m31_stream_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        val land = graft.sources.Scratch.dir(s, "stml")
+        ev.repartition(4).write.mode("overwrite").parquet(land)
+        val wh = graft.sources.Scratch.warehouse(s, "stmw")
+        val chk = graft.sources.Scratch.dir(s, "stmc")
+        val q = graft.streaming.EventStream.sinkToWarehouse(
+          graft.streaming.EventStream.windowedCounts(
+            graft.streaming.EventStream.read(s, land)),
+          wh, "ev_win", Seq("w_start", "event_type"), chk)
+        q.awaitTermination()
+        wh.read("ev_win")
+          .select(unix_micros($"w_start").as("w_us"), $"event_type", $"n", $"total")
+          .orderBy($"w_us", $"event_type")
+      },
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS w_us, event_type,
+          count(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- metadata-only NDV: per-file HLL sidecars (puffin pattern) -----
+    // m6 sketches NDV in-query; THIS answers it from metadata alone:
+    // `buildNdv` writes one 4 KiB HLL register set per data file (one
+    // column-pruned pass, the compaction-style lazy maintenance job),
+    // and `statsApproxNdv` merges registers driver-side — the join/agg
+    // sizing statistic for a 100 TB table from kilobytes of sidecar,
+    // zero data files opened at query time (the m25 discipline,
+    // extended from counts to cardinality; Iceberg ships the same
+    // statistic as puffin theta sketches). The oracle pins the EXACT
+    // distinct count and row count; `sketch_ok` pins the estimate to
+    // 5 % (~3σ at p=12) — deterministic, because the hash and the
+    // register fold are pure integer math over the same value stream
+    // on every run.
+    Q("m32_ndv_sketch",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "ndv")
+        wh.atomicPublish("ord_ndv", o.repartition(8, $"o_orderkey"))
+        wh.buildNdv("ord_ndv", "o_custkey")
+        val est = wh.statsApproxNdv("ord_ndv", "o_custkey").getOrElse(-1L)
+        o.agg(countDistinct($"o_custkey").as("n_cust"),
+            count(lit(1)).as("n"))
+          .select($"n_cust", $"n",
+            (abs(lit(est) - $"n_cust").cast("double") / $"n_cust" <= 0.05)
+              .as("sketch_ok"))
+      },
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n,
+          TRUE AS sketch_ok
+        FROM orders"""))
   )
 }

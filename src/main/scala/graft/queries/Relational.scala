@@ -677,6 +677,36 @@ object Relational {
         SELECT 'removed' AS side, count(*) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
         FROM customer WHERE c_custkey % 100 = 0 OR c_acctbal < 0
-        ORDER BY side"""))
+        ORDER BY side""")),
+
+    // ---- Bloom-indexed point lookup: skipping beyond min/max ----------
+    // The table is hash-spread on doc_id across 16 files, so every
+    // file's footer [min, max] spans the whole key domain and range
+    // skipping keeps all 16 — the layout where `_stats` pruning is
+    // useless by construction. `buildBloom` (one column-pruned pass,
+    // one OR-merged fixed-width buffer per file) writes the
+    // `_bloom_doc_id` sidecar, and the 3-key lookup then plans a scan
+    // over only the files whose filters claim a key (~3 of 16; a false
+    // positive costs one extra file, the exact IN residual keeps
+    // correctness). `pruned` pins that the metadata actually shrank
+    // the scan. At 100 TB this is the difference between reading 3
+    // files and reading the table for every id-lookup on an
+    // arrival-ordered corpus.
+    Q("s16_bloom_point_lookup",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"source", $"n_chars")
+        val wh = graft.sources.Scratch.warehouse(s, "blm")
+        wh.atomicPublish("doc_pt", d.repartition(16, $"doc_id"))
+        wh.buildBloom("doc_pt", "doc_id")
+        val keys: Seq[Any] = Seq(7L, 123L, 400L)
+        val (kept, total) = wh.pruneFilesEquals("doc_pt", "doc_id", keys)
+        wh.readEquals("doc_pt", "doc_id", keys)
+          .withColumn("pruned", lit(kept.size < total))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, source, n_chars, TRUE AS pruned
+        FROM documents WHERE doc_id IN (7, 123, 400) ORDER BY doc_id"""))
   )
 }

@@ -729,6 +729,75 @@ object Sim {
         SELECT q_id, CAST(count(*) AS BIGINT) AS n_hits,
           round(CAST(count(*) AS DOUBLE) / 10.0, 2) AS recall_at_10
         FROM brute JOIN ivf USING (q_id, vec_id)
-        GROUP BY q_id ORDER BY q_id"""))
+        GROUP BY q_id ORDER BY q_id""")),
+
+    // ---- recall/nprobe curve — the tuning surface as a driver row ------
+    // sim8 pins recall at ONE operating point; this entry sweeps
+    // nprobe ∈ {1,2,4,8} and reports mean recall@10 at each — the
+    // curve an operator actually reads to pick the probe budget
+    // (recall climbs with nprobe, cost is nprobe/|C| of the corpus per
+    // query; the knee is the setting). Everything is exact-comparable
+    // for the same reason as sim8 (rounded codebook, deterministic
+    // tie-breaks), so a regression anywhere on the curve — not just at
+    // nprobe=8 — moves a hashed number. The brute-force reference and
+    // the posting lists are computed ONCE and persisted; each sweep
+    // point reuses them, so the sweep costs 4 probe plans over the
+    // same assignment, not 4 rebuilds.
+    Q("sim11_nprobe_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+        val brute = graft.operators.TopKAgg.rank(scored, 10, "cos")
+          .select($"q_id", $"vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (cents, assigned0) = trainedCodebook(s, e)
+        val assigned = assigned0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Seq(1, 2, 4, 8).map { np =>
+          graft.operators.IvfCodebook.topk(e, q, cents, assigned, np, 10)
+            .select($"q_id", $"vec_id")
+            .join(brute, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(np).as("nprobe"), $"n_hits",
+              round($"n_hits".cast("double") / 100.0, 2).as("mean_recall"))
+        }.reduce(_.unionByName(_)).orderBy($"nprobe")
+      },
+      Some(s"""WITH $codebookCtes,
+        nps(np) AS (VALUES (1), (2), (4), (8)),
+        probes AS (
+          SELECT np, q_id, c_id FROM (
+            SELECT nps.np, q.vec_id AS q_id, c.c_id,
+              row_number() OVER (PARTITION BY nps.np, q.vec_id
+                ORDER BY ${duckDot("q.embedding", "c.c_emb")} / (q.nrm * c.c_nrm) DESC,
+                  c.c_id) AS rn
+            FROM n q CROSS JOIN c2 c CROSS JOIN nps WHERE q.vec_id < 10)
+          WHERE rn <= np),
+        icand AS (
+          SELECT DISTINCT p.np, p.q_id, a.vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos
+          FROM probes p JOIN assigned a ON p.c_id = a.c_id AND a.vec_id <> p.q_id
+          JOIN n q ON q.vec_id = p.q_id JOIN n e ON e.vec_id = a.vec_id),
+        ivf AS (
+          SELECT np, q_id, vec_id FROM (
+            SELECT np, q_id, vec_id, row_number() OVER (PARTITION BY np, q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM icand)
+          WHERE rank <= 10),
+        brute AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) DESC,
+                  e.vec_id) AS rank
+            FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+          round(CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean_recall
+        FROM ivf JOIN brute USING (q_id, vec_id)
+        GROUP BY np ORDER BY np"""))
   )
 }

@@ -367,6 +367,182 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     base.where(lo && hi)
   }
 
+  /** Build a per-file Bloom-filter index for `column` over the CURRENT
+    * snapshot — the point-lookup skipping axis min/max stats cannot
+    * serve on key-unclustered files (see BloomIndex). Lazy maintenance
+    * op, not a write-path tax: one column-pruned pass over each version
+    * dir's files (the scan reads ONLY `column`), one fixed-width
+    * OR-merged buffer per file on the shuffle, and a `_bloom_<column>`
+    * sidecar per version dir, published whole-or-not-at-all via
+    * temp+rename. Files appended AFTER the build simply have no entry
+    * and are never pruned — re-run the build (idempotent) to cover
+    * them. At 100 TB this is the same scheduled job as compaction, and
+    * the scan cost is one column of the table, not the table.
+    */
+  /** Shared engine of the lazy column-index builders (`buildBloom`,
+    * `buildNdv`): for each version dir of the current snapshot, one
+    * column-pruned distributed pass over that version's files
+    * aggregates `aggFn` per file, keyed back to the manifest-relative
+    * path. Keys that fail to map onto a manifest rel path (encoding
+    * surprises) are dropped — the file then simply never prunes /
+    * never counts, which is always the safe direction.
+    */
+  private def perVersionColumnAgg[T](name: String, column: String,
+      aggFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      get: org.apache.spark.sql.Row => T)(
+      publish: (Path, Map[String, T]) => Unit): Unit = {
+    require(manifest, "lazy column indexes require manifest mode")
+    val root = new Path(tablePath(name))
+    snapshotFiles(name).groupBy(f =>
+        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.sortBy(_._1).foreach { case (v, fl) =>
+        if (v.nonEmpty) { // legacy root-level files: no sidecar home, skip
+          val base = s"${tablePath(name)}/$v"
+          val marker = s"/$v/"
+          val rel = fl.map(_.stripPrefix(v + "/")).toSet
+          val perFile = spark.read.option("basePath", base)
+            .parquet(fl.map(f => s"${tablePath(name)}/$f"): _*)
+            .select(input_file_name().as("_f"),
+              col(column).cast("string").as("_v"))
+            .groupBy(col("_f")).agg(aggFn(col("_v")).as("_agg"))
+            .collect()
+            .flatMap { row =>
+              val abs = row.getString(0)
+              val i = abs.indexOf(marker)
+              if (i < 0) None
+              else {
+                val r = abs.substring(i + marker.length)
+                if (rel(r)) Some(r -> get(row)) else None
+              }
+            }.toMap
+          publish(new Path(root, v), perFile)
+        }
+      }
+  }
+
+  def buildBloom(name: String, column: String,
+      bits: Int = 1 << 13, k: Int = 6): Unit = {
+    val bloomFn = udaf(new BloomIndex.BloomAgg(bits, k),
+      org.apache.spark.sql.Encoders.STRING)
+    perVersionColumnAgg[BloomIndex.FileBloom](name, column,
+      c => bloomFn(c),
+      row => BloomIndex.FileBloom(k, row.getSeq[Long](1).toArray)) {
+      (vdir, perFile) =>
+        BloomIndex.write(fileSystem(vdir), new Path(vdir, s"_bloom_$column"),
+          perFile)
+    }
+  }
+
+  /** Build per-file HLL NDV sketches for `column` over the current
+    * snapshot (`_ndv_<column>` sidecar per version dir) — same lazy
+    * maintenance shape as `buildBloom`; see NdvSketch for the role.
+    */
+  def buildNdv(name: String, column: String, p: Int = 12): Unit = {
+    val hllFn = udaf(new NdvSketch.HllAgg(p),
+      org.apache.spark.sql.Encoders.STRING)
+    perVersionColumnAgg[Array[Byte]](name, column,
+      c => hllFn(c),
+      row => row.getAs[Array[Byte]](1)) {
+      (vdir, perFile) =>
+        NdvSketch.write(fileSystem(vdir), new Path(vdir, s"_ndv_$column"),
+          perFile)
+    }
+  }
+
+  /** Approximate distinct count of `column`, answered from the
+    * `_ndv_<column>` sidecars alone — zero data files opened. None
+    * unless EVERY snapshot data file carries a sketch (a partial
+    * answer presented as the table's NDV would silently undercount —
+    * the statsMinMax completeness rule): re-run `buildNdv` after
+    * appends to restore coverage. Merging is the elementwise-max
+    * register fold, so the estimate equals the one a single sketch of
+    * the whole snapshot would give.
+    */
+  def statsApproxNdv(name: String, column: String): Option[Long] = {
+    require(manifest, "metadata NDV requires manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val byVersion = snapshotFiles(name).groupBy(f =>
+      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+    val sketches = byVersion.toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+      if (v.isEmpty) fl.map(_ => None) // legacy files never have sketches
+      else {
+        val side = NdvSketch.read(fs, new Path(new Path(root, v), s"_ndv_$column"))
+        fl.map(f => side.get(f.stripPrefix(v + "/")))
+      }
+    }
+    if (sketches.isEmpty || sketches.exists(_.isEmpty)) None
+    else {
+      val regs = sketches.flatten
+      val same = regs.forall(_.length == regs.head.length)
+      if (!same) None // mixed precisions: rebuild rather than guess
+      else Some(NdvSketch.estimate(regs.reduce(NdvSketch.merge)))
+    }
+  }
+
+  /** Point-lookup file pruning: the snapshot's file list filtered to
+    * files that may contain AT LEAST ONE of `values` in `column`,
+    * combining every metadata axis — hive partition-path values, footer
+    * min/max, and the Bloom sidecars when `buildBloom` has run. Files
+    * without stats or blooms are always kept; pruning only ever removes
+    * files proven empty for every probe value.
+    */
+  def pruneFilesEquals(name: String, column: String,
+      values: Seq[Any]): (Seq[String], Int) = {
+    require(manifest, "data skipping requires manifest mode")
+    val files = snapshotFiles(name)
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val kept = files.groupBy(f =>
+        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+        if (v.isEmpty) fl
+        else {
+          val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+          val blooms = BloomIndex.read(fs, new Path(new Path(root, v), s"_bloom_$column"))
+          fl.filter { f =>
+            val inner = f.stripPrefix(v + "/")
+            values.exists { value =>
+              partitionMayContain(f, column, Some(value), Some(value)) &&
+              (stats.get(inner).flatMap(_.get(column)) match {
+                case Some(cs) => FileStats.mayContain(cs, Some(value), Some(value))
+                case None     => true
+              }) &&
+              (blooms.get(inner) match {
+                case Some(fb) => BloomIndex.mightContain(fb.bits, fb.k, value.toString)
+                case None     => true
+              })
+            }
+          }
+        }
+      }
+    (kept, files.size)
+  }
+
+  /** Point-lookup scan: prune files via `pruneFilesEquals` (partition
+    * paths + min/max + blooms), read the survivors, and apply the exact
+    * IN residual on top — a Bloom false positive costs one extra file
+    * read, never a wrong row. The same full-snapshot type guard as
+    * `readSkipping` keeps a pruned read's residual semantics identical
+    * to an unpruned scan.
+    */
+  def readEquals(name: String, column: String, values: Seq[Any]): DataFrame = {
+    val (kept, _) = pruneFilesEquals(name, column, values)
+    val full = readFiles(name, snapshotFiles(name))
+    val base =
+      if (kept.isEmpty) full.where(lit(false))
+      else {
+        val pruned = readFiles(name, kept)
+        (full.schema.find(_.name == column),
+          pruned.schema.find(_.name == column)) match {
+          case (Some(f), Some(p)) if f.dataType != p.dataType =>
+            pruned.withColumn(column, col(column).cast(f.dataType))
+          case _ => pruned
+        }
+      }
+    base.where(col(column).isin(values: _*))
+  }
+
   def exists(name: String): Boolean = {
     if (!manifest) recover(name)
     val p = new Path(tablePath(name))

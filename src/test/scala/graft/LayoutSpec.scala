@@ -379,4 +379,115 @@ class LayoutSpec extends SparkSpec {
     assert(wh.read("t").agg(sum($"id")).as[Long].head() ===
       grid.agg(sum($"id")).as[Long].head(), "rewrite must preserve the data")
   }
+
+  test("bloom skipping: hash-spread keys prune where min/max cannot") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-bloom1")
+    // hash-spread on k: every file's [min,max] spans the domain
+    wh.atomicPublish("t", clustered().repartition(16, $"k"))
+
+    val (k0, t0) = wh.pruneFilesEquals("t", "k", Seq(4242L))
+    assert(t0 === 16 && k0.size === 16,
+      s"min/max can prove nothing on a hash layout, kept ${k0.size}")
+
+    wh.buildBloom("t", "k")
+    val (k1, _) = wh.pruneFilesEquals("t", "k", Seq(4242L))
+    assert(k1.size <= 3, s"bloom should keep ~1 of 16 files, kept ${k1.size}")
+
+    // zero false negatives: every key must come back, rows exact
+    val got = wh.readEquals("t", "k", Seq(0L, 4242L, 9999L))
+      .orderBy($"k").select($"k", $"s").as[(Long, String)].collect()
+    assert(got === Array((0L, "s00000"), (4242L, "s04242"), (9999L, "s09999")))
+  }
+
+  test("bloom skipping: absent key prunes everything; no index prunes nothing") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-bloom2")
+    wh.atomicPublish("t", clustered().repartition(16, $"k"))
+    // no buildBloom yet: correct, unpruned
+    assert(wh.readEquals("t", "k", Seq(123L)).count() === 1)
+
+    // "s05000x" sorts INSIDE every file's [min,max] (hash layout), so
+    // only the bloom can prove it absent — min/max alone keeps all 16
+    wh.buildBloom("t", "s")
+    val (kept, total) = wh.pruneFilesEquals("t", "s", Seq("s05000x"))
+    assert(kept.size < total,
+      s"bloom must prune an absent in-range key, kept ${kept.size}/$total")
+    assert(wh.readEquals("t", "s", Seq("s05000x")).count() === 0)
+  }
+
+  test("bloom skipping: files appended after the build stay unpruned and correct") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-bloom3")
+    wh.atomicPublish("t", clustered().repartition(8, $"k"))
+    wh.buildBloom("t", "k")
+    // append rows 10000..10999 — the new version has NO bloom sidecar
+    wh.append("t", spark.range(10000, 11000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .withColumn("d", $"k".cast("double") / 100.0)
+      .withColumn("tag", ($"k" % 7).cast("int"))
+      .repartition(4, $"k"))
+
+    val got = wh.readEquals("t", "k", Seq(5L, 10500L))
+      .orderBy($"k").select($"k").as[Long].collect()
+    assert(got === Array(5L, 10500L),
+      "a post-build append must stay visible (absence of bloom = keep)")
+
+    // re-running the build covers the appended version too
+    wh.buildBloom("t", "k")
+    val (kept, total) = wh.pruneFilesEquals("t", "k", Seq(10500L))
+    assert(kept.size < total, s"rebuilt index must prune, kept ${kept.size}/$total")
+  }
+
+  test("ndv sketch: metadata-only distinct count within tolerance; partial coverage = None") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-ndv")
+    wh.atomicPublish("t", clustered().repartition(8, $"k"))
+    assert(wh.statsApproxNdv("t", "k").isEmpty, "no sketch yet ⇒ unknown")
+
+    wh.buildNdv("t", "k")
+    val est = wh.statsApproxNdv("t", "k")
+    assert(est.isDefined)
+    assert(math.abs(est.get - 10000L) <= 500,
+      s"10k distinct keys must estimate within 5%, got ${est.get}")
+    // low-cardinality column: tag has 7 distinct values — the
+    // small-range linear-counting regime must be near-exact
+    wh.buildNdv("t", "tag")
+    assert(wh.statsApproxNdv("t", "tag").contains(7L))
+
+    // append without rebuilding: coverage is partial ⇒ None, never a
+    // silent undercount presented as the table's NDV
+    wh.append("t", clustered().repartition(2, $"k"))
+    assert(wh.statsApproxNdv("t", "k").isEmpty)
+    wh.buildNdv("t", "k")
+    val est2 = wh.statsApproxNdv("t", "k")
+    // the appended rows are the same 10k keys: merged NDV unchanged
+    assert(est2.isDefined && math.abs(est2.get - 10000L) <= 500,
+      s"idempotent keys must not move the merged estimate, got ${est2.get}")
+  }
+
+  test("bloom sidecar: torn/malformed lines never cause a wrong prune") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-bloom4")
+    wh.atomicPublish("t", clustered().repartition(8, $"k"))
+    wh.buildBloom("t", "k")
+    // corrupt the sidecar: truncate one line mid-base64 and garbage another
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val side = new org.apache.hadoop.fs.Path(s"$tmp/t/_v1/_bloom_k")
+    val in = fs.open(side)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split('\n').filter(_.nonEmpty)
+    val mangled = (lines.head.take(lines.head.length / 2) +:
+      "garbage line without tabs" +: lines.tail.drop(1)).mkString("\n")
+    val out = fs.create(side, true)
+    try out.write(mangled.getBytes("UTF-8")) finally out.close()
+
+    // every key still found: the mangled entries fall back to keep
+    val got = wh.readEquals("t", "k", Seq(1L, 2500L, 7777L))
+      .orderBy($"k").select($"k").as[Long].collect()
+    assert(got === Array(1L, 2500L, 7777L),
+      "malformed sidecar lines must degrade to no-prune, never wrong rows")
+  }
 }
