@@ -1250,6 +1250,53 @@ object Misc {
       },
       Some("""SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n,
           TRUE AS sketch_ok
-        FROM orders"""))
+        FROM orders""")),
+
+    // ---- stream-stream interval join under the driver gate -------------
+    // The second streaming shape a real event pipeline runs (m31 is
+    // the windowed aggregate): clicks joined to same-user views in the
+    // preceding hour, APPEND output mode — the mode where results are
+    // held until the watermark proves them complete, which is exactly
+    // the semantics that bounds join state (EventStream
+    // .clicksWithPriorView; one hour of views per user, however long
+    // the stream runs). AvailableNow's final watermark advance
+    // flushes state, so stream == batch deterministically
+    // (StreamingSpec pins it); the gate hash-checks the flushed pairs
+    // against the plain-SQL self-join. Sunk through the same
+    // exactly-once foreachBatch + keyed upsert as m31, keyed by the
+    // (click, view) pair.
+    Q("m33_stream_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        val land = graft.sources.Scratch.dir(s, "sjl")
+        ev.repartition(4).write.mode("overwrite").parquet(land)
+        val wh = graft.sources.Scratch.warehouse(s, "sjw")
+        val chk = graft.sources.Scratch.dir(s, "sjc")
+        val q = graft.streaming.EventStream.clicksWithPriorView(
+            graft.streaming.EventStream.read(s, land))
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            wh.upsert("cv", b, Seq("click_id", "view_id"))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        wh.read("cv")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"click_id").as("n_clicks"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT c.user_id, count(*) AS n_pairs,
+          COUNT(DISTINCT c.event_id) AS n_clicks
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+          AND c.event_type = 'click' AND v.event_type = 'view'
+          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        GROUP BY c.user_id ORDER BY c.user_id"""))
   )
 }

@@ -707,6 +707,37 @@ object Relational {
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, source, n_chars, TRUE AS pruned
-        FROM documents WHERE doc_id IN (7, 123, 400) ORDER BY doc_id"""))
+        FROM documents WHERE doc_id IN (7, 123, 400) ORDER BY doc_id""")),
+
+    // ---- partition evolution: one table, two physical layouts --------
+    // The Iceberg headline feature on the manifest warehouse: the even
+    // half of orders publishes FLAT (status is a data column), the odd
+    // half appends hive-partitioned BY status (appendEvolved) — no
+    // rewrite of history, and one snapshot read serves both vintages
+    // (per-version basePath + unionByName). The status filter then
+    // prunes the evolved vintage by PATH (only the o_orderstatus=F
+    // directory's files survive) while flat files fall back to footer
+    // stats; `pruned` pins that the mixed snapshot actually skipped
+    // files. At 100 TB this is how a table adopts a better layout
+    // mid-life without a 100 TB rewrite.
+    Q("s17_partition_evolution",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "pev")
+        wh.atomicPublish("ord_pe", o.filter($"o_orderkey" % 2 === 0))
+        wh.appendEvolved("ord_pe", o.filter($"o_orderkey" % 2 === 1),
+          Seq("o_orderstatus"))
+        val (kept, total) =
+          wh.pruneFiles("ord_pe", "o_orderstatus", Some("F"), Some("F"))
+        wh.read("ord_pe").filter($"o_orderstatus" === "F")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+          .select($"n", $"revenue", lit(kept.size < total).as("pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          TRUE AS pruned
+        FROM orders WHERE o_orderstatus = 'F'"""))
   )
 }

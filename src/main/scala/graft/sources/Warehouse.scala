@@ -1096,6 +1096,32 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
     }
 
+  /** Partition evolution (the Iceberg headline feature, manifest mode):
+    * append a batch under an EXPLICIT hive layout that may differ from
+    * every earlier version's — history is never rewritten; the new
+    * files land partitioned, the old files keep their layout, and the
+    * snapshot lists both. Readers already handle the mix (readFiles
+    * resolves each version against its own basePath and unions by
+    * name), and pruning composes per vintage: evolved files prune by
+    * partition PATH, flat files by footer stats. The partition column
+    * must exist as a data column in the flat vintages (it is
+    * reconstructed from the path in evolved ones) with a type hive
+    * path inference re-derives (string/numeric) — the catalog row uses
+    * a string key. A later full rewrite (upsert with partitionCols, or
+    * compact) migrates everything to one layout, exactly Iceberg's
+    * rewrite story.
+    *
+    * Plain `append` intentionally PRESERVES the current layout; this
+    * is the explicit opt-in to change it.
+    */
+  def appendEvolved(name: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    require(manifest, "partition evolution requires manifest mode")
+    val (base, before) = resolveSnapshot(name)
+    val (n, added) = writeVersion(name, df, partitionCols)
+    commitSnapshot(name, n, before ++ added, base)
+  }
+
   /** Initialize a table if absent (S10 bootstrap). */
   def create(name: String, df: DataFrame): Unit =
     if (!exists(name)) {

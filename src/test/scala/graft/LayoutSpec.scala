@@ -439,6 +439,26 @@ class LayoutSpec extends SparkSpec {
     assert(kept.size < total, s"rebuilt index must prune, kept ${kept.size}/$total")
   }
 
+  test("partition evolution: flat + hive vintages serve one snapshot; evolved files prune by path") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-pevo")
+    val df = clustered()
+    wh.atomicPublish("t", df.filter($"k" < 5000))            // flat vintage
+    wh.appendEvolved("t", df.filter($"k" >= 5000), Seq("tag")) // evolved vintage
+    assert(wh.read("t").count() === 10000,
+      "one snapshot must serve both physical layouts")
+
+    val expected3 = df.filter($"tag" === 3).count()
+    assert(wh.read("t").filter($"tag" === 3).count() === expected3,
+      "the partition column must read identically from data and from path")
+
+    val (kept, total) = wh.pruneFiles("t", "tag", Some(3), Some(3))
+    assert(kept.size < total,
+      s"evolved vintage must prune by partition path, kept ${kept.size}/$total")
+    assert(wh.readSkipping("t", "tag", Some(3), Some(3)).count() === expected3,
+      "pruned mixed-layout scan must equal the exact filter")
+  }
+
   test("ndv sketch: metadata-only distinct count within tolerance; partial coverage = None") {
     import spark.implicits._
     val (wh, _) = mk("graft-ndv")
