@@ -739,5 +739,71 @@ object Relational {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
           TRUE AS pruned
         FROM orders WHERE o_orderstatus = 'F'"""))
+    ,
+
+    // ---- SQL surface: correlated scalar subquery (TPC-H Q17 shape) ---
+    // The raw-SQL path through the engine, exercising Catalyst's
+    // subquery DECORRELATION: the per-part average-quantity threshold
+    // is written as a correlated scalar subquery and must plan as one
+    // aggregate + equi-join — never a per-row re-execution (the
+    // reference's N+1 anti-pattern) and never a nested-loop
+    // (PlanSpec pins it; the explain gate rejects cartesians
+    // catalog-wide). Exactness: the subquery's avg is the dsum
+    // discipline spelled out — DECIMAL(18,2) sum, cast to DOUBLE,
+    // divide by the count — so the threshold is bit-identical on both
+    // engines and the `<` comparison never flips on a borderline row.
+    Q("q17_corr_subquery",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("q17_lineitem")
+        t(s, dir, "part").createOrReplaceTempView("q17_part")
+        s.sql("""
+          SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly
+          FROM q17_lineitem l JOIN q17_part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#9'
+            AND l.l_quantity < (
+              SELECT CAST(0.2 AS DOUBLE) *
+                (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE))
+              FROM q17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")
+      },
+      Some("""SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#9'
+          AND l.l_quantity < (
+            SELECT CAST(0.2 AS DOUBLE) *
+              (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE))
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""")),
+
+    // ---- SQL surface: EXISTS subquery (TPC-H Q4 shape) ---------------
+    // The EXISTS form of the existence probe (J5's anti-join is the
+    // NOT-EXISTS dual): orders with at least one late-shipping line,
+    // counted per priority. Catalyst decorrelates the EXISTS into a
+    // left-semi join on o_orderkey — one pass over each table, no
+    // per-order probe. Dates compare as DATE on both engines (the
+    // parquet column is a naive timestamp; a TIMESTAMP literal would
+    // be session-zoned on Spark and naive on DuckDB).
+    Q("q4_exists_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("q4_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+        s.sql("""
+          SELECT o.o_orderpriority, count(*) AS n
+          FROM q4_orders o
+          WHERE EXISTS (
+            SELECT 1 FROM q4_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND CAST(l.l_shipdate AS DATE) > DATE '1999-06-01')
+          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")
+      },
+      Some("""SELECT o.o_orderpriority, count(*) AS n
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > DATE '1999-06-01')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
   )
 }

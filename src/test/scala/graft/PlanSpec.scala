@@ -197,4 +197,19 @@ class PlanSpec extends SparkSpec {
     assert(!sp.contains("CartesianProduct"),
       s"sim9: cartesian crept into the post-delete probe:\n$sp")
   }
+
+  test("q17/q4: SQL subqueries decorrelate to joins — no nested loop, no per-row re-execution") {
+    val p17 = planOf("q17_corr_subquery")
+    assert(!p17.contains("BroadcastNestedLoopJoin") && !p17.contains("CartesianProduct"),
+      s"q17: correlated scalar subquery failed to decorrelate:\n$p17")
+    // the threshold aggregate runs ONCE as a grouped aggregate joined
+    // back on the correlation key — a scalar Subquery node surviving
+    // into the physical plan would mean per-row re-execution
+    assert(p17.contains("HashAggregate"), s"q17: no aggregate in plan:\n$p17")
+
+    val p4 = planOf("q4_exists_subquery")
+    assert(p4.contains("LeftSemi"), s"q4: EXISTS did not plan as a semi join:\n$p4")
+    assert(!p4.contains("BroadcastNestedLoopJoin") && !p4.contains("CartesianProduct"),
+      s"q4: EXISTS fell back to a nested loop:\n$p4")
+  }
 }
