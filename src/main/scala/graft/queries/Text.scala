@@ -873,6 +873,102 @@ object Text {
         SELECT doc_id, n_bigrams, entropy, round(exp(entropy), 4) AS ppl
         FROM h ORDER BY doc_id""")),
 
+    // ---- Kneser–Ney trigram LM (KenLM-parity smoothing) ----------------
+    // x18 approximates the CCNet/KenLM filter with an interpolated
+    // bigram; THIS is the real smoothing KenLM ships: interpolated
+    // Kneser–Ney with absolute discount D = 0.75,
+    //   p(w|u,v) = (c(uvw)−D)/c(uv·) + D·N1+(uv·)/c(uv·) · pKN(w|v)
+    //   pKN(w|v) = (N1+(·vw)−D)/N1+(·v·) + D·N1+(v·)/N1+(·v·) · pc(w)
+    //   pc(w)    = N1+(·w)/N1+(··)          (continuation unigram)
+    // Every N1+ is a DISTINCT-context count — the KN insight that a
+    // word's backoff mass should reflect how many contexts it appears
+    // in, not how often. Self-scoring (model fit on the corpus it
+    // scores, like x18) keeps every trigram count ≥ 1, so no term is
+    // ever undefined and the whole formula is divisions/multiplies of
+    // exact int64 counts and the exactly-representable 0.75, run in
+    // ONE spelled-out order on both engines.
+    //
+    // Scale shape: trigrams come from the same row-local slice as
+    // x18's bigrams (no window, no corpus sort); all five count
+    // tables are map-side-combined aggregates OF the trigram-count
+    // table (not of the stream), so shuffles shrink at each level;
+    // scoring is equi-joins on (u,v), (v,w), v, w plus one broadcast
+    // total. At 100 TB: fit on a sample, publish, broadcast — the
+    // x20/x21 discipline.
+    Q("x31_kn_trigram",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .filter(size($"toks") >= 3)
+        val tri = d.select($"doc_id",
+            explode(transform(sequence(lit(1), size($"toks") - 2),
+              i => struct(element_at($"toks", i).as("w1"),
+                element_at($"toks", i + 1).as("w2"),
+                element_at($"toks", i + 2).as("w3")))).as("t"))
+          .select($"doc_id", $"t.w1", $"t.w2", $"t.w3")
+        val c3 = tri.groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // trigram context: total + distinct-continuation counts per (u,v)
+        val ctx = c3.groupBy($"w1", $"w2")
+          .agg(sum($"c3").as("ctx"), count(lit(1)).as("n1p"))
+        // continuation bigram level: distinct u preceding each (v,w)
+        val nvw = c3.groupBy($"w2", $"w3").agg(count(lit(1)).as("nvw"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nv = nvw.groupBy($"w2")
+          .agg(sum($"nvw").as("nv"), count(lit(1)).as("nfv"))
+        val ncw = nvw.groupBy($"w3").agg(count(lit(1)).as("ncw"))
+        val ntot = nvw.agg(count(lit(1)).as("ntot"))
+        val D = lit(0.75)
+        val pcont = $"ncw".cast("double") / $"ntot".cast("double")
+        val pbi = ($"nvw".cast("double") - D) / $"nv".cast("double") +
+          (D * $"nfv".cast("double") / $"nv".cast("double")) * pcont
+        val ptri = ($"c3".cast("double") - D) / $"ctx".cast("double") +
+          (D * $"n1p".cast("double") / $"ctx".cast("double")) * pbi
+        tri.join(c3, Seq("w1", "w2", "w3")).join(ctx, Seq("w1", "w2"))
+          .join(nvw, Seq("w2", "w3")).join(nv, Seq("w2")).join(ncw, Seq("w3"))
+          .crossJoin(broadcast(ntot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(avg(-log(ptri)), 6).as("entropy"))
+          .select($"doc_id", $"n_trigrams", $"entropy",
+            round(exp($"entropy"), 4).as("ppl"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH d AS (
+          SELECT doc_id, toks FROM
+            (SELECT doc_id, $duckToks AS toks FROM documents)
+          WHERE len(toks) >= 3),
+        tri AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(toks)-1), i -> toks[i])) AS w1,
+            unnest(list_transform(range(1, len(toks)-1), i -> toks[i+1])) AS w2,
+            unnest(list_transform(range(1, len(toks)-1), i -> toks[i+2])) AS w3
+          FROM d),
+        c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+        ctx AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx,
+            count(*) AS n1p FROM c3 GROUP BY w1, w2),
+        nvw AS (SELECT w2, w3, count(*) AS nvw FROM c3 GROUP BY w2, w3),
+        nv AS (SELECT w2, CAST(SUM(nvw) AS BIGINT) AS nv,
+            count(*) AS nfv FROM nvw GROUP BY w2),
+        ncw AS (SELECT w3, count(*) AS ncw FROM nvw GROUP BY w3),
+        t AS (SELECT count(*) AS ntot FROM nvw),
+        h AS (
+          SELECT doc_id, count(*) AS n_trigrams,
+            round(avg(-ln(
+              (CAST(c3 AS DOUBLE) - 0.75) / CAST(ctx AS DOUBLE)
+                + (0.75 * CAST(n1p AS DOUBLE) / CAST(ctx AS DOUBLE)) *
+                  ((CAST(nvw AS DOUBLE) - 0.75) / CAST(nv AS DOUBLE)
+                    + (0.75 * CAST(nfv AS DOUBLE) / CAST(nv AS DOUBLE)) *
+                      (CAST(ncw AS DOUBLE) / CAST(ntot AS DOUBLE))))), 6)
+              AS entropy
+          FROM tri JOIN c3 USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+            JOIN nvw USING (w2, w3) JOIN nv USING (w2) JOIN ncw USING (w3)
+            CROSS JOIN t
+          GROUP BY doc_id)
+        SELECT doc_id, n_trigrams, entropy, round(exp(entropy), 4) AS ppl
+        FROM h ORDER BY doc_id""")),
+
     // ---- script / charset composition (curation pre-filter) ------------
     // The character-class profile crawl pipelines gate on before any
     // tokenization (CCNet drops pages by non-printable/letter ratios;
