@@ -582,6 +582,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private val CurrentPtr = "_CURRENT"
   private val ManifestRe = "_manifest_v(\\d+)".r
   private val VersionRe = "_v(\\d+)".r
+  private val InflightRe = "_inflight_v(\\d+)".r
+
+  /** How long an `_inflight_v<n>` marker shields its version dir from
+    * another commit's GC. A marker is created (create-no-overwrite —
+    * it doubles as the version-number claim) before any data is
+    * written and released when the owning commit succeeds or aborts;
+    * only a crashed writer leaves one behind, and after this grace its
+    * dir is reaped like any other orphan. Without the marker, a
+    * concurrent commit's GC sweep could delete a version dir another
+    * writer is still writing — or has written and is about to commit
+    * via append-rebase.
+    */
+  private val InflightGraceMs: Long = 15L * 60 * 1000
 
   /** Data files (relative to the table root) of the current snapshot.
     * Resolution: `_CURRENT` pointer → manifest file; if the pointer is
@@ -657,6 +670,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val seen = fs.listStatus(root).map(_.getPath.getName).collect {
         case ManifestRe(v) => v.toLong
         case VersionRe(v)  => v.toLong
+        case InflightRe(v) => v.toLong
       }
       if (seen.isEmpty) 1L else seen.max + 1
     }
@@ -705,9 +719,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * pointer's critical section.
     */
   private def commitSnapshot(name: String, n: Long, files: Seq[String],
-      expectedPrev: Option[String]): Unit = {
+      expectedPrev: Option[String],
+      retainVersionOnAbort: Boolean = false,
+      ownVersion: Option[Long] = None): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
+    // the version dir this commit wrote (and whose in-flight marker it
+    // must release): the manifest number for direct commits, the
+    // original write's number for an append REBASE recommitting under
+    // a fresh manifest
+    val own = ownVersion.getOrElse(n)
     val prev = expectedPrev.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
     val mf = new Path(root, s"_manifest_v$n")
     val out = fs.create(mf, false)
@@ -721,12 +742,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .orElse(highestManifest(fs, root, exclude = Some(mf.getName)))
     def abort(observed: Option[String]): Nothing = {
       fs.delete(mf, false)
-      fs.delete(new Path(root, s"_v$n"), true)
+      // an append REBASE keeps its already-written version dir (and its
+      // in-flight marker): the files are base-independent and the retry
+      // recommits them under a fresh manifest instead of rewriting the
+      // data (the caller owns final cleanup if every retry fails)
+      if (!retainVersionOnAbort) {
+        fs.delete(new Path(root, s"_v$own"), true)
+        fs.delete(new Path(root, s"_inflight_v$own"), false)
+      }
       throw new java.util.ConcurrentModificationException(
         s"concurrent commit on table '$name': this commit was based on " +
         s"snapshot ${expectedPrev.getOrElse("<none>")} but _CURRENT now " +
         s"names ${observed.getOrElse("<none>")} — aborted (orphan manifest " +
-        "and version dir removed); re-read the table and retry")
+        "removed); re-read the table and retry")
     }
     val observed = observe()
     if (observed != expectedPrev) abort(observed)
@@ -734,18 +762,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     if (!pointerStore.compareAndSet(fs, root, CurrentPtr, expectedPrev,
         mf.getName, () => observe()))
       abort(observe())
+    // committed: the own version dir is now manifest-referenced — its
+    // in-flight shield has done its job
+    fs.delete(new Path(root, s"_inflight_v$own"), false)
     // GC: a _vN dir is deletable only when NEITHER the new nor the
-    // previous snapshot references any file in it; manifests older than
-    // the just-superseded one go too (metadata would otherwise grow one
-    // tiny file per publish forever)
+    // previous snapshot references any file in it — AND no live writer
+    // still shields it with a fresh in-flight marker (a stale marker
+    // means a crashed writer; its dir is reaped like any orphan).
+    // Manifests older than the just-superseded one go too (metadata
+    // would otherwise grow one tiny file per publish forever).
     val live = (files ++ prev).flatMap(_.split("/").headOption).collect {
       case v @ VersionRe(_) => v
     }.toSet
     val keepManifests = Set(mf.getName) ++ expectedPrev
+    def markerFresh(num: String): Boolean = {
+      val marker = new Path(root, s"_inflight_v$num")
+      try fs.exists(marker) &&
+        System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime < InflightGraceMs
+      catch { case _: java.io.IOException => false }
+    }
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case v @ VersionRe(_) if st.isDirectory && !live.contains(v) =>
+        case v @ VersionRe(num) if st.isDirectory && !live.contains(v) &&
+            !markerFresh(num) =>
           fs.delete(st.getPath, true)
+          fs.delete(new Path(root, s"_inflight_v$num"), false)
+        case i @ InflightRe(num) if st.isFile && !markerFresh(num) &&
+            !fs.exists(new Path(root, s"_v$num")) =>
+          fs.delete(st.getPath, false) // stale marker whose dir is gone
         case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
           fs.delete(st.getPath, false)
         case _ => ()
@@ -1051,7 +1095,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       partitionCols: Seq[String]): (Long, Seq[String]) = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val n = nextVersion(fs, root)
+    // claim the version number by creating its in-flight marker
+    // create-no-overwrite: the marker is both the allocation lock (two
+    // writers can no longer collide on the same _vN) and the GC shield
+    // for the whole write→commit window (see InflightGraceMs)
+    var n = nextVersion(fs, root)
+    var claimed = false
+    while (!claimed) {
+      val marker = new Path(root, s"_inflight_v$n")
+      if (fs.exists(new Path(root, s"_v$n")) || fs.exists(marker)) n += 1
+      else {
+        try { fs.create(marker, false).close(); claimed = true }
+        catch { case _: java.io.IOException => n += 1 }
+      }
+    }
     val vdir = new Path(root, s"_v$n")
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -1085,16 +1142,59 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // writes under the same hive layout (else the mixed layout would
       // silently demote the table to unpartitioned); derived from the
       // already-resolved snapshot — no second pointer+manifest read.
-      // `base` is the CAS expectation: if anyone publishes between
-      // this resolve and the pointer flip, the commit aborts loudly
-      // instead of silently dropping their rows from the new snapshot.
       val parts = partitionColsFrom(before.headOption)
       val (n, added) = writeVersion(name, df, parts)
-      commitSnapshot(name, n, before ++ added, base)
+      commitAppend(name, n, added, base, before)
     } else {
       recover(name)
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
     }
+
+  /** Commit an append with automatic REBASE on concurrent commits —
+    * the Delta/Iceberg append-append resolution: a blind append only
+    * ADDS files, so another writer's intervening commit never
+    * invalidates the batch; losing the pointer CAS means re-resolving
+    * the fresh snapshot and recommitting the SAME already-written
+    * version dir under a fresh manifest (no data rewrite). Contrast
+    * `atomicPublish`/`upsert`/`delete`, whose file lists are COMPUTED
+    * from the base snapshot — for those an intervening commit means
+    * the computation itself is stale, so they stay strict (abort
+    * loudly, caller re-reads and re-derives). Bounded retries: under
+    * sustained contention the loss eventually propagates to the
+    * caller, with the version dir cleaned up.
+    */
+  private def commitAppend(name: String, n: Long, added: Seq[String],
+      base0: Option[String], before0: Seq[String],
+      maxRebases: Int = 4): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val (base, before) =
+        if (attempt == 0) (base0, before0) else resolveSnapshot(name)
+      val mN = if (attempt == 0) n else nextVersion(fs, root)
+      try {
+        commitSnapshot(name, mN, before ++ added, base,
+          retainVersionOnAbort = true, ownVersion = Some(n))
+        done = true
+      } catch {
+        // CME = lost the pointer CAS; IOException = two rebasing
+        // appenders allocated the same manifest number and this one
+        // lost the create-no-overwrite — both mean "someone else
+        // committed first", both rebase. A genuine IO failure stops
+        // the loop at the retry budget and still cleans up.
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: java.io.IOException) =>
+          if (attempt >= maxRebases) {
+            fs.delete(new Path(root, s"_v$n"), true)
+            fs.delete(new Path(root, s"_inflight_v$n"), false)
+            throw e
+          }
+          attempt += 1
+      }
+    }
+  }
 
   /** Partition evolution (the Iceberg headline feature, manifest mode):
     * append a batch under an EXPLICIT hive layout that may differ from
@@ -1119,7 +1219,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "partition evolution requires manifest mode")
     val (base, before) = resolveSnapshot(name)
     val (n, added) = writeVersion(name, df, partitionCols)
-    commitSnapshot(name, n, before ++ added, base)
+    commitAppend(name, n, added, base, before) // pure append: rebases too
   }
 
   /** Initialize a table if absent (S10 bootstrap). */

@@ -383,7 +383,7 @@ class EtlSpec extends SparkSpec {
     assert(orphans.isEmpty, s"orphaned .crc sidecars after GC: $orphans")
   }
 
-  test("warehouse: racing manifest commits — exactly one wins, loser aborts loudly") {
+  test("warehouse: racing manifest commits — base-dependent publish aborts loudly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-whcas").toString
     val whA = new Warehouse(spark, tmp, manifest = true)
@@ -391,14 +391,16 @@ class EtlSpec extends SparkSpec {
     whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
     // Inject B's full commit into A's window between manifest create
     // and pointer CAS — the interleaving that, under last-PUT-wins,
-    // would silently clobber B's committed snapshot.
+    // would silently clobber B's committed snapshot. A's operation is
+    // a PUBLISH (base-dependent: it replaces the snapshot it resolved),
+    // so it must abort loudly — only pure appends may rebase.
     var fired = false
     whA.commitTestHook = _ => if (!fired) {
       fired = true
       whB.append("t", Seq((3L, "B")).toDF("k", "v"))
     }
     val e = intercept[java.util.ConcurrentModificationException] {
-      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+      whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     }
     whA.commitTestHook = _ => ()
     assert(e.getMessage.contains("concurrent commit"))
@@ -410,10 +412,47 @@ class EtlSpec extends SparkSpec {
     val entries = new java.io.File(s"$tmp/t").listFiles().map(_.getName).toSet
     assert(!entries.contains("_manifest_v2") && !entries.contains("_v2"),
       s"loser's orphan manifest/version dir must be removed: $entries")
-    // and the loser's retry against the fresh snapshot succeeds
-    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    // and the loser's retry against the fresh snapshot succeeds —
+    // publish semantics: the retried snapshot REPLACES the table
+    whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
-      === Array((1L, "base"), (2L, "A"), (3L, "B")), "retry must land on top of the winner")
+      === Array((2L, "A")), "retried publish must replace the fresh snapshot")
+  }
+
+  test("warehouse: append-append race auto-rebases — both batches land, no rewrite") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-whreb").toString
+    val whA = new Warehouse(spark, tmp, manifest = true)
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    whA.atomicPublish("t", Seq((1L, "base")).toDF("k", "v"))
+    // B commits in A's manifest→CAS window; A's append loses the CAS
+    // but is base-independent, so it REBASES onto B's snapshot and
+    // succeeds without surfacing an exception or rewriting its data
+    var fired = false
+    whA.commitTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((3L, "B")).toDF("k", "v"))
+    }
+    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    whA.commitTestHook = _ => ()
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (2L, "A"), (3L, "B")),
+      "both racing appends must land")
+    assert(whA.fsck("t").isEmpty,
+      "rebased snapshot must be internally consistent")
+
+    // same race at the locked-CAS window (both passed the pre-check)
+    fired = false
+    whA.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", Seq((5L, "B2")).toDF("k", "v"))
+    }
+    whA.append("t", Seq((4L, "A2")).toDF("k", "v"))
+    whA.casTestHook = _ => ()
+    assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
+      === Array((1L, "base"), (2L, "A"), (3L, "B"), (4L, "A2"), (5L, "B2")),
+      "rebase must also cover a CAS lost inside the locked window")
+    assert(whA.fsck("t").isEmpty)
   }
 
   test("warehouse: both writers pass the pre-check — locked CAS keeps at most one flip") {
@@ -434,7 +473,7 @@ class EtlSpec extends SparkSpec {
       whB.append("t", Seq((3L, "B")).toDF("k", "v"))
     }
     val e = intercept[java.util.ConcurrentModificationException] {
-      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+      whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     }
     whA.casTestHook = _ => ()
     assert(e.getMessage.contains("concurrent commit"))
@@ -445,9 +484,10 @@ class EtlSpec extends SparkSpec {
     assert(!entries.exists(_.contains(".lock")),
       s"the loser must release the pointer lock: $entries")
     // the loser's retry against the fresh snapshot lands cleanly
-    whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+    // (publish semantics: it replaces the table)
+    whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").orderBy("k").as[(Long, String)].collect()
-      === Array((1L, "base"), (2L, "A"), (3L, "B")))
+      === Array((2L, "A")))
   }
 
   test("warehouse: conditional-PUT pointer store plugs into the same commit path") {
@@ -468,7 +508,7 @@ class EtlSpec extends SparkSpec {
       whB.append("t", Seq((3L, "B")).toDF("k", "v"))
     }
     val e = intercept[java.util.ConcurrentModificationException] {
-      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+      whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     }
     whA.casTestHook = _ => ()
     assert(e.getMessage.contains("concurrent commit"))
@@ -476,6 +516,8 @@ class EtlSpec extends SparkSpec {
       === Array((1L, "base"), (3L, "B")))
     assert(!new java.io.File(s"$tmp/t").list().exists(_.contains(".lock")),
       "a conditional-PUT store must never create lock files")
+    // an APPEND losing the same conditional-PUT race rebases instead
+    whA.casTestHook = _ => ()
     whA.append("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").count() === 3)
   }
@@ -986,7 +1028,7 @@ class EtlSpec extends SparkSpec {
       whB.append("t", Seq((3L, "B")).toDF("k", "v"))
     }
     val e = intercept[java.util.ConcurrentModificationException] {
-      whA.append("t", Seq((2L, "A")).toDF("k", "v"))
+      whA.atomicPublish("t", Seq((2L, "A")).toDF("k", "v"))
     }
     whA.casTestHook = _ => ()
     assert(e.getMessage.contains("concurrent commit"))
@@ -994,7 +1036,7 @@ class EtlSpec extends SparkSpec {
       === Array((1L, "base"), (3L, "B")))
     assert(!new java.io.File(s"$tmp/t").list().exists(_.contains(".lock")),
       "the gen-fenced store must never create lock files")
-    // loser retries cleanly on the fresh snapshot
+    // an append losing the same fenced race rebases and lands
     whA.append("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").count() === 3)
   }
