@@ -353,6 +353,65 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Difference hash (dHash) — the standard perceptual image
+    * fingerprint (the Hacker Factor/imagehash algorithm): sample the
+    * decoded grayscale onto a 9×8 grid (nearest neighbor — explicit
+    * integer index math, NOT Graphics2D scaling, so the grid is
+    * bit-identical on every platform) and emit one bit per
+    * horizontally-adjacent pair, row-major. Rendered as a 64-char
+    * '0'/'1' string: portable across engines (no sign-bit trap at bit
+    * 63) and directly groupable. Invariant to global brightness shifts
+    * and any resample that preserves local ordering — the transforms
+    * that defeat byte-exact dedup on image corpora.
+    */
+  def dhash(samples: Array[Int], w: Int, h: Int): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var r = 0
+    while (r < 8) {
+      val sy = r * h / 8
+      var c = 0
+      while (c < 8) {
+        val a = samples(sy * w + (c * w / 9))
+        val b = samples(sy * w + ((c + 1) * w / 9))
+        sb.append(if (b > a) '1' else '0')
+        c += 1
+      }
+      r += 1
+    }
+    sb.toString
+  }
+
+  /** Decode → dHash as the same batched mapPartitions pass as
+    * extractFeatures: one row per decodable image, (media_id, dhash).
+    * Grid geometry comes from the meta struct (the decoded sample
+    * array is flat), so undecodable payloads AND rows without
+    * width/height drop to the caller's quarantine channel.
+    */
+  def imageDhash(media: DataFrame, batchSize: Int = 64,
+      codec: Codec = AutoCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("media"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            if (r.isNullAt(2) || r.isNullAt(3)) None
+            else {
+              val w = r.getInt(2); val h = r.getInt(3)
+              if (w < 9 || h < 8) None
+              else codec.decode(r.getAs[Array[Byte]]("media"))
+                .filter(_.length >= w * h)
+                .map(px => Row(r.getLong(0), dhash(px, w, h)))
+            }
+          }
+        }
+      }(encoder)
+  }
+
   /** Frame sampling: split samples into n_frames equal frames, keep
     * every k-th frame, featurize each — one output row per kept frame.
     * Defaults to video rows; pass `kinds = Seq("audio")` to window

@@ -894,6 +894,61 @@ object Dedup {
           FROM comp GROUP BY component)
         SELECT cluster_size, count(*) AS n_clusters,
           CAST(SUM(cluster_size) - count(*) AS BIGINT) AS docs_removed
-        FROM csz GROUP BY cluster_size ORDER BY cluster_size"""))
+        FROM csz GROUP BY cluster_size ORDER BY cluster_size""")),
+
+    // ---- image near-dup: perceptual dHash over REAL decoded pixels -----
+    // The image-corpus counterpart of d1: byte-exact dedup misses
+    // re-encoded or brightness-shifted copies, so image pipelines
+    // fingerprint PIXELS. 40 real PNGs (in-JDK ImageIO, the m17
+    // technique) in 8 groups of 5 — group members share a pattern but
+    // each carries a different global brightness offset, so all 40
+    // payloads are byte-distinct and the PNG bytes differ everywhere;
+    // dHash (9×8 nearest-neighbor grid, horizontal-adjacent compare —
+    // Multimodal.dhash) is invariant to the shift and collapses each
+    // group to one 64-bit fingerprint. The oracle re-derives every
+    // grid comparison from the pixel formula in integer SQL — the
+    // DECODE+hash path is what's under test. Scale shape: one batched
+    // mapPartitions decode pass, then the d1 groupBy on a fixed-width
+    // key; at 100 TB the hash is the shuffle key and payloads never
+    // move.
+    Q("d17_image_dhash",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 40).map { i =>
+          val g = i / 5
+          val w = 32 + g % 3
+          val h = 24
+          val px = Array.tabulate(w * h)(j =>
+            (g * 37 + j * 11) % 200 + (i % 5) * 10)
+          org.apache.spark.sql.Row(i.toLong, "image",
+            Multimodal.ImageIoCodec.encodePng(w, h, px),
+            org.apache.spark.sql.Row(w, h, 0, 0))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.imageDhash(media, batchSize = 16)
+          .groupBy($"dhash")
+          .agg(count(lit(1)).as("n_dups"),
+            concat_ws(",", array_sort(collect_list($"media_id"))).as("ids"),
+            min($"media_id").as("keeper"))
+          .orderBy($"dhash")
+      },
+      Some("""WITH gs AS (
+          SELECT CAST(i AS BIGINT) AS g, CAST(32 + i % 3 AS BIGINT) AS w
+          FROM range(8) t(i)),
+        bits AS (
+          SELECT g, r.r, c.c,
+            CASE WHEN (g*37 + ((r.r*3)*w + ((c.c+1)*w)//9)*11) % 200
+                    > (g*37 + ((r.r*3)*w + (c.c*w)//9)*11) % 200
+              THEN '1' ELSE '0' END AS b
+          FROM gs CROSS JOIN range(8) r(r) CROSS JOIN range(8) c(c)),
+        h AS (SELECT g, string_agg(b, '' ORDER BY r, c) AS dhash
+          FROM bits GROUP BY g),
+        ids AS (SELECT g, string_agg(CAST(g*5 + k AS VARCHAR), ',' ORDER BY k) AS ids
+          FROM gs CROSS JOIN range(5) t(k) GROUP BY g)
+        SELECT h.dhash, CAST(5 AS BIGINT) AS n_dups, ids.ids,
+          CAST(h.g*5 AS BIGINT) AS keeper
+        FROM h JOIN ids USING (g) ORDER BY dhash"""))
   )
 }

@@ -174,4 +174,21 @@ class MultimodalSpec extends SparkSpec {
     val truncated = wav.take(wav.length - 3)
     Multimodal.WavCodec.decode(truncated) // any Option is fine; no throw
   }
+
+  test("dhash: brightness-invariant, pattern-sensitive, PNG-round-trip stable") {
+    val w = 32; val h = 24
+    val base = Array.tabulate(w * h)(j => (j * 11) % 200)
+    // global brightness shift preserves every adjacent ordering
+    assert(Multimodal.dhash(base.map(_ + 30), w, h) === Multimodal.dhash(base, w, h))
+    // a different pattern moves the hash
+    val other = Array.tabulate(w * h)(j => (j * 13 + 7) % 200)
+    assert(Multimodal.dhash(other, w, h) !== Multimodal.dhash(base, w, h))
+    // the REAL decode path reproduces the in-memory hash bit for bit
+    val png = Multimodal.ImageIoCodec.encodePng(w, h, base)
+    val decoded = Multimodal.ImageIoCodec.decode(png).get
+    assert(Multimodal.dhash(decoded, w, h) === Multimodal.dhash(base, w, h))
+    // hash is 64 bits of '0'/'1'
+    assert(Multimodal.dhash(base, w, h).length === 64)
+    assert(Multimodal.dhash(base, w, h).forall(c => c == '0' || c == '1'))
+  }
 }
