@@ -63,13 +63,31 @@ object Cli {
         wh.compactZOrder(table, cols, n.toInt)
         println(wh.tableHealth(table))
 
+      case "vacuum" :: whDir :: table :: Nil =>
+        val deleted = new Warehouse(spark, whDir, manifest = true)
+          .vacuumOrphans(table)
+        println(if (deleted.isEmpty) "vacuum: nothing to reap"
+          else s"vacuum reaped: ${deleted.mkString(", ")}")
+
+      case "index-bloom" :: whDir :: table :: column :: Nil =>
+        new Warehouse(spark, whDir, manifest = true).buildBloom(table, column)
+        println(s"bloom index built for $table.$column")
+
+      case "index-ndv" :: whDir :: table :: column :: Nil =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        wh.buildNdv(table, column)
+        println(s"ndv sketch built; approx distinct " +
+          s"$table.$column = ${wh.statsApproxNdv(table, column).getOrElse(-1L)}")
+
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(
           "usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | " +
           "companies <whDir> | health <whDir> <table> | " +
           "optimize <whDir> <table> [numFiles] | " +
-          "optimize-zorder <whDir> <table> <numFiles> <col> <col>...")
+          "optimize-zorder <whDir> <table> <numFiles> <col> <col>... | " +
+          "vacuum <whDir> <table> | index-bloom <whDir> <table> <col> | " +
+          "index-ndv <whDir> <table> <col>")
         sys.exit(2)
     }
     spark.stop()

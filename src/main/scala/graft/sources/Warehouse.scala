@@ -1035,6 +1035,55 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     issues.toList
   }
 
+  /** Reap orphans WITHOUT waiting for the next commit — the Iceberg
+    * remove-orphan-files job as a maintenance op. A table that stops
+    * receiving writes keeps its last crashed-writer debris forever
+    * (commit-time GC only runs on commit); this applies the same rules
+    * on demand: delete version dirs referenced by neither the current
+    * nor the previous manifest and not shielded by a fresh in-flight
+    * marker, stale markers whose dir is gone, and manifests below the
+    * previous one. Time travel to v_current−1 survives (current +
+    * previous stay whole). Returns what was deleted, for the
+    * operator's log.
+    */
+  def vacuumOrphans(name: String): Seq[String] = {
+    require(manifest, "vacuumOrphans audits manifest tables")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val current = currentManifest(fs, root)
+    val previous = current.flatMap(c => highestManifest(fs, root, exclude = Some(c)))
+    val keepManifests = (current.toSeq ++ previous.toSeq).toSet
+    val live = keepManifests.toSeq
+      .flatMap(m => readManifest(fs, new Path(root, m)))
+      .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
+      .toSet
+    def markerFresh(num: String): Boolean = {
+      val marker = new Path(root, s"_inflight_v$num")
+      try fs.exists(marker) &&
+        System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime < InflightGraceMs
+      catch { case _: java.io.IOException => false }
+    }
+    val deleted = scala.collection.mutable.ListBuffer[String]()
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case v @ VersionRe(num) if st.isDirectory && !live.contains(v) &&
+            !markerFresh(num) =>
+          fs.delete(st.getPath, true)
+          fs.delete(new Path(root, s"_inflight_v$num"), false)
+          deleted += v
+        case i @ InflightRe(num) if st.isFile && !markerFresh(num) &&
+            !fs.exists(new Path(root, s"_v$num")) =>
+          fs.delete(st.getPath, false)
+          deleted += i
+        case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
+          fs.delete(st.getPath, false)
+          deleted += m
+        case _ => ()
+      }
+    }
+    deleted.toList
+  }
+
   /** Small-file / layout health of the current snapshot, answered from
     * driver metadata alone (manifest file list + one FileStatus per
     * file — no data read): file count, byte totals and spread, and how

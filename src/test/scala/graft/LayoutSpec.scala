@@ -486,6 +486,38 @@ class LayoutSpec extends SparkSpec {
       s"idempotent keys must not move the merged estimate, got ${est2.get}")
   }
 
+  test("vacuumOrphans: reaps crashed-writer debris, keeps snapshots and fresh in-flight work") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-vac")
+    wh.atomicPublish("t", clustered())   // v1
+    wh.append("t", clustered())          // v2 (current); v1 = previous
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant crashed-writer debris: an unreferenced version dir with a
+    // STALE marker, a bare stale marker, and an orphan old manifest
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_v90"))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_inflight_v90"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(root, "_inflight_v91"), true).close()
+    val old = System.currentTimeMillis() - 60L * 60 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, "_inflight_v90"), old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, "_inflight_v91"), old, -1)
+    // and a FRESH in-flight claim — a live writer mid-write
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_v95"))
+    fs.create(new org.apache.hadoop.fs.Path(root, "_inflight_v95"), true).close()
+
+    val deleted = wh.vacuumOrphans("t")
+    assert(deleted.toSet === Set("_v90", "_inflight_v91"),
+      s"vacuum must reap exactly the stale debris, got $deleted")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_inflight_v90")),
+      "the reaped dir's marker goes with it")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_v95")),
+      "a fresh in-flight claim must survive vacuum")
+    // snapshots intact: current readable, time travel to previous works
+    assert(wh.read("t").count() === 20000)
+    assert(wh.readVersion("t", 1).count() === 10000)
+    assert(wh.fsck("t").isEmpty)
+  }
+
   test("bloom sidecar: torn/malformed lines never cause a wrong prune") {
     import spark.implicits._
     val (wh, tmp) = mk("graft-bloom4")
