@@ -949,6 +949,152 @@ object Dedup {
           FROM gs CROSS JOIN range(5) t(k) GROUP BY g)
         SELECT h.dhash, CAST(5 AS BIGINT) AS n_dups, ids.ids,
           CAST(h.g*5 AS BIGINT) AS keeper
-        FROM h JOIN ids USING (g) ORDER BY dhash"""))
+        FROM h JOIN ids USING (g) ORDER BY dhash""")),
+
+    // ---- exact-substring dedup: sliding windows + interval merge -------
+    // The Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    // Models Better") operator, re-expressed for Spark: d12's chunks
+    // are STRIDE-8 (a duplicated passage that straddles a chunk
+    // boundary is invisible), this is stride-1 — every 8-token window,
+    // so any duplicated run of ≥ 8 tokens is caught at every offset,
+    // the same guarantee the paper gets from suffix arrays. A window
+    // whose text occurs ≥ 2 times ANYWHERE in the corpus (other docs
+    // or elsewhere in the same doc) is a duplicate; a doc's dup
+    // windows [pos, pos+7] are merged gaps-and-islands style into
+    // maximal removable intervals. Scale: windows shuffle as md5 keys
+    // (d12 discipline — the 16-byte hash crosses the wire, never the
+    // span text); the islands window function runs over DUP positions
+    // only (a tiny fraction of the corpus), partitioned by doc — never
+    // a corpus-wide sort. Stride-1 writes 8× more window rows than
+    // d12; that is the paper's cost too (suffix array = all suffixes)
+    // and it stays linear in corpus size.
+    Q("d18_substring_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val toked = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            filter(split($"text", " "), t => t =!= lit("")).as("ts"))
+        val wins = toked.filter(size($"ts") >= 8)
+          .select($"doc_id", posexplode(
+            transform(sequence(lit(0), size($"ts") - 8),
+              i => array_join(slice($"ts", i + 1, lit(8)), " "))))
+          .select($"doc_id", $"pos".cast("long").as("pos"),
+            md5($"col".cast("binary")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dup = wins.groupBy($"h").agg(count(lit(1)).as("c"))
+          .filter($"c" >= 2).select($"h")
+        val dpos = wins.join(dup, Seq("h"), "left_semi")
+        // gaps-and-islands: a dup window opens a new island iff its
+        // start lies past every previous window's end (running max)
+        val wprev = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wrun = Window.partitionBy($"doc_id").orderBy($"pos")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val islands = dpos
+          .select($"doc_id", $"pos",
+            when($"pos" > coalesce(max($"pos" + 7).over(wprev), lit(-1L)),
+              lit(1)).otherwise(lit(0)).as("brk"))
+          .select($"doc_id", $"pos", sum($"brk").over(wrun).as("isl"))
+          .groupBy($"doc_id", $"isl")
+          .agg(min($"pos").as("st"), (max($"pos") + 7).as("en"))
+        val perDoc = islands.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum($"en" - $"st" + 1).as("n_removed"))
+        val dcnt = dpos.groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+        toked
+          .select($"doc_id",
+            greatest(size($"ts") - 7, lit(0)).cast("long").as("n_windows"))
+          .join(dcnt, Seq("doc_id"), "left")
+          .join(perDoc, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_windows",
+            coalesce($"n_dup", lit(0L)).as("n_dup"),
+            coalesce($"n_islands", lit(0L)).as("n_islands"),
+            coalesce($"n_removed", lit(0L)).as("n_removed"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            array_to_string(ts[i+1:i+8], ' ') AS span
+          FROM dt, unnest(range(0, len(ts)-7)) AS u(i)),
+        dup AS (SELECT span FROM w GROUP BY span HAVING count(*) >= 2),
+        dpos AS (SELECT doc_id, pos FROM w
+          WHERE span IN (SELECT span FROM dup)),
+        mk AS (SELECT doc_id, pos,
+            CASE WHEN pos > COALESCE(max(pos+7) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS brk
+          FROM dpos),
+        run AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS isl FROM mk),
+        isle AS (SELECT doc_id, isl, min(pos) AS st, max(pos)+7 AS en
+          FROM run GROUP BY doc_id, isl),
+        pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+            CAST(sum(en-st+1) AS BIGINT) AS n_removed
+          FROM isle GROUP BY doc_id),
+        dc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+          FROM dpos GROUP BY doc_id),
+        tw AS (SELECT doc_id,
+            CAST(greatest(len(ts)-7, 0) AS BIGINT) AS n_windows FROM dt)
+        SELECT tw.doc_id, n_windows, COALESCE(n_dup, 0) AS n_dup,
+          COALESCE(n_islands, 0) AS n_islands,
+          COALESCE(n_removed, 0) AS n_removed
+        FROM tw LEFT JOIN dc USING (doc_id) LEFT JOIN pd USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ---- shingle containment: quote / partial-copy detection -----------
+    // Jaccard (d2) is symmetric, so a short document quoted WHOLE
+    // inside a long one scores low and near-dup pipelines miss it.
+    // Broder's containment c(A,B) = |S(A)∩S(B)| / |S(A)| is the
+    // asymmetric dual: a ≥ 80 % containment of A's distinct 5-gram
+    // shingles in B flags A as a quote/excerpt of B regardless of
+    // B's length. EXACT, not sketched: pairs come from the shingle
+    // inverted self-join (only docs sharing ≥ 1 shingle ever meet —
+    // never all-pairs), shared counts divide by A's shingle count via
+    // the integer cross-multiply (5·shared ≥ 4·ng). Scale: the join
+    // shuffles 16-byte md5 shingle keys; its cost is Σ df² over
+    // 5-gram shingles, near-linear on natural text (5-grams are
+    // almost unique) — boilerplate hot shingles are the known hazard
+    // and take d7's capped-doc-list treatment when they appear.
+    Q("d19_shingle_containment",
+      (s, dir) => {
+        import s.implicits._
+        val dt = Tables.load(s, dir, "documents")
+          .select($"doc_id",
+            filter(split($"text", " "), t => t =!= lit("")).as("ts"))
+        val sh = dt.filter(size($"ts") >= 5)
+          .select($"doc_id", explode(array_distinct(
+            transform(sequence(lit(0), size($"ts") - 5),
+              i => array_join(slice($"ts", i + 1, lit(5)), " ")))).as("g"))
+          .select($"doc_id", md5($"g".cast("binary")).as("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ng = sh.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("contained_id"),
+            col("b.doc_id").as("container_id"))
+          .agg(count(lit(1)).as("shared"))
+          .join(ng.withColumnRenamed("doc_id", "contained_id"), "contained_id")
+          .filter($"shared" * 5 >= $"ng" * 4)
+          .select($"contained_id", $"container_id", $"shared", $"ng")
+          .orderBy($"contained_id", $"container_id")
+      },
+      Some("""WITH dt AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> t <> '') AS ts
+          FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+5], ' ') AS g
+          FROM dt, unnest(range(0, len(ts)-4)) AS u(i)),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng
+          FROM sh GROUP BY doc_id)
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+          CAST(count(*) AS BIGINT) AS shared, n.ng
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+        JOIN n ON n.doc_id = a.doc_id
+        GROUP BY a.doc_id, b.doc_id, n.ng
+        HAVING count(*) * 5 >= n.ng * 4
+        ORDER BY contained_id, container_id"""))
   )
 }

@@ -804,6 +804,94 @@ object Relational {
           SELECT 1 FROM lineitem l
           WHERE l.l_orderkey = o.o_orderkey
             AND CAST(l.l_shipdate AS DATE) > DATE '1999-06-01')
-        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""")),
+
+    // ---- Source/sink format interchange: ORC, JSON-lines, CSV --------
+    // The engine's format breadth as one catalog row: the same
+    // projection is written to scratch with Spark's native ORC,
+    // JSON-lines, and CSV (header) writers, read back with the
+    // SOURCE's explicit schema (never inference — at 100 TB schema
+    // inference is a full extra scan and a type-drift hazard), and
+    // each vintage's exact signature (count, key sum, DECIMAL-exact
+    // revenue) must equal the parquet source's. Doubles survive the
+    // text formats bit-exactly because both writers emit Java's
+    // shortest round-trip decimal representation. One row per format
+    // keeps every leg on the hash surface — a silent row drop or
+    // double drift in any reader breaks the compare.
+    Q("s18_format_interchange",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val root = graft.sources.Scratch.dir(s, "fmt")
+        o.write.mode("overwrite").orc(s"$root/orc")
+        o.write.mode("overwrite").json(s"$root/json")
+        o.write.mode("overwrite").option("header", "true").csv(s"$root/csv")
+        def sig(df: DataFrame, fmt: String) = df.agg(
+            count(lit(1)).as("n"),
+            sum($"o_orderkey").as("key_sum"),
+            dsum($"o_totalprice").as("revenue"))
+          .select(lit(fmt).as("fmt"), $"n", $"key_sum", $"revenue")
+        sig(o, "parquet")
+          .unionByName(sig(s.read.schema(o.schema).orc(s"$root/orc"), "orc"))
+          .unionByName(sig(s.read.schema(o.schema).json(s"$root/json"), "json"))
+          .unionByName(sig(s.read.schema(o.schema)
+            .option("header", "true").csv(s"$root/csv"), "csv"))
+          .orderBy($"fmt")
+      },
+      Some("""WITH s AS (SELECT count(*) AS n,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders)
+        SELECT fmt, n, key_sum, revenue
+        FROM s, (VALUES ('csv'), ('json'), ('orc'), ('parquet')) t(fmt)
+        ORDER BY fmt""")),
+
+    // ---- SCD2 dimension history + point-in-time (as-of) read -----------
+    // The slowly-changing-dimension machinery (Warehouse.upsertScd2,
+    // previously only spec-covered) under the driver gate: three
+    // update batches land at three dates — the second moves every
+    // custkey % 3 customer to a new segment, the third moves the % 6
+    // subset again — and the fingerprint diff must open/close ONLY
+    // the changed keys' versions (unchanged rows ride along
+    // untouched, never re-versioned). The as-of read at 2024-08-01
+    // (valid_from ≤ asof < valid_to) then reconstructs the mid-year
+    // state: %3 customers show the June segment and June valid_from,
+    // everyone else their January original — and the % 6 December
+    // change must be invisible. The oracle derives that state
+    // directly from `customer` arithmetic, so any SCD2 bug (a
+    // re-opened unchanged row, a wrong close date, a leaked future
+    // version) breaks the hash. Scale: each merge is one broadcast-
+    // size fingerprint join + a layout-preserving republish — cost ∝
+    // dimension size, never fact-table size.
+    Q("s19_scd2_asof",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        def batch(seg: org.apache.spark.sql.Column) =
+          cust.select($"c_custkey".as("k"), seg.as("segment"))
+        val wh = graft.sources.Scratch.warehouse(s, "scd")
+        wh.upsertScd2("cust_dim", batch($"c_mktsegment"), Seq("k"),
+          "2024-01-01")
+        wh.upsertScd2("cust_dim",
+          batch(when($"c_custkey" % 3 === 0, lit("MOVED"))
+            .otherwise($"c_mktsegment")), Seq("k"), "2024-06-01")
+        wh.upsertScd2("cust_dim",
+          batch(when($"c_custkey" % 6 === 0, lit("MOVED-AGAIN"))
+            .when($"c_custkey" % 3 === 0, lit("MOVED"))
+            .otherwise($"c_mktsegment")), Seq("k"), "2024-12-01")
+        val asof = "2024-08-01"
+        wh.read("cust_dim")
+          .filter($"valid_from" <= asof &&
+            ($"valid_to".isNull || $"valid_to" > asof))
+          .select($"k", $"segment", $"valid_from")
+          .orderBy($"k")
+      },
+      Some("""SELECT c_custkey AS k,
+          CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END
+            AS segment,
+          CASE WHEN c_custkey % 3 = 0 THEN '2024-06-01' ELSE '2024-01-01' END
+            AS valid_from
+        FROM customer ORDER BY k"""))
   )
 }

@@ -798,6 +798,96 @@ object Sim {
         SELECT np AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
           round(CAST(count(*) AS DOUBLE) / 100.0, 2) AS mean_recall
         FROM ivf JOIN brute USING (q_id, vec_id)
-        GROUP BY np ORDER BY np"""))
+        GROUP BY np ORDER BY np""")),
+
+    // ---- MMR diversified re-ranking of a retrieval shortlist -----------
+    // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998):
+    // after top-k retrieval, greedily pick results that balance
+    // relevance against redundancy — argmax λ·rel(c) − (1−λ)·max_{s∈S}
+    // sim(c,s) — so a near-dup of an already-picked result loses to a
+    // fresh one. The scale split is the point: the DISTRIBUTED part is
+    // candidate generation (cosine scoring all n vectors, bounded
+    // TopKAgg shortlist of 20) and the 380-row pairwise sim join among
+    // candidates; the greedy loop then runs on the driver over that
+    // BOUNDED shortlist (k²=400 doubles — the serve paths' bounded-
+    // probe discipline; no per-pick Spark job). Every double on the
+    // hash surface and inside the greedy comparison is the same
+    // elementary-op sequence on both engines (ndot ≡ duckDot, pinned
+    // by sim1), so the oracle's recursive-CTE greedy picks the
+    // identical sequence.
+    Q("sim12_mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val q = e.filter($"vec_id" === 0)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+        val cand = graft.operators.TopKAgg.rank(scored, 20, "cos")
+          .select($"vec_id", $"cos")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cvec = cand.join(e, "vec_id")
+          .select($"vec_id", $"embedding", $"nrm")
+        val pairs = cvec.as("a").join(cvec.as("b"),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            (ndot(s, col("a.embedding"), col("b.embedding"))
+              / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        // bounded driver-side greedy: 20 rel scores + 380 pairwise sims
+        val rel = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val sim = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        // 0.3 as a LITERAL, never 1 - 0.7: the subtraction rounds to
+        // 0.30000000000000004 and the greedy would score with a
+        // different double than the oracle's 0.3
+        val lam = 0.7; val mu = 0.3
+        val picked = scala.collection.mutable.ArrayBuffer[Long]()
+        while (picked.size < 5) {
+          val best = rel.keys.filterNot(picked.contains).minBy { c =>
+            val ms = picked.map(p => sim((c, p))).maxOption.getOrElse(0.0)
+            // negate score for minBy; tie → smaller id (second key)
+            (-(lam * rel(c) - mu * ms), c)
+          }
+          picked += best
+        }
+        picked.toSeq.zipWithIndex.map { case (v, i) =>
+          (i + 1L, v, rel(v))
+        }.toDF("rank", "vec_id", "rel").orderBy($"rank")
+      },
+      Some(s"""WITH RECURSIVE n AS (
+          SELECT vec_id, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+        qv AS (SELECT * FROM n WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS rel
+          FROM n e, qv q WHERE e.vec_id <> 0
+          ORDER BY rel DESC, e.vec_id LIMIT 20),
+        pair AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            ${duckDot("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS sim
+          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id),
+        sel AS (
+          SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked
+          UNION ALL
+          SELECT step + 1, list_append(picked, (
+              SELECT c.vec_id FROM cand c
+              WHERE NOT list_contains(picked, c.vec_id)
+              ORDER BY 0.7 * c.rel - 0.3 * COALESCE((
+                  SELECT max(p.sim) FROM pair p
+                  WHERE p.a_id = c.vec_id
+                    AND list_contains(picked, p.b_id)), 0.0) DESC,
+                c.vec_id
+              LIMIT 1))
+          FROM sel WHERE step < 5)
+        SELECT CAST(u.i AS BIGINT) AS rank, picked[u.i] AS vec_id, c.rel
+        FROM (SELECT picked FROM sel WHERE step = 5) f,
+          unnest(range(1, 6)) AS u(i)
+        JOIN cand c ON c.vec_id = picked[u.i]
+        ORDER BY rank"""))
   )
 }

@@ -1505,7 +1505,46 @@ object Text {
           tombstones = Some(wh.read("bm25_tombstones")))
         bm25TopK(sc, qterms)
       },
-      Some(bm25ReducedOracleSql))
+      Some(bm25ReducedOracleSql)),
+
+    // ---- scalable exact heavy hitters: MG sketch pass + recount --------
+    // x10's exact groupBy shuffles the FULL vocabulary — at 100 TB
+    // that is billions of distinct terms crossing the wire to find a
+    // handful of hitters. The two-pass shape (Misra–Gries candidates,
+    // then exact recount) keeps the first pass shuffle-free: the
+    // mergeable MG sketch (operators/MisraGriesAgg, bound N/(k+1))
+    // reduces each partition to one ≤ 63-counter map and merges them
+    // in the partial-agg tree, so with the 2 % threshold (> N/64) the
+    // candidate list PROVABLY contains every true hitter. The second
+    // pass recounts only candidates — the In() filter prunes at the
+    // scan — so the output is EXACT, not approximate: identical to the
+    // full groupBy, at the shuffle cost of ≤ 63 terms. The driver
+    // collect is the bounded candidate list (≤ 63 strings), the same
+    // bounded-probe discipline as the serve paths.
+    Q("x32_mg_heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("term"))
+        val mg = udaf(new graft.operators.MisraGriesAgg(63))
+        val row = toks.agg(mg($"term").as("cand"), count(lit(1)).as("n")).head()
+        val cand = row.getSeq[String](0)
+        val n = row.getLong(1)
+        // integer-exact threshold: cnt/N ≥ 2 % ⇔ 50·cnt ≥ N — no
+        // double ratio on the comparison, so the cut never flips on a
+        // borderline term on either engine
+        toks.filter($"term".isin(cand: _*))
+          .groupBy($"term").agg(count(lit(1)).as("cnt"))
+          .filter($"cnt" * 50 >= n)
+          .select($"term", $"cnt", lit(n).as("total"))
+          .orderBy($"cnt".desc, $"term")
+      },
+      Some(s"""WITH tok AS (SELECT unnest($duckToks) AS term FROM documents),
+          tot AS (SELECT count(*) AS n FROM tok)
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt, n AS total
+        FROM tok, tot GROUP BY term, n
+        HAVING count(*) * 50 >= n
+        ORDER BY cnt DESC, term"""))
   )
 
   /** (doc_id, toks) view of the documents table — the tokenized input

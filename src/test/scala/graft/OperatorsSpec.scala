@@ -257,4 +257,26 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getBoolean(3), s"$flag sketch outside 5%")
     }
   }
+
+  test("MisraGriesAgg: candidates ⊇ freq > N/(k+1), ≤ k counters, partial-agg safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // heavy head + mid band + singleton tail, shuffled so heavy items
+    // are spread across partitions and merge() does real work
+    val stream = rnd.shuffle(
+      Seq.fill(2000)("h" + rnd.nextInt(3)) ++
+        Seq.fill(3000)("m" + rnd.nextInt(30)) ++
+        Seq.tabulate(5000)(i => "t" + i))
+    val k = 20
+    val mg = udaf(new graft.operators.MisraGriesAgg(k))
+    val cand = stream.toDF("term").repartition(8)
+      .agg(mg(col("term")))
+      .as[Seq[String]].head()
+    assert(cand.size <= k, "sketch exceeded its counter bound")
+    val n = stream.size
+    val exact = stream.groupBy(identity).map { case (t, o) => t -> o.size }
+    val must = exact.collect { case (t, c) if c > n / (k + 1) => t }.toSet
+    assert(must.subsetOf(cand.toSet),
+      s"MG guarantee violated: missing ${must -- cand.toSet}")
+  }
 }
