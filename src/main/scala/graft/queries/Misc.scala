@@ -1297,6 +1297,125 @@ object Misc {
           ON c.user_id = v.user_id
           AND c.event_type = 'click' AND v.event_type = 'view'
           AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
-        GROUP BY c.user_id ORDER BY c.user_id"""))
+        GROUP BY c.user_id ORDER BY c.user_id""")),
+
+    // ---- Robust outliers: median/MAD gate per event_type -------------
+    // The robust anomaly filter (median ± 3·MAD) computed WITHOUT
+    // sorting all rows: the lower median is found by counting — group
+    // to distinct (type, value) pairs, cumulative-sum their counts in
+    // value order, and pick the first value whose cumulative count
+    // reaches position (n+1) DIV 2. The window therefore scans
+    // DISTINCT values per key, not rows — at 100 TB the shuffle
+    // carries the value histogram, and the same trick runs again on
+    // the |value − median| deviations for the MAD. Medians and
+    // deviations are picked values / IEEE subtractions (no averaging,
+    // no transcendentals), so both engines agree bit-exactly and the
+    // 3·MAD comparison can sit on the hash gate. (The sketch-based
+    // scale path for high-cardinality keys is m29's mergeable
+    // quantile sketches; this is the exact form.)
+    Q("m34_mad_outliers",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"event_type", $"value")
+        val cnt = ev.groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, c: String,
+            out: String) = {
+          val w = Window.partitionBy($"event_type").orderBy(col(c))
+          df.groupBy($"event_type", col(c)).agg(count(lit(1)).as("k"))
+            .withColumn("cum", sum($"k").over(w))
+            .join(broadcast(cnt), "event_type")
+            .filter($"cum" >= expr("(cnt + 1) DIV 2"))
+            .groupBy($"event_type").agg(min(col(c)).as(out))
+        }
+        val med = lowerMedian(ev, "value", "med")
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("dev", abs($"value" - $"med"))
+        val mad = lowerMedian(dev, "dev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .filter($"dev" > $"mad" * 3.0)
+          .select($"event_id", $"event_type", $"value", $"med", $"mad")
+          .orderBy($"event_id")
+      },
+      Some("""WITH c AS (
+          SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        vh AS (SELECT event_type, value, count(*) AS k
+          FROM events GROUP BY 1, 2),
+        vc AS (SELECT event_type, value,
+            sum(k) OVER (PARTITION BY event_type ORDER BY value) AS cum
+          FROM vh),
+        med AS (SELECT vc.event_type, min(value) AS med
+          FROM vc JOIN c USING (event_type)
+          WHERE cum >= (cnt + 1) // 2 GROUP BY 1),
+        d AS (SELECT event_id, e.event_type, value, med,
+            abs(value - med) AS dev
+          FROM events e JOIN med ON e.event_type = med.event_type),
+        dh AS (SELECT event_type, dev, count(*) AS k FROM d GROUP BY 1, 2),
+        dc AS (SELECT event_type, dev,
+            sum(k) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+          FROM dh),
+        mad AS (SELECT dc.event_type, min(dev) AS mad
+          FROM dc JOIN c USING (event_type)
+          WHERE cum >= (cnt + 1) // 2 GROUP BY 1)
+        SELECT event_id, d.event_type, value, med, mad
+        FROM d JOIN mad ON d.event_type = mad.event_type
+        WHERE dev > mad * 3.0
+        ORDER BY event_id""")),
+
+    // ---- Hash-deterministic bootstrap CI for a grouped mean ----------
+    // The error bar a metrics pipeline puts on every aggregate: 32
+    // half-sample bootstrap replicates of the per-type mean, with
+    // membership decided by the m12 multiplicative hash over
+    // (event_id, replicate) — no RNG state, identical draws on any
+    // cluster size or re-run. The replicate fan-out is a map-side
+    // explode; partial aggregation combines BEFORE the shuffle, so
+    // the exchange carries only (type × 32) partial sums no matter
+    // how large the fact is. Replicate means use the dec2 discipline
+    // (exact), the replicate spread is rounded to 6 decimals before
+    // the CI arithmetic — the x14 argument: cross-engine double-sum
+    // reorder noise lives in the last ulps, far below the rounding
+    // quantum.
+    Q("m35_bootstrap_ci",
+      (s, dir) => {
+        import s.implicits._
+        val reps = Tables.load(s, dir, "events")
+          .select($"event_id", $"event_type", $"value",
+            explode(sequence(lit(0), lit(31))).as("r"))
+          .filter(
+            ($"event_id" * 2654435761L + $"r" * 40503L + 1013904223L)
+              % 4294967296L % 2 === 0)
+        val repMeans = reps.groupBy($"event_type", $"r")
+          .agg((dsum($"value") / count(lit(1))).as("rep_mean"))
+        val boot = repMeans.groupBy($"event_type")
+          .agg(round(stddev_samp($"rep_mean"), 6).as("boot_sd"))
+        Tables.load(s, dir, "events")
+          .groupBy($"event_type")
+          .agg((dsum($"value") / count(lit(1))).as("mean_value"))
+          .join(boot, "event_type")
+          .select($"event_type", $"mean_value", $"boot_sd",
+            round($"mean_value" - $"boot_sd" * 2, 6).as("ci_lo"),
+            round($"mean_value" + $"boot_sd" * 2, 6).as("ci_hi"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH reps AS (
+          SELECT event_type, r, value FROM events
+          CROSS JOIN (SELECT unnest(range(0, 32)) AS r) t
+          WHERE (event_id * 2654435761 + r * 40503 + 1013904223)
+            % 4294967296 % 2 = 0),
+        rm AS (SELECT event_type, r,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+              AS rep_mean
+          FROM reps GROUP BY 1, 2),
+        boot AS (SELECT event_type, round(stddev_samp(rep_mean), 6)
+            AS boot_sd FROM rm GROUP BY 1),
+        m AS (SELECT event_type,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+              AS mean_value
+          FROM events GROUP BY 1)
+        SELECT m.event_type, mean_value, boot_sd,
+          round(mean_value - boot_sd * 2, 6) AS ci_lo,
+          round(mean_value + boot_sd * 2, 6) AS ci_hi
+        FROM m JOIN boot ON m.event_type = boot.event_type
+        ORDER BY m.event_type"""))
   )
 }

@@ -892,6 +892,141 @@ object Relational {
             AS segment,
           CASE WHEN c_custkey % 3 = 0 THEN '2024-06-01' ELSE '2024-01-01' END
             AS valid_from
-        FROM customer ORDER BY k"""))
+        FROM customer ORDER BY k""")),
+
+    // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS, decorrelated to ONE
+    // per-order aggregate. The classic "sole failing supplier" query
+    // (adapted to this schema's columns: returnflag R stands in for
+    // receipt>commit): an R line qualifies iff its order involves a
+    // second supplier (the EXISTS) and NO OTHER supplier also has an
+    // R line (the NOT EXISTS). Instead of decorrelating each probe
+    // into its own semi/anti self-join (two extra full lineitem
+    // shuffles), both collapse into a single groupBy(l_orderkey)
+    // computing (distinct suppliers, distinct R-suppliers): qualify
+    // ⟺ n_supp ≥ 2 ∧ n_rsupp = 1. At 100 TB that is one shuffle of
+    // (orderkey, 2 ints) instead of three passes over the fact —
+    // the supplier⋈nation dim rides broadcast, orders prunes on
+    // status before its join. The oracle keeps the textbook
+    // correlated-EXISTS spelling, so the rewrite itself is under the
+    // hash gate.
+    Q("q21_semi_anti",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+        val ordStats = li.groupBy($"l_orderkey").agg(
+          countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct(when($"l_returnflag" === "R", $"l_suppkey"))
+            .as("n_rsupp"))
+        val sup = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter($"n_name" === "NATION_3")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"s_name")
+        li.filter($"l_returnflag" === "R")
+          .join(ordStats.filter($"n_supp" >= 2 && $"n_rsupp" === 1),
+            "l_orderkey")
+          .join(t(s, dir, "orders").filter($"o_orderstatus" === "F")
+            .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+          AND n.n_name = 'NATION_3'
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+          AND l1.l_returnflag = 'R'
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+          AND o.o_orderstatus = 'F'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name""")),
+
+    // ---- Interval-overlap join via bucket blocking -------------------
+    // The interval join Spark lacks as a physical operator, expressed
+    // so it NEVER plans a theta join: per-user daily activity spans
+    // [lo,hi] must be matched to the global "heavy hours" (hour
+    // buckets with > 20 events). A direct `a.lo <= b.hi AND b.lo <=
+    // a.hi` join is a nested-loop at any scale; instead each span
+    // EXPLODES into the hour buckets it covers (sequence(lo DIV H,
+    // hi DIV H) — bounded by 24/day) and equi-joins on the bucket,
+    // with the tiny heavy-hour dim broadcast. Expansion factor =
+    // span/bucket ratio, a constant the operator controls — the 100
+    // TB plan is a map-side explode into a broadcast join, no
+    // shuffle at all. The oracle states the textbook overlap
+    // predicate directly, so the blocking rewrite is hash-checked
+    // against the declarative semantics.
+    Q("j11_interval_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val H = 3600000000L
+        val D = 86400000000L
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", expr("unix_micros(ts)").as("us"))
+        val spans = ev
+          .groupBy($"user_id", expr(s"us DIV $D").as("day"))
+          .agg(min($"us").as("lo"), max($"us").as("hi"))
+        val heavy = ev.groupBy(expr(s"us DIV $H").as("hr"))
+          .agg(count(lit(1)).as("n_events"))
+          .filter($"n_events" > 20)
+        spans
+          .select($"user_id", $"day",
+            explode(sequence(expr(s"lo DIV $H"), expr(s"hi DIV $H")))
+              .as("hr"))
+          .join(broadcast(heavy), "hr")
+          .select($"user_id", $"day", $"hr", $"n_events")
+          .orderBy($"user_id", $"day", $"hr")
+      },
+      Some("""WITH spans AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+            min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+          FROM events GROUP BY 1, 2),
+        heavy AS (
+          SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n_events
+          FROM events GROUP BY 1 HAVING count(*) > 20)
+        SELECT user_id, day, hr, n_events
+        FROM spans JOIN heavy
+          ON heavy.hr * 3600000000 <= spans.hi
+          AND (heavy.hr + 1) * 3600000000 > spans.lo
+        ORDER BY user_id, day, hr""")),
+
+    // ---- RANGE-frame window: rolling 24 h per-user sum ---------------
+    // The time-based frame spec (SURVEY §2.5 lists frames as a
+    // built-in extension point): every event sees the sum/count of
+    // its user's events in the trailing 24 h, as a RANGE frame over
+    // epoch-micros — peers at the same timestamp enter the frame
+    // together on both engines, so ties are safe by construction.
+    // One shuffle on user_id; the frame scan is the streaming
+    // sliding-sum inside each sorted partition (no per-row rescan).
+    // Sums ride the dec2 discipline so the rolling dollars are
+    // order-exact.
+    Q("w4_rolling_range",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"us")
+          .rangeBetween(-86399999999L, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id",
+            expr("unix_micros(ts)").as("us"), $"value")
+          .select($"event_id", $"user_id",
+            sum(dec2($"value")).over(w).cast("double").as("roll_sum"),
+            count(lit(1)).over(w).as("n_24h"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            AS roll_sum,
+          COUNT(*) OVER w AS n_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }

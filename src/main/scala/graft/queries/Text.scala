@@ -1544,7 +1544,104 @@ object Text {
         SELECT term, CAST(count(*) AS BIGINT) AS cnt, n AS total
         FROM tok, tot GROUP BY term, n
         HAVING count(*) * 50 >= n
-        ORDER BY cnt DESC, term"""))
+        ORDER BY cnt DESC, term""")),
+
+    // ---- Bloom-gated decontamination: x15's exact check, prefiltered -
+    // The scale form of benchmark decontamination: the bench set's
+    // 3-gram shingles build a broadcast Bloom filter, and the CORPUS
+    // side probes it with the codegen'd BloomMightContainExpr before
+    // anything shuffles — only the might-contain tail (true hits +
+    // fpp) reaches the exact confirm join, where Bloom false
+    // positives die. The result is therefore EXACTLY the declarative
+    // n-gram-overlap answer (the oracle states it with no Bloom),
+    // while the join input shrinks from every corpus shingle to the
+    // contaminated fraction — at 100 TB the filter is an O(1)
+    // map-side probe and the exact join touches only suspects. Same
+    // two-phase shape as d10's incremental dedup, applied to the
+    // x15 contamination semantics.
+    Q("x33_bloom_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.shingledFrom(Tables.load(s, dir, "documents"))
+        val bench = sh.filter($"doc_id" % 97 === 0)
+          .select($"doc_id".as("bench_id"), explode($"shs").as("sh"))
+        val bloom = bench.stat.bloomFilter("sh", 20000L, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val might = coalesce(
+          NativeExprs.bloomMightContain(s, bc, $"sh"), lit(false))
+        sh.filter($"doc_id" % 97 =!= 0)
+          .select($"doc_id", explode($"shs").as("sh"))
+          .filter(might)
+          .join(broadcast(bench), "sh")
+          .groupBy($"doc_id", $"bench_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter($"n_shared" >= 2)
+          .orderBy($"doc_id", $"bench_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []
+            ELSE list_transform(range(1, len(toks)-1),
+              i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END)
+            AS shs
+          FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+        b AS (SELECT doc_id AS bench_id, unnest(shs) AS sh
+          FROM sh WHERE doc_id % 97 = 0),
+        c AS (SELECT doc_id, unnest(shs) AS sh
+          FROM sh WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        FROM c JOIN b USING (sh)
+        GROUP BY c.doc_id, b.bench_id
+        HAVING count(*) >= 2
+        ORDER BY c.doc_id, b.bench_id""")),
+
+    // ---- DSIR-style importance weight: target vs corpus log-odds -----
+    // Data selection with importance resampling (Xie et al. 2023,
+    // arXiv:2302.03169) reduced to its unigram form: score every
+    // document by the mean log-odds of its tokens under the TARGET
+    // distribution (here: the English sub-corpus) vs the raw corpus
+    // distribution, add-1 smoothed over the shared vocabulary. ONE
+    // token pass computes both distributions (the target count is a
+    // conditional sum inside the same groupBy), the one-row totals
+    // ride a broadcast cross join (the x10/x14 shape), and the
+    // per-doc score is a partial-agg mean — no corpus-sized state
+    // anywhere. Scores round to 6 decimals under the x14 ulp
+    // argument (ln + avg reorder noise only).
+    Q("x34_dsir_logodds",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"lang",
+            explode(TextOps.tokens($"text")).as("tok"))
+        val vocab = toks.groupBy($"tok").agg(
+          count(lit(1)).as("c_all"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_en"))
+        val totals = vocab.agg(
+          sum($"c_all").as("t_all"), sum($"c_en").as("t_en"),
+          count(lit(1)).as("v"))
+        toks.join(vocab, "tok").crossJoin(broadcast(totals))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            round(avg(
+              log(($"c_en" + 1).cast("double") / ($"t_en" + $"v")) -
+              log(($"c_all" + 1).cast("double") / ($"t_all" + $"v"))), 6)
+              .as("dsir_weight"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, lang, unnest($duckToks) AS tok FROM documents),
+        vocab AS (SELECT tok, count(*) AS c_all,
+            sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en
+          FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS t_all,
+            CAST(sum(c_en) AS BIGINT) AS t_en,
+            count(*) AS v FROM vocab)
+        SELECT doc_id, count(*) AS n_toks,
+          round(avg(
+            ln(CAST(c_en + 1 AS DOUBLE) / (t_en + v)) -
+            ln(CAST(c_all + 1 AS DOUBLE) / (t_all + v))), 6)
+            AS dsir_weight
+        FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** (doc_id, toks) view of the documents table — the tokenized input
