@@ -1299,6 +1299,100 @@ object Misc {
           AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
         GROUP BY c.user_id ORDER BY c.user_id""")),
 
+    // ---- Streaming sessionization under the driver gate ----------------
+    // The third streaming shape (m31 windows, m33 stream-stream join):
+    // gap-based sessions via the built-in session_window state —
+    // windows merge as events arrive, the watermark bounds how long an
+    // open session can wait for a straggler, and COMPLETE mode
+    // re-emits the whole session state each batch — append would hold
+    // back every session still inside the watermark horizon at
+    // end-of-stream (the final watermark stops at max-ts − delay, so
+    // the tail 2 h of sessions would never flush; StreamingSpec pins
+    // the same choice). The sink is therefore per-batch atomic
+    // REPLACE, not keyed upsert: re-publishing a complete emission is
+    // idempotent by construction, and a session whose start moves as
+    // earlier events arrive can never strand a stale row. The oracle
+    // recomputes sessions relationally (gap-island windows) with
+    // session_window's boundary rule — a new session starts when the
+    // gap is ≥ the 30 min threshold (windows [t, t+gap) that merely
+    // TOUCH do not merge) and the session end is last-event + gap.
+    Q("m36_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        val land = graft.sources.Scratch.dir(s, "ssl")
+        ev.repartition(4).write.mode("overwrite").parquet(land)
+        val wh = graft.sources.Scratch.warehouse(s, "ssw")
+        val chk = graft.sources.Scratch.dir(s, "ssc")
+        val q = graft.streaming.EventStream.sessions(
+            graft.streaming.EventStream.read(s, land))
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("complete")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            wh.atomicPublish("sess", b)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        wh.read("sess")
+          .select($"user_id", unix_micros($"s_start").as("s_us"),
+            unix_micros($"s_end").as("e_us"), $"n_events", $"session_value")
+          .orderBy($"user_id", $"s_us")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        f AS (SELECT user_id, tus, value,
+            CASE WHEN lag(tus) OVER w IS NULL
+                 OR tus - lag(tus) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        g AS (SELECT user_id, tus, value,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS sid
+          FROM f)
+        SELECT user_id, min(tus) AS s_us,
+          max(tus) + 1800000000 AS e_us,
+          count(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, s_us""")),
+
+    // ---- Co-occurrence mining: parts bought by the same customer -------
+    // The market-basket / co-click pair generator every recsys and
+    // embedding-pretraining pipeline runs: distinct (customer, part)
+    // incidences self-join ON THE CUSTOMER KEY (equi — never a
+    // cartesian), p1 < p2 canonicalizes the pair, and the pair counts
+    // partial-aggregate before the shuffle. The quadratic risk lives
+    // entirely in per-customer degree: at 100 TB the degree cap (drop
+    // or sample baskets past ~1k distinct items — the d7 capped-list
+    // discipline) bounds pairs per customer to a constant; here
+    // degrees are small and the exact form stays on the hash gate.
+    Q("m37_copurchase",
+      (s, dir) => {
+        import s.implicits._
+        val cp = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+          .distinct()
+        cp.select($"cust", $"part".as("p1"))
+          .join(cp.select($"cust", $"part".as("p2")), Seq("cust"))
+          .filter($"p1" < $"p2")
+          .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_cust"))
+          .filter($"n_cust" >= 3)
+          .orderBy($"n_cust".desc, $"p1", $"p2")
+      },
+      Some("""WITH cp AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT a.part AS p1, b.part AS p2, count(*) AS n_cust
+        FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY n_cust DESC, p1, p2""")),
+
     // ---- Robust outliers: median/MAD gate per event_type -------------
     // The robust anomaly filter (median ± 3·MAD) computed WITHOUT
     // sorting all rows: the lower median is found by counting — group

@@ -894,6 +894,53 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Incremental view maintenance from the CDC changelog ---------
+    // The matview-refresh pattern that makes a 100 TB fact affordable:
+    // a revenue-by-status materialized view is built once from v1,
+    // then — after the base table republishes as v2 — refreshed from
+    // `diffVersions`' added/removed rows ONLY, never by rescanning the
+    // base. Increments are associative because the view stores EXACT
+    // DECIMAL sums (a double-sum matview cannot be incrementally
+    // maintained bit-stably); removed rows enter with negated weight,
+    // the delta partial-aggregates to a handful of (status, dn, drev)
+    // rows, and a full-outer merge + n>0 filter handles groups that
+    // appear or vanish. The oracle computes the v2 aggregate directly
+    // from the base data, so the hash gate proves refreshed-view ==
+    // full-recompute. Maintenance cost ∝ |changelog|, not table size.
+    Q("s20_ivm_delta",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "ivm")
+        wh.atomicPublish("ord_ivm", o.filter($"o_orderkey" % 5 =!= 0))
+        wh.atomicPublish("mv_rev",
+          wh.read("ord_ivm").groupBy($"o_orderstatus")
+            .agg(count(lit(1)).as("n"), sum(dec2($"o_totalprice")).as("rev")))
+        wh.atomicPublish("ord_ivm", o.filter($"o_orderkey" % 11 =!= 0))
+        val (added, removed) = wh.diffVersions("ord_ivm", 1, 2)
+        val delta = added.select($"o_orderstatus", lit(1L).as("w"),
+            dec2($"o_totalprice").as("rv"))
+          .unionByName(removed.select($"o_orderstatus", lit(-1L).as("w"),
+            (-dec2($"o_totalprice")).as("rv")))
+          .groupBy($"o_orderstatus")
+          .agg(sum($"w").as("dn"), sum($"rv").as("drev"))
+        wh.read("mv_rev").join(delta, Seq("o_orderstatus"), "full_outer")
+          .select($"o_orderstatus",
+            (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+            (coalesce($"rev", lit(0).cast("decimal(28,2)")) +
+              coalesce($"drev", lit(0).cast("decimal(28,2)"))).as("rev"))
+          .filter($"n" > 0)
+          .select($"o_orderstatus", $"n",
+            $"rev".cast("double").as("revenue"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders WHERE o_orderkey % 11 <> 0
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- TPC-H Q21 shape: EXISTS + NOT EXISTS, decorrelated to ONE
     // per-order aggregate. The classic "sole failing supplier" query
     // (adapted to this schema's columns: returnflag R stands in for
