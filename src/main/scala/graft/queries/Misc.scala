@@ -1456,6 +1456,36 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Equi-depth histogram: the optimizer's own statistic ----------
+    // The ANALYZE-style column statistic an engine builds for join
+    // sizing and skew detection: 8 equal-population buckets per
+    // event_type via ntile over the deterministic (value, event_id)
+    // order, reduced to (bucket, lo, hi, n) boundaries. One sort
+    // shuffle per key produces the full histogram; at 100 TB the
+    // exact form gives way to m27/m29's mergeable quantile sketches —
+    // this row pins the exact semantics those sketches approximate.
+    Q("m38_equidepth_hist",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"event_type")
+          .orderBy($"value", $"event_id")
+        Tables.load(s, dir, "events")
+          .select($"event_type", $"event_id", $"value",
+            ntile(8).over(w).as("bucket"))
+          .groupBy($"event_type", $"bucket")
+          .agg(count(lit(1)).as("n"),
+            min($"value").as("lo"), max($"value").as("hi"))
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""SELECT event_type, bucket, count(*) AS n,
+          min(value) AS lo, max(value) AS hi
+        FROM (SELECT event_type, value,
+            ntile(8) OVER (PARTITION BY event_type
+              ORDER BY value, event_id) AS bucket
+          FROM events)
+        GROUP BY event_type, bucket
+        ORDER BY event_type, bucket""")),
+
     // ---- Hash-deterministic bootstrap CI for a grouped mean ----------
     // The error bar a metrics pipeline puts on every aggregate: 32
     // half-sample bootstrap replicates of the per-type mean, with

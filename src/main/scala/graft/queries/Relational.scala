@@ -894,6 +894,104 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Unpivot: wide measures → long EAV (A4's inverse) -------------
+    // The melt operator — the exact inverse of A4's bounded pivot, and
+    // the shape a feature store normalizes into before per-measure
+    // processing. Spark's `stack` generator expands the 4 measure
+    // columns row-locally (a Generate over the scan, no shuffle, no
+    // state); at 100 TB the expansion is pure map-side and the
+    // downstream groupBy sees a long skinny stream that partial-
+    // aggregates before any exchange. The oracle spells the same
+    // reshape as a portable UNION ALL.
+    Q("a6_unpivot",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 50 === 0)
+          .select($"l_orderkey", $"l_linenumber",
+            expr("""stack(4,
+              'discount', l_discount,
+              'extendedprice', l_extendedprice,
+              'quantity', l_quantity,
+              'tax', l_tax) AS (measure, val)"""))
+          .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+          SELECT l_orderkey, l_linenumber, 'discount' AS measure,
+            l_discount AS val FROM lineitem
+          UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+            l_extendedprice FROM lineitem
+          UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+            l_quantity FROM lineitem
+          UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+            l_tax FROM lineitem)
+        WHERE l_orderkey % 50 = 0
+        ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // ---- GROUPING SETS with grouping-id disambiguation ----------------
+    // The multi-granularity aggregate between m1's rollup and m8's
+    // cube: an explicit set list — (status, priority), (priority),
+    // () — computed in ONE pass (Catalyst expands the sets into a
+    // single Expand + hash aggregate, not three scans). The grouping
+    // bitmask is spelled as grouping(a)*2 + grouping(b) — portable
+    // across engines — and grouped-out keys COALESCE to 'ALL' so the
+    // result never exposes engine-specific NULL ordering to the sort.
+    Q("a7_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+        s.sql("""SELECT
+            grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS g,
+            coalesce(o_orderstatus, 'ALL') AS status,
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS revenue
+          FROM gs_orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+            (o_orderpriority), ())
+          ORDER BY g, status, priority""")
+      },
+      Some("""SELECT
+          grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS g,
+          coalesce(o_orderstatus, 'ALL') AS status,
+          coalesce(o_orderpriority, 'ALL') AS priority,
+          count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderpriority), ())
+        ORDER BY g, status, priority""")),
+
+    // ---- Window distribution functions: percent_rank / cume_dist /
+    // ntile over a deterministic total order (acctbal, custkey) — the
+    // remaining SURVEY §2.5 frame-function family in one row. All
+    // three are single-pass rank arithmetic inside the per-segment
+    // sort (one shuffle on the partition key); percent_rank's
+    // (k−1)/(n−1) is one IEEE division on integers, identical on both
+    // engines, so it sits on the hash surface unrounded.
+    Q("w5_dist_ntile",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal", $"c_custkey")
+        t(s, dir, "customer")
+          .filter($"c_custkey" % 10 === 0)
+          .select($"c_custkey", $"c_mktsegment",
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          ntile(4) OVER w AS quartile
+        FROM customer WHERE c_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY c_mktsegment
+          ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey""")),
+
     // ---- Incremental view maintenance from the CDC changelog ---------
     // The matview-refresh pattern that makes a 100 TB fact affordable:
     // a revenue-by-status materialized view is built once from v1,

@@ -888,6 +888,47 @@ object Sim {
         FROM (SELECT picked FROM sel WHERE step = 5) f,
           unnest(range(1, 6)) AS u(i)
         JOIN cand c ON c.vec_id = picked[u.i]
-        ORDER BY rank"""))
+        ORDER BY rank""")),
+
+    // ---- Per-label centroids: the embedding-drift monitor -------------
+    // The statistic an embedding pipeline tracks between model
+    // versions: the per-label mean vector, plus each label's drift
+    // from the global centroid. posexplode flattens (label, dim, v)
+    // row-locally — no vector ever materializes driver-side — and the
+    // per-(label, dim) mean partial-aggregates before one shuffle of
+    // labels × 64 dims, however many vectors feed it. Means and the
+    // drift round to 6 decimals (the x14 ulp argument for reordered
+    // float sums); the drift is |label-mean − global-mean| computed
+    // FROM THE ROUNDED means, so both engines derive it from
+    // hash-identical inputs.
+    Q("sim13_centroid_drift",
+      (s, dir) => {
+        import s.implicits._
+        val flat = Tables.load(s, dir, "embeddings")
+          .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+          .select($"label", $"dim", $"v".cast("double").as("v"))
+        val byLabel = flat.groupBy($"label", $"dim")
+          .agg(count(lit(1)).as("n"), round(avg($"v"), 6).as("centroid"))
+        val global = flat.groupBy($"dim")
+          .agg(round(avg($"v"), 6).as("gcentroid"))
+        byLabel.join(broadcast(global), "dim")
+          .select($"label", $"dim", $"n", $"centroid",
+            round(abs($"centroid" - $"gcentroid"), 6).as("drift"))
+          .orderBy($"label", $"dim")
+      },
+      Some("""WITH flat AS (
+          SELECT label, CAST(i - 1 AS INT) AS dim,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN range(1, 65) t(i)
+          WHERE i <= len(embedding)),
+        bl AS (SELECT label, dim, count(*) AS n,
+            round(avg(v), 6) AS centroid
+          FROM flat GROUP BY 1, 2),
+        g AS (SELECT dim, round(avg(v), 6) AS gcentroid
+          FROM flat GROUP BY 1)
+        SELECT label, bl.dim, n, centroid,
+          round(abs(centroid - gcentroid), 6) AS drift
+        FROM bl JOIN g ON bl.dim = g.dim
+        ORDER BY label, bl.dim"""))
   )
 }
