@@ -212,4 +212,43 @@ class PlanSpec extends SparkSpec {
     assert(!p4.contains("BroadcastNestedLoopJoin") && !p4.contains("CartesianProduct"),
       s"q4: EXISTS fell back to a nested loop:\n$p4")
   }
+
+  test("q21: EXISTS/NOT-EXISTS collapse to ONE lineitem aggregate — no semi/anti self-joins") {
+    val p = planOf("q21_semi_anti")
+    // the whole decorrelation lives in a single groupBy(l_orderkey)
+    // pass; a LeftSemi/LeftAnti on lineitem would mean the correlated
+    // probes came back as extra full-table joins
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"q21: correlated probes planned as semi/anti self-joins:\n$p")
+    assert(p.contains("partial_"), s"q21: order stats not map-side combined:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q21: supplier dim not broadcast:\n$p")
+  }
+
+  test("j11: interval overlap is explode + broadcast equi-join — never a nested loop") {
+    val p = planOf("j11_interval_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"j11: heavy-hour dim not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"j11: overlap predicate planned as a theta join:\n$p")
+    assert(p.contains("Generate"), s"j11: bucket explode missing:\n$p")
+  }
+
+  test("x33: bloom probe prefilters the corpus shingles before the exact join") {
+    val p = planOf("x33_bloom_decontaminate")
+    assert(p.toLowerCase.contains("bloommightcontain") || p.contains("graft_bloom"),
+      s"x33: native bloom probe not in the plan:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"x33: UDF crept into the probe path:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"x33: exact confirm join not broadcast:\n$p")
+  }
+
+  test("m36: streaming sessions read back from the warehouse — no re-aggregation at read") {
+    // the serve read is a plain scan + sort of the published sessions
+    // table; session recomputation at read time would show as an
+    // aggregate over the events source
+    val p = planOf("m36_stream_sessions")
+    assert(!p.contains("session_window"),
+      s"m36: read path recomputes session windows:\n$p")
+  }
 }
