@@ -1095,6 +1095,112 @@ object Dedup {
         JOIN n ON n.doc_id = a.doc_id
         GROUP BY a.doc_id, b.doc_id, n.ng
         HAVING count(*) * 5 >= n.ng * 4
-        ORDER BY contained_id, container_id"""))
+        ORDER BY contained_id, container_id""")),
+
+    // ---- Prefix-filtering set-similarity join (All-Pairs/PPJoin) -----
+    // The EXACT token-Jaccard join at scale (Bayardo et al., WWW'07;
+    // Xiao et al., PPJoin): order every document's distinct tokens by
+    // ascending global document frequency (rare first — ties broken
+    // by the token string, so the order is total and deterministic),
+    // keep only the PREFIX of length n − ⌈τ·n⌉ + 1, and equi-join
+    // prefixes on the token. Any pair with Jaccard ≥ τ must share a
+    // prefix token on both sides (the intersection is ≥ ⌈τ·max⌉,
+    // larger than either suffix), so candidate generation is
+    // LOSSLESS — and the oracle, which states the naive all-pairs
+    // semantics, proves that empirically. Candidates then confirm by
+    // exact intersection. No global rank table (the (df, token) pair
+    // IS the sort key — no single-partition row_number), the length
+    // filter τ·max ≤ min prunes before dedup, and the join shuffles
+    // prefix tokens only: rare tokens by construction, so bucket
+    // lists stay short where d2's cap would drop hot shingles.
+    Q("d20_prefix_filter_join",
+      (s, dir) => {
+        import s.implicits._
+        val tau = 0.6
+        val tk = Tables.load(s, dir, "documents")
+          .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("tk"))
+          .filter(size($"tk") > 0)
+          .persist()
+        val toks = tk.select($"doc_id", size($"tk").cast("long").as("n"),
+          explode($"tk").as("tok"))
+        val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val prefix = toks.join(df, "tok")
+          .groupBy($"doc_id", $"n")
+          .agg(array_sort(collect_list(struct($"df", $"tok"))).as("sorted"))
+          .select($"doc_id", $"n",
+            explode(expr(s"slice(sorted, 1, " +
+              s"cast(n - ceil($tau * n) + 1 as int))")).as("p"))
+          .select($"doc_id", $"n", $"p.tok".as("tok"))
+        val cand = prefix.select($"doc_id".as("a_id"), $"n".as("na"), $"tok")
+          .join(prefix.select($"doc_id".as("b_id"), $"n".as("nb"), $"tok"),
+            "tok")
+          .filter($"a_id" < $"b_id" &&
+            greatest($"na", $"nb") * tau <= least($"na", $"nb"))
+          .select($"a_id", $"b_id").distinct()
+        cand
+          .join(tk.select($"doc_id".as("a_id"), $"tk".as("a_tk")), "a_id")
+          .join(tk.select($"doc_id".as("b_id"), $"tk".as("b_tk")), "b_id")
+          .select($"a_id", $"b_id",
+            size(array_intersect($"a_tk", $"b_tk")).cast("long").as("inter"),
+            size($"a_tk").cast("long").as("na"),
+            size($"b_tk").cast("long").as("nb"))
+          .select($"a_id", $"b_id", $"inter",
+            ($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+              .as("jaccard"))
+          .filter($"jaccard" >= tau)
+          .orderBy($"a_id", $"b_id")
+      },
+      Some(s"""WITH tk AS (
+          SELECT doc_id, list_distinct($duckToks) AS tk FROM documents
+          WHERE len(list_distinct($duckToks)) > 0)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+          CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+            (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+            AS jaccard
+        FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+            (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+            >= 0.6
+        ORDER BY a_id, b_id""")),
+
+    // ---- Edit-distance join via deletion-neighborhood blocking -------
+    // The fuzzy string join (FastSS family): ed(a,b) ≤ 1 implies the
+    // 1-deletion neighborhoods {s} ∪ {s − one char} intersect — a
+    // substitution deletes to the same string from both sides, an
+    // insert/delete pair meets at the shorter string — so candidates
+    // come from an EQUI-join on the exploded variants (≤ len+1 per
+    // name, generated by a codegen'd transform(), no UDF), never an
+    // all-pairs levenshtein. A shared variant can also mean ed = 2
+    // (two different deletions), so the exact levenshtein runs as the
+    // CONFIRM over candidates only. At 100 TB the neighborhood factor
+    // is ~len per string while the cross product is n² — the oracle
+    // states the naive all-pairs form to prove blocking lost nothing.
+    Q("d21_editdist_join",
+      (s, dir) => {
+        import s.implicits._
+        val names = Tables.load(s, dir, "part")
+          .select($"p_name".as("name")).distinct().persist()
+        val variants = names.select($"name",
+          explode(array_union(array($"name"),
+            expr("""transform(sequence(1, length(name)),
+              i -> concat(substring(name, 1, i - 1),
+                          substring(name, i + 1, length(name))))""")))
+            .as("v"))
+        variants.select($"name".as("name_a"), $"v")
+          .join(variants.select($"name".as("name_b"), $"v"), "v")
+          .filter($"name_a" < $"name_b")
+          .select($"name_a", $"name_b").distinct()
+          .filter(levenshtein($"name_a", $"name_b") <= 1)
+          .select($"name_a", $"name_b",
+            levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+          .orderBy($"name_a", $"name_b")
+      },
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        SELECT a.name AS name_a, b.name AS name_b,
+          CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM n a JOIN n b
+          ON a.name < b.name AND levenshtein(a.name, b.name) <= 1
+        ORDER BY name_a, name_b"""))
   )
 }

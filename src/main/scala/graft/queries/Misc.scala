@@ -1456,6 +1456,57 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Degree-oriented triangle counting ----------------------------
+    // The graph-analytics workhorse beyond m19's PageRank: triangles
+    // in the co-purchase graph (parts sharing an order). The naive
+    // wedge join explodes at hub vertices — a degree-d node center
+    // generates C(d,2) wedges, quadratic in the hub — so every edge
+    // is ORIENTED from its lower-(degree, id) endpoint to the higher
+    // (Latapy's compact-forward / the MapReduce scheme of Suri &
+    // Vassilvitskii): out-degrees are then bounded (a hub only points
+    // to higher-degree nodes, of which there are few), each triangle
+    // forms exactly one wedge at its smallest vertex, and the closing
+    // check is one more equi-join on the oriented edge. Shuffles:
+    // edge dedup, degree agg, wedge join, close join — all on keys,
+    // never all-pairs. Oracle = the id-ordered triple self-join.
+    Q("m39_triangle_count",
+      (s, dir) => {
+        import s.implicits._
+        val op = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val e = op.select($"o", $"p".as("u"))
+          .join(op.select($"o", $"p".as("v")), "o")
+          .filter($"u" < $"v")
+          .select($"u", $"v").distinct().persist()
+        val deg = e.select($"u".as("x")).union(e.select($"v".as("x")))
+          .groupBy($"x").agg(count(lit(1)).as("d"))
+        // orient by (degree, id): src → dst with k(src) < k(dst)
+        val kU = struct($"du".as("d"), $"u".as("id"))
+        val kV = struct($"dv".as("d"), $"v".as("id"))
+        val or = e
+          .join(deg.select($"x".as("u"), $"d".as("du")), "u")
+          .join(deg.select($"x".as("v"), $"d".as("dv")), "v")
+          .select(
+            when(kU < kV, $"u").otherwise($"v").as("src"),
+            when(kU < kV, kV).otherwise(kU).as("dst"))
+          .persist()
+        val wedges = or.as("e1").join(or.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+          // the wedge's far pair, re-keyed as an oriented edge probe
+          .select(col("e1.dst.id").as("src"), col("e2.dst").as("dst"))
+        val nTri = wedges.join(or, Seq("src", "dst"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(
+          broadcast(nTri.agg(count(lit(1)).as("n_triangles"))))
+      },
+      Some("""WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        SELECT (SELECT count(*) FROM e) AS n_edges,
+          (SELECT count(*) FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles""")),
+
     // ---- Equi-depth histogram: the optimizer's own statistic ----------
     // The ANALYZE-style column statistic an engine builds for join
     // sizing and skew detection: 8 equal-population buckets per
