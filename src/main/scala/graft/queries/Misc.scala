@@ -1456,6 +1456,95 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Markov transition matrix over user event sequences -----------
+    // The behavior-model statistic sequence-modeling pipelines start
+    // from: P(next event type | current), estimated from each user's
+    // time-ordered stream. One lead() window per user (single shuffle
+    // on user_id — the sequence fits the partition by construction),
+    // bigram counts partial-aggregate, and the row-normalizing totals
+    // ride a broadcast join. The probability is one long/long IEEE
+    // division, identical on both engines — no rounding needed on the
+    // hash surface.
+    Q("m40_markov_transition",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val bigrams = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("tus"))
+          .withColumn("next", lead($"event_type", 1).over(w))
+          .filter($"next".isNotNull)
+          .groupBy($"event_type", $"next").agg(count(lit(1)).as("n"))
+        val totals = bigrams.groupBy($"event_type")
+          .agg(sum($"n").as("tot"))
+        bigrams.join(broadcast(totals), "event_type")
+          .select($"event_type", $"next", $"n",
+            ($"n".cast("double") / $"tot").as("p"))
+          .orderBy($"event_type", $"next")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events),
+        b AS (SELECT event_type, next, count(*) AS n FROM (
+            SELECT event_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY tus, event_id) AS next
+            FROM e)
+          WHERE next IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+          FROM b GROUP BY 1)
+        SELECT b.event_type, next, n, CAST(n AS DOUBLE) / tot AS p
+        FROM b JOIN t ON b.event_type = t.event_type
+        ORDER BY b.event_type, next""")),
+
+    // ---- Last-touch attribution within a 7-day window ------------------
+    // The marketing-attribution join: every purchase is credited to
+    // the LATEST prior click/view/signup by the same user within 7
+    // days (ties broken by event_id — total order, both engines
+    // agree). The candidate join is an equi-join on user_id with the
+    // time range as a residual predicate — at scale the window bound
+    // is what keeps the join state finite (the m33 streaming variant's
+    // state argument, batch form) — and the per-purchase winner is a
+    // max_by((ts, id)) partial aggregate, never a sort of the joined
+    // stream. Unattributed purchases survive the left join as 'none'.
+    Q("m41_last_touch",
+      (s, dir) => {
+        import s.implicits._
+        val D7 = 7L * 86400 * 1000000
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("tus"))
+        val pur = ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("p_id"), $"tus".as("p_tus"))
+        val cand = ev.filter($"event_type".isin("click", "view", "signup"))
+          .select($"user_id", $"event_type".as("ch"),
+            $"tus".as("c_tus"), $"event_id".as("c_id"))
+        val att = pur.join(cand, Seq("user_id"))
+          .filter($"c_tus" <= $"p_tus" && $"c_tus" >= $"p_tus" - D7)
+          .groupBy($"p_id")
+          .agg(max_by($"ch", struct($"c_tus", $"c_id")).as("ch"))
+        pur.join(att, Seq("p_id"), "left")
+          .groupBy(coalesce($"ch", lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy($"channel")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+          FROM events),
+        p AS (SELECT user_id, event_id AS p_id, tus AS p_tus
+          FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, event_type AS ch, tus AS c_tus,
+            event_id AS c_id
+          FROM e WHERE event_type IN ('click', 'view', 'signup')),
+        j AS (SELECT p_id, ch, row_number() OVER (PARTITION BY p_id
+              ORDER BY c_tus DESC, c_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id
+            AND c_tus <= p_tus AND c_tus >= p_tus - 604800000000),
+        att AS (SELECT p_id, ch FROM j WHERE rn = 1)
+        SELECT coalesce(ch, 'none') AS channel, count(*) AS n_purchases
+        FROM p LEFT JOIN att USING (p_id)
+        GROUP BY 1 ORDER BY channel""")),
+
     // ---- Degree-oriented triangle counting ----------------------------
     // The graph-analytics workhorse beyond m19's PageRank: triangles
     // in the co-purchase graph (parts sharing an order). The naive

@@ -894,6 +894,29 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Metadata-only rollback: undo a bad publish ------------------
+    // The operational complement of s14's time travel: v2 "corrupts"
+    // every region name, `rollback` re-commits v1's exact FILE LIST as
+    // v3 — one manifest write + one pointer CAS, zero data bytes
+    // moved (on a 100 TB table the restore is O(metadata)). The read
+    // after rollback must hash-equal the original data; the corrupt
+    // vintage stays readable as history until GC ages it out.
+    Q("s21_rollback",
+      (s, dir) => {
+        import s.implicits._
+        val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+        val wh = graft.sources.Scratch.warehouse(s, "rbk")
+        wh.atomicPublish("reg_rb", r)                          // v1
+        wh.atomicPublish("reg_rb",                             // v2 (bad)
+          r.withColumn("r_name", concat($"r_name", lit("-CORRUPT"))))
+        wh.rollback("reg_rb", 1)                               // v3 == v1
+        wh.read("reg_rb")
+          .withColumn("restored", lit(true))
+          .orderBy($"r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, TRUE AS restored
+        FROM region ORDER BY r_regionkey""")),
+
     // ---- Unpivot: wide measures → long EAV (A4's inverse) -------------
     // The melt operator — the exact inverse of A4's bounded pivot, and
     // the shape a feature store normalizes into before per-measure

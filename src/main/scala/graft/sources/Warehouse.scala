@@ -1140,14 +1140,12 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * pointer swap), minus their semantic conflict analysis: ANY
     * intervening commit aborts, even one touching disjoint partitions.
     */
-  private def writeVersion(name: String, df: DataFrame,
-      partitionCols: Seq[String]): (Long, Seq[String]) = {
-    val root = new Path(tablePath(name))
-    val fs = fileSystem(root)
-    // claim the version number by creating its in-flight marker
-    // create-no-overwrite: the marker is both the allocation lock (two
-    // writers can no longer collide on the same _vN) and the GC shield
-    // for the whole write→commit window (see InflightGraceMs)
+  /** Claim a fresh version number by creating its in-flight marker
+    * create-no-overwrite: the marker is both the allocation lock (two
+    * writers can no longer collide on the same _vN) and the GC shield
+    * for the whole write→commit window (see InflightGraceMs).
+    */
+  private def claimVersion(fs: FileSystem, root: Path): Long = {
     var n = nextVersion(fs, root)
     var claimed = false
     while (!claimed) {
@@ -1158,6 +1156,41 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         catch { case _: java.io.IOException => n += 1 }
       }
     }
+    n
+  }
+
+  /** Metadata-only restore (the Delta RESTORE / Iceberg rollback
+    * shape): re-commit snapshot `toVersion`'s EXACT file list as a new
+    * version — no data file is read, copied, or rewritten, so undoing
+    * a bad publish on a 100 TB table costs one manifest write and one
+    * pointer CAS. History is preserved (the bad version stays
+    * readable until GC ages it out) and the commit goes through the
+    * same optimistic CAS as any publish, so a concurrent writer
+    * cannot be silently clobbered. Only snapshots GC still retains
+    * (current + previous) are restorable — the loud `require`
+    * mirrors `readVersion`.
+    */
+  def rollback(name: String, toVersion: Long): Unit = {
+    require(manifest, "rollback requires manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val expected = currentManifest(fs, root)
+    require(expected.isDefined, s"table $name has no current snapshot")
+    val src = new Path(root, s"_manifest_v$toVersion")
+    require(fs.exists(src),
+      s"snapshot v$toVersion of $name is not available (GC keeps current + previous)")
+    val files = readManifest(fs, src)
+    // claim a number exactly like a data write — the marker guards the
+    // (empty) write→commit window; commitSnapshot releases it
+    val n = claimVersion(fs, root)
+    commitSnapshot(name, n, files, expected)
+  }
+
+  private def writeVersion(name: String, df: DataFrame,
+      partitionCols: Seq[String]): (Long, Seq[String]) = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val n = claimVersion(fs, root)
     val vdir = new Path(root, s"_v$n")
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)

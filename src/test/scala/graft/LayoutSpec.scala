@@ -542,4 +542,35 @@ class LayoutSpec extends SparkSpec {
     assert(got === Array(1L, 2500L, 7777L),
       "malformed sidecar lines must degrade to no-prune, never wrong rows")
   }
+
+  test("rollback: metadata-only restore — no data rewrite, history intact, GC'd targets refuse") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-rollback")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = spark.range(0, 100).toDF("k")
+    wh.atomicPublish("t", v1)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k")
+      .withColumn("k", $"k" + 1000)) // the bad publish
+    wh.rollback("t", 1)
+
+    // restored read == v1 exactly
+    assert(wh.read("t").orderBy($"k").as[Long].collect()
+      === (0L until 100L).toArray)
+    // metadata-only: the restore allocated a version NUMBER but wrote
+    // no _v3 data dir; the new manifest references v1's files
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/t/_v3")),
+      "rollback must not rewrite data files")
+    val mf3 = new org.apache.hadoop.fs.Path(s"$tmp/t/_manifest_v3")
+    assert(fs.exists(mf3), "rollback commits a new manifest version")
+    // history: the bad vintage stays time-travel readable (GC grace)
+    assert(wh.readVersion("t", 2).agg(min($"k")).as[Long].head() === 1000L)
+
+    // a target past GC's reach refuses loudly instead of resurrecting
+    // a dangling file list: age out v1 with two more publishes
+    wh.atomicPublish("t", spark.range(0, 5).toDF("k"))
+    wh.atomicPublish("t", spark.range(5, 9).toDF("k"))
+    val ex = intercept[IllegalArgumentException] { wh.rollback("t", 1) }
+    assert(ex.getMessage.contains("not available"))
+  }
 }
