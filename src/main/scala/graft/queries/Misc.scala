@@ -1456,6 +1456,123 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- RFM segmentation: recency / frequency / monetary quintiles ---
+    // The classic customer-value segmentation: facts first COLLAPSE to
+    // one row per customer (partial-agg — the only pass over the
+    // fact), then three ntile(5) windows rank the customer DIM with
+    // custkey tiebreaks (total order, both engines agree). The global
+    // windows sort the dimension, never the fact; at 100 TB the
+    // quintile boundaries would come from m27/m29's mergeable
+    // sketches instead of an exact global sort — dim-sized input
+    // keeps the exact form honest here. Monetary ranks on the EXACT
+    // decimal sum (double ties would rank engine-dependently).
+    Q("m43_rfm_segments",
+      (s, dir) => {
+        import s.implicits._
+        val per = Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(max(expr(
+              "unix_micros(cast(o_orderdate as timestamp)) DIV 86400000000"))
+              .as("r_day"),
+            count(lit(1)).as("freq"),
+            sum(dec2($"o_totalprice")).as("mon"))
+        def q(c: String) = ntile(5).over(
+          Window.orderBy(col(c), $"o_custkey"))
+        per.select($"o_custkey", $"r_day", $"freq",
+            $"mon".cast("double").as("monetary"),
+            q("r_day").as("rq"), q("freq").as("fq"), q("mon").as("mq"))
+          .withColumn("segment", $"rq" * 100 + $"fq" * 10 + $"mq")
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH per AS (
+          SELECT o_custkey,
+            max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+            count(*) AS freq,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+          FROM orders GROUP BY 1)
+        SELECT o_custkey, r_day, freq, CAST(mon AS DOUBLE) AS monetary,
+          ntile(5) OVER (ORDER BY r_day, o_custkey) AS rq,
+          ntile(5) OVER (ORDER BY freq, o_custkey) AS fq,
+          ntile(5) OVER (ORDER BY mon, o_custkey) AS mq,
+          ntile(5) OVER (ORDER BY r_day, o_custkey) * 100 +
+            ntile(5) OVER (ORDER BY freq, o_custkey) * 10 +
+            ntile(5) OVER (ORDER BY mon, o_custkey) AS segment
+        FROM per ORDER BY o_custkey""")),
+
+    // ---- Kaplan-Meier: time to first purchase, right-censored ---------
+    // The survival estimator a conversion/churn pipeline runs: per
+    // user, hours from first event to first PURCHASE; users who never
+    // purchase are right-censored at the stream horizon. S(t) =
+    // Π(1 − d/n) over purchase hours ≤ t, computed as exp(Σ ln) so
+    // the running product is one ordered window — rounded to 6
+    // decimals under the x14 ulp rule. The at-risk counts join the
+    // BOUNDED death-time axis broadcast against the per-user row (the
+    // axis is |distinct conversion hours|, never corpus-sized); every
+    // heavy input collapses to one row per user first. Censored-at-t
+    // users count as at-risk at t (the standard convention; pinned by
+    // the shared h ≥ t predicate in both engines).
+    Q("m42_kaplan_meier",
+      (s, dir) => {
+        import s.implicits._
+        val HR = 3600000000L
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type", unix_micros($"ts").as("tus"))
+        val horizon = ev.agg(max($"tus").as("hz"))
+        val per = ev.groupBy($"user_id")
+          .agg(min($"tus").as("t0"),
+            min(when($"event_type" === "purchase", $"tus")).as("tp"))
+          .crossJoin(broadcast(horizon))
+          .select($"user_id",
+            when($"tp".isNotNull, expr(s"(tp - t0) DIV $HR"))
+              .otherwise(expr(s"(hz - t0) DIV $HR")).as("h"),
+            $"tp".isNotNull.as("converted"))
+        val deaths = per.filter($"converted")
+          .groupBy($"h".as("t")).agg(count(lit(1)).as("d"))
+        val atRisk = per.join(broadcast(deaths.select($"t")), $"h" >= $"t")
+          .groupBy($"t").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy($"t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // the final cohort may fully convert (d == n ⇒ factor 0):
+        // ln(0) is out of domain, so zero factors ride a separate
+        // absorbed flag and the ln-sum skips them (NULL-ignoring sum
+        // on both engines)
+        val f = lit(1.0) - $"d".cast("double") / $"n"
+        deaths.join(atRisk, "t")
+          .select($"t", $"d", $"n",
+            round(when(max(when(f === 0.0, 1).otherwise(0)).over(w) === 1,
+                lit(0.0))
+              .otherwise(exp(sum(when(f > 0.0, log(f))).over(w))), 6)
+              .as("survival"))
+          .orderBy($"t")
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        hz AS (SELECT max(tus) AS hz FROM e),
+        per AS (SELECT user_id,
+            CASE WHEN min(CASE WHEN event_type = 'purchase' THEN tus END)
+                   IS NOT NULL
+              THEN (min(CASE WHEN event_type = 'purchase' THEN tus END)
+                - min(tus)) // 3600000000
+              ELSE ((SELECT hz FROM hz) - min(tus)) // 3600000000 END AS h,
+            min(CASE WHEN event_type = 'purchase' THEN tus END)
+              IS NOT NULL AS converted
+          FROM e GROUP BY user_id),
+        deaths AS (SELECT h AS t, count(*) AS d FROM per
+          WHERE converted GROUP BY 1),
+        risk AS (SELECT t, count(*) AS n
+          FROM per JOIN deaths ON per.h >= deaths.t GROUP BY t)
+        SELECT deaths.t, d, n,
+          round(CASE WHEN max(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n = 0.0
+                THEN 1 ELSE 0 END) OVER w = 1
+            THEN 0.0
+            ELSE exp(sum(CASE WHEN 1.0 - CAST(d AS DOUBLE) / n > 0.0
+                THEN ln(1.0 - CAST(d AS DOUBLE) / n) END) OVER w)
+            END, 6) AS survival
+        FROM deaths JOIN risk ON deaths.t = risk.t
+        WINDOW w AS (ORDER BY deaths.t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY deaths.t""")),
+
     // ---- Markov transition matrix over user event sequences -----------
     // The behavior-model statistic sequence-modeling pipelines start
     // from: P(next event type | current), estimated from each user's
