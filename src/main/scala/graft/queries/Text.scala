@@ -1594,6 +1594,101 @@ object Text {
         HAVING count(*) >= 2
         ORDER BY c.doc_id, b.bench_id""")),
 
+    // ---- BPE merge learning: 3 rounds of pair-count → merge -----------
+    // Tokenizer-vocabulary learning (Sennrich et al. 2016), word-pair
+    // level: each round counts adjacent symbol pairs across the
+    // corpus, picks argmax (count, then pair — total order), and
+    // MERGES every left-to-right non-overlapping occurrence before
+    // recounting. The corpus rides a canonical encoding — tokens
+    // joined by double spaces, padded — so one literal replace() of
+    // " x  y " with " xy " applies the merge with identical
+    // greedy semantics on both engines (replace is left-to-right
+    // non-overlapping in Spark and DuckDB alike; the double-space
+    // separator keeps a consumed boundary from hiding the next
+    // occurrence). Per round: pair explode is map-side, counts
+    // partial-aggregate, and the ONLY driver traffic is the single
+    // argmax row (bounded probe) — corpus-sized data never leaves the
+    // executors, and each round's post-merge vocabulary size goes on
+    // the hash surface so a replace-semantics drift cannot pass.
+    Q("x35_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val J = "\u0001" // merged-symbol joiner (oracle: chr(1))
+        def toksOf(c: org.apache.spark.sql.Column) = split(trim(c), "  ")
+        var cur = Tables.load(s, dir, "documents")
+          .select($"doc_id", concat(lit(" "),
+            array_join(TextOps.tokens($"text"), "  "), lit(" ")).as("s"))
+          .persist()
+        val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long)]()
+        (1 to 3).foreach { r =>
+          val tk = cur.select(toksOf($"s").as("tk")).filter(size($"tk") >= 2)
+          val best = tk.select(explode(expr(
+              "transform(sequence(0, size(tk) - 2), " +
+              "i -> struct(tk[i] as x, tk[i + 1] as y))")).as("p"))
+            .groupBy($"p.x".as("x"), $"p.y".as("y"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy($"cnt".desc, $"x", $"y").limit(1).collect()(0)
+          val (bx, by, bc) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          val next = cur.select($"doc_id", call_function("replace", $"s",
+            lit(s" $bx  $by "), lit(s" $bx$J$by ")).as("s")).persist()
+          val vocab = next.select(explode(toksOf($"s")).as("t"))
+            .filter($"t" =!= "")
+            .agg(countDistinct($"t")).collect()(0).getLong(0)
+          cur.unpersist()
+          cur = next
+          out += ((r, bx, by, bc, vocab))
+        }
+        cur.unpersist()
+        out.toSeq.toDF("rank", "x", "y", "cnt", "vocab").orderBy($"rank")
+      },
+      Some(s"""WITH r0 AS (SELECT doc_id,
+            ' ' || array_to_string($duckToks, '  ') || ' ' AS s
+          FROM documents),
+        tk1 AS (SELECT string_split(trim(s), '  ') AS tk FROM r0
+          WHERE len(string_split(trim(s), '  ')) >= 2),
+        p1 AS (SELECT tk[i] AS x, tk[i+1] AS y, count(*) AS cnt
+          FROM tk1, unnest(range(1, len(tk))) u(i) GROUP BY 1, 2),
+        b1 AS (SELECT x, y, cnt FROM p1 ORDER BY cnt DESC, x, y LIMIT 1),
+        r1 AS (SELECT doc_id, replace(s,
+            ' ' || (SELECT x FROM b1) || '  ' || (SELECT y FROM b1) || ' ',
+            ' ' || (SELECT x FROM b1) || chr(1) || (SELECT y FROM b1) || ' ')
+            AS s FROM r0),
+        v1 AS (SELECT count(DISTINCT t) AS v FROM (
+          SELECT unnest(string_split(trim(s), '  ')) AS t FROM r1)
+          WHERE t <> ''),
+        tk2 AS (SELECT string_split(trim(s), '  ') AS tk FROM r1
+          WHERE len(string_split(trim(s), '  ')) >= 2),
+        p2 AS (SELECT tk[i] AS x, tk[i+1] AS y, count(*) AS cnt
+          FROM tk2, unnest(range(1, len(tk))) u(i) GROUP BY 1, 2),
+        b2 AS (SELECT x, y, cnt FROM p2 ORDER BY cnt DESC, x, y LIMIT 1),
+        r2 AS (SELECT doc_id, replace(s,
+            ' ' || (SELECT x FROM b2) || '  ' || (SELECT y FROM b2) || ' ',
+            ' ' || (SELECT x FROM b2) || chr(1) || (SELECT y FROM b2) || ' ')
+            AS s FROM r1),
+        v2 AS (SELECT count(DISTINCT t) AS v FROM (
+          SELECT unnest(string_split(trim(s), '  ')) AS t FROM r2)
+          WHERE t <> ''),
+        tk3 AS (SELECT string_split(trim(s), '  ') AS tk FROM r2
+          WHERE len(string_split(trim(s), '  ')) >= 2),
+        p3 AS (SELECT tk[i] AS x, tk[i+1] AS y, count(*) AS cnt
+          FROM tk3, unnest(range(1, len(tk))) u(i) GROUP BY 1, 2),
+        b3 AS (SELECT x, y, cnt FROM p3 ORDER BY cnt DESC, x, y LIMIT 1),
+        r3 AS (SELECT doc_id, replace(s,
+            ' ' || (SELECT x FROM b3) || '  ' || (SELECT y FROM b3) || ' ',
+            ' ' || (SELECT x FROM b3) || chr(1) || (SELECT y FROM b3) || ' ')
+            AS s FROM r2),
+        v3 AS (SELECT count(DISTINCT t) AS v FROM (
+          SELECT unnest(string_split(trim(s), '  ')) AS t FROM r3)
+          WHERE t <> '')
+        SELECT 1 AS rank, (SELECT x FROM b1) AS x, (SELECT y FROM b1) AS y,
+          (SELECT cnt FROM b1) AS cnt, (SELECT v FROM v1) AS vocab
+        UNION ALL SELECT 2, (SELECT x FROM b2), (SELECT y FROM b2),
+          (SELECT cnt FROM b2), (SELECT v FROM v2)
+        UNION ALL SELECT 3, (SELECT x FROM b3), (SELECT y FROM b3),
+          (SELECT cnt FROM b3), (SELECT v FROM v3)
+        ORDER BY rank""")),
+
     // ---- DSIR-style importance weight: target vs corpus log-odds -----
     // Data selection with importance resampling (Xie et al. 2023,
     // arXiv:2302.03169) reduced to its unigram form: score every
