@@ -890,6 +890,72 @@ object Sim {
         JOIN cand c ON c.vec_id = picked[u.i]
         ORDER BY rank""")),
 
+    // ---- Matryoshka truncation probe: recall of prefix-dim search ----
+    // The MRL question (Kusupati et al. 2022): how much of the top-10
+    // neighborhood survives when vectors truncate to their first 16
+    // dims (the cheap-first-pass / reranking configuration)? Both
+    // rankings run the sim1 machinery — bounded TopKAgg, broadcast
+    // query side, (score, id) total order — and the per-query overlap
+    // joins the two 10-row lists (k² work per query, corpus-free).
+    // Every dot/norm is the same left-fold elementary-op sequence on
+    // both engines (the sim1 determinism argument), so overlap counts
+    // sit on the hash gate exactly. At 100 TB the truncated pass is
+    // the scan-cost lever: 4× fewer bytes per candidate.
+    Q("sim14_mrl_overlap",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            slice($"embedding", 1, 16).as("emb16"))
+        val withN = e.select($"vec_id", $"embedding", $"emb16",
+          sqrt(ndot(s, $"embedding", $"embedding")).as("nrm"),
+          sqrt(ndot(s, $"emb16", $"emb16")).as("nrm16")).persist()
+        val q = withN.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+            $"emb16".as("q_emb16"), $"nrm".as("q_nrm"),
+            $"nrm16".as("q_nrm16"))
+        val joined = withN.join(broadcast(q), $"vec_id" =!= $"q_id").persist()
+        val full = graft.operators.TopKAgg.rank(
+          joined.select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos")),
+          10, "cos")
+        val trunc = graft.operators.TopKAgg.rank(
+          joined.select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb16", $"emb16") / ($"q_nrm16" * $"nrm16")).as("cos")),
+          10, "cos")
+        full.select($"q_id", $"vec_id")
+          .join(trunc.select($"q_id", $"vec_id", lit(1L).as("m")),
+            Seq("q_id", "vec_id"), "left")
+          .groupBy($"q_id")
+          .agg(coalesce(sum($"m"), lit(0L)).as("overlap10"))
+          .orderBy($"q_id")
+      },
+      Some(s"""WITH n AS (
+          SELECT vec_id, embedding, embedding[1:16] AS emb16,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+            sqrt(list_reduce(list_transform(range(1, 17),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS nrm16
+          FROM embeddings),
+        fullr AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)
+                DESC, e.vec_id) AS rank
+          FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 10),
+        truncr AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.emb16", "e.emb16")} / (q.nrm16 * e.nrm16)
+                DESC, e.vec_id) AS rank
+          FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT f.q_id, CAST(count(t.vec_id) AS BIGINT) AS overlap10
+        FROM fullr f LEFT JOIN truncr t
+          ON f.q_id = t.q_id AND f.vec_id = t.vec_id
+        GROUP BY f.q_id ORDER BY f.q_id""")),
+
     // ---- Per-label centroids: the embedding-drift monitor -------------
     // The statistic an embedding pipeline tracks between model
     // versions: the per-label mean vector, plus each label's drift

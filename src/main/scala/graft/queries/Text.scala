@@ -1594,6 +1594,50 @@ object Text {
         HAVING count(*) >= 2
         ORDER BY c.doc_id, b.bench_id""")),
 
+    // ---- AUC by rank-sum: the eval metric for any corpus scorer ------
+    // The Mann-Whitney form of ROC-AUC, exact: rank every document by
+    // the score (here the n_chars length signal predicting lang='en'),
+    // average ranks within tied scores (the textbook tie handling —
+    // a doc_id tiebreak alone would make AUC depend on ids), and
+    // AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻). Everything is integer
+    // arithmetic — one sort-rank window, one tie-group average, two
+    // counts — until the single final division, so the metric sits on
+    // the hash surface with no rounding. At 100 TB the global rank
+    // window becomes a two-pass rank-by-histogram (m38's counting
+    // trick); the exact form pins the semantics.
+    Q("x36_auc_ranksum",
+      (s, dir) => {
+        import s.implicits._
+        val ranked = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars", ($"lang" === "en").as("pos"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy($"n_chars", $"doc_id")))
+          .withColumn("avg_rank",
+            avg($"rn").over(Window.partitionBy($"n_chars")))
+        ranked.agg(
+            sum(when($"pos", $"avg_rank")).as("rank_sum"),
+            sum(when($"pos", 1L).otherwise(0L)).as("np"),
+            sum(when(!$"pos", 1L).otherwise(0L)).as("nn"))
+          .select($"np", $"nn",
+            (($"rank_sum" - $"np" * ($"np" + 1) / 2.0) /
+              ($"np" * $"nn").cast("double")).as("auc"))
+      },
+      Some("""WITH r AS (
+          SELECT doc_id, n_chars, lang = 'en' AS pos,
+            row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+          FROM documents),
+        a AS (SELECT doc_id, pos,
+            avg(rn) OVER (PARTITION BY n_chars) AS avg_rank
+          FROM r)
+        SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+          (sum(CASE WHEN pos THEN avg_rank END) -
+            sum(CASE WHEN pos THEN 1 ELSE 0 END) *
+            (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) / 2.0) /
+            CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) *
+              sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE) AS auc
+        FROM a""")),
+
     // ---- BPE merge learning: 3 rounds of pair-count → merge -----------
     // Tokenizer-vocabulary learning (Sennrich et al. 2016), word-pair
     // level: each round counts adjacent symbol pairs across the
