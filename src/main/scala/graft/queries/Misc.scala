@@ -1456,6 +1456,61 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Welch's t-test: click vs purchase value ----------------------
+    // The unequal-variance two-sample test an experimentation pipeline
+    // runs: means and variances from EXACT decimal sums (Σx in
+    // DECIMAL(18,2), Σx² in DECIMAL(38,4) — the dsum discipline
+    // extended to second moments, so partial aggregation reorders
+    // nothing), then t and the Welch–Satterthwaite dof as the same
+    // elementary double sequence on both engines — no rounding needed
+    // on the hash surface. One partial-agg pass over the fact; the
+    // two one-row sides meet in a broadcast cross join.
+    Q("m45_welch_ttest",
+      (s, dir) => {
+        import s.implicits._
+        def side(t: String, sfx: String) =
+          Tables.load(s, dir, "events")
+            .filter($"event_type" === t)
+            .agg(count(lit(1)).cast("double").as(s"n$sfx"),
+              sum(dec2($"value")).cast("double").as(s"s$sfx"),
+              sum(dec2($"value") * dec2($"value")).cast("double")
+                .as(s"q$sfx"))
+        side("click", "1").crossJoin(broadcast(side("purchase", "2")))
+          .select(
+            $"n1", $"n2",
+            ($"s1" / $"n1").as("mean1"), ($"s2" / $"n2").as("mean2"),
+            (($"q1" - $"s1" * $"s1" / $"n1") / ($"n1" - 1)).as("v1"),
+            (($"q2" - $"s2" * $"s2" / $"n2") / ($"n2" - 1)).as("v2"))
+          .select($"n1", $"n2", $"mean1", $"mean2",
+            (($"mean1" - $"mean2") /
+              sqrt($"v1" / $"n1" + $"v2" / $"n2")).as("t_stat"),
+            (($"v1" / $"n1" + $"v2" / $"n2") *
+              ($"v1" / $"n1" + $"v2" / $"n2") /
+              (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1) +
+               ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1)))
+              .as("dof"))
+      },
+      Some("""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n1,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+              CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q1
+          FROM events WHERE event_type = 'click'),
+        b AS (SELECT CAST(count(*) AS DOUBLE) AS n2,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+              CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q2
+          FROM events WHERE event_type = 'purchase'),
+        m AS (SELECT n1, n2, s1 / n1 AS mean1, s2 / n2 AS mean2,
+            (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+            (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+          FROM a, b)
+        SELECT n1, n2, mean1, mean2,
+          (mean1 - mean2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+          (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+            ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+             (v2 / n2) * (v2 / n2) / (n2 - 1)) AS dof
+        FROM m""")),
+
     // ---- RFM segmentation: recency / frequency / monetary quintiles ---
     // The classic customer-value segmentation: facts first COLLAPSE to
     // one row per customer (partial-agg — the only pass over the

@@ -1594,6 +1594,70 @@ object Text {
         HAVING count(*) >= 2
         ORDER BY c.doc_id, b.bench_id""")),
 
+    // ---- Count-Min sketch: mergeable point-frequency estimates -------
+    // The sketch family's frequency member (Cormode & Muthukrishnan
+    // 2005) joining HLL (m32), Misra-Gries (x32), and the quantile
+    // sketches (m29): 4 hash rows × 512 counters built in ONE
+    // partial-agg pass over the token stream (the sketch is the 2048-
+    // cell groupBy result — mergeable across partitions/files by
+    // construction, the m25 sidecar shape). Point queries take the
+    // min over the 4 row counters — always ≥ the true count, never
+    // under. Probes are the corpus's own top-5 tokens so the row is
+    // self-contained; the estimate itself sits on the hash surface
+    // (pure integer hashing, identical in the oracle), and
+    // `admissible` pins the one-sided error guarantee.
+    Q("x37_countmin",
+      (s, dir) => {
+        import s.implicits._
+        val A = Seq(31L, 131L, 1031L, 10007L)
+        val B = Seq(7L, 77L, 777L, 7777L)
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(TextOps.tokens($"text")).as("tok"))
+          .select($"tok", (TextOps.hash60($"tok") % 1000003L).as("h"))
+          .persist()
+        val cells = (0 until 4).map(r =>
+          struct(lit(r).as("r"),
+            (($"h" * A(r) + B(r)) % 4294967296L % 512L).as("col")))
+        val cm = toks.select(explode(array(cells: _*)).as("c"))
+          .groupBy($"c.r".as("r"), $"c.col".as("col"))
+          .agg(count(lit(1)).as("cnt"))
+        val top5 = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+          .orderBy($"true_cnt".desc, $"tok").limit(5)
+          .withColumn("h", TextOps.hash60($"tok") % 1000003L)
+        top5.select($"tok", $"true_cnt", explode(array(cells: _*)).as("c"))
+          .select($"tok", $"true_cnt", $"c.r".as("r"), $"c.col".as("col"))
+          .join(cm, Seq("r", "col"))
+          .groupBy($"tok", $"true_cnt").agg(min($"cnt").as("est"))
+          .select($"tok", $"true_cnt", $"est",
+            ($"est" >= $"true_cnt").as("admissible"))
+          .orderBy($"tok")
+      },
+      Some {
+        val h = s"(${duckHash60("tok")} % 1000003)"
+        val as = Seq(31L, 131L, 1031L, 10007L)
+        val bs = Seq(7L, 77L, 777L, 7777L)
+        val cellSel = (0 until 4).map(r =>
+          s"SELECT tok, $r AS r, ($h * ${as(r)} + ${bs(r)}) " +
+          s"% 4294967296 % 512 AS col FROM toks").mkString(" UNION ALL ")
+        s"""WITH toks AS (
+            SELECT unnest($duckToks) AS tok FROM documents),
+          cells AS ($cellSel),
+          cm AS (SELECT r, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+          top5 AS (SELECT tok, count(*) AS true_cnt FROM toks
+            GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT 5),
+          pc AS (SELECT t.tok, t.true_cnt, c.r,
+              ($h * (CASE c.r WHEN 0 THEN 31
+                WHEN 1 THEN 131 WHEN 2 THEN 1031 ELSE 10007 END) +
+                (CASE c.r WHEN 0 THEN 7 WHEN 1 THEN 77 WHEN 2 THEN 777
+                 ELSE 7777 END)) % 4294967296 % 512 AS col
+            FROM top5 t CROSS JOIN (SELECT unnest(range(0, 4)) AS r) c)
+          SELECT pc.tok, true_cnt, min(cnt) AS est,
+            min(cnt) >= true_cnt AS admissible
+          FROM pc JOIN cm ON pc.r = cm.r AND pc.col = cm.col
+          GROUP BY pc.tok, true_cnt
+          ORDER BY pc.tok"""
+      }),
+
     // ---- AUC by rank-sum: the eval metric for any corpus scorer ------
     // The Mann-Whitney form of ROC-AUC, exact: rank every document by
     // the score (here the n_chars length signal predicting lang='en'),
