@@ -894,6 +894,47 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Write-audit-publish: staged branch, gated promote -----------
+    // The WAP pattern that keeps bad data out of a production table:
+    // the full refresh lands on a BRANCH (real version write, current
+    // pointer untouched), the audit reads the branch — row-count
+    // no-shrink and null-key checks here — and only then does the
+    // metadata-only promote flip the table. The hash surface carries
+    // the before/after row counts (n_before pins that readers saw
+    // only the old half while the branch was staged) and the final
+    // aggregate over the promoted data; the audit booleans ride
+    // along. A failing audit would abandonBranch and n_after would
+    // equal n_before — a hash break. Cost: the promote is O(metadata)
+    // however large the staged snapshot.
+    Q("s22_wap_publish",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "wap")
+        wh.atomicPublish("ord_wap", o.filter($"o_orderkey" % 2 === 0))
+        wh.publishBranch("ord_wap", "audit", o)
+        val nBefore = wh.read("ord_wap").count()
+        val staged = wh.readBranch("ord_wap", "audit")
+        val auditOk =
+          staged.count() >= nBefore &&
+          staged.filter($"o_orderkey".isNull).count() == 0
+        if (auditOk) wh.promoteBranch("ord_wap", "audit")
+        else wh.abandonBranch("ord_wap", "audit")
+        wh.read("ord_wap").agg(
+            count(lit(1)).as("n_after"),
+            dsum($"o_totalprice").as("revenue"))
+          .select(lit(nBefore).as("n_before"), $"n_after", $"revenue",
+            lit(auditOk).as("audit_ok"))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+            AS n_before,
+          count(*) AS n_after,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS audit_ok
+        FROM orders""")),
+
     // ---- Metadata-only rollback: undo a bad publish ------------------
     // The operational complement of s14's time travel: v2 "corrupts"
     // every region name, `rollback` re-commits v1's exact FILE LIST as

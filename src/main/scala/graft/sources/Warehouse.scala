@@ -790,7 +790,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         case i @ InflightRe(num) if st.isFile && !markerFresh(num) &&
             !fs.exists(new Path(root, s"_v$num")) =>
           fs.delete(st.getPath, false) // stale marker whose dir is gone
-        case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
+        case m @ ManifestRe(num) if st.isFile && !keepManifests.contains(m) &&
+            !markerFresh(num) =>
+          // a fresh in-flight marker shields the manifest as well as
+          // the version dir: an open WAP branch's staged snapshot
+          // (manifest + data) must survive main-line publishes
           fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -1051,8 +1055,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val current = currentManifest(fs, root)
-    val previous = current.flatMap(c => highestManifest(fs, root, exclude = Some(c)))
-    val keepManifests = (current.toSeq ++ previous.toSeq).toSet
+    // manifests pinned by an open WAP branch: never the "previous
+    // snapshot" (a staged branch is not history) and never deletable
+    // while its pointer lives — a branch outliving the in-flight
+    // grace still survives vacuum (the pointer IS the intent record)
+    val branchMfs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_BRANCH_"))
+      .map(b => readBranchPtr(fs, root, b.stripPrefix("_BRANCH_"))).toSet
+    val previous = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case m @ ManifestRe(v) => (m, v.toLong) }
+      .filter { case (m, _) => !current.contains(m) && !branchMfs.contains(m) }
+      .sortBy(-_._2).headOption.map(_._1)
+    val keepManifests = (current.toSeq ++ previous.toSeq ++ branchMfs.toSeq).toSet
     val live = keepManifests.toSeq
       .flatMap(m => readManifest(fs, new Path(root, m)))
       .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
@@ -1184,6 +1198,105 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // (empty) write→commit window; commitSnapshot releases it
     val n = claimVersion(fs, root)
     commitSnapshot(name, n, files, expected)
+  }
+
+  // ---- Write-audit-publish branches (manifest mode) ------------------
+
+  private def branchPtrPath(root: Path, branch: String) =
+    new Path(root, s"_BRANCH_$branch")
+
+  private def readBranchPtr(fs: FileSystem, root: Path,
+      branch: String): String = {
+    val ptr = branchPtrPath(root, branch)
+    require(fs.exists(ptr), s"no branch '$branch' here")
+    val in = fs.open(ptr)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def branchVersionOf(mfName: String): Long = mfName match {
+    case ManifestRe(v) => v.toLong
+    case other => throw new IllegalStateException(
+      s"branch pointer names a non-manifest file: $other")
+  }
+
+  /** Stage a snapshot on a named BRANCH (the Iceberg write-audit-
+    * publish pattern): a full version write + manifest, but the
+    * `_CURRENT` pointer is untouched — table readers see NOTHING
+    * until `promoteBranch`. The staged version's in-flight marker is
+    * deliberately KEPT: it is the GC shield that stops main-line
+    * publishes from reaping the unpromoted branch. Branches are
+    * therefore short-lived audit gates — promote or abandon within
+    * the in-flight grace window (vacuumOrphans treats older markers
+    * as crashed-writer debris). The branch pointer itself is
+    * last-write-wins: one owner per branch name is the contract (an
+    * audit gate is single-writer by construction). Branching requires
+    * an existing current snapshot — on a pointerless table the
+    * highest-manifest fallback would otherwise leak the staged
+    * manifest to readers.
+    */
+  def publishBranch(name: String, branch: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(manifest, "branches require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    require(currentManifest(fs, root).isDefined,
+      s"branching requires a current snapshot on $name")
+    val (n, files) = writeVersion(name, df, partitionCols)
+    val mf = new Path(root, s"_manifest_v$n")
+    val out = fs.create(mf, false)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val ptr = fs.create(branchPtrPath(root, branch), true)
+    try ptr.write(mf.getName.getBytes("UTF-8")) finally ptr.close()
+  }
+
+  /** Read a staged branch — the audit side of WAP. Also reachable by
+    * version through `readVersion`/`diffVersions`, so an audit can
+    * diff the branch against current before deciding.
+    */
+  def readBranch(name: String, branch: String): DataFrame = {
+    require(manifest, "branches require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mfName = readBranchPtr(fs, root, branch)
+    readFiles(name, readManifest(fs, new Path(root, mfName)))
+  }
+
+  /** Promote a staged branch to the table's current snapshot:
+    * metadata-only (the rollback shape — a fresh manifest referencing
+    * the branch's EXACT files, committed through the same optimistic
+    * CAS as any publish), then the branch pointer and its GC shield
+    * are released. Snapshot-level semantics: the branch wholesale
+    * becomes the table, regardless of main-line publishes since the
+    * branch was cut — the audit gate owns that decision.
+    */
+  def promoteBranch(name: String, branch: String): Unit = {
+    require(manifest, "branches require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mfName = readBranchPtr(fs, root, branch)
+    val bv = branchVersionOf(mfName)
+    val files = readManifest(fs, new Path(root, mfName))
+    val n = claimVersion(fs, root)
+    commitSnapshot(name, n, files, currentManifest(fs, root))
+    fs.delete(new Path(root, s"_inflight_v$bv"), false)
+    fs.delete(branchPtrPath(root, branch), false)
+  }
+
+  /** Drop a staged branch without publishing: version dir, manifest,
+    * GC shield, and pointer all removed — the audit said no.
+    */
+  def abandonBranch(name: String, branch: String): Unit = {
+    require(manifest, "branches require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mfName = readBranchPtr(fs, root, branch)
+    val bv = branchVersionOf(mfName)
+    fs.delete(new Path(root, mfName), false)
+    fs.delete(new Path(root, s"_v$bv"), true)
+    fs.delete(new Path(root, s"_inflight_v$bv"), false)
+    fs.delete(branchPtrPath(root, branch), false)
   }
 
   private def writeVersion(name: String, df: DataFrame,

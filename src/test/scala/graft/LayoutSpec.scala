@@ -573,4 +573,46 @@ class LayoutSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] { wh.rollback("t", 1) }
     assert(ex.getMessage.contains("not available"))
   }
+
+  test("WAP branches: staged data invisible, survives main-line GC, promote is metadata-only") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-wap")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))
+    wh.publishBranch("t", "audit", spark.range(0, 100).toDF("k"))
+
+    // invisible to table readers; visible on the branch
+    assert(wh.read("t").count() === 10)
+    assert(wh.readBranch("t", "audit").count() === 100)
+
+    // a main-line publish while the branch is open must NOT reap the
+    // staged version (the kept in-flight marker is the GC shield)
+    wh.atomicPublish("t", spark.range(0, 20).toDF("k"))
+    assert(wh.readBranch("t", "audit").count() === 100,
+      "main-line GC reaped an open branch")
+
+    // promote: branch becomes the table, no data rewrite (the new
+    // manifest references the branch's _v dir)
+    wh.promoteBranch("t", "audit")
+    assert(wh.read("t").count() === 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/t/_BRANCH_audit")))
+
+    // abandon: staged work fully removed, table untouched
+    wh.publishBranch("t", "reject", spark.range(0, 5).toDF("k"))
+    val mf = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).count(_.startsWith("_manifest"))
+    wh.abandonBranch("t", "reject")
+    assert(wh.read("t").count() === 100)
+    val mfAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).count(_.startsWith("_manifest"))
+    assert(mfAfter === mf - 1, "abandon must remove the staged manifest")
+
+    // branching a pointerless table refuses (highest-manifest fallback
+    // would leak the staged snapshot to readers)
+    val ex = intercept[IllegalArgumentException] {
+      wh.publishBranch("fresh", "b", spark.range(0, 3).toDF("k"))
+    }
+    assert(ex.getMessage.contains("current snapshot"))
+  }
 }
