@@ -956,6 +956,72 @@ object Sim {
           ON f.q_id = t.q_id AND f.vec_id = t.vec_id
         GROUP BY f.q_id ORDER BY f.q_id""")),
 
+    // ---- Two-stage serve: truncated-dim shortlist, full-dim rerank ---
+    // The production retrieval pattern sim14 motivates: a cheap first
+    // pass over the 16-dim prefixes shortlists 50 candidates per
+    // query (4× less scan per candidate at 100 TB), then ONLY those
+    // 50 are re-scored at full precision for the final top-10. Both
+    // stages ride the bounded TopKAgg (k rows per query cross the
+    // shuffle, never the corpus); the rerank joins 50 rows per query
+    // back to their full vectors — k-bounded work, the serve paths'
+    // discipline. The oracle replays the exact two-stage pipeline, so
+    // the hash pins the real served answer (including any recall loss
+    // vs brute force — sim8/sim14 measure that; this row pins what
+    // the serving tier actually returns).
+    Q("sim15_two_stage_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.load(s, dir, "embeddings")
+          .select($"vec_id", $"embedding",
+            slice($"embedding", 1, 16).as("emb16"))
+        val withN = e.select($"vec_id", $"embedding", $"emb16",
+          sqrt(ndot(s, $"embedding", $"embedding")).as("nrm"),
+          sqrt(ndot(s, $"emb16", $"emb16")).as("nrm16")).persist()
+        val q = withN.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+            $"emb16".as("q_emb16"), $"nrm".as("q_nrm"),
+            $"nrm16".as("q_nrm16"))
+        val shortlist = graft.operators.TopKAgg.rank(
+          withN.join(broadcast(q), $"vec_id" =!= $"q_id")
+            .select($"q_id", $"vec_id",
+              (ndot(s, $"q_emb16", $"emb16") /
+                ($"q_nrm16" * $"nrm16")).as("cos")),
+          50, "cos")
+        val rerank = shortlist.select($"q_id", $"vec_id")
+          .join(withN.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+          .join(broadcast(q.select($"q_id", $"q_emb", $"q_nrm")), "q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm"))
+              .as("cos"))
+        graft.operators.TopKAgg.rank(rerank, 10, "cos")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH n AS (
+          SELECT vec_id, embedding, embedding[1:16] AS emb16,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+            sqrt(list_reduce(list_transform(range(1, 17),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS nrm16
+          FROM embeddings),
+        shortlist AS (SELECT q_id, vec_id FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.emb16", "e.emb16")} / (q.nrm16 * e.nrm16)
+                DESC, e.vec_id) AS r
+          FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          WHERE r <= 50),
+        rr AS (SELECT s.q_id, s.vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm)
+              AS cos,
+            row_number() OVER (PARTITION BY s.q_id
+              ORDER BY ${duckDot("q.embedding", "e.embedding")} /
+                (q.nrm * e.nrm) DESC, s.vec_id) AS rank
+          FROM shortlist s
+          JOIN n e ON e.vec_id = s.vec_id
+          JOIN n q ON q.vec_id = s.q_id)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+        FROM rr WHERE rank <= 10 ORDER BY q_id, rank""")),
+
     // ---- Per-label centroids: the embedding-drift monitor -------------
     // The statistic an embedding pipeline tracks between model
     // versions: the per-label mean vector, plus each label's drift
