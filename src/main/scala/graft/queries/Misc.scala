@@ -1456,6 +1456,52 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- ABC / Pareto classification by cumulative revenue share ------
+    // The 80/15/5 inventory analysis: parts ranked by revenue, the
+    // EXACT decimal running total (a double cumsum would drift with
+    // partition order) classed at 80 % / 95 % of total. Facts collapse
+    // to the part dim first (partial agg); the ranked cumsum window
+    // then sorts only the dimension — and the one-row total rides a
+    // broadcast cross join, never a second fact pass. Share is one
+    // double division of two exact decimals; class boundaries compare
+    // that double identically on both engines.
+    Q("m46_abc_pareto",
+      (s, dir) => {
+        import s.implicits._
+        val rev = Tables.load(s, dir, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(sum(dec2($"l_extendedprice")).as("rev"))
+        val total = rev.agg(sum($"rev").as("tot"))
+        val w = Window.orderBy($"rev".desc, $"l_partkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.crossJoin(broadcast(total))
+          .select($"l_partkey", $"rev".cast("double").as("revenue"),
+            (sum($"rev").over(w).cast("double") / $"tot".cast("double"))
+              .as("cum_share"))
+          .withColumn("abc_class",
+            when($"cum_share" <= 0.80, "A")
+              .when($"cum_share" <= 0.95, "B").otherwise("C"))
+          .orderBy($"l_partkey")
+      },
+      Some("""WITH rev AS (
+          SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+            AS rev
+          FROM lineitem GROUP BY 1),
+        t AS (SELECT SUM(rev) AS tot FROM rev)
+        SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+          CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(tot AS DOUBLE) AS cum_share,
+          CASE WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(tot AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+        FROM rev CROSS JOIN t
+        ORDER BY l_partkey""")),
+
     // ---- Welch's t-test: click vs purchase value ----------------------
     // The unequal-variance two-sample test an experimentation pipeline
     // runs: means and variances from EXACT decimal sums (Σx in

@@ -1594,6 +1594,115 @@ object Text {
         HAVING count(*) >= 2
         ORDER BY c.doc_id, b.bench_id""")),
 
+    // ---- Cohen's kappa: labeler agreement beyond chance --------------
+    // The agreement metric for any two corpus labelers — here x3's
+    // lexicon language-ID against the ground-truth lang column. The
+    // confusion marginals are two partial-agg passes over per-doc
+    // labels; kappa = (p_o − p_e)/(1 − p_e) stays integer-exact until
+    // the final divisions (the same elementary double ops on both
+    // engines — no rounding on the hash surface). The prediction is
+    // x3's exact argmax (score desc, lang asc), so this row also pins
+    // the classifier's full confusion behavior, not just its top-line
+    // accuracy.
+    Q("x38_cohen_kappa",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val lex = s.createDataFrame(lexicon).toDF("pred_lang", "tok")
+        val hits = docs
+          .select($"doc_id",
+            explode(array_distinct(TextOps.tokens($"text"))).as("tok"))
+          .join(broadcast(lex), "tok")
+          .groupBy($"doc_id", $"pred_lang")
+          .agg(count(lit(1)).as("score"))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"pred_lang")
+        val pred = hits.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).select($"doc_id", $"pred_lang")
+        val lab = docs.select($"doc_id", $"lang")
+          .join(pred, Seq("doc_id"), "left")
+          .select($"lang", coalesce($"pred_lang", lit("und")).as("pred"))
+          .persist()
+        val n = lab.count().toDouble
+        val po = lab.filter($"lang" === $"pred").count() / n
+        val pe = lab.groupBy($"lang").agg(count(lit(1)).as("na"))
+          .join(lab.groupBy($"pred".as("lang"))
+            .agg(count(lit(1)).as("nb")), "lang")
+          .agg(sum($"na" * $"nb").as("s")).collect()(0).getLong(0) / (n * n)
+        lab.unpersist()
+        Seq((n.toLong, po, pe, (po - pe) / (1.0 - pe)))
+          .toDF("n", "p_observed", "p_expected", "kappa")
+      },
+      Some {
+        val vals = lexicon.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+        s"""WITH lx(pred_lang, tok) AS (VALUES $vals),
+          hits AS (
+            SELECT doc_id, pred_lang, count(*) AS score
+            FROM (SELECT doc_id,
+                unnest(list_distinct($duckToks)) AS tok FROM documents) t
+            JOIN lx USING (tok) GROUP BY 1, 2),
+          pred AS (SELECT doc_id, pred_lang FROM (
+            SELECT doc_id, pred_lang, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, pred_lang) AS rn
+            FROM hits) WHERE rn = 1),
+          lab AS (SELECT d.lang, coalesce(p.pred_lang, 'und') AS pred
+            FROM documents d LEFT JOIN pred p USING (doc_id)),
+          m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS agree
+            FROM lab),
+          e AS (SELECT CAST(sum(na * nb) AS BIGINT) AS s FROM
+            (SELECT lang, count(*) AS na FROM lab GROUP BY 1) a
+            JOIN (SELECT pred AS lang, count(*) AS nb FROM lab GROUP BY 1) b
+            USING (lang))
+        SELECT CAST(n AS BIGINT) AS n,
+          agree / n AS p_observed,
+          s / (n * n) AS p_expected,
+          (agree / n - s / (n * n)) / (1.0 - s / (n * n)) AS kappa
+        FROM m, e"""
+      }),
+
+    // ---- First-occurrence novelty: how much of each doc is new? ------
+    // The corpus-diversity curve a dedup pipeline reports: for each
+    // document (in doc_id order — the ingestion order), the fraction
+    // of its distinct 3-gram shingles whose FIRST occurrence is this
+    // document. One shingle pass attributes each shingle to its min
+    // doc_id (partial-agg min — the d1 keeper discipline on the
+    // shingle key), one join scores every document against that
+    // attribution. A boilerplate-heavy corpus shows novelty collapsing
+    // with doc_id; integer counts and one final division keep the
+    // fraction hash-exact.
+    Q("x39_ngram_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val sh = Dedup.shingledFrom(Tables.load(s, dir, "documents"))
+          .select($"doc_id", explode($"shs").as("sh"))
+        val firstSeen = sh.groupBy($"sh").agg(min($"doc_id").as("first_id"))
+        sh.join(firstSeen, "sh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"first_id" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+          .select($"doc_id", $"n_shingles", $"n_novel",
+            ($"n_novel".cast("double") / $"n_shingles").as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(1, len(toks)-1),
+                i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]) END))
+              AS g
+            FROM (SELECT doc_id, $duckToks AS toks FROM documents))),
+        f AS (SELECT g, min(doc_id) AS first_id FROM sh GROUP BY g)
+        SELECT doc_id, count(*) AS n_shingles,
+          CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+          CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS novelty
+        FROM sh JOIN f USING (g)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- Count-Min sketch: mergeable point-frequency estimates -------
     // The sketch family's frequency member (Cormode & Muthukrishnan
     // 2005) joining HLL (m32), Misra-Gries (x32), and the quantile
