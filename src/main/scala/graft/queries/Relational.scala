@@ -894,6 +894,106 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Point-in-time join: facts against SCD2 dim history ----------
+    // The temporal-warehouse join s19's as-of READ builds toward:
+    // every order joined to the customer segment that was valid ON
+    // ITS ORDER DATE, against the SCD2 history Warehouse.upsertScd2
+    // maintains (three batches: originals in 1995, the %3 move in
+    // 1998, the %6 re-move in 2000). The join is equi on the customer
+    // key with the validity range as a residual predicate — the
+    // per-row form of as-of, planned as one key-shuffled join, never
+    // a theta product; each fact matches exactly one dim version by
+    // the SCD2 invariant (ranges partition time per key). ISO date
+    // STRINGS compare correctly by code point, so the residual needs
+    // no calendar math. The oracle derives every expected segment
+    // from date arithmetic alone — a wrong valid_to anywhere in the
+    // history breaks the aggregate.
+    Q("j12_pit_join",
+      (s, dir) => {
+        import s.implicits._
+        val cust = t(s, dir, "customer")
+        def batch(seg: org.apache.spark.sql.Column) =
+          cust.select($"c_custkey".as("k"), seg.as("segment"))
+        val wh = graft.sources.Scratch.warehouse(s, "pit")
+        wh.upsertScd2("cust_pit", batch($"c_mktsegment"), Seq("k"),
+          "1995-01-01")
+        wh.upsertScd2("cust_pit",
+          batch(when($"c_custkey" % 3 === 0, lit("MOVED"))
+            .otherwise($"c_mktsegment")), Seq("k"), "1998-01-01")
+        wh.upsertScd2("cust_pit",
+          batch(when($"c_custkey" % 6 === 0, lit("MOVED-AGAIN"))
+            .when($"c_custkey" % 3 === 0, lit("MOVED"))
+            .otherwise($"c_mktsegment")), Seq("k"), "2000-01-01")
+        val dim = wh.read("cust_pit")
+        val o = t(s, dir, "orders").select($"o_custkey",
+          date_format($"o_orderdate".cast("timestamp"), "yyyy-MM-dd")
+            .as("d"),
+          $"o_totalprice")
+        o.join(dim, $"o_custkey" === $"k" &&
+            $"valid_from" <= $"d" &&
+            ($"valid_to".isNull || $"valid_to" > $"d"))
+          .groupBy($"segment")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+          .orderBy($"segment")
+      },
+      Some("""SELECT CASE
+            WHEN c_custkey % 6 = 0
+              AND strftime(o_orderdate, '%Y-%m-%d') >= '2000-01-01'
+              THEN 'MOVED-AGAIN'
+            WHEN c_custkey % 3 = 0
+              AND strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+              THEN 'MOVED'
+            ELSE c_mktsegment END AS segment,
+          count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY segment""")),
+
+    // ---- Compliance cascade: erase a user everywhere, incrementally --
+    // The GDPR right-to-be-forgotten sweep: the erased users' rows
+    // anti-join out of the raw events table (s9's delete machinery),
+    // and the downstream materialized aggregate is maintained FROM THE
+    // REMOVED ROWS ONLY (s20's IVM fold, negative side) — never by
+    // re-scanning the surviving 100 TB. The oracle recomputes the
+    // aggregate from scratch on the reduced corpus, so the hash
+    // proves cascade == recompute; `erased_gone` pins the raw-table
+    // deletion itself.
+    Q("s23_gdpr_cascade",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value")
+        val wh = graft.sources.Scratch.warehouse(s, "gdpr")
+        wh.atomicPublish("ev_raw", ev)
+        wh.atomicPublish("mv_agg",
+          wh.read("ev_raw").groupBy($"event_type")
+            .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("total")))
+        val victims = $"user_id" % 37 === 0
+        val removed = wh.read("ev_raw").filter(victims).persist()
+        wh.atomicPublish("ev_raw", wh.read("ev_raw").filter(!victims))
+        val delta = removed.groupBy($"event_type")
+          .agg(count(lit(1)).as("dn"), sum(dec2($"value")).as("dtotal"))
+        wh.atomicPublish("mv_agg",
+          wh.read("mv_agg").join(delta, Seq("event_type"), "left")
+            .select($"event_type",
+              ($"n" - coalesce($"dn", lit(0L))).as("n"),
+              ($"total" - coalesce($"dtotal", lit(0).cast("decimal(28,2)")))
+                .as("total"))
+            .filter($"n" > 0))
+        val gone = wh.read("ev_raw").filter(victims).count() == 0
+        removed.unpersist()
+        wh.read("mv_agg")
+          .select($"event_type", $"n", $"total".cast("double").as("total"),
+            lit(gone).as("erased_gone"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS erased_gone
+        FROM events WHERE user_id % 37 <> 0
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ---- Write-audit-publish: staged branch, gated promote -----------
     // The WAP pattern that keeps bad data out of a production table:
     // the full refresh lands on a BRANCH (real version write, current

@@ -956,6 +956,45 @@ object Sim {
           ON f.q_id = t.q_id AND f.vec_id = t.vec_id
         GROUP BY f.q_id ORDER BY f.q_id""")),
 
+    // ---- Filtered vector search: metadata predicate inside the scan --
+    // The filtered-ANN shape every vector store is judged on: top-5
+    // neighbors restricted to candidates sharing the query's label.
+    // The label equality is part of the JOIN KEY — candidates shuffle
+    // by label, so each query scores only its own partition of the
+    // corpus (pre-filter, the efficient plan) rather than searching
+    // globally and discarding (post-filter, which wastes k on
+    // filtered-out hits and can return fewer than k). At 100 TB with
+    // a label-partitioned layout this becomes partition pruning: the
+    // scan itself skips every other label's files. Scores ride the
+    // sim1 determinism argument onto the hash gate.
+    Q("sim16_filtered_ann",
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"label", $"embedding".as("q_emb"),
+            $"nrm".as("q_nrm"))
+        val scored = e.join(broadcast(q), Seq("label"))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id",
+            (ndot(s, $"q_emb", $"embedding") / ($"q_nrm" * $"nrm")).as("cos"))
+        graft.operators.TopKAgg.rank(scored, 5, "cos")
+          .orderBy($"q_id", $"rank")
+      },
+      Some(s"""WITH n AS (
+          SELECT vec_id, label, embedding,
+            sqrt(${duckDot("embedding", "embedding")}) AS nrm
+          FROM embeddings)
+        SELECT q_id, rank, vec_id, cos FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+            ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cos,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckDot("q.embedding", "e.embedding")} /
+                (q.nrm * e.nrm) DESC, e.vec_id) AS rank
+          FROM n q JOIN n e ON q.vec_id < 10 AND e.label = q.label
+            AND e.vec_id <> q.vec_id)
+        WHERE rank <= 5 ORDER BY q_id, rank""")),
+
     // ---- Two-stage serve: truncated-dim shortlist, full-dim rerank ---
     // The production retrieval pattern sim14 motivates: a cheap first
     // pass over the 16-dim prefixes shortlists 50 candidates per
