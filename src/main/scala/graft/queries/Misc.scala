@@ -1456,6 +1456,47 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- OHLC resampling: time-series bars via min_by/max_by ----------
+    // The downsampling op every metrics store runs: per (type, hour)
+    // bar with open/high/low/close — open and close are
+    // min_by/max_by((ts, id)) STRUCT-ordered partial aggregates (one
+    // pass, map-side combined; the d14 keeper discipline on a time
+    // key), never a per-group sort. Hour keys are integer micros
+    // division (the m7 convention). The oracle recovers first/last
+    // via rank-1 windows — same total order, so the picked doubles
+    // hash-match exactly.
+    Q("m48_ohlc_resample",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .select($"event_type", $"event_id", $"value",
+            unix_micros($"ts").as("tus"))
+          .groupBy($"event_type", expr("tus DIV 3600000000").as("hr"))
+          .agg(
+            min_by($"value", struct($"tus", $"event_id")).as("open"),
+            max($"value").as("high"), min($"value").as("low"),
+            max_by($"value", struct($"tus", $"event_id")).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, event_id, value,
+            epoch_us(ts) AS tus, epoch_us(ts) // 3600000000 AS hr
+          FROM events),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY event_type, hr
+              ORDER BY tus, event_id) AS ra,
+            row_number() OVER (PARTITION BY event_type, hr
+              ORDER BY tus DESC, event_id DESC) AS rb
+          FROM e)
+        SELECT event_type, hr,
+          max(CASE WHEN ra = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rb = 1 THEN value END) AS close,
+          count(*) AS n
+        FROM r GROUP BY 1, 2
+        ORDER BY event_type, hr""")),
+
     // ---- ABC / Pareto classification by cumulative revenue share ------
     // The 80/15/5 inventory analysis: parts ranked by revenue, the
     // EXACT decimal running total (a double cumsum would drift with

@@ -894,6 +894,38 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- DESCRIBE HISTORY: version ledger from metadata alone --------
+    // The table-history surface (Delta DESCRIBE HISTORY parity) as a
+    // catalog row: three lifecycle events — full publish, append,
+    // shrinking republish — then `history` answers (version, files,
+    // EXACT rows) per retained snapshot purely from manifests + the
+    // `_rows` sidecars: zero data files opened, O(metadata) at 100 TB.
+    // GC retention is part of the pinned contract: the v1 manifest is
+    // aged out by the third publish, so exactly versions 2 and 3
+    // remain — and their row counts are derived arithmetic the oracle
+    // restates from the source table.
+    Q("s24_describe_history",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+        val wh = graft.sources.Scratch.warehouse(s, "hist")
+        wh.atomicPublish("cust_h", c)                         // v1
+        wh.append("cust_h",
+          c.select(($"c_custkey" + 1000000).as("c_custkey"), $"c_acctbal"))
+        wh.atomicPublish("cust_h", c.filter($"c_custkey" % 2 === 0))
+        val h = wh.history("cust_h")
+        h.map { case (v, nf, nr) => (v, nf > 0, nr) }
+          .toDF("version", "has_files", "n_rows")
+          .orderBy($"version")
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS version, TRUE AS has_files,
+          CAST((SELECT count(*) * 2 FROM customer) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), TRUE,
+          CAST((SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+            AS BIGINT)
+        ORDER BY version""")),
+
     // ---- Point-in-time join: facts against SCD2 dim history ----------
     // The temporal-warehouse join s19's as-of READ builds toward:
     // every order joined to the customer segment that was valid ON

@@ -1200,6 +1200,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     commitSnapshot(name, n, files, expected)
   }
 
+  /** DESCRIBE HISTORY, metadata-only: every still-retained manifest
+    * version with its file count and EXACT row count — file lists
+    * from the manifests, row counts summed from the `_rows` sidecars
+    * (the m25 metadata surface), zero data files opened. A file whose
+    * sidecar entry is missing contributes −1, surfacing the gap
+    * loudly instead of under-counting. O(versions × sidecar lines)
+    * driver work at any table size.
+    */
+  def history(name: String): Seq[(Long, Long, Long)] = {
+    require(manifest, "history reads manifest tables")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    if (!fs.exists(root)) return Nil
+    val mfs = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case m @ ManifestRe(v) => (v.toLong, m) }.toSeq.sortBy(_._1)
+    mfs.map { case (v, m) =>
+      val files = readManifest(fs, new Path(root, m))
+      val rows = files.groupBy(_.split("/").head).toSeq.map {
+        case (vdir, fl) =>
+          val rs = FileStats.readRows(fs,
+            new Path(new Path(root, vdir), "_rows"))
+          fl.map(f => rs.get(f.stripPrefix(vdir + "/"))
+            .map(_.numRows).getOrElse(-1L)).sum
+      }.sum
+      (v, files.size.toLong, rows)
+    }
+  }
+
   // ---- Write-audit-publish branches (manifest mode) ------------------
 
   private def branchPtrPath(root: Path, branch: String) =
