@@ -1456,6 +1456,90 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Systematic weighted sampling: integer-exact, no RNG ----------
+    // Weighted sampling done with arithmetic a distributed re-run can
+    // reproduce bit-for-bit: documents ordered by doc_id accumulate
+    // EXACT integer weights (n_chars), 20 equally spaced picks at
+    // p_i = i·(total DIV 20) select the doc whose cumulative-weight
+    // interval covers each point — inclusion count = how many grid
+    // points fall in [cum−w, cum). Pure integer division, zero
+    // floating point, zero RNG state; selection probability stays
+    // ∝ weight. One dim-sized cumsum window after the per-doc weight
+    // projection (at fact scale the cumsum comes from per-partition
+    // offsets — two passes — but the semantics pinned here are
+    // identical).
+    Q("m49_systematic_sample",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = Tables.load(s, dir, "documents")
+          .select($"doc_id", $"n_chars")
+          .withColumn("cum", sum($"n_chars").over(w))
+        val tot = cum.agg(max($"cum").as("tot"))
+        cum.crossJoin(broadcast(tot))
+          .withColumn("step", expr("tot DIV 20"))
+          .withColumn("k",
+            expr("(cum - 1) DIV step - (cum - n_chars - 1) DIV step"))
+          .filter($"k" > 0 && expr("(cum - 1) DIV step") < 20)
+          .select($"doc_id", $"n_chars", $"k".cast("long").as("n_picks"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (
+          SELECT doc_id, n_chars,
+            CAST(SUM(n_chars) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM documents),
+        t AS (SELECT max(cum) AS tot, max(cum) // 20 AS step FROM c)
+        SELECT doc_id, n_chars,
+          CAST((cum - 1) // step - (cum - n_chars - 1) // step AS BIGINT)
+            AS n_picks
+        FROM c CROSS JOIN t
+        WHERE (cum - 1) // step - (cum - n_chars - 1) // step > 0
+          AND (cum - 1) // step < 20
+        ORDER BY doc_id""")),
+
+    // ---- Year-over-year growth: the period-comparison window ----------
+    // Time intelligence over the orders fact: revenue per (status,
+    // year) with the prior year's revenue and integer-exact deltas
+    // via lag() over the year axis — the axis is bounded (years ×
+    // statuses), so the window sorts a tiny aggregate, never the
+    // fact. Growth in basis points stays integer (delta·10000 DIV
+    // prior) — no division noise on the hash surface at all.
+    Q("m50_yoy_growth",
+      (s, dir) => {
+        import s.implicits._
+        val byYear = Tables.load(s, dir, "orders")
+          .groupBy($"o_orderstatus".as("status"),
+            year($"o_orderdate").cast("long").as("yr"))
+          .agg(sum((dec2($"o_totalprice") * 100).cast("long")).as("rev_c"))
+        val w = Window.partitionBy($"status").orderBy($"yr")
+        byYear
+          .withColumn("prev_c", lag($"rev_c", 1).over(w))
+          .select($"status", $"yr",
+            ($"rev_c".cast("double") / 100).as("revenue"),
+            // both engines truncate integer division toward zero
+            // (Spark DIV == DuckDB // on negatives; verified on the
+            // negative-growth rows), so the bps delta is exact
+            when($"prev_c".isNotNull,
+              expr("(rev_c - prev_c) * 10000 DIV prev_c")).as("growth_bps"))
+          .orderBy($"status", $"yr")
+      },
+      Some("""WITH y AS (
+          SELECT o_orderstatus AS status,
+            CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+              AS BIGINT)) AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1, 2),
+        l AS (SELECT status, yr, rev_c,
+            lag(rev_c) OVER (PARTITION BY status ORDER BY yr) AS prev_c
+          FROM y)
+        SELECT status, yr, CAST(rev_c AS DOUBLE) / 100 AS revenue,
+          CASE WHEN prev_c IS NOT NULL
+            THEN (rev_c - prev_c) * 10000 // prev_c END AS growth_bps
+        FROM l ORDER BY status, yr""")),
+
     // ---- OHLC resampling: time-series bars via min_by/max_by ----------
     // The downsampling op every metrics store runs: per (type, hour)
     // bar with open/high/low/close — open and close are

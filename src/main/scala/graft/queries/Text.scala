@@ -1594,6 +1594,50 @@ object Text {
         HAVING count(*) >= 2
         ORDER BY c.doc_id, b.bench_id""")),
 
+    // ---- PMI collocations over ADJACENT bigrams ----------------------
+    // The collocation detector (Church & Hanks 1990): pointwise mutual
+    // information ln(N·c_ab / (c_a·c_b)) for adjacent token pairs —
+    // adjacency keeps the pair stream LINEAR in corpus size (an
+    // all-pairs window would be quadratic per document), unigram and
+    // bigram counts partial-aggregate, and the one-row totals ride a
+    // broadcast cross join (the x10 shape). The c_ab ≥ 5 support
+    // floor is the standard guard against PMI's low-count bias. PMI
+    // rounds to 6 decimals (x14 ulp rule for the ln).
+    Q("x40_pmi_collocations",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select($"doc_id", TextOps.tokens($"text").as("tk"))
+        val uni = toks.select(explode($"tk").as("t"))
+          .groupBy($"t").agg(count(lit(1)).as("c"))
+        val nTot = uni.agg(sum($"c").as("n"))
+        val bi = toks.select(explode(expr(
+            "transform(sequence(0, size(tk) - 2), " +
+            "i -> struct(tk[i] as x, tk[i + 1] as y))")).as("p"))
+          .groupBy($"p.x".as("x"), $"p.y".as("y"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter($"c_ab" >= 5)
+        bi.join(uni.select($"t".as("x"), $"c".as("c_a")), "x")
+          .join(uni.select($"t".as("y"), $"c".as("c_b")), "y")
+          .crossJoin(broadcast(nTot))
+          .select($"x", $"y", $"c_ab",
+            round(log($"c_ab".cast("double") * $"n" /
+              ($"c_a" * $"c_b")), 6).as("pmi"))
+          .orderBy($"pmi".desc, $"x", $"y")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+        uni AS (SELECT t, count(*) AS c FROM (
+          SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        bi AS (SELECT tk[i] AS x, tk[i+1] AS y, count(*) AS c_ab
+          FROM tk, unnest(range(1, len(tk))) u(i)
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+        SELECT x, y, c_ab,
+          round(ln(CAST(c_ab AS DOUBLE) * n / (a.c * b.c)), 6) AS pmi
+        FROM bi JOIN uni a ON a.t = bi.x JOIN uni b ON b.t = bi.y
+        CROSS JOIN n
+        ORDER BY pmi DESC, x, y""")),
+
     // ---- Cohen's kappa: labeler agreement beyond chance --------------
     // The agreement metric for any two corpus labelers — here x3's
     // lexicon language-ID against the ground-truth lang column. The
