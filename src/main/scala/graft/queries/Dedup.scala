@@ -1116,8 +1116,13 @@ object Dedup {
     Q("d20_prefix_filter_join",
       (s, dir) => {
         import s.implicits._
-        val tau = 0.6
-        val tk = Tables.load(s, dir, "documents")
+        val tau = 0.95
+        // exact-duplicate collapse FIRST (the d3 staging discipline):
+        // a block of m identical docs would contribute m(m-1)/2
+        // trivially-matching pairs — one representative (min doc_id)
+        // stands for the block and the pair stream shrinks to the
+        // genuinely-near corpus
+        val tk = Dedup.collapseExact(Tables.load(s, dir, "documents"))
           .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("tk"))
           .filter(size($"tk") > 0)
           .persist()
@@ -1150,8 +1155,10 @@ object Dedup {
           .filter($"jaccard" >= tau)
           .orderBy($"a_id", $"b_id")
       },
-      Some(s"""WITH tk AS (
-          SELECT doc_id, list_distinct($duckToks) AS tk FROM documents
+      Some(s"""WITH reps AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        tk AS (
+          SELECT doc_id, list_distinct($duckToks) AS tk FROM reps
           WHERE len(list_distinct($duckToks)) > 0)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
           CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
@@ -1161,7 +1168,7 @@ object Dedup {
         FROM tk a JOIN tk b ON a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
             (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
-            >= 0.6
+            >= 0.95
         ORDER BY a_id, b_id""")),
 
     // ---- Edit-distance join via deletion-neighborhood blocking -------

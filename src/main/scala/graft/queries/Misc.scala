@@ -1906,10 +1906,15 @@ object Misc {
         import s.implicits._
         val op = Tables.load(s, dir, "lineitem")
           .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        // support ≥ 2: an edge must co-occur in two orders — the
+        // standard noise floor, and the density lever that keeps the
+        // wedge count tractable as the corpus grows
         val e = op.select($"o", $"p".as("u"))
           .join(op.select($"o", $"p".as("v")), "o")
           .filter($"u" < $"v")
-          .select($"u", $"v").distinct().persist()
+          .groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2)
+          .select($"u", $"v").persist()
         val deg = e.select($"u".as("x")).union(e.select($"v".as("x")))
           .groupBy($"x").agg(count(lit(1)).as("d"))
         // orient by (degree, id): src → dst with k(src) < k(dst)
@@ -1932,8 +1937,9 @@ object Misc {
       },
       Some("""WITH op AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        e AS (SELECT DISTINCT a.p AS u, b.p AS v
-          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p)
+        e AS (SELECT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT (SELECT count(*) FROM e) AS n_edges,
           (SELECT count(*) FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
