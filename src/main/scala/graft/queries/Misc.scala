@@ -1456,6 +1456,92 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Distribution drift: smoothed KL between two periods ----------
+    // The monitoring statistic a feature pipeline alarms on: per
+    // event_type, the value distribution of the month's second half
+    // against its first, as KL(P₂‖P₁) over fixed-width bins (value
+    // DIV 50 — integer binning, no quantile estimation in the hot
+    // path) with add-1 smoothing over the UNION of observed bins so
+    // no bin divides by zero. Counts partial-aggregate per (type,
+    // half, bin); the KL sum runs over the tiny bin axis. Rounded to
+    // 6 decimals (x14 ulp rule for ln + sum).
+    Q("m51_kl_drift",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_type",
+            (unix_micros($"ts") >= lit(1705276800000000L)).as("h2"),
+            expr("CAST(value AS LONG) DIV 50").as("bin"))
+        val counts = ev.groupBy($"event_type", $"bin")
+          .agg(sum(when($"h2", 0L).otherwise(1L)).as("c1"),
+            sum(when($"h2", 1L).otherwise(0L)).as("c2"))
+        val totals = counts.groupBy($"event_type")
+          .agg(sum($"c1").as("t1"), sum($"c2").as("t2"),
+            count(lit(1)).as("nb"))
+        counts.join(totals, "event_type")
+          .select($"event_type",
+            ((($"c2" + 1).cast("double") / ($"t2" + $"nb")) *
+              log((($"c2" + 1).cast("double") / ($"t2" + $"nb")) /
+                (($"c1" + 1).cast("double") / ($"t1" + $"nb"))))
+              .as("term"))
+          .groupBy($"event_type")
+          .agg(round(sum($"term"), 6).as("kl"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (
+          SELECT event_type,
+            epoch_us(ts) >= 1705276800000000 AS h2,
+            CAST(trunc(value) AS BIGINT) // 50 AS bin
+          FROM events),
+        c AS (SELECT event_type, bin,
+            sum(CASE WHEN h2 THEN 0 ELSE 1 END) AS c1,
+            sum(CASE WHEN h2 THEN 1 ELSE 0 END) AS c2
+          FROM e GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS t1,
+            CAST(sum(c2) AS BIGINT) AS t2, count(*) AS nb
+          FROM c GROUP BY 1)
+        SELECT c.event_type,
+          round(sum(
+            (CAST(c2 + 1 AS DOUBLE) / (t2 + nb)) *
+            ln((CAST(c2 + 1 AS DOUBLE) / (t2 + nb)) /
+               (CAST(c1 + 1 AS DOUBLE) / (t1 + nb)))), 6) AS kl
+        FROM c JOIN t ON c.event_type = t.event_type
+        GROUP BY c.event_type ORDER BY c.event_type""")),
+
+    // ---- Top event paths: 3-step sequence mining ----------------------
+    // The session-path report (what do users do in what order?): every
+    // consecutive 3-step event-type path per user's time-ordered
+    // stream — two lead() picks inside one per-user window sort —
+    // counted and top-20'd with a full tiebreak. The path alphabet is
+    // tiny but the technique (windowed n-gram over keyed sequences,
+    // partial-agg counts) is the scale pattern for clickstream mining.
+    Q("m52_top_paths",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        Tables.load(s, dir, "events")
+          .select($"user_id", $"event_id", $"event_type",
+            unix_micros($"ts").as("tus"))
+          .withColumn("s2", lead($"event_type", 1).over(w))
+          .withColumn("s3", lead($"event_type", 2).over(w))
+          .filter($"s3".isNotNull)
+          .groupBy(concat_ws(">", $"event_type", $"s2", $"s3").as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path")
+          .limit(20)
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type,
+            lead(event_type, 1) OVER w AS s2,
+            lead(event_type, 2) OVER w AS s3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+            ORDER BY epoch_us(ts), event_id))
+        SELECT event_type || '>' || s2 || '>' || s3 AS path,
+          count(*) AS n
+        FROM e WHERE s3 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")),
+
     // ---- Systematic weighted sampling: integer-exact, no RNG ----------
     // Weighted sampling done with arithmetic a distributed re-run can
     // reproduce bit-for-bit: documents ordered by doc_id accumulate

@@ -894,6 +894,42 @@ object Relational {
             AS valid_from
         FROM customer ORDER BY k""")),
 
+    // ---- Runtime-filter join: bloom semi-join pushdown ---------------
+    // The shuffle reducer for selective fact⋈dim joins: the filtered
+    // orders keys build a broadcast Bloom, and the codegen'd probe
+    // prunes lineitem ROWS MAP-SIDE — before any exchange — so only
+    // the ~matching fraction (plus fpp) ever shuffles into the exact
+    // join, where false positives die. This is the manual form of the
+    // engine-level runtime filter (Spark's InSubqueryExec /
+    // bloom-filter join pushdown), pinned here as an explicit
+    // operator: at 100 TB the exchange shrinks by the join
+    // selectivity, the difference between shuffling a table and
+    // shuffling an answer. Exactness is untouched — the oracle is the
+    // plain join.
+    Q("j13_bloom_semi_pushdown",
+      (s, dir) => {
+        import s.implicits._
+        val keys = t(s, dir, "orders")
+          .filter($"o_orderpriority" === "1-URGENT" &&
+            $"o_orderstatus" === "F")
+          .select($"o_orderkey")
+        val bloom = keys.select($"o_orderkey".cast("string").as("k"))
+          .stat.bloomFilter("k", 100000L, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val pre = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice")
+          .filter(coalesce(graft.functions.NativeExprs.bloomMightContain(
+            s, bc, $"l_orderkey".cast("string")), lit(false)))
+        pre.join(keys, $"l_orderkey" === $"o_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum($"l_extendedprice").as("revenue"))
+      },
+      Some("""SELECT count(*) AS n_lines,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'""")),
+
     // ---- DESCRIBE HISTORY: version ledger from metadata alone --------
     // The table-history surface (Delta DESCRIBE HISTORY parity) as a
     // catalog row: three lifecycle events — full publish, append,
