@@ -1563,11 +1563,17 @@ object Misc {
           .select($"doc_id", $"n_chars")
           .withColumn("cum", sum($"n_chars").over(w))
         val tot = cum.agg(max($"cum").as("tot"))
+        // picks covered by [cum−w, cum−1]: hi = last grid index ≤
+        // cum−1 (capped at 19), lo = first grid index ≥ cum−w via
+        // ceiling division — all operands non-negative, so trunc vs
+        // floor never bites (the −1 boundary of the naive form lost
+        // the i=0 pick on the first doc)
         cum.crossJoin(broadcast(tot))
           .withColumn("step", expr("tot DIV 20"))
           .withColumn("k",
-            expr("(cum - 1) DIV step - (cum - n_chars - 1) DIV step"))
-          .filter($"k" > 0 && expr("(cum - 1) DIV step") < 20)
+            expr("least((cum - 1) DIV step, 19L) - " +
+              "(cum - n_chars + step - 1) DIV step + 1"))
+          .filter($"k" > 0)
           .select($"doc_id", $"n_chars", $"k".cast("long").as("n_picks"))
           .orderBy($"doc_id")
       },
@@ -1579,11 +1585,11 @@ object Misc {
           FROM documents),
         t AS (SELECT max(cum) AS tot, max(cum) // 20 AS step FROM c)
         SELECT doc_id, n_chars,
-          CAST((cum - 1) // step - (cum - n_chars - 1) // step AS BIGINT)
-            AS n_picks
+          CAST(least((cum - 1) // step, 19)
+            - (cum - n_chars + step - 1) // step + 1 AS BIGINT) AS n_picks
         FROM c CROSS JOIN t
-        WHERE (cum - 1) // step - (cum - n_chars - 1) // step > 0
-          AND (cum - 1) // step < 20
+        WHERE least((cum - 1) // step, 19)
+          - (cum - n_chars + step - 1) // step + 1 > 0
         ORDER BY doc_id""")),
 
     // ---- Year-over-year growth: the period-comparison window ----------

@@ -155,4 +155,109 @@ class BreadthSpec extends SparkSpec {
     }
     assert(est.size >= 3, "expected at least one lang x three percentiles")
   }
+
+  test("d20: prefix filtering is lossless vs brute-force token Jaccard") {
+    import spark.implicits._
+    // the driver oracle checks this at sf0.01; here a hostile corpus:
+    // identical sets, near-identical sets, heavy df ties (every token
+    // equally frequent — the (df, token) order falls back to the
+    // token string), and a doc sharing only SUFFIX tokens with its
+    // near-dup (the case a broken prefix bound would drop)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"),
+      (4L, "p q r s t"), (5L, "q r s t u"), (6L, "x y"), (7L, "x z")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("d20docs")
+    val tau = 0.6
+    val tk = docs.select($"doc_id",
+      array_distinct(graft.operators.TextOps.tokens($"text")).as("tk"))
+    val brute = tk.as("a").join(tk.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (size(array_intersect(col("a.tk"), col("b.tk"))).cast("double") /
+          (size(col("a.tk")) + size(col("b.tk")) -
+            size(array_intersect(col("a.tk"), col("b.tk")))))
+          .as("j"))
+      .filter($"j" >= tau)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // re-run the catalog operator's pipeline shape at tau=0.6 inline
+    val toks = tk.select($"doc_id", size($"tk").cast("long").as("n"),
+      explode($"tk").as("tok"))
+    val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(df, "tok").groupBy($"doc_id", $"n")
+      .agg(array_sort(collect_list(struct($"df", $"tok"))).as("sorted"))
+      .select($"doc_id", $"n",
+        explode(expr(s"slice(sorted, 1, cast(n - ceil($tau * n) + 1 as int))")).as("p"))
+      .select($"doc_id", $"n", $"p.tok".as("tok"))
+    val cand = prefix.select($"doc_id".as("a_id"), $"n".as("na"), $"tok")
+      .join(prefix.select($"doc_id".as("b_id"), $"n".as("nb"), $"tok"), "tok")
+      .filter($"a_id" < $"b_id" &&
+        greatest($"na", $"nb") * tau <= least($"na", $"nb"))
+      .select($"a_id", $"b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(cand),
+      s"prefix filtering dropped qualifying pairs: ${brute.diff(cand)}")
+    assert(brute === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)),
+      s"brute truth unexpected: $brute")
+  }
+
+  test("x35: merge replace is left-to-right non-overlapping (BPE greedy)") {
+    import spark.implicits._
+    // ' a  b ' canonical encoding: overlapping 'a a a' merges once,
+    // disjoint 'a b a b' merges twice, and merged symbols re-pair
+    val enc = (t: String) =>
+      " " + t.split(" ").mkString("  ") + " "
+    val df = Seq(enc("a a a"), enc("a b a b"), enc("c a b d")).toDF("s")
+    val merged = df.select(call_function("replace", $"s",
+      lit(" a  b "), lit(" ab ")).as("s"))
+      .select(split(trim($"s"), "  ").as("tk")).collect().map(_.getSeq[String](0))
+    assert(merged(0) === Seq("a", "a", "a"), "a-a pair must not merge under a-b rule")
+    assert(merged(1) === Seq("ab", "ab"), "disjoint pairs must both merge")
+    assert(merged(2) === Seq("c", "ab", "d"), "interior pair must merge cleanly")
+    // overlap rule: merging (a,a) in 'a a a' consumes greedily left-first
+    val aa = df.limit(1).select(call_function("replace", $"s",
+      lit(" a  a "), lit(" aa ")).as("s"))
+      .select(split(trim($"s"), "  ").as("tk")).head().getSeq[String](0)
+    assert(aa === Seq("aa", "a"), s"greedy left-first overlap broken: $aa")
+  }
+
+  test("m49: systematic sampling places exactly 20 picks, heaviest docs always in") {
+    val rows = run("m49_systematic_sample").collect()
+    val picks = rows.map(_.getLong(2)).sum
+    assert(picks === 20L, s"systematic grid must place exactly 20 picks, got $picks")
+    // any doc with weight > step is guaranteed selection (≥1 pick)
+    import spark.implicits._
+    val tot = Tables.load(spark, dir, "documents")
+      .agg(sum($"n_chars")).as[Long].head()
+    val step = tot / 20
+    val heavy = Tables.load(spark, dir, "documents")
+      .filter($"n_chars" > step).select($"doc_id").as[Long].collect().toSet
+    val selected = rows.map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(selected),
+      s"guaranteed-weight docs missing: ${heavy.diff(selected)}")
+  }
+
+  test("m39: degree-oriented count equals brute force on a crafted graph") {
+    import spark.implicits._
+    // triangle {1,2,3} + square {4,5,6,7} (no triangle) + pendant 8;
+    // each edge duplicated to pass the support-2 floor when run
+    // through the operator's edge builder is skipped — here we pin the
+    // orientation+wedge counting math directly on a known edge set
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (4L, 7L), (3L, 8L)).toDF("u", "v")
+    val deg = e.select($"u".as("x")).union(e.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+    val kU = struct($"du".as("d"), $"u".as("id"))
+    val kV = struct($"dv".as("d"), $"v".as("id"))
+    val or = e
+      .join(deg.select($"x".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"x".as("v"), $"d".as("dv")), "v")
+      .select(when(kU < kV, $"u").otherwise($"v").as("src"),
+        when(kU < kV, kV).otherwise(kU).as("dst"))
+    val wedges = or.as("e1").join(or.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst.id").as("src"), col("e2.dst").as("dst"))
+    val tri = wedges.join(or, Seq("src", "dst"), "left_semi").count()
+    assert(tri === 1L, s"expected exactly the one triangle, got $tri")
+  }
 }
