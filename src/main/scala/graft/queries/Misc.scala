@@ -1456,6 +1456,46 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- 2-D skyline: Pareto frontier without the quadratic probe -----
+    // The skyline operator (Börzsönyi et al. 2001): parts undominated
+    // on (cheap retailprice, small size). The textbook NOT-EXISTS
+    // probe — the oracle's spelling — is an n² theta join; the engine
+    // computes it as ONE sorted window pass: a point survives iff its
+    // size beats the running strict-cheaper minimum (a RANGE frame on
+    // integer price cents, 1-preceding, excludes price ties exactly)
+    // and it holds the min size within its own price group. O(n log n)
+    // in one shuffle, and the frame arithmetic is all integer — the
+    // hash gate proves the rewrite equals the declarative semantics.
+    Q("m53_skyline_2d",
+      (s, dir) => {
+        import s.implicits._
+        val p = Tables.load(s, dir, "part")
+          .select($"p_partkey", $"p_size".cast("long").as("sz"),
+            (dec2($"p_retailprice") * 100).cast("long").as("price_c"))
+        val wStrict = Window.orderBy($"price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wTie = Window.partitionBy($"price_c")
+        p.withColumn("min_prev", min($"sz").over(wStrict))
+          .withColumn("min_tie", min($"sz").over(wTie))
+          .filter(($"min_prev".isNull || $"sz" < $"min_prev") &&
+            $"sz" === $"min_tie")
+          .select($"p_partkey", $"sz".as("p_size"),
+            ($"price_c".cast("double") / 100).as("price"))
+          .orderBy($"p_partkey")
+      },
+      Some("""WITH p AS (
+          SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+            CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS price_c
+          FROM part)
+        SELECT p_partkey, sz AS p_size,
+          CAST(price_c AS DOUBLE) / 100 AS price
+        FROM p a
+        WHERE NOT EXISTS (SELECT 1 FROM p b
+          WHERE b.price_c <= a.price_c AND b.sz <= a.sz
+            AND (b.price_c < a.price_c OR b.sz < a.sz))
+        ORDER BY p_partkey""")),
+
     // ---- Distribution drift: smoothed KL between two periods ----------
     // The monitoring statistic a feature pipeline alarms on: per
     // event_type, the value distribution of the month's second half

@@ -243,6 +243,15 @@ class PlanSpec extends SparkSpec {
       s"x33: exact confirm join not broadcast:\n$p")
   }
 
+  test("j13: bloom runtime filter stays native — probe before the exchange, no UDF") {
+    val p = planOf("j13_bloom_semi_pushdown")
+    assert(p.toLowerCase.contains("bloommightcontain") || p.contains("graft_bloom"),
+      s"j13: native bloom probe missing:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"j13: probe fell back to a UDF:\n$p")
+    assert(!p.contains("CartesianProduct"), s"j13: cartesian:\n$p")
+  }
+
   test("m36: streaming sessions read back from the warehouse — no re-aggregation at read") {
     // the serve read is a plain scan + sort of the published sessions
     // table; session recomputation at read time would show as an
