@@ -33,8 +33,9 @@ object Bench {
     "s9_delete_antijoin", "m21_quality_checks", "d6_neardup_components",
     "d14_keep_best", "d16_cluster_spectrum", "x24_vocab_growth",
     "sim5_index_topk", "x26_bm25_index_serve",
-    // r8 perf-flag history (cleared r9) + the r9 top-cost plan
-    "x20_model_persist_score", "m8_cube", "x28_bm25_index_delete")
+    // r8 perf-flag history (cleared r9) + the r9 top-cost plans
+    "x20_model_persist_score", "m8_cube", "x28_bm25_index_delete",
+    "d20_prefix_filter_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -79,6 +79,31 @@ object Cli {
         println(s"ndv sketch built; approx distinct " +
           s"$table.$column = ${wh.statsApproxNdv(table, column).getOrElse(-1L)}")
 
+      // snapshot lifecycle: version ledger, metadata-only restore,
+      // and write-audit-publish branch promotion/abandonment
+      case "history" :: whDir :: table :: Nil =>
+        val h = new Warehouse(spark, whDir, manifest = true).history(table)
+        if (h.isEmpty) println(s"no retained snapshots for $table")
+        else h.foreach { case (v, nf, nr) =>
+          println(f"v$v%-6d files=$nf%-6d rows=$nr%d")
+        }
+
+      case "rollback" :: whDir :: table :: version :: Nil =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        wh.rollback(table, version.toLong)
+        println(s"restored $table to the snapshot of v$version " +
+          s"(metadata-only); history: ${wh.history(table).map(_._1).mkString(",")}")
+
+      case "branch-promote" :: whDir :: table :: branch :: Nil =>
+        new Warehouse(spark, whDir, manifest = true)
+          .promoteBranch(table, branch)
+        println(s"branch '$branch' promoted on $table")
+
+      case "branch-abandon" :: whDir :: table :: branch :: Nil =>
+        new Warehouse(spark, whDir, manifest = true)
+          .abandonBranch(table, branch)
+        println(s"branch '$branch' abandoned on $table")
+
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(
@@ -87,7 +112,10 @@ object Cli {
           "optimize <whDir> <table> [numFiles] | " +
           "optimize-zorder <whDir> <table> <numFiles> <col> <col>... | " +
           "vacuum <whDir> <table> | index-bloom <whDir> <table> <col> | " +
-          "index-ndv <whDir> <table> <col>")
+          "index-ndv <whDir> <table> <col> | history <whDir> <table> | " +
+          "rollback <whDir> <table> <version> | " +
+          "branch-promote <whDir> <table> <branch> | " +
+          "branch-abandon <whDir> <table> <branch>")
         sys.exit(2)
     }
     spark.stop()
