@@ -1360,6 +1360,46 @@ object Misc {
         FROM g GROUP BY user_id, sid
         ORDER BY user_id, s_us""")),
 
+    // ---- Streaming exact dedup under the driver gate -------------------
+    // The fourth streaming shape (m31 windows, m33 join, m36
+    // sessions): dropDuplicatesWithinWatermark on a stream that
+    // carries every event TWICE (two landed copies), sunk through the
+    // m31 exactly-once foreachBatch + keyed upsert. The state store
+    // holds one entry per key inside the watermark horizon — bounded
+    // at any rate — and the emitted set must be exactly the distinct
+    // events: the oracle is a plain aggregate over the single-copy
+    // source. Payload totals ride the dec2 discipline so a dropped or
+    // doubled event breaks the hash, not just the count.
+    Q("m54_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        val land = graft.sources.Scratch.dir(s, "sdl")
+        ev.repartition(2).write.mode("overwrite").parquet(land)
+        ev.repartition(2).write.mode("append").parquet(land)
+        val wh = graft.sources.Scratch.warehouse(s, "sdw")
+        val chk = graft.sources.Scratch.dir(s, "sdc")
+        val q = graft.streaming.EventStream.deduplicated(
+            graft.streaming.EventStream.read(s, land))
+          .writeStream
+          .option("checkpointLocation", chk)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            wh.upsert("dedup", b, Seq("event_id"))
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        wh.read("dedup")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ---- Co-occurrence mining: parts bought by the same customer -------
     // The market-basket / co-click pair generator every recsys and
     // embedding-pretraining pipeline runs: distinct (customer, part)
