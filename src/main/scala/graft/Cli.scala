@@ -79,6 +79,19 @@ object Cli {
         println(s"ndv sketch built; approx distinct " +
           s"$table.$column = ${wh.statsApproxNdv(table, column).getOrElse(-1L)}")
 
+      // ad-hoc SQL over the warehouse: every table registers as a
+      // temp view (snapshot-consistent reads through the manifest
+      // resolution), the native graft_* functions are injected, and
+      // the statement runs through the ordinary Catalyst path — the
+      // "switch your SQL here" surface for a reference user
+      case "sql" :: whDir :: stmt :: Nil =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        wh.tableNames().foreach { t =>
+          wh.read(t).createOrReplaceTempView(t)
+        }
+        graft.functions.NativeExprs.register(spark)
+        spark.sql(stmt).show(1000, truncate = false)
+
       // snapshot lifecycle: version ledger, metadata-only restore,
       // and write-audit-publish branch promotion/abandonment
       case "history" :: whDir :: table :: Nil =>

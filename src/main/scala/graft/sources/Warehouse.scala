@@ -57,6 +57,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
 
   private def tablePath(name: String) = s"$dir/$name"
 
+  /** Table names present in the warehouse root — one directory per
+    * table; dot/underscore-prefixed metadata dirs are not tables.
+    * Driver metadata only (one listing).
+    */
+  def tableNames(): Seq[String] = {
+    val root = new Path(dir)
+    val fs = fileSystem(root)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
+  }
+
   private def fileSystem(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
