@@ -615,4 +615,33 @@ class LayoutSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("current snapshot"))
   }
+
+  test("WAP promote racing a main-line publish aborts loudly and retries clean") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-wap-race")
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))
+    wh.publishBranch("t", "audit", spark.range(100, 150).toDF("k"))
+
+    // a main-line publish lands in promote's check-then-flip window
+    // (the casTestHook seam): the promote's CAS must observe the moved
+    // pointer and abort rather than silently clobber the publish
+    var fired = false
+    wh.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.atomicPublish("t", spark.range(0, 20).toDF("k"))
+    }
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      wh.promoteBranch("t", "audit")
+    }
+    wh.casTestHook = _ => ()
+    assert(ex.getMessage.contains("concurrent commit"))
+
+    // the abort must leave the branch fully intact — promote is
+    // retryable, and the retry wholesale-promotes over the interloper
+    // (snapshot-level WAP semantics: the audit gate owns the decision)
+    assert(wh.readBranch("t", "audit").count() === 50)
+    wh.promoteBranch("t", "audit")
+    assert(wh.read("t").count() === 50)
+  }
 }
