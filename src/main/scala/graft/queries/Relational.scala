@@ -1160,6 +1160,78 @@ object Relational {
         WHERE l_orderkey % 50 = 0
         ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    // ---- Dynamic pivot: keys discovered at runtime --------------------
+    // A4's bounded pivot requires the column list up front; the
+    // dynamic form every BI tool needs discovers the pivot keys with
+    // ONE extra metadata-sized job (distinct event types, sorted for
+    // a deterministic column order) and passes them to the same
+    // Catalyst pivot — never the implicit-pivot path that buffers
+    // unbounded key sets per group. Cost: one tiny extra jobs' worth
+    // of latency, zero extra passes over the fact at scale. The
+    // oracle spells the discovered columns as static CASE sums.
+    Q("a8_dynamic_pivot",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"user_id", $"event_type", $"value")
+        val keys = ev.select($"event_type").distinct()
+          .orderBy($"event_type").as[String].collect().toSeq
+        ev.filter($"user_id" % 10 === 0)
+          .groupBy($"user_id")
+          .pivot("event_type", keys)
+          .agg(dsum($"value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+          CAST(SUM(CASE WHEN event_type = 'click'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+          CAST(SUM(CASE WHEN event_type = 'error'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "error",
+          CAST(SUM(CASE WHEN event_type = 'purchase'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'view'
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
+        FROM events WHERE user_id % 10 = 0
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- Ratio-to-report: share-of-total windows ----------------------
+    // The percent-of-parent calculation (status share within its
+    // year, year share of the grand total): aggregate once, then two
+    // unpartitioned-window sums over the TINY aggregate — the fact is
+    // never re-scanned and the window input is |years × statuses|.
+    // Shares are single divisions of exact decimal sums cast to
+    // double, identical on both engines.
+    Q("m55_ratio_to_report",
+      (s, dir) => {
+        import s.implicits._
+        val agg = Tables.load(s, dir, "orders")
+          .groupBy(year($"o_orderdate").cast("long").as("yr"),
+            $"o_orderstatus".as("status"))
+          .agg(sum(dec2($"o_totalprice")).as("rev"))
+        val wYr = Window.partitionBy($"yr")
+        val wAll = Window.partitionBy()
+        agg.select($"yr", $"status", $"rev".cast("double").as("revenue"),
+            ($"rev".cast("double") / sum($"rev").over(wYr).cast("double"))
+              .as("share_of_year"),
+            (sum($"rev").over(wYr).cast("double") /
+              sum($"rev").over(wAll).cast("double")).as("year_share"))
+          .orderBy($"yr", $"status")
+      },
+      Some("""WITH a AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+            o_orderstatus AS status,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1, 2)
+        SELECT yr, status, CAST(rev AS DOUBLE) AS revenue,
+          CAST(rev AS DOUBLE) /
+            CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE)
+            AS share_of_year,
+          CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE) /
+            CAST(SUM(rev) OVER () AS DOUBLE) AS year_share
+        FROM a ORDER BY yr, status""")),
+
     // ---- GROUPING SETS with grouping-id disambiguation ----------------
     // The multi-granularity aggregate between m1's rollup and m8's
     // cube: an explicit set list — (status, priority), (priority),
