@@ -1160,6 +1160,37 @@ object Relational {
         WHERE l_orderkey % 50 = 0
         ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    // ---- Map-typed columns: build, transform, filter, explode --------
+    // The MapType surface (SURVEY §1.2 reserves it for extensions):
+    // per-user event profiles as REAL map columns —
+    // map_from_entries over a collected (type, count) struct list,
+    // transform_values scaling in place, map_filter dropping sparse
+    // entries — then exploded back to rows for the hash surface (the
+    // oracle has no map type; a broken map op surfaces as wrong
+    // rows). The collect_list buffer is bounded by the event-type
+    // alphabet per user, and every map op is row-local — the only
+    // shuffle is the initial (user, type) aggregate.
+    Q("p18_map_column_ops",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(map_from_entries(sort_array(
+            collect_list(struct($"event_type", $"n")))).as("profile"))
+          .select($"user_id",
+            explode(map_filter(
+              transform_values($"profile", (_, v) => v * 10),
+              (_, v) => v >= 100)).as(Seq("event_type", "n10")))
+          .orderBy($"user_id", $"event_type")
+      },
+      Some("""SELECT user_id, event_type, count(*) * 10 AS n10
+        FROM events
+        GROUP BY user_id, event_type
+        HAVING count(*) * 10 >= 100
+        ORDER BY user_id, event_type""")),
+
     // ---- Dynamic pivot: keys discovered at runtime --------------------
     // A4's bounded pivot requires the column list up front; the
     // dynamic form every BI tool needs discovers the pivot keys with
