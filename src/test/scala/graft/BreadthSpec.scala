@@ -237,6 +237,35 @@ class BreadthSpec extends SparkSpec {
       s"guaranteed-weight docs missing: ${heavy.diff(selected)}")
   }
 
+  test("d21: deletion neighborhood finds every edit-distance-1 pair species") {
+    import spark.implicits._
+    // one representative per edit species — substitution, insertion,
+    // deletion — plus an ed=2 pair that SHARES a deletion variant
+    // ("abc"/"axy"? no — "ab"/"ba": delete 'a'→"b"/"a"... use "abc"
+    // vs "acb": share variant "ab"? D("abc")={abc,bc,ac,ab},
+    // D("acb")={acb,cb,ab,ac} → share "ab","ac" but ed=2 — the exact
+    // confirm must kill it
+    val names = Seq("cold gear", "cold bear", "cold gears", "old gear",
+      "abc", "acb").toDF("name")
+    val variants = names.select($"name",
+      explode(array_union(array($"name"),
+        expr("""transform(sequence(1, length(name)),
+          i -> concat(substring(name, 1, i - 1),
+                      substring(name, i + 1, length(name))))"""))).as("v"))
+    val pairs = variants.select($"name".as("a"), $"v")
+      .join(variants.select($"name".as("b"), $"v"), "v")
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+      .filter(levenshtein($"a", $"b") <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(
+      ("cold bear", "cold gear"),   // substitution
+      ("cold gear", "cold gears"),  // insertion
+      ("cold gear", "old gear")),   // deletion
+      s"unexpected pair set: $pairs")
+    assert(!pairs.contains(("abc", "acb")),
+      "transposition (ed=2) must not survive the exact confirm")
+  }
+
   test("m39: degree-oriented count equals brute force on a crafted graph") {
     import spark.implicits._
     // triangle {1,2,3} + square {4,5,6,7} (no triangle) + pendant 8;

@@ -252,6 +252,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"j13: cartesian:\n$p")
   }
 
+  test("m53/d21/sim16: the quadratic-risk rewrites never plan a cartesian") {
+    // skyline = one sorted window (the NOT-EXISTS theta probe lives
+    // only in the oracle); edit-distance join = variant equi-join;
+    // filtered ANN = label equi-join with the query side broadcast
+    for (q <- Seq("m53_skyline_2d", "d21_editdist_join", "sim16_filtered_ann")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: quadratic plan crept in:\n$p")
+    }
+    val sky = planOf("m53_skyline_2d")
+    assert(sky.contains("Window"), s"skyline lost its window rewrite:\n$sky")
+  }
+
   test("m36: streaming sessions read back from the warehouse — no re-aggregation at read") {
     // the serve read is a plain scan + sort of the published sessions
     // table; session recomputation at read time would show as an
