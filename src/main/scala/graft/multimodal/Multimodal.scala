@@ -353,6 +353,61 @@ object Multimodal {
       }(encoder)
   }
 
+  /** Deterministic augmentation: horizontal mirror then center crop by
+    * `margin` pixels per side — pure index arithmetic over the decoded
+    * row-major grid (out[y][x] = in[y+m][w−1−(x+m)]), so an oracle can
+    * replay the transform on the pixel-generator formula without ever
+    * touching image bytes. The training-pipeline augmentations that
+    * matter at corpus scale are exactly these cheap reindexings; the
+    * expensive part (decode) is the batched pass around it.
+    */
+  def flipCrop(samples: Array[Int], w: Int, h: Int, margin: Int): Array[Int] = {
+    val cw = w - 2 * margin
+    val ch = h - 2 * margin
+    require(cw > 0 && ch > 0, s"margin $margin too large for ${w}x$h")
+    Array.tabulate(cw * ch) { k =>
+      val y = k / cw + margin
+      val x = k % cw + margin
+      samples(y * w + (w - 1 - x))
+    }
+  }
+
+  /** Decode → flipCrop → integer digest in one batched mapPartitions
+    * pass (the extractFeatures shape): one row per decodable image
+    * with (media_id, out_w, out_h, digest) where digest =
+    * Σ (k+1)·(px[k] DIV 16 + 1) over the augmented pixels — exact,
+    * order-pinned, SQL-replayable.
+    */
+  def augmentDigest(media: DataFrame, margin: Int = 1, batchSize: Int = 64,
+      codec: Codec = AutoCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("digest", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("media"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val w = r.getInt(2); val h = r.getInt(3)
+            codec.decode(r.getAs[Array[Byte]]("media")).map { px =>
+              val aug = flipCrop(px, w, h, margin)
+              var d = 0L
+              var k = 0
+              while (k < aug.length) {
+                d += (k + 1).toLong * (aug(k) / 16 + 1)
+                k += 1
+              }
+              Row(r.getLong(0), w - 2 * margin, h - 2 * margin, d)
+            }
+          }
+        }
+      }(encoder)
+  }
+
   /** Difference hash (dHash) — the standard perceptual image
     * fingerprint (the Hacker Factor/imagehash algorithm): sample the
     * decoded grayscale onto a 9×8 grid (nearest neighbor — explicit

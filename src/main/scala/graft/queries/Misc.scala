@@ -413,6 +413,49 @@ object Misc {
           CAST(SUM(((media_id * 37 + j * 11) % 256) // 16 + 1) AS BIGINT) AS bin_digest
         FROM ex GROUP BY media_id, n_samples ORDER BY media_id""")),
 
+    // ---- REAL image augmentation: decode → flip → crop → digest -------
+    // The training-time augmentation pipeline over ACTUAL PNG bytes:
+    // the m17 corpus decodes through the in-JDK ImageIO, mirrors
+    // horizontally, center-crops one pixel per side, and digests the
+    // augmented pixels exactly. The transform is pure index
+    // arithmetic (out[y][x] = in[y+1][w−2−x]), so the oracle replays
+    // it on the SQL-regenerable generator formula — decode + reindex
+    // are what's under test, and a single off-by-one in either flips
+    // the digest. Batched mapPartitions, payloads never on the
+    // driver (the m9/m17 discipline).
+    Q("m56_image_augment",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val rows = (0 until 60).map { i =>
+          val w = 8 + i % 4
+          val h = 12
+          val px = Array.tabulate(w * h)(j => (i * 37 + j * 11) % 256)
+          org.apache.spark.sql.Row(i.toLong, "image",
+            Multimodal.ImageIoCodec.encodePng(w, h, px),
+            org.apache.spark.sql.Row(w, h, 0, 0))
+        }
+        val media = s.createDataFrame(
+          s.sparkContext.parallelize(rows, 3), Multimodal.mediaSchema)
+        Multimodal.augmentDigest(media, margin = 1)
+          .orderBy($"media_id")
+      },
+      Some("""WITH m AS (
+          SELECT CAST(i AS BIGINT) AS media_id,
+            CAST(8 + i % 4 AS INT) AS w, CAST(12 AS INT) AS h
+          FROM range(60) t(i)),
+        ex AS (SELECT media_id, w, h, unnest(range((w - 2) * (h - 2))) AS k
+          FROM m),
+        px AS (SELECT media_id, w, h, k,
+            (k // (w - 2) + 1) * w + (w - 1 - (k % (w - 2) + 1)) AS j
+          FROM ex)
+        SELECT media_id, CAST(w - 2 AS INT) AS out_w,
+          CAST(h - 2 AS INT) AS out_h,
+          CAST(SUM((k + 1) * (((media_id * 37 + j * 11) % 256) // 16 + 1))
+            AS BIGINT) AS digest
+        FROM px GROUP BY media_id, w, h
+        ORDER BY media_id""")),
+
     // ---- REAL audio decode: WAV bytes → javax.sound.sampled → features -
     // m17's technique for audio: each payload is a real RIFF/WAV file
     // (16-bit PCM mono, encoded driver-side from the same
