@@ -1160,6 +1160,40 @@ object Relational {
         WHERE l_orderkey % 50 = 0
         ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    // ---- Deletion vectors: row-level delete, zero files rewritten ----
+    // The Delta-3/Iceberg-v2 merge-on-read delete: two successive
+    // row-level DELETEs record (file, row-position) pairs in a
+    // manifest-scoped sidecar — the data files are untouched
+    // (`untouched` pins the manifest's file list byte-identical
+    // across both deletes) — and the merge-on-read scan subtracts
+    // them with one anti-join whose right side is sized by the
+    // deleted rows. s9's copy-on-write delete rewrites the table;
+    // THIS is what a 100 TB table does instead, until compaction
+    // materializes. The oracle filters both predicates out of the
+    // source directly.
+    Q("s25_deletion_vectors",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "dvw")
+        wh.atomicPublish("ord_dv", o.repartition(8, $"o_orderkey"))
+        def fileList = wh.history("ord_dv").lastOption.map(_._2).getOrElse(-1L)
+        val filesBefore = fileList
+        wh.deleteRows("ord_dv", $"o_orderkey" % 10 === 0)
+        wh.deleteRows("ord_dv", $"o_orderstatus" === "P")
+        val untouched = fileList == filesBefore
+        wh.readMor("ord_dv")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+          .select($"n", $"revenue", lit(untouched).as("untouched"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS untouched
+        FROM orders
+        WHERE o_orderkey % 10 <> 0 AND o_orderstatus <> 'P'""")),
+
     // ---- Map-typed columns: build, transform, filter, explode --------
     // The MapType surface (SURVEY §1.2 reserves it for extensions):
     // per-user event profiles as REAL map columns —

@@ -1215,6 +1215,81 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     commitSnapshot(name, n, files, expected)
   }
 
+  // ---- Deletion vectors: row-level merge-on-read deletes -------------
+
+  private def dvPath(root: Path, mfName: String) = new Path(root, s"_dv_$mfName")
+
+  /** Current snapshot read annotated with each row's physical address
+    * — (file relative to the table root, row position within the
+    * file) from the parquet reader's `_metadata` struct. The address
+    * is what deletion vectors key on.
+    */
+  private def readWithPos(name: String): DataFrame = {
+    val root = tablePath(name)
+    val prefix = new Path(root).toUri.getPath + "/"
+    read(name)
+      .withColumn("_file",
+        expr(s"substring(_metadata.file_path, " +
+          s"instr(_metadata.file_path, '$prefix') + ${prefix.length})"))
+      .withColumn("_pos", expr("_metadata.row_index"))
+  }
+
+  /** Row-level DELETE without rewriting a single data file (the
+    * Delta/Iceberg-v2 deletion-vector shape): rows matching `cond`
+    * are recorded as (file, row-position) pairs in a sidecar keyed to
+    * the CURRENT manifest, and `readMor` subtracts them at scan time.
+    * Repeated calls accumulate (union + distinct). Cost ∝ one scan to
+    * find positions + a sidecar write sized by the deleted rows —
+    * deleting 100 rows from a 100 TB table rewrites nothing. The
+    * sidecar is manifest-scoped: a republish starts a fresh DV
+    * lineage (the compaction that materializes deletes is `compact`
+    * over `readMor`). Publish is a staged-dir swap, atomic for
+    * readers on a rename filesystem.
+    */
+  def deleteRows(name: String, cond: org.apache.spark.sql.Column): Long = {
+    require(manifest, "deletion vectors require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mf = currentManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot for $name"))
+    val hits = readWithPos(name).filter(cond).select(col("_file"), col("_pos"))
+    val dv = dvPath(root, mf)
+    val merged = if (fs.exists(dv))
+      spark.read.parquet(dv.toString).unionByName(hits).distinct()
+    else hits.distinct()
+    val staging = new Path(dv.toString + "._staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    val old = new Path(dv.toString + "._old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dv)) fs.rename(dv, old)
+    fs.rename(staging, dv)
+    fs.delete(old, true)
+    n
+  }
+
+  /** Merge-on-read scan: the current snapshot minus its deletion
+    * vector — one left-anti join on the (file, position) address. No
+    * DV sidecar ⇒ plain read. The anti-join's right side is sized by
+    * deleted rows, not the table.
+    */
+  def readMor(name: String): DataFrame = {
+    require(manifest, "deletion vectors require manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mfOpt = currentManifest(fs, root)
+    val dv = mfOpt.map(dvPath(root, _))
+    if (dv.isEmpty || !fs.exists(dv.get)) return read(name)
+    val dels = spark.read.parquet(dv.get.toString)
+      .select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
+    readWithPos(name)
+      .join(broadcast(dels),
+        col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
+        "left_anti")
+      .drop("_file", "_pos")
+  }
+
   /** DESCRIBE HISTORY, metadata-only: every still-retained manifest
     * version with its file count and EXACT row count — file lists
     * from the manifests, row counts summed from the `_rows` sidecars

@@ -616,6 +616,30 @@ class LayoutSpec extends SparkSpec {
     assert(ex.getMessage.contains("current snapshot"))
   }
 
+  test("deletion vectors: accumulate, rewrite nothing, reset on republish") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-dv")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
+    def dataFileMtimes = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/t/_v1"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val before = dataFileMtimes
+
+    assert(wh.deleteRows("t", $"k" < 10) === 10)
+    assert(wh.deleteRows("t", $"k" % 50 === 0) === 11) // accumulates; overlap k=0 deduped
+    assert(wh.readMor("t").count() === 89)
+    assert(wh.read("t").count() === 100, "base files must still hold every row")
+    assert(dataFileMtimes === before, "a DV delete must not touch data files")
+
+    // compaction materializes: republish the MOR view, DV lineage resets
+    wh.atomicPublish("t", wh.readMor("t"))
+    assert(wh.read("t").count() === 89)
+    assert(wh.readMor("t").count() === 89, "fresh snapshot starts with no DV")
+  }
+
   test("WAP promote racing a main-line publish aborts loudly and retries clean") {
     import spark.implicits._
     val (wh, tmp) = mk("graft-wap-race")
