@@ -1539,6 +1539,130 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Benford first-digit audit ------------------------------------
+    // The fraud/anomaly screen auditors run on money columns: the
+    // leading-digit distribution of o_totalprice against Benford's
+    // log10(1 + 1/d) expectation. The digit is extracted from the
+    // EXACT integer cents as a string head — no log10 on the data
+    // path, so the classification is integer-exact — and only the
+    // tiny 9-row comparison touches doubles (expected share and the
+    // χ² contribution, rounded 6). One partial-agg pass; the digit
+    // histogram is the whole shuffle.
+    Q("m57_benford",
+      (s, dir) => {
+        import s.implicits._
+        val digits = Tables.load(s, dir, "orders")
+          .select(substring((dec2($"o_totalprice") * 100).cast("long")
+            .cast("string"), 1, 1).as("d"))
+          .groupBy($"d").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum($"n").as("t"))
+        digits.crossJoin(broadcast(tot))
+          .select($"d", $"n",
+            round(log(10.0, lit(1.0) + lit(1.0) / $"d".cast("double")), 6)
+              .as("benford_p"),
+            round($"n".cast("double") / $"t", 6).as("observed_p"))
+          .orderBy($"d")
+      },
+      Some("""WITH dg AS (
+          SELECT substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              * 100 AS BIGINT) AS VARCHAR), 1, 1) AS d,
+            count(*) AS n
+          FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM dg)
+        SELECT d, n,
+          round(log10(1.0 + 1.0 / CAST(d AS DOUBLE)), 6) AS benford_p,
+          round(CAST(n AS DOUBLE) / t, 6) AS observed_p
+        FROM dg CROSS JOIN t ORDER BY d""")),
+
+    // ---- OLS trendline from exact moments -----------------------------
+    // The regression primitive every metrics pipeline fits: value ~
+    // day, per event_type, by the closed-form normal equations over
+    // EXACT accumulated moments — Σx, Σx² as integers (day offsets),
+    // Σy, Σxy as decimals (the dsum discipline extended to the cross
+    // moment) — so the five sufficient statistics partial-aggregate
+    // in one pass and reorder nothing. Slope and intercept are the
+    // same few double ops on both engines from identical inputs;
+    // rounded 6 for the hash surface.
+    Q("m58_ols_trend",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("unix_micros(ts) DIV 86400000000 - 19722").as("x"),
+            $"value")
+        ev.groupBy($"event_type")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum($"x").cast("double").as("sx"),
+            sum($"x" * $"x").cast("double").as("sxx"),
+            sum(dec2($"value")).cast("double").as("sy"),
+            sum(dec2($"value") * $"x").cast("double").as("sxy"))
+          .select($"event_type", $"n".cast("long").as("n_events"),
+            round((($"n" * $"sxy" - $"sx" * $"sy") /
+              ($"n" * $"sxx" - $"sx" * $"sx")), 6).as("slope"),
+            round((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+              ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n"), 6)
+              .as("intercept"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH e AS (
+          SELECT event_type,
+            epoch_us(ts) // 86400000000 - 19722 AS x,
+            CAST(value AS DECIMAL(18,2)) AS y
+          FROM events),
+        m AS (SELECT event_type,
+            CAST(count(*) AS DOUBLE) AS n,
+            CAST(sum(x) AS DOUBLE) AS sx,
+            CAST(sum(x * x) AS DOUBLE) AS sxx,
+            CAST(sum(y) AS DOUBLE) AS sy,
+            CAST(sum(y * x) AS DOUBLE) AS sxy
+          FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+          round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+            / n, 6) AS intercept
+        FROM m ORDER BY event_type""")),
+
+    // ---- Chi-squared independence: type × weekday ---------------------
+    // The contingency test a behavioral pipeline runs before trusting
+    // a segmentation: is event type independent of weekday? Observed
+    // counts are one partial-agg pass; expected = row·col/total and
+    // the χ² sum run over the 5×7 margin product only. Weekday =
+    // integer day-epoch mod 7 (the m7 discipline — no locale
+    // calendar), everything integer until the 35-cell comparison,
+    // χ² rounded 6.
+    Q("m59_chi2_independence",
+      (s, dir) => {
+        import s.implicits._
+        val obs = Tables.load(s, dir, "events")
+          .select($"event_type",
+            expr("unix_micros(ts) DIV 86400000000 % 7").as("dow"))
+          .groupBy($"event_type", $"dow").agg(count(lit(1)).as("o"))
+        val rows = obs.groupBy($"event_type").agg(sum($"o").as("r"))
+        val cols = obs.groupBy($"dow").agg(sum($"o").as("c"))
+        val tot = obs.agg(sum($"o").as("t"))
+        obs.join(broadcast(rows), "event_type")
+          .join(broadcast(cols), "dow")
+          .crossJoin(broadcast(tot))
+          .select((($"o" - $"r" * $"c" / $"t".cast("double")) *
+            ($"o" - $"r" * $"c" / $"t".cast("double")) /
+            ($"r" * $"c" / $"t".cast("double"))).as("term"))
+          .agg(round(sum($"term"), 6).as("chi2"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH obs AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 % 7 AS dow,
+            count(*) AS o
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+          FROM obs GROUP BY 1),
+        c AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM obs)
+        SELECT round(sum(
+            (o - r * c / CAST(t AS DOUBLE)) * (o - r * c / CAST(t AS DOUBLE))
+              / (r * c / CAST(t AS DOUBLE))), 6) AS chi2,
+          count(*) AS n_cells
+        FROM obs JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t""")),
+
     // ---- 2-D skyline: Pareto frontier without the quadratic probe -----
     // The skyline operator (Börzsönyi et al. 2001): parts undominated
     // on (cheap retailprice, small size). The textbook NOT-EXISTS
