@@ -1160,6 +1160,46 @@ object Relational {
         WHERE l_orderkey % 50 = 0
         ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    // ---- Constraint-gated publish: bad batches never land ------------
+    // The write-side of m21's declarative checks (Delta CHECK
+    // constraints): a batch with nulled keys and out-of-domain
+    // statuses is REFUSED in one aggregation pass — the table keeps
+    // its previous snapshot — and the clean batch publishes through
+    // the same gate. `rejected` pins that the bad write threw and
+    // left the table untouched; the final aggregate proves the clean
+    // data landed. At 100 TB the gate is one extra pass over the
+    // batch (never the table), amortizing all declared constraints
+    // into a single job.
+    Q("s26_checked_publish",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "chk")
+        val checks = Seq(
+          "key_not_null" -> $"o_orderkey".isNotNull,
+          "status_domain" -> $"o_orderstatus".isin("F", "O", "P"),
+          "price_positive" -> ($"o_totalprice" > 0))
+        wh.publishChecked("ord_chk", o.filter($"o_orderkey" % 7 === 0), checks)
+        val bad = o.withColumn("o_orderkey",
+            when($"o_orderkey" % 5 === 0, lit(null)).otherwise($"o_orderkey"))
+          .withColumn("o_orderstatus",
+            when($"o_orderkey" % 3 === 0, lit("X")).otherwise($"o_orderstatus"))
+        val rejected =
+          try { wh.publishChecked("ord_chk", bad, checks); false }
+          catch { case e: IllegalStateException =>
+            e.getMessage.contains("key_not_null") &&
+            e.getMessage.contains("status_domain") }
+        wh.read("ord_chk")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+          .select($"n", $"revenue", lit(rejected).as("rejected"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS rejected
+        FROM orders WHERE o_orderkey % 7 = 0""")),
+
     // ---- Deletion vectors: row-level delete, zero files rewritten ----
     // The Delta-3/Iceberg-v2 merge-on-read delete: two successive
     // row-level DELETEs record (file, row-position) pairs in a

@@ -1215,6 +1215,35 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     commitSnapshot(name, n, files, expected)
   }
 
+  /** Constraint-gated publish (the Delta CHECK-constraint shape on
+    * the write side): every named predicate must hold on EVERY row of
+    * the batch or the publish is refused loudly — nothing lands, the
+    * table's current snapshot is untouched. One aggregation pass
+    * counts all violations together (no per-constraint scans), so the
+    * gate costs one job however many constraints are declared.
+    */
+  def publishChecked(name: String, df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      partitionCols: Seq[String] = Nil): Unit = {
+    require(checks.nonEmpty, "publishChecked needs at least one constraint")
+    val staged = df.persist()
+    try {
+      val counts = staged.agg(
+        count(lit(1)).as("_n"),
+        checks.map { case (n, c) =>
+          sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(n)
+        }: _*).collect()(0)
+      val failed = checks.map(_._1).zipWithIndex
+        .map { case (n, i) => n -> counts.getLong(i + 1) }
+        .filter(_._2 > 0)
+      if (failed.nonEmpty)
+        throw new IllegalStateException(
+          "publish refused: constraint violations " +
+          failed.map { case (n, k) => s"$n($k rows)" }.mkString(", "))
+      atomicPublish(name, staged, partitionCols)
+    } finally staged.unpersist()
+  }
+
   // ---- Deletion vectors: row-level merge-on-read deletes -------------
 
   private def dvPath(root: Path, mfName: String) = new Path(root, s"_dv_$mfName")
