@@ -1539,6 +1539,56 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Degree distribution + power-law fit --------------------------
+    // The graph-health report next to m39's triangles: the
+    // co-purchase graph's degree histogram and its log-log OLS slope
+    // (the power-law exponent proxy — a hub-dominated graph shows a
+    // long shallow tail, and the slope is the one number a capacity
+    // planner reads). Degrees and the histogram are two partial-agg
+    // passes; the regression runs over the TINY (degree, count)
+    // histogram via the m58 closed form — ln moments rounded 6 (x14
+    // ulp rule), identical double sequences on both engines.
+    Q("m60_degree_powerlaw",
+      (s, dir) => {
+        import s.implicits._
+        val op = Tables.load(s, dir, "lineitem")
+          .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        val e = op.select($"o", $"p".as("u"))
+          .join(op.select($"o", $"p".as("v")), "o")
+          .filter($"u" < $"v")
+          .groupBy($"u", $"v").agg(count(lit(1)).as("supp"))
+          .filter($"supp" >= 2)
+        val deg = e.select($"u".as("x")).union(e.select($"v".as("x")))
+          .groupBy($"x").agg(count(lit(1)).as("d"))
+        val hist = deg.groupBy($"d").agg(count(lit(1)).as("cnt"))
+        hist.agg(count(lit(1)).cast("double").as("n"),
+            sum(log($"d".cast("double"))).as("sx"),
+            sum(log($"d".cast("double")) * log($"d".cast("double"))).as("sxx"),
+            sum(log($"cnt".cast("double"))).as("sy"),
+            sum(log($"d".cast("double")) * log($"cnt".cast("double"))).as("sxy"))
+          .select($"n".cast("long").as("n_degrees"),
+            round((($"n" * $"sxy" - $"sx" * $"sy") /
+              ($"n" * $"sxx" - $"sx" * $"sx")), 6).as("loglog_slope"))
+      },
+      Some("""WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (SELECT a.p AS u, b.p AS v
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        deg AS (SELECT x, count(*) AS d FROM (
+          SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        h AS (SELECT d, count(*) AS cnt FROM deg GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            sum(ln(CAST(d AS DOUBLE))) AS sx,
+            sum(ln(CAST(d AS DOUBLE)) * ln(CAST(d AS DOUBLE))) AS sxx,
+            sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+            sum(ln(CAST(d AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))) AS sxy
+          FROM h)
+        SELECT CAST(n AS BIGINT) AS n_degrees,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+            AS loglog_slope
+        FROM m""")),
+
     // ---- Benford first-digit audit ------------------------------------
     // The fraud/anomaly screen auditors run on money columns: the
     // leading-digit distribution of o_totalprice against Benford's
