@@ -191,4 +191,54 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dhash(base, w, h).length === 64)
     assert(Multimodal.dhash(base, w, h).forall(c => c == '0' || c == '1'))
   }
+
+  test("property: flipCrop geometry — margin-0 mirror is an involution, crops nest") {
+    val gen = for {
+      w <- org.scalacheck.Gen.chooseNum(3, 24)
+      h <- org.scalacheck.Gen.chooseNum(3, 24)
+      seed <- org.scalacheck.Gen.chooseNum(0, 10000)
+    } yield (w, h, seed)
+    org.scalacheck.Gen.listOfN(100, gen).sample.get.foreach { case (w, h, seed) =>
+      val px = Array.tabulate(w * h)(j => (seed * 37 + j * 11) % 256)
+      // mirror twice with no crop == identity
+      val twice = Multimodal.flipCrop(
+        Multimodal.flipCrop(px, w, h, 0), w, h, 0)
+      assert(twice.toSeq === px.toSeq, s"mirror not involutive at ${w}x$h")
+      // flip-then-crop == crop-of-flip: the m=1 output must equal the
+      // interior of the m=0 mirror (index arithmetic consistency)
+      val m0 = Multimodal.flipCrop(px, w, h, 0)
+      val m1 = Multimodal.flipCrop(px, w, h, 1)
+      val interior = (0 until (w - 2) * (h - 2)).map { k =>
+        val y = k / (w - 2) + 1; val x = k % (w - 2) + 1
+        m0(y * w + x)
+      }
+      assert(m1.toSeq === interior, s"crop window drifted at ${w}x$h")
+    }
+  }
+
+  test("property: systematic-sampling grid places exactly 20 picks for any weights") {
+    // the m49 integer formula, replayed in plain Scala over random
+    // weight vectors: Σ picks == 20 whenever total ≥ 20, and any
+    // weight ≥ step guarantees selection
+    val gen = org.scalacheck.Gen.nonEmptyListOf(
+      org.scalacheck.Gen.chooseNum(1, 500))
+    (1 to 100).foreach { _ =>
+      val ws = gen.sample.get
+      val tot = ws.map(_.toLong).sum
+      if (tot >= 20) {
+        val step = tot / 20
+        var cum = 0L
+        var picks = 0L
+        ws.foreach { w =>
+          cum += w
+          val hi = math.min((cum - 1) / step, 19L)
+          val lo = (cum - w + step - 1) / step
+          val k = hi - lo + 1
+          if (k > 0) picks += k
+          if (w >= step) assert(k >= 1, s"weight $w >= step $step skipped")
+        }
+        assert(picks === 20L, s"grid placed $picks picks for weights $ws")
+      }
+    }
+  }
 }
