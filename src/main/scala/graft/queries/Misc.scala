@@ -1539,6 +1539,69 @@ object Misc {
         WHERE dev > mad * 3.0
         ORDER BY event_id""")),
 
+    // ---- Gini concentration of customer spend -------------------------
+    // The inequality statistic a marketplace watches: Gini over
+    // per-customer revenue via the sorted-rank identity
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n. Facts collapse to the
+    // customer dim first; the rank window sorts the dim only, and
+    // Σ i·xᵢ accumulates EXACT decimal·integer products — the whole
+    // computation is exact until two final double divisions, so no
+    // rounding is needed on the hash surface.
+    Q("m61_gini_spend",
+      (s, dir) => {
+        import s.implicits._
+        val per = Tables.load(s, dir, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(dec2($"o_totalprice")).as("rev"))
+        val w = Window.orderBy($"rev", $"o_custkey")
+        per.withColumn("i", row_number().over(w).cast("long"))
+          .agg(count(lit(1)).as("n"),
+            sum($"rev").as("srev"),
+            sum($"rev" * $"i").as("swr"))
+          .select($"n",
+            $"srev".cast("double").as("total_revenue"),
+            (lit(2.0) * $"swr".cast("double") /
+              ($"n".cast("double") * $"srev".cast("double")) -
+              ($"n" + 1).cast("double") / $"n".cast("double")).as("gini"))
+      },
+      Some("""WITH per AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1),
+        r AS (SELECT rev,
+            CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS i
+          FROM per)
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+          2.0 * CAST(SUM(rev * i) AS DOUBLE) /
+            (CAST(count(*) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) -
+            CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gini
+        FROM r""")),
+
+    // ---- Effective sample size of an importance-weighted corpus -------
+    // The diagnostic every weighted-sampling plan (m49, x34's DSIR
+    // weights) should report: Kish's ESS = (Σw)²/Σw² per source,
+    // with n_chars as the weight. Both moments are exact integer
+    // sums in one partial-agg pass; the ratio is one double division
+    // identical on both engines. ESS ≪ n flags a source whose
+    // weighted sample is dominated by a few giants.
+    Q("m62_ess_weights",
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "documents")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"),
+            sum($"n_chars").as("sw"),
+            sum($"n_chars" * $"n_chars").as("sww"))
+          .select($"source", $"n",
+            ($"sw".cast("double") * $"sw".cast("double") /
+              $"sww".cast("double")).as("ess"))
+          .orderBy($"source")
+      },
+      Some("""SELECT source, count(*) AS n,
+          CAST(SUM(n_chars) AS DOUBLE) * CAST(SUM(n_chars) AS DOUBLE) /
+            CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ess
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ---- Degree distribution + power-law fit --------------------------
     // The graph-health report next to m39's triangles: the
     // co-purchase graph's degree histogram and its log-log OLS slope
