@@ -237,6 +237,43 @@ class BreadthSpec extends SparkSpec {
       s"guaranteed-weight docs missing: ${heavy.diff(selected)}")
   }
 
+  test("stats family invariants: KM monotone in [0,1], KL non-negative, AUC/Gini bounded") {
+    // the driver oracle pins exact values; these pin the THEOREMS the
+    // values must satisfy — a formula typo that happened to match a
+    // mistyped oracle would still break here
+    val km = run("m42_kaplan_meier").collect()
+    val surv = km.map(_.getDouble(3))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0), "survival outside [0,1]")
+    assert(surv.zip(surv.drop(1)).forall { case (a, b) => b <= a + 1e-9 },
+      "Kaplan-Meier curve must be non-increasing")
+
+    val kl = run("m51_kl_drift").collect()
+    assert(kl.nonEmpty && kl.forall(_.getDouble(1) >= -1e-9),
+      "KL divergence must be non-negative (Gibbs)")
+
+    val auc = run("x36_auc_ranksum").collect()(0).getDouble(2)
+    assert(auc >= 0.0 && auc <= 1.0, s"AUC $auc outside [0,1]")
+
+    val gini = run("m61_gini_spend").collect()(0).getDouble(2)
+    assert(gini >= 0.0 && gini < 1.0, s"Gini $gini outside [0,1)")
+
+    // chi2 non-negative; cells bounded by the 5×7 grid
+    val chi = run("m59_chi2_independence").collect()(0)
+    assert(chi.getDouble(0) >= 0.0 && chi.getLong(1) <= 35)
+
+    // Benford: probabilities sum to ~1 on both axes
+    val bf = run("m57_benford").collect()
+    assert(math.abs(bf.map(_.getDouble(2)).sum - 1.0) < 1e-4,
+      "Benford expectations must sum to 1")
+    assert(math.abs(bf.map(_.getDouble(3)).sum - 1.0) < 1e-4,
+      "observed shares must sum to 1")
+
+    // ESS: 1 ≤ ess ≤ n per source (Kish bounds)
+    val ess = run("m62_ess_weights").collect()
+    assert(ess.forall(r => r.getDouble(2) >= 1.0 - 1e-9 &&
+      r.getDouble(2) <= r.getLong(1) + 1e-9), "ESS outside [1, n]")
+  }
+
   test("d21: deletion neighborhood finds every edit-distance-1 pair species") {
     import spark.implicits._
     // one representative per edit species — substitution, insertion,

@@ -265,6 +265,25 @@ class PlanSpec extends SparkSpec {
     assert(sky.contains("Window"), s"skyline lost its window rewrite:\n$sky")
   }
 
+  test("stats queries: moments partial-aggregate; dim-only windows never sort the fact") {
+    // m58's five sufficient statistics must combine map-side (the
+    // whole point of the closed form), and m61's rank window runs on
+    // the customer AGGREGATE — an events/orders-sized Window would
+    // mean the fact is being sorted
+    val ols = planOf("m58_ols_trend")
+    assert(ols.contains("partial_"), s"m58: moments not map-side combined:\n$ols")
+    assert(!ols.contains("Window"), s"m58: a window crept into a pure aggregate:\n$ols")
+    val gini = planOf("m61_gini_spend")
+    assert(gini.contains("partial_"), s"m61: per-customer collapse not partial:\n$gini")
+  }
+
+  test("s25: merge-on-read scan anti-joins the deletion vector broadcast") {
+    val p = planOf("s25_deletion_vectors")
+    assert(p.contains("LeftAnti"), s"s25: MOR read lost its anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"s25: deletion vector not broadcast (it is sized by deleted rows):\n$p")
+  }
+
   test("m36: streaming sessions read back from the warehouse — no re-aggregation at read") {
     // the serve read is a plain scan + sort of the published sessions
     // table; session recomputation at read time would show as an
