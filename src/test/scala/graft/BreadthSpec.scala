@@ -225,13 +225,15 @@ class BreadthSpec extends SparkSpec {
     val rows = run("m49_systematic_sample").collect()
     val picks = rows.map(_.getLong(2)).sum
     assert(picks === 20L, s"systematic grid must place exactly 20 picks, got $picks")
-    // any doc with weight > step is guaranteed selection (≥1 pick)
+    // any doc with weight ≥ step+20 is guaranteed selection (≥1 pick
+    // with a grid index ≤ 19 — bare w ≥ step can fall wholly in the
+    // post-19·step tail; see the MultimodalSpec property)
     import spark.implicits._
     val tot = Tables.load(spark, dir, "documents")
       .agg(sum($"n_chars")).as[Long].head()
     val step = tot / 20
     val heavy = Tables.load(spark, dir, "documents")
-      .filter($"n_chars" > step).select($"doc_id").as[Long].collect().toSet
+      .filter($"n_chars" >= step + 20).select($"doc_id").as[Long].collect().toSet
     val selected = rows.map(_.getLong(0)).toSet
     assert(heavy.subsetOf(selected),
       s"guaranteed-weight docs missing: ${heavy.diff(selected)}")
