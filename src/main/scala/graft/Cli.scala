@@ -34,12 +34,18 @@ object Cli {
 
       case "summary" :: whDir :: rest =>
         val wh = new Warehouse(spark, whDir)
+        val (flags, args2) = rest.partition(_.startsWith("--"))
         // typed DTO egress (P16) + display formatting (F6)
         val typed = Summary.summariesTyped(
           wh.read("companies"), wh.read("financial_reports"),
           wh.read("financial_data"), wh.read("financial_items"),
-          edinetCode = rest.headOption)
-        Summary.display(typed.toDF()).show(50, truncate = false)
+          edinetCode = args2.headOption)
+        if (flags.contains("--format=json") || flags.contains("--json"))
+          // chart-shaped series (app.py:158-169 reshape), one JSON
+          // object per (company, period, metric) row
+          Summary.chartSeries(typed.toDF()).toJSON.collect().foreach(println)
+        else
+          Summary.display(typed.toDF()).show(50, truncate = false)
 
       case "companies" :: whDir :: Nil =>
         val wh = new Warehouse(spark, whDir)
@@ -62,6 +68,17 @@ object Cli {
         val wh = new Warehouse(spark, whDir, manifest = true)
         wh.compactZOrder(table, cols, n.toInt)
         println(wh.tableHealth(table))
+
+      // one-decision auto-maintenance: compact + vacuum iff the
+      // small-file count crossed the threshold (schedule this verb
+      // blindly per table; it no-ops on healthy layouts)
+      case "maintain" :: whDir :: table :: rest =>
+        val wh = new Warehouse(spark, whDir, manifest = true)
+        val (before, ran, after) =
+          wh.maintain(table, rest.headOption.map(_.toInt).getOrElse(8))
+        println(s"before: $before")
+        println(if (ran) s"compacted; after: $after"
+          else "healthy; nothing to do")
 
       case "vacuum" :: whDir :: table :: Nil =>
         val deleted = new Warehouse(spark, whDir, manifest = true)
@@ -98,7 +115,7 @@ object Cli {
         val h = new Warehouse(spark, whDir, manifest = true).history(table)
         if (h.isEmpty) println(s"no retained snapshots for $table")
         else h.foreach { case (v, nf, nr) =>
-          println(f"v$v%-6d files=$nf%-6d rows=$nr%d")
+          println(f"v$v%-6d files=$nf%-6d rows=${nr.map(_.toString).getOrElse("unknown")}%s")
         }
 
       case "rollback" :: whDir :: table :: version :: Nil =>
@@ -123,6 +140,7 @@ object Cli {
           "usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | " +
           "companies <whDir> | health <whDir> <table> | " +
           "optimize <whDir> <table> [numFiles] | " +
+          "maintain <whDir> <table> [smallFileLimit] | " +
           "optimize-zorder <whDir> <table> <numFiles> <col> <col>... | " +
           "vacuum <whDir> <table> | index-bloom <whDir> <table> <col> | " +
           "index-ndv <whDir> <table> <col> | history <whDir> <table> | " +

@@ -177,6 +177,26 @@ object Summary {
     * of the stored value's int/float-ness. Presentation only;
     * ratios/scaling stay numeric in the DTO.
     */
+  /** Chart egress parity with app/app.py:158-169: the reference
+    * reshapes one company-period summary into a two-column frame
+    * 項目 (metric label) / 金額 (float amount) — rows 売上高,
+    * 営業利益, 経常利益, 純利益 in THAT insertion order (the Altair
+    * bar chart renders sort=None) — and casts amounts to float. Here
+    * the reshape is a row-local `stack` generator over the summary
+    * frame (keyed by company+period so multi-period output stays
+    * unambiguous), no shuffle, no state; `Cli summary --format json`
+    * emits it as one JSON object per row, the machine-readable series
+    * a chart frontend consumes in place of the Streamlit selectbox.
+    * Null metrics stay null in JSON (the reference's None → chart gap).
+    */
+  def chartSeries(summary: DataFrame): DataFrame =
+    summary.select(col("company_name"), col("period_name"),
+      expr("""stack(4,
+        '売上高', CAST(net_sales AS DOUBLE),
+        '営業利益', CAST(operating_income AS DOUBLE),
+        '経常利益', CAST(ordinary_income AS DOUBLE),
+        '純利益', CAST(net_income AS DOUBLE)) AS (`項目`, `金額`)"""))
+
   def display(summary: DataFrame): DataFrame = {
     val rates = Seq("operation_profit_rate", "ordinary_profit_rate", "net_profit_rate")
     val money = Seq("net_sales", "operating_income", "ordinary_income", "net_income")

@@ -1188,14 +1188,21 @@ object Dedup {
         import s.implicits._
         val names = Tables.load(s, dir, "part")
           .select($"p_name".as("name")).distinct().persist()
+        // variants shuffle as xxhash64 DIGESTS, not strings (the d1
+        // discipline): the equi-join key is fixed 8 bytes however long
+        // the names get, halving shuffle width on long keys for free.
+        // A digest collision can only ADD a candidate pair — the exact
+        // levenshtein confirm below is already the correctness
+        // boundary, so blocking on hashes loses nothing.
         val variants = names.select($"name",
           explode(array_union(array($"name"),
             expr("""transform(sequence(1, length(name)),
               i -> concat(substring(name, 1, i - 1),
                           substring(name, i + 1, length(name))))""")))
             .as("v"))
-        variants.select($"name".as("name_a"), $"v")
-          .join(variants.select($"name".as("name_b"), $"v"), "v")
+          .select($"name", xxhash64($"v").as("vh"))
+        variants.select($"name".as("name_a"), $"vh")
+          .join(variants.select($"name".as("name_b"), $"vh"), "vh")
           .filter($"name_a" < $"name_b")
           .select($"name_a", $"name_b").distinct()
           .filter(levenshtein($"name_a", $"name_b") <= 1)

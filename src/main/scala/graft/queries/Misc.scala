@@ -1249,10 +1249,17 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "stmw")
         val chk = graft.sources.Scratch.dir(s, "stmc")
+        // sink partitioned by window DATE: a micro-batch only updates
+        // windows near the stream head, so the partition-scoped merge
+        // reads/rewrites the recent dates' partitions, not the whole
+        // sink — at a real event rate the merge cost tracks batch
+        // recency, not table age (StreamingSpec pins the scoping)
         val q = graft.streaming.EventStream.sinkToWarehouse(
           graft.streaming.EventStream.windowedCounts(
-            graft.streaming.EventStream.read(s, land)),
-          wh, "ev_win", Seq("w_start", "event_type"), chk)
+              graft.streaming.EventStream.read(s, land))
+            .withColumn("w_date", date_format($"w_start", "yyyy-MM-dd")),
+          wh, "ev_win", Seq("w_start", "event_type"), chk,
+          partitionCols = Seq("w_date"))
         q.awaitTermination()
         wh.read("ev_win")
           .select(unix_micros($"w_start").as("w_us"), $"event_type", $"n", $"total")
@@ -1317,13 +1324,19 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sjw")
         val chk = graft.sources.Scratch.dir(s, "sjc")
+        // pairs partition by click DATE: each append-mode micro-batch
+        // carries pairs for the freshly-watermark-complete clicks, so
+        // the partition-scoped merge touches the stream head's dates
+        // only — never re-merging the whole sink per batch
         val q = graft.streaming.EventStream.clicksWithPriorView(
             graft.streaming.EventStream.read(s, land))
+          .withColumn("c_date", date_format($"c_ts", "yyyy-MM-dd"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            wh.upsert("cv", b, Seq("click_id", "view_id"))
+            wh.upsert("cv", b, Seq("click_id", "view_id"),
+              partitionCols = Seq("c_date"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1423,13 +1436,18 @@ object Misc {
         ev.repartition(2).write.mode("append").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sdw")
         val chk = graft.sources.Scratch.dir(s, "sdc")
+        // sink partitioned by event DATE (string — prunes through the
+        // manifest's typed partition-path compare): each batch merges
+        // into the dates it carries, not the whole sink table
         val q = graft.streaming.EventStream.deduplicated(
             graft.streaming.EventStream.read(s, land))
+          .withColumn("e_date", date_format($"ts", "yyyy-MM-dd"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            wh.upsert("dedup", b, Seq("event_id"))
+            wh.upsert("dedup", b, Seq("event_id"),
+              partitionCols = Seq("e_date"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1445,14 +1463,15 @@ object Misc {
 
     // ---- Co-occurrence mining: parts bought by the same customer -------
     // The market-basket / co-click pair generator every recsys and
-    // embedding-pretraining pipeline runs: distinct (customer, part)
-    // incidences self-join ON THE CUSTOMER KEY (equi — never a
-    // cartesian), p1 < p2 canonicalizes the pair, and the pair counts
-    // partial-aggregate before the shuffle. The quadratic risk lives
-    // entirely in per-customer degree: at 100 TB the degree cap (drop
-    // or sample baskets past ~1k distinct items — the d7 capped-list
-    // discipline) bounds pairs per customer to a constant; here
-    // degrees are small and the exact form stays on the hash gate.
+    // embedding-pretraining pipeline runs, through operators.CoPurchase:
+    // distinct (customer, part) incidences self-join ON THE CUSTOMER
+    // KEY (equi — never a cartesian), p1 < p2 canonicalizes the pair,
+    // and the pair counts partial-aggregate before the shuffle. The
+    // quadratic risk lives entirely in per-customer degree; at 100 TB
+    // `maxDegree` routes through the d7 capped-buffer aggregate and
+    // drops mega-baskets whole (OperatorsSpec pins the pair bound on a
+    // hub corpus). Here degrees are small and the exact uncapped form
+    // stays on the hash gate.
     Q("m37_copurchase",
       (s, dir) => {
         import s.implicits._
@@ -1461,11 +1480,8 @@ object Misc {
             $"l_orderkey" === $"o_orderkey")
           .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
           .distinct()
-        cp.select($"cust", $"part".as("p1"))
-          .join(cp.select($"cust", $"part".as("p2")), Seq("cust"))
-          .filter($"p1" < $"p2")
-          .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_cust"))
-          .filter($"n_cust" >= 3)
+        graft.operators.CoPurchase.pairs(cp, "cust", "part",
+            minSupport = 3, maxDegree = None)
           .orderBy($"n_cust".desc, $"p1", $"p2")
       },
       Some("""WITH cp AS (

@@ -950,7 +950,7 @@ object Relational {
           c.select(($"c_custkey" + 1000000).as("c_custkey"), $"c_acctbal"))
         wh.atomicPublish("cust_h", c.filter($"c_custkey" % 2 === 0))
         val h = wh.history("cust_h")
-        h.map { case (v, nf, nr) => (v, nf > 0, nr) }
+        h.map { case (v, nf, nr) => (v, nf > 0, nr.getOrElse(-1L)) }
           .toDF("version", "has_files", "n_rows")
           .orderBy($"version")
       },

@@ -52,6 +52,95 @@ object EdinetApi {
       requireLanded(s"$landingDir/$docId.zip")
   }
 
+  /** The live first hop: java.net.http GETs against an EDINET-shaped
+    * API (reference: utils/api.py:45-139), landing each response into
+    * `landingDir` so everything downstream stays the same distributed
+    * landing-dir scan as with [[LandedFetcher]]. Contract parity:
+    *
+    *  - per-request timeout, default 30 s (api.py:62's
+    *    `requests.get(..., timeout=30)`)
+    *  - `documents.json?date=<d>&type=2` for the document list
+    *    (api.py:45-77), `documents/<docId>?type=5` for the CSV ZIP
+    *    (api.py:96-127), with an optional API key appended as the
+    *    `Subscription-Key` query parameter
+    *  - HTTP 404 → FileNotFoundException (LandedFetcher's analogue);
+    *    connect/read failures and 5xx retry with linear backoff up to
+    *    `maxRetries`, then fail loudly — transient upstream blips
+    *    don't abort a multi-date backfill, real outages do
+    *
+    * Landing is ATOMIC per file (download to a `._tmp` sibling, rename
+    * into place): a crashed fetch never leaves a half-written JSON/ZIP
+    * a later distributed scan would half-parse. `baseUrl` is injected
+    * (never hardcoded) so tests run against an in-process stub server
+    * with zero egress — swapping it for the real endpoint changes no
+    * downstream plan.
+    */
+  final class HttpFetcher(spark: SparkSession, baseUrl: String,
+      landingDir: String, apiKey: Option[String] = None,
+      timeout: java.time.Duration = java.time.Duration.ofSeconds(30),
+      maxRetries: Int = 2, retryBackoffMs: Long = 500L) extends Fetcher {
+
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout)
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+
+    private def keyParam: String =
+      apiKey.map(k => s"&Subscription-Key=$k").getOrElse("")
+
+    def fetchDocumentList(date: java.time.LocalDate): String =
+      land(s"$baseUrl/documents.json?date=$date&type=2$keyParam",
+        s"$landingDir/$date.json")
+
+    def fetchArchive(docId: String): String =
+      land(s"$baseUrl/documents/$docId?type=5$keyParam",
+        s"$landingDir/$docId.zip")
+
+    private def land(url: String, dest: String): String = {
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(timeout).GET().build()
+      var attempt = 0
+      var body: Array[Byte] = null
+      while (body == null) {
+        val outcome =
+          try {
+            val resp = client.send(req,
+              java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+            resp.statusCode() match {
+              case 200 => Right(resp.body())
+              case 404 => throw new java.io.FileNotFoundException(
+                s"HTTP 404: $url")
+              case s if s >= 500 => Left(s"HTTP $s")
+              case s => throw new java.io.IOException(
+                s"HTTP $s fetching $url — not retryable")
+            }
+          } catch {
+            case e: java.io.FileNotFoundException => throw e
+            case e @ (_: java.io.IOException | _: InterruptedException) =>
+              Left(e.toString)
+          }
+        outcome match {
+          case Right(b) => body = b
+          case Left(why) =>
+            if (attempt >= maxRetries)
+              throw new java.io.IOException(
+                s"fetch failed after ${attempt + 1} attempts: $url ($why)")
+            attempt += 1
+            Thread.sleep(retryBackoffMs * attempt)
+        }
+      }
+      val tmp = new org.apache.hadoop.fs.Path(dest + "._tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      if (fs.exists(destPath)) fs.delete(destPath, false)
+      if (!fs.rename(tmp, destPath))
+        throw new java.io.IOException(s"could not land $dest (rename failed)")
+      dest
+    }
+  }
+
   /** Shape of one entry of documents.json `results` (the fields the
     * reference touches, api.py:79-93).
     */

@@ -786,10 +786,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // means a crashed writer; its dir is reaped like any orphan).
     // Manifests older than the just-superseded one go too (metadata
     // would otherwise grow one tiny file per publish forever).
-    val live = (files ++ prev).flatMap(_.split("/").headOption).collect {
+    // Open WAP branches are shielded by their `_BRANCH_` POINTER, not
+    // by marker freshness — the same contract as `vacuumOrphans` ("the
+    // pointer IS the intent record"): a branch outliving the in-flight
+    // grace still survives a main-line publish; only `abandonBranch` /
+    // `promoteBranch` release it. (Without this, a publish could reap
+    // an open branch's manifest + version dir, leaving its pointer
+    // dangling — a state no code path could then clean up.)
+    val branchPinned = branchPointedManifests(fs, root).values.toSet
+    val branchLive = branchPinned.toSeq
+      .filter(m => fs.exists(new Path(root, m)))
+      .flatMap(m => readManifest(fs, new Path(root, m)))
+      .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
+    val live = ((files ++ prev).flatMap(_.split("/").headOption).collect {
       case v @ VersionRe(_) => v
-    }.toSet
-    val keepManifests = Set(mf.getName) ++ expectedPrev
+    } ++ branchLive).toSet
+    val keepManifests = Set(mf.getName) ++ expectedPrev ++ branchPinned
     def markerFresh(num: String): Boolean = {
       val marker = new Path(root, s"_inflight_v$num")
       try fs.exists(marker) &&
@@ -1073,10 +1085,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // manifests pinned by an open WAP branch: never the "previous
     // snapshot" (a staged branch is not history) and never deletable
     // while its pointer lives — a branch outliving the in-flight
-    // grace still survives vacuum (the pointer IS the intent record)
-    val branchMfs = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("_BRANCH_"))
-      .map(b => readBranchPtr(fs, root, b.stripPrefix("_BRANCH_"))).toSet
+    // grace still survives vacuum (the pointer IS the intent record;
+    // commit-time GC honors the same shield). A pointer whose manifest
+    // no longer exists is debris from a pre-shield crash: it can never
+    // be read or promoted again, so vacuum deletes the dangling
+    // pointer instead of letting it poison every later shield read.
+    val danglingPtrs = scala.collection.mutable.ListBuffer[String]()
+    val branchMfs = branchPointedManifests(fs, root).filter {
+      case (ptr, m) =>
+        val ok = fs.exists(new Path(root, m))
+        if (!ok) { fs.delete(new Path(root, ptr), false); danglingPtrs += ptr }
+        ok
+    }.values.toSet
     val previous = fs.listStatus(root).map(_.getPath.getName)
       .collect { case m @ ManifestRe(v) => (m, v.toLong) }
       .filter { case (m, _) => !current.contains(m) && !branchMfs.contains(m) }
@@ -1107,10 +1127,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
           fs.delete(st.getPath, false)
           deleted += m
+        case d @ DvDirRe(m, _) if st.isDirectory &&
+            (!keepManifests.contains(m) ||
+              (!pointerStore.read(fs, root, dvPtrName(m)).contains(d) &&
+               System.currentTimeMillis() - st.getModificationTime > DvOrphanGraceMs)) =>
+          // dead lineage (manifest reaped ⇒ readMor can never resolve
+          // it again) goes immediately; within a LIVE lineage only the
+          // pointed vector is load-bearing — superseded/orphan dirs go
+          // once past the same age gate deleteRows' own GC uses
+          fs.delete(st.getPath, true)
+          deleted += d
         case _ => ()
       }
     }
-    deleted.toList
+    (deleted ++ danglingPtrs).toList
   }
 
   /** Small-file / layout health of the current snapshot, answered from
@@ -1137,6 +1167,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (sizes.isEmpty) 0L else sizes.max,
       sizes.count(_ < smallBytes), versions,
       if (manifest) statsRowCount(name) else None)
+  }
+
+  /** Auto-maintenance policy: ONE decision composing the maintenance
+    * primitives under the `tableHealth` signal — the scheduled job a
+    * streaming-append table needs (each micro-batch publish adds small
+    * files the scan pays for forever; see tableHealth's doc). When the
+    * current snapshot holds more than `smallFileLimit` files under
+    * `smallBytes`, compact to ~`targetFileBytes`-sized files and
+    * vacuum the orphans the compaction superseded; otherwise touch
+    * nothing (idempotent — a second run right after a compaction is a
+    * metadata-only no-op, so the scheduler can fire it blindly).
+    * Returns (health before, whether compaction ran, health after)
+    * for the operator's log. Safe under concurrency: compact is an
+    * ordinary publish behind the commit CAS, so racing a live writer
+    * aborts the maintenance loudly, never the writer.
+    */
+  def maintain(name: String, smallFileLimit: Int = 8,
+      smallBytes: Long = 8L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024): (TableHealth, Boolean, TableHealth) = {
+    val before = tableHealth(name, smallBytes)
+    val trigger = before.smallFiles > smallFileLimit
+    if (trigger) {
+      val nFiles = math.max(1L,
+        (before.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      compact(name, nFiles)
+      vacuumOrphans(name)
+    }
+    (before, trigger, tableHealth(name, smallBytes))
   }
 
   /** OPTIMIZE ZORDER BY: rewrite the current snapshot z-order-
@@ -1208,6 +1266,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val src = new Path(root, s"_manifest_v$toVersion")
     require(fs.exists(src),
       s"snapshot v$toVersion of $name is not available (GC keeps current + previous)")
+    // a version staged on an open WAP branch is NOT committed history:
+    // restoring it would publish the unaudited branch file list while
+    // the branch pointer still lives — and a later abandonBranch would
+    // then delete the version dir the CURRENT manifest references,
+    // corrupting the table. The audit gate owns that decision
+    // (promoteBranch); rollback refuses.
+    val staged = branchPointedManifests(fs, root)
+      .find(_._2 == src.getName)
+    require(staged.isEmpty,
+      s"v$toVersion of $name is staged on open branch " +
+      s"'${staged.map(_._1.stripPrefix("_BRANCH_")).getOrElse("")}' — " +
+      "not committed history; promote or abandon the branch instead")
     val files = readManifest(fs, src)
     // claim a number exactly like a data write — the marker guards the
     // (empty) write→commit window; commitSnapshot releases it
@@ -1228,10 +1298,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(checks.nonEmpty, "publishChecked needs at least one constraint")
     val staged = df.persist()
     try {
+      // coalesce each violation counter: on an EMPTY batch sum() is
+      // null and getLong would NPE — an empty batch has zero
+      // violations and publishes (vacuously valid), it doesn't crash
       val counts = staged.agg(
         count(lit(1)).as("_n"),
         checks.map { case (n, c) =>
-          sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(n)
+          coalesce(sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)),
+            lit(0L)).as(n)
         }: _*).collect()(0)
       val failed = checks.map(_._1).zipWithIndex
         .map { case (n, i) => n -> counts.getLong(i + 1) }
@@ -1246,7 +1320,46 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
 
   // ---- Deletion vectors: row-level merge-on-read deletes -------------
 
-  private def dvPath(root: Path, mfName: String) = new Path(root, s"_dv_$mfName")
+  /** DV sidecars are VERSIONED and made visible by a pointer flip —
+    * the same discipline as the manifest commit, because the naive
+    * alternative (write staging, rename over the live sidecar) has a
+    * crash window between its two renames in which NO sidecar exists:
+    * a read there silently serves deleted rows, and the next
+    * `deleteRows` would rebuild from its new hits alone, permanently
+    * losing every prior delete. Here each delete writes a fresh
+    * `_dv_<mf>_v<k>` dir (never overwritten) and CASes the
+    * `_DVPTR_<mf>` pointer — readers resolve pointer → dir, so they
+    * see the old vector or the new one, never none and never a
+    * partial write; a crash before the flip leaves only an invisible
+    * orphan dir, reaped by the next successful flip's one-grace GC.
+    * Concurrent `deleteRows` calls are serialized by the CAS: the
+    * loser cleans up its staged dir and aborts loudly for retry.
+    */
+  private def dvPtrName(mfName: String) = s"_DVPTR_$mfName"
+  /** UUID-suffixed, never versioned-numbered: two racing deletes can
+    * never collide on a staged dir name, so a crashed writer's orphan
+    * can never block a retry. The CAS on the pointer is the only
+    * arbiter; orphan dirs are reaped age-gated (a LIVE racer's
+    * seconds-old staging must never be deleted — the tiny window
+    * where a racer stages against the fresh pointer while the
+    * winner's GC sweeps would otherwise let a successful CAS point at
+    * a deleted dir).
+    */
+  private def newDvDirName(mfName: String) =
+    s"_dv_${mfName}_${java.util.UUID.randomUUID().toString.take(8)}"
+  private val DvDirRe = "_dv_(_manifest_v\\d+)_([0-9a-f]{8})".r
+  private val DvOrphanGraceMs: Long = 15L * 60 * 1000
+
+  /** Current DV dir for a manifest, resolved through the pointer. */
+  private def currentDv(fs: FileSystem, root: Path,
+      mfName: String): Option[Path] =
+    pointerStore.read(fs, root, dvPtrName(mfName)).map { d =>
+      val p = new Path(root, d)
+      require(fs.exists(p),
+        s"DV pointer ${dvPtrName(mfName)} names $d but the dir is gone — " +
+        "sidecar state corrupted; republish the table to reset the DV lineage")
+      p
+    }
 
   /** Current snapshot read annotated with each row's physical address
     * — (file relative to the table root, row position within the
@@ -1281,20 +1394,42 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     val mf = currentManifest(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no current snapshot for $name"))
+    val expected = pointerStore.read(fs, root, dvPtrName(mf))
     val hits = readWithPos(name).filter(cond).select(col("_file"), col("_pos"))
-    val dv = dvPath(root, mf)
-    val merged = if (fs.exists(dv))
-      spark.read.parquet(dv.toString).unionByName(hits).distinct()
-    else hits.distinct()
-    val staging = new Path(dv.toString + "._staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
-    val old = new Path(dv.toString + "._old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dv)) fs.rename(dv, old)
-    fs.rename(staging, dv)
-    fs.delete(old, true)
+    val merged = expected match {
+      case Some(d) =>
+        spark.read.parquet(new Path(root, d).toString)
+          .unionByName(hits).distinct()
+      case None => hits.distinct()
+    }
+    val next = new Path(root, newDvDirName(mf))
+    merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+      .parquet(next.toString)
+    val n = spark.read.parquet(next.toString).count()
+    if (!pointerStore.compareAndSet(fs, root, dvPtrName(mf), expected,
+        next.getName, () => pointerStore.read(fs, root, dvPtrName(mf)))) {
+      fs.delete(next, true)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent deleteRows on $name: the DV pointer moved past " +
+        s"${expected.getOrElse("<none>")} — staged vector discarded; " +
+        "re-run against the fresh sidecar")
+    }
+    // GC, like manifests: keep the new and the immediately-previous
+    // vector (an in-flight reader that resolved before the flip still
+    // has its files) unconditionally; everything else in this
+    // manifest's lineage is either an older superseded vector or a
+    // crashed writer's never-flipped orphan — both reaped, but only
+    // past the age gate (see newDvDirName: a live racer's staging
+    // must survive this sweep so its own CAS stays the arbiter)
+    val keep = Set(next.getName) ++ expected
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case d @ DvDirRe(m, _) if m == mf && !keep.contains(d) &&
+            System.currentTimeMillis() - st.getModificationTime > DvOrphanGraceMs =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
     n
   }
 
@@ -1307,9 +1442,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "deletion vectors require manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val mfOpt = currentManifest(fs, root)
-    val dv = mfOpt.map(dvPath(root, _))
-    if (dv.isEmpty || !fs.exists(dv.get)) return read(name)
+    val dv = currentManifest(fs, root).flatMap(currentDv(fs, root, _))
+    if (dv.isEmpty) return read(name)
     val dels = spark.read.parquet(dv.get.toString)
       .select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
     readWithPos(name)
@@ -1319,30 +1453,43 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .drop("_file", "_pos")
   }
 
-  /** DESCRIBE HISTORY, metadata-only: every still-retained manifest
-    * version with its file count and EXACT row count — file lists
-    * from the manifests, row counts summed from the `_rows` sidecars
-    * (the m25 metadata surface), zero data files opened. A file whose
-    * sidecar entry is missing contributes −1, surfacing the gap
-    * loudly instead of under-counting. O(versions × sidecar lines)
-    * driver work at any table size.
+  /** DESCRIBE HISTORY, metadata-only: every still-retained COMMITTED
+    * manifest version with its file count and EXACT row count — file
+    * lists from the manifests, row counts summed from the `_rows`
+    * sidecars (the m25 metadata surface), zero data files opened.
+    * "Committed" is load-bearing: manifests staged on an open WAP
+    * branch, and any manifest numbered ABOVE the current pointer
+    * (a not-yet-current or aborted commit's debris), are NOT history —
+    * without the exclusion a caller taking `lastOption` as "current"
+    * would read an invisible staged snapshot's stats. Rows are None
+    * when any file lacks a sidecar entry (an unknown count is a flag,
+    * never a number that could partially cancel into a plausible
+    * total). O(versions × sidecar lines) driver work at any table
+    * size.
     */
-  def history(name: String): Seq[(Long, Long, Long)] = {
+  def history(name: String): Seq[(Long, Long, Option[Long])] = {
     require(manifest, "history reads manifest tables")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     if (!fs.exists(root)) return Nil
+    val staged = branchPointedManifests(fs, root).values.toSet
+    val curV = currentManifest(fs, root)
+      .collect { case ManifestRe(v) => v.toLong }
     val mfs = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case m @ ManifestRe(v) => (v.toLong, m) }.toSeq.sortBy(_._1)
+      .collect { case m @ ManifestRe(v) => (v.toLong, m) }.toSeq
+      .filter { case (v, m) =>
+        !staged.contains(m) && curV.forall(v <= _)
+      }.sortBy(_._1)
     mfs.map { case (v, m) =>
       val files = readManifest(fs, new Path(root, m))
-      val rows = files.groupBy(_.split("/").head).toSeq.map {
+      val perFile = files.groupBy(_.split("/").head).toSeq.flatMap {
         case (vdir, fl) =>
           val rs = FileStats.readRows(fs,
             new Path(new Path(root, vdir), "_rows"))
-          fl.map(f => rs.get(f.stripPrefix(vdir + "/"))
-            .map(_.numRows).getOrElse(-1L)).sum
-      }.sum
+          fl.map(f => rs.get(f.stripPrefix(vdir + "/")).map(_.numRows))
+      }
+      val rows = if (perFile.exists(_.isEmpty)) None
+        else Some(perFile.flatten.sum)
       (v, files.size.toLong, rows)
     }
   }
@@ -1352,6 +1499,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def branchPtrPath(root: Path, branch: String) =
     new Path(root, s"_BRANCH_$branch")
 
+  /** Every open branch pointer under `root`: {pointer file name →
+    * manifest name it stages}. The shared shield set — commit-time GC,
+    * `vacuumOrphans`, `history`, and `rollback` all consult it so a
+    * staged snapshot is never reaped, listed as history, or restored
+    * as if committed.
+    */
+  private def branchPointedManifests(fs: FileSystem,
+      root: Path): Map[String, String] =
+    if (!fs.exists(root)) Map.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_BRANCH_"))
+      .map(b => b -> readBranchPtr(fs, root, b.stripPrefix("_BRANCH_")))
+      .toMap
+
   private def readBranchPtr(fs: FileSystem, root: Path,
       branch: String): String = {
     val ptr = branchPtrPath(root, branch)
@@ -1359,6 +1520,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val in = fs.open(ptr)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
+  }
+
+  /** Pointer → existing manifest path, loudly: a dangling pointer
+    * (pre-shield GC debris) gets a diagnosis instead of a raw
+    * FileNotFoundException from the manifest open.
+    */
+  private def branchManifestPath(fs: FileSystem, root: Path,
+      branch: String): Path = {
+    val mfName = readBranchPtr(fs, root, branch)
+    val mf = new Path(root, mfName)
+    require(fs.exists(mf),
+      s"branch '$branch' points at $mfName which no longer exists — " +
+      "dangling pointer (pre-shield GC debris); run vacuumOrphans to " +
+      "clean it up, then re-stage the branch")
+    mf
   }
 
   private def branchVersionOf(mfName: String): Long = mfName match {
@@ -1370,17 +1546,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   /** Stage a snapshot on a named BRANCH (the Iceberg write-audit-
     * publish pattern): a full version write + manifest, but the
     * `_CURRENT` pointer is untouched — table readers see NOTHING
-    * until `promoteBranch`. The staged version's in-flight marker is
-    * deliberately KEPT: it is the GC shield that stops main-line
-    * publishes from reaping the unpromoted branch. Branches are
-    * therefore short-lived audit gates — promote or abandon within
-    * the in-flight grace window (vacuumOrphans treats older markers
-    * as crashed-writer debris). The branch pointer itself is
-    * last-write-wins: one owner per branch name is the contract (an
-    * audit gate is single-writer by construction). Branching requires
-    * an existing current snapshot — on a pointerless table the
-    * highest-manifest fallback would otherwise leak the staged
-    * manifest to readers.
+    * until `promoteBranch`. The `_BRANCH_` POINTER is the GC shield:
+    * both commit-time GC and `vacuumOrphans` keep a pointed manifest
+    * and its version dir alive for as long as the pointer exists,
+    * however old — only `promoteBranch`/`abandonBranch` release it
+    * (the staged version's in-flight marker is also kept as a
+    * belt-and-braces shield for the write window itself). The branch
+    * pointer is last-write-wins: one owner per branch name is the
+    * contract (an audit gate is single-writer by construction).
+    * Branching requires an existing current snapshot — on a
+    * pointerless table the highest-manifest fallback would otherwise
+    * leak the staged manifest to readers.
     */
   def publishBranch(name: String, branch: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
@@ -1406,8 +1582,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "branches require manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val mfName = readBranchPtr(fs, root, branch)
-    readFiles(name, readManifest(fs, new Path(root, mfName)))
+    readFiles(name, readManifest(fs, branchManifestPath(fs, root, branch)))
   }
 
   /** Promote a staged branch to the table's current snapshot:
@@ -1422,9 +1597,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "branches require manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val mfName = readBranchPtr(fs, root, branch)
-    val bv = branchVersionOf(mfName)
-    val files = readManifest(fs, new Path(root, mfName))
+    val mf = branchManifestPath(fs, root, branch)
+    val bv = branchVersionOf(mf.getName)
+    val files = readManifest(fs, mf)
     val n = claimVersion(fs, root)
     commitSnapshot(name, n, files, currentManifest(fs, root))
     fs.delete(new Path(root, s"_inflight_v$bv"), false)
@@ -1616,7 +1791,36 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (!scoped) existing
       else {
         val parts = updates.select(partitionCols.map(col): _*).distinct()
-        existing.join(broadcast(parts), partitionCols, "left_semi")
+        // manifest + single partition column (the streaming-sink shape):
+        // prune the base scan at the MANIFEST level — the merge plan
+        // then lists only the touched partitions' files, deterministic
+        // driver metadata rather than hoping runtime DPP fires through
+        // the explicit-file-list scan (StreamingSpec pins it with the
+        // corrupted-untouched-partition trick). The values collect is
+        // bounded by the batch's distinct partitions — the same small
+        // set the semi-join broadcasts. The semi-join STAYS as the
+        // exactness boundary: pruning is may-contain (legacy files
+        // without a parseable partition segment are kept), so rows of
+        // untouched partitions that survive pruning are still filtered
+        // before the merge.
+        val pruned =
+          if (manifest && partitionCols.size == 1) {
+            val vals = parts.collect().map(_.get(0)).toSeq
+            val (kept, _) = pruneFilesEquals(name, partitionCols.head, vals)
+            if (kept.isEmpty) existing.where(lit(false))
+            else {
+              val pr = readFiles(name, kept)
+              // same type guard as readEquals: hive path inference on a
+              // pruned subset can flip the partition column's type
+              val c = partitionCols.head
+              (existing.schema.find(_.name == c), pr.schema.find(_.name == c)) match {
+                case (Some(f), Some(p)) if f.dataType != p.dataType =>
+                  pr.withColumn(c, col(c).cast(f.dataType))
+                case _ => pr
+              }
+            }
+          } else existing
+        pruned.join(broadcast(parts), partitionCols, "left_semi")
       }
     val keyed = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))

@@ -53,6 +53,76 @@ class ApiAndSeriesSpec extends SparkSpec {
     intercept[java.io.FileNotFoundException] { fetcher.fetchArchive("S100ZZZZ") }
   }
 
+  test("fetcher: HttpFetcher lands list+zip through the same scan path; retries 5xx; 404s loudly") {
+    // in-process stub server — zero egress; the fetcher only ever sees
+    // the injected baseUrl
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("XBRL_TO_CSV/jpcrp_test.csv"))
+      z.write("dummy".getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val listJson = {
+      val dir = Files.createTempDirectory("stub-src").toString
+      writeLanding(dir)
+      Files.readAllBytes(Paths.get(dir, "2024-02-09.json"))
+    }
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/api/documents.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        if (q.contains("date=2024-02-09") && q.contains("type=2"))
+          // first two hits fail 503 — the retry path must absorb them
+          (if (flakyHits.incrementAndGet() <= 2) reply(ex, 503, Array.empty)
+           else reply(ex, 200, listJson))
+        else reply(ex, 404, Array.empty)
+      })
+    server.createContext("/api/documents/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        if (ex.getRequestURI.getPath.endsWith("/S100AAAA"))
+          reply(ex, 200, zipBytes)
+        else reply(ex, 404, Array.empty)
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/api"
+      val landing = Files.createTempDirectory("http-landing").toString
+      val fetcher: EdinetApi.Fetcher = new EdinetApi.HttpFetcher(
+        spark, base, landing, apiKey = Some("test-key"), retryBackoffMs = 10L)
+
+      // 503, 503, 200 — landed through the retry, then the SAME
+      // distributed landing scan as LandedFetcher
+      val landed = fetcher.fetchDocumentList(java.time.LocalDate.parse("2024-02-09"))
+      assert(flakyHits.get() === 3, "two 503s then success = 3 hits")
+      assert(EdinetApi.documentList(spark, landed).count() === 3)
+      assert(EdinetApi.docIdFor(EdinetApi.documentList(spark, landed),
+        "ベータ株式会社") === "S100BBBB")
+
+      // archive: byte-identical landing, member extractable
+      val zp = fetcher.fetchArchive("S100AAAA")
+      assert(Files.readAllBytes(Paths.get(zp)).toSeq === zipBytes.toSeq)
+      val members = graft.sources.ZipExtract.extract(spark, landing)
+      assert(members.count() === 1)
+
+      // 404 parity with LandedFetcher, and nothing half-landed
+      intercept[java.io.FileNotFoundException] {
+        fetcher.fetchDocumentList(java.time.LocalDate.parse("2024-02-10"))
+      }
+      intercept[java.io.FileNotFoundException] { fetcher.fetchArchive("S100ZZZZ") }
+      assert(!Files.exists(Paths.get(s"$landing/2024-02-10.json")))
+      assert(!Files.exists(Paths.get(s"$landing/2024-02-10.json._tmp")))
+    } finally server.stop(0)
+  }
+
   test("time series: per-company per-item ordered by period end") {
     import org.apache.spark.sql.functions._
     val tmp = Files.createTempDirectory("wh-ts").toString

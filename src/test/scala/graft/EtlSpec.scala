@@ -269,6 +269,18 @@ class EtlSpec extends SparkSpec {
       .collect().head
     assert(big.getAs[String]("operation_profit_rate") == "1234.56%")
     assert(big.getAs[String]("net_sales") == "1,234.56")
+
+    // chart-shaped series (app.py:158-169 reshape): 4 metric rows per
+    // summary in the reference's insertion order, amounts as float,
+    // golden JSON = what `Cli summary --format json` prints
+    val series = Summary.chartSeries(ds.toDF())
+    val json = series.toJSON.collect()
+    assert(json.length === 4)
+    assert(json(0) ===
+      s"""{"company_name":"テスト株式会社","period_name":"${s.period_name}","項目":"売上高","金額":43858.0}""")
+    assert(series.collect().map(_.getAs[String]("項目")).toSeq ===
+      Seq("売上高", "営業利益", "経常利益", "純利益"),
+      "chart order is the reference's insertion order (Altair sort=None)")
   }
 
   test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {

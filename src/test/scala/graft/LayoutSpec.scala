@@ -668,4 +668,144 @@ class LayoutSpec extends SparkSpec {
     wh.promoteBranch("t", "audit")
     assert(wh.read("t").count() === 50)
   }
+
+  test("branch shield: pointer outlives the in-flight grace through main-line GC; dangling pointers vacuum clean") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-branch-shield")
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))
+    wh.publishBranch("t", "audit", spark.range(0, 77).toDF("k"))
+
+    // age the branch's in-flight marker and manifest PAST the grace —
+    // the pre-fix GC keyed the shield on marker freshness and would
+    // reap the staged snapshot here, leaving the pointer dangling
+    val aged = System.currentTimeMillis() - 30L * 60 * 1000
+    fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_inflight_") || n.startsWith("_manifest_"))
+        fs.setTimes(st.getPath, aged, aged)
+    }
+    wh.atomicPublish("t", spark.range(0, 20).toDF("k"))
+    wh.atomicPublish("t", spark.range(0, 30).toDF("k"))
+    assert(wh.readBranch("t", "audit").count() === 77,
+      "an open branch must survive main-line GC however old — the " +
+      "_BRANCH_ pointer is the intent record, not the marker's age")
+    assert(wh.vacuumOrphans("t").forall(!_.contains("_BRANCH_")))
+    assert(wh.readBranch("t", "audit").count() === 77, "and survive vacuum")
+
+    // staged ≠ history: the branch manifest (highest-numbered) must not
+    // appear as a history row, and rollback must refuse to restore it
+    val branchMf = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, "_BRANCH_audit"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val branchV = branchMf.stripPrefix("_manifest_v").toLong
+    assert(!wh.history("t").exists(_._1 == branchV),
+      "a staged branch manifest is not committed history")
+    val ex = intercept[IllegalArgumentException] { wh.rollback("t", branchV) }
+    assert(ex.getMessage.contains("staged on open branch"))
+
+    // dangling pointer (pre-shield debris): manifest deleted out from
+    // under the pointer — reads diagnose instead of raw IO error, and
+    // vacuum removes the pointer so it stops poisoning shield reads
+    fs.delete(new org.apache.hadoop.fs.Path(root, branchMf), false)
+    val ex2 = intercept[IllegalArgumentException] { wh.readBranch("t", "audit") }
+    assert(ex2.getMessage.contains("dangling"))
+    assert(wh.vacuumOrphans("t").contains("_BRANCH_audit"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_BRANCH_audit")))
+  }
+
+  test("history: above-current debris excluded; missing row sidecar is None, never a partial sum") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-hist-edge")
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wh.atomicPublish("t", spark.range(0, 50).toDF("k"))
+    wh.append("t", spark.range(50, 80).toDF("k"))
+
+    // an aborted/not-yet-current commit's manifest above the pointer is
+    // not history (a caller's lastOption must be the CURRENT snapshot)
+    val debris = fs.create(new org.apache.hadoop.fs.Path(root, "_manifest_v99"), false)
+    try debris.write("_v1/nonexistent.parquet\n".getBytes("UTF-8"))
+    finally debris.close()
+    val h = wh.history("t")
+    assert(h.nonEmpty && h.forall(_._1 <= 2), s"debris v99 listed: $h")
+    assert(h.last._3 === Some(80L))
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_manifest_v99"), false)
+
+    // unknown row counts flag as None — a -1 sentinel could partially
+    // cancel against real counts into a plausible-looking total
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/t/_v1/_rows"), false)
+    assert(wh.history("t").last._3 === None)
+  }
+
+  test("publishChecked: empty batch is vacuously valid — no NPE, gate still rejects bad rows") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-chk-empty")
+    val df = spark.range(0, 100).toDF("k")
+    val checks = Seq("k_nonneg" -> ($"k" >= 0))
+    wh.publishChecked("t", df, checks)
+    // empty batch: the violation SUMs are null — the pre-fix gate NPE'd
+    // on getLong; the contract is publish-or-loud-refuse, never a crash
+    wh.publishChecked("t", df.filter($"k" < 0), checks)
+    intercept[IllegalStateException] {
+      wh.publishChecked("t", df.withColumn("k", -$"k" - 1), checks)
+    }
+  }
+
+  test("maintain: small-file pressure triggers one compaction + vacuum; healthy tables untouched") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-maintain")
+    // streaming-append shape: a dozen tiny publishes → 12+ small files
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k"))
+    (1 to 12).foreach(i => wh.append("t", spark.range(i * 100L, i * 100L + 100).toDF("k")))
+    val pressure = wh.tableHealth("t")
+    assert(pressure.smallFiles > 8, s"setup: expected small-file pressure, got $pressure")
+
+    val (before, ran, after) = wh.maintain("t", smallFileLimit = 8)
+    assert(ran, "threshold crossed — compaction must trigger")
+    assert(before.smallFiles === pressure.smallFiles)
+    assert(after.files < before.files, s"no layout recovery: $before -> $after")
+    assert(after.rows === Some(1300L), "compaction must preserve every row")
+    assert(wh.read("t").agg(sum($"k")).head.getLong(0) ===
+      (0L until 1300L).sum, "content must be byte-for-byte preserved")
+
+    // idempotent: the recovered layout is healthy — a blind re-run
+    // must be a no-op (no churn publish, no version burn)
+    val versionsAfter = wh.tableHealth("t").versions
+    val (_, ranAgain, _) = wh.maintain("t", smallFileLimit = 8)
+    assert(!ranAgain, "healthy table must not re-compact")
+    assert(wh.tableHealth("t").versions === versionsAfter)
+  }
+
+  test("deletion vectors: orphan staged dirs never block or corrupt; age-gated reaping") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-dv-orphan")
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
+    assert(wh.deleteRows("t", $"k" < 10) === 10)
+
+    // a crashed writer's never-flipped staged vector: unique names mean
+    // no retry can collide with it, and the pointer CAS never saw it —
+    // reads and further deletes are unaffected
+    val orphan = new org.apache.hadoop.fs.Path(root, "_dv__manifest_v1_deadbeef")
+    spark.range(0, 100).selectExpr("'_v1/bogus' AS _file", "id AS _pos")
+      .coalesce(1).write.parquet(orphan.toString)
+    assert(wh.deleteRows("t", $"k" === 50) === 11)
+    assert(wh.readMor("t").count() === 89)
+    assert(fs.exists(orphan), "a fresh orphan must survive the flip GC " +
+      "(age gate protects live racers)")
+
+    // aged past the grace it is debris: vacuum reaps it but never the
+    // pointed vector, and the MOR read still resolves
+    val aged = System.currentTimeMillis() - 30L * 60 * 1000
+    fs.setTimes(orphan, aged, aged)
+    val reaped = wh.vacuumOrphans("t")
+    assert(reaped.contains("_dv__manifest_v1_deadbeef"), s"vacuum said: $reaped")
+    assert(wh.readMor("t").count() === 89,
+      "vacuum must never reap the pointer-resolved vector")
+  }
 }

@@ -279,4 +279,40 @@ class OperatorsSpec extends SparkSpec {
     assert(must.subsetOf(cand.toSet),
       s"MG guarantee violated: missing ${must -- cand.toSet}")
   }
+
+  test("CoPurchase maxDegree: hub basket dropped whole, pair volume bounded, non-hub pairs exact") {
+    import spark.implicits._
+    // hub corpus: customer 0 holds 10k distinct parts (C(10k,2) ≈
+    // 5×10⁷ pairs uncapped — the skew blow-up); 50 normal customers
+    // hold 10 parts each from a shared 40-part pool so real
+    // co-occurrence pairs repeat across customers
+    val hub = spark.range(0, 10000).select(lit(0L).as("cust"), $"id".as("part"))
+    val normal = spark.range(1, 51).select($"id".as("cust"),
+        explode(sequence($"id" % 30 + 1, $"id" % 30 + 10)).as("part"))
+    val inc = hub.unionByName(normal)
+
+    val capped = graft.operators.CoPurchase.pairs(inc, "cust", "part",
+      minSupport = 1, maxDegree = Some(100))
+    // bound: ≤ 50 kept customers × C(10,2) pair-events ⇒ ≤ 2250
+    // distinct pairs — the hub's ~5×10⁷ never materialize
+    val nCapped = capped.count()
+    assert(nCapped <= 50L * 45,
+      s"capped pair volume $nCapped exceeds |groups|·C(cap',2) bound")
+
+    // dropping the hub loses ONLY hub pairs: capped == exact-on-non-hub
+    val exactNonHub = graft.operators.CoPurchase.pairs(
+      inc.filter($"cust" =!= 0L), "cust", "part", minSupport = 1)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"p1".cast("long"), $"p2".cast("long"), $"n_cust")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(capped) === key(exactNonHub),
+      "capped form must equal the exact form on the sub-cap groups")
+
+    // when no group exceeds the cap, capped == exact on everything
+    val small = inc.filter($"cust" =!= 0L)
+    assert(key(graft.operators.CoPurchase.pairs(small, "cust", "part", 2,
+        maxDegree = Some(100))) ===
+      key(graft.operators.CoPurchase.pairs(small, "cust", "part", 2)),
+      "cap must be a no-op below the degree threshold")
+  }
 }
