@@ -53,7 +53,8 @@ final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
     maxBytes: Long, smallFiles: Int, versions: Int, rows: Option[Long])
 
 class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
-    pointerStore: PointerStore = new FsPointerStore()) {
+    pointerStore: PointerStore = new FsPointerStore(),
+    manifestChunkSize: Int = 1024) {
 
   private def tablePath(name: String) = s"$dir/$name"
 
@@ -101,17 +102,108 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     readFiles(name, readManifest(fs, mf))
   }
 
-  /** Parse one manifest file: one data-file path per line, relative to
-    * the table root — the single wire-format reader shared by
-    * snapshot resolution, commit (previous-snapshot load), and time
-    * travel.
+  // ---- Manifest wire format: flat or chunked -------------------------
+  //
+  // A small snapshot's manifest is the flat file list (one path per
+  // line — the r1 format, unchanged). Past `manifestChunkSize` files
+  // the commit writes a MANIFEST LIST instead (the Iceberg shape):
+  // the `_manifest_vN` file holds only a header block —
+  //
+  //   #graft-chunked-manifest v1
+  //   chunk\t<chunkFile>\t<nFiles>\t<rowSum|-1>
+  //   stat\t<chunkFile>\t<col>\t<typ>\t<min>\t<max>
+  //
+  // — and the file entries live in `_mchunk_vN_<i>` sibling files,
+  // partition-clustered (entries sorted by partition path before
+  // splitting). Chunk row sums come from the `_rows` sidecars and
+  // chunk column stats are the per-file `_stats` merged per chunk
+  // (plus hive partition-path values, decoded and typed), so:
+  //
+  //  - `statsRowCount` answers from the header alone — O(chunks), not
+  //    O(files), driver work on a 10⁶-file table;
+  //  - `pruneFiles`/`pruneFilesEquals` drop whole chunks whose merged
+  //    stats exclude the range BEFORE opening them — a narrow range on
+  //    a clustered layout parses the matching chunk(s) only (LayoutSpec
+  //    counts the opens via `chunkOpens`);
+  //  - full-list consumers (resolveSnapshot, GC live-set, fsck, time
+  //    travel) concat the chunks through the same `readManifest` call
+  //    they always used — O(files) exactly where reading all data is
+  //    already O(files).
+  //
+  // Chunk stats are CONSERVATIVE: a column appears only when every
+  // file in the chunk carries a stat of one agreed type; absence means
+  // may-contain. Pointer CAS, GC grace, branches, and time travel are
+  // untouched — chunk files are claimed by their manifest's version
+  // number and reaped exactly when their manifest is.
+
+  private val ChunkedHeader = "#graft-chunked-manifest v1"
+  // uuid-tagged per WRITE ATTEMPT: two rebasing appenders can allocate
+  // the same manifest number n (commitAppend's retry path) — the loser
+  // fails the manifest's create-no-overwrite, but it writes its chunks
+  // FIRST, and same-n chunk names would let it overwrite the winner's
+  // already-committed chunk contents. Unique names make attempts
+  // disjoint; abort() deletes exactly its own, and vacuum reaps any
+  // crash-orphaned tag no kept manifest references.
+  private val MChunkRe = "_mchunk_v(\\d+)_([0-9a-f]{8})_(\\d+)".r
+
+  private final case class ChunkMeta(name: String, nFiles: Int, rowSum: Long,
+      stats: Map[String, FileStats.ColStat])
+
+  /** Test seam: number of chunk FILES actually opened (header parses
+    * don't count) — LayoutSpec pins that pruned reads open only the
+    * overlapping chunks.
     */
-  private def readManifest(fs: FileSystem, mf: Path): Seq[String] = {
-    val in = fs.open(mf)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+  private[graft] var chunkOpens: Long = 0L
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
   }
+
+  private def readChunk(fs: FileSystem, root: Path, name: String): Seq[String] = {
+    chunkOpens += 1
+    readSmallFile(fs, new Path(root, name))
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Parse a manifest's HEADER: Some(chunks) for the chunked format,
+    * None for flat.
+    */
+  private def manifestChunks(fs: FileSystem, mf: Path): Option[Seq[ChunkMeta]] = {
+    val txt = readSmallFile(fs, mf)
+    if (!txt.startsWith(ChunkedHeader)) return None
+    val lines = txt.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).drop(1)
+    // malformed lines are SKIPPED, not fatal: a dropped stat line only
+    // loses chunk-level pruning for that column (may-contain), and a
+    // dropped chunk line surfaces as missing data at read — loud — not
+    // as a parse crash during GC/vacuum shield computation
+    val stats = lines.filter(_.startsWith("stat\t")).flatMap(_.split('\t') match {
+      case Array(_, ch, c, t, mn, mx) => Some((ch, c, FileStats.ColStat(t, mn, mx)))
+      case _                          => None
+    }).groupBy(_._1).map { case (ch, rows) =>
+      ch -> rows.map(r => r._2 -> r._3).toMap
+    }
+    Some(lines.filter(_.startsWith("chunk\t")).flatMap(_.split('\t') match {
+      case Array(_, name, nf, rs) if nf.toIntOption.isDefined && rs.toLongOption.isDefined =>
+        Some(ChunkMeta(name, nf.toInt, rs.toLong, stats.getOrElse(name, Map.empty)))
+      case _ => None
+    }))
+  }
+
+  /** Parse one manifest into its full file list — flat manifests are
+    * the list; chunked manifests concat their chunk files in header
+    * order. The single wire-format reader shared by snapshot
+    * resolution, commit (previous-snapshot load), GC live-sets, and
+    * time travel.
+    */
+  private def readManifest(fs: FileSystem, mf: Path): Seq[String] =
+    manifestChunks(fs, mf) match {
+      case Some(chunks) =>
+        chunks.flatMap(ch => readChunk(fs, mf.getParent, ch.name))
+      case None =>
+        readSmallFile(fs, mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    }
 
   /** Assemble a snapshot's explicit file list into one DataFrame: one
     * read per version dir, each with basePath = that version's root so
@@ -147,15 +239,45 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   def pruneFiles(name: String, column: String, lower: Option[Any],
       upper: Option[Any]): (Seq[String], Int) = {
     require(manifest, "data skipping requires manifest mode")
-    val files = snapshotFiles(name)
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val kept = files.groupBy(f =>
+    val cache = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) =>
+        // chunk-level skip FIRST: a chunk whose merged stat excludes
+        // the range is never opened — on a clustered 10⁶-file table a
+        // narrow range parses the matching chunk(s) only
+        var total = 0
+        val kept = chunks.flatMap { ch =>
+          total += ch.nFiles
+          ch.stats.get(column) match {
+            case Some(cs) if !FileStats.mayContain(cs, lower, upper) => Nil
+            case _ => pruneFileList(fs, root, readChunk(fs, root, ch.name),
+              column, lower, upper, cache)
+          }
+        }
+        (kept, total)
+      case None =>
+        val files = snapshotFiles(name)
+        (pruneFileList(fs, root, files, column, lower, upper, cache), files.size)
+    }
+  }
+
+  /** Per-file pruning over an explicit file list (one chunk or the
+    * whole flat snapshot): hive partition-path check + footer-stat
+    * check, sidecars memoized in `cache`.
+    */
+  private def pruneFileList(fs: FileSystem, root: Path, files: Seq[String],
+      column: String, lower: Option[Any], upper: Option[Any],
+      cache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]): Seq[String] =
+    files.groupBy(f =>
         if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
       .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
         if (v.isEmpty) fl // legacy layout: no sidecar, keep all
         else {
-          val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+          val stats = cache.getOrElseUpdate(v,
+            FileStats.read(fs, new Path(new Path(root, v), "_stats")))
           fl.filter { f =>
             // a hive `column=value` path segment prunes too — the
             // partition column is never IN the file, so footer stats
@@ -168,8 +290,6 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           }
         }
       }
-    (kept, files.size)
-  }
 
   /** Can the `column=value` hive segment of a file's path contain a
     * value in [lower, upper]? True (keep) when the layout doesn't
@@ -303,9 +423,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def statsRowCount(name: String): Option[Long] = {
     require(manifest, "stats queries require metadata mode")
-    val per = snapshotRowStats(name)
-    if (per.isEmpty || per.exists(_._2.isEmpty)) None
-    else Some(per.flatMap(_._2).map(_.numRows).sum)
+    // chunked manifests carry per-chunk row sums in the HEADER: the
+    // count answers in O(chunks) without opening a single chunk file
+    // (let alone a data file) — the 10⁶-file metadata-count path
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) =>
+        if (chunks.exists(_.rowSum < 0)) None
+        else Some(chunks.map(_.rowSum).sum)
+      case None =>
+        val per = snapshotRowStats(name)
+        if (per.isEmpty || per.exists(_._2.isEmpty)) None
+        else Some(per.flatMap(_._2).map(_.numRows).sum)
+    }
   }
 
   /** Exact total null count of `column`, metadata-only. None unless
@@ -363,17 +495,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // numeric comparison and silently dropping in-range rows
     // (LayoutSpec pins the '9' ∈ ['10','95'] case). Casting the
     // pruned read back to the full-table type keeps the residual's
-    // semantics identical to an unpruned scan.
-    val full = readFiles(name, snapshotFiles(name))
+    // semantics identical to an unpruned scan. The guard ONLY applies
+    // to partition columns (data columns are typed by the parquet
+    // footers, identical in any subset) — skipping it otherwise keeps
+    // the pruned fast path free of the full-snapshot listing a
+    // chunked 10⁶-file manifest would have to concat.
     val base =
-      if (kept.isEmpty) full.where(lit(false))
+      if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
       else {
         val pruned = readFiles(name, kept)
-        (full.schema.find(_.name == column),
-          pruned.schema.find(_.name == column)) match {
-          case (Some(f), Some(p)) if f.dataType != p.dataType =>
-            pruned.withColumn(column, col(column).cast(f.dataType))
-          case _ => pruned
+        if (!kept.exists(_.contains(s"$column="))) pruned
+        else {
+          val full = readFiles(name, snapshotFiles(name))
+          (full.schema.find(_.name == column),
+            pruned.schema.find(_.name == column)) match {
+            case (Some(f), Some(p)) if f.dataType != p.dataType =>
+              pruned.withColumn(column, col(column).cast(f.dataType))
+            case _ => pruned
+          }
         }
       }
     val c = col(column)
@@ -505,33 +644,57 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   def pruneFilesEquals(name: String, column: String,
       values: Seq[Any]): (Seq[String], Int) = {
     require(manifest, "data skipping requires manifest mode")
-    val files = snapshotFiles(name)
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val kept = files.groupBy(f =>
-        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
-      .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
-        if (v.isEmpty) fl
-        else {
-          val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
-          val blooms = BloomIndex.read(fs, new Path(new Path(root, v), s"_bloom_$column"))
-          fl.filter { f =>
-            val inner = f.stripPrefix(v + "/")
-            values.exists { value =>
-              partitionMayContain(f, column, Some(value), Some(value)) &&
-              (stats.get(inner).flatMap(_.get(column)) match {
-                case Some(cs) => FileStats.mayContain(cs, Some(value), Some(value))
-                case None     => true
-              }) &&
-              (blooms.get(inner) match {
-                case Some(fb) => BloomIndex.mightContain(fb.bits, fb.k, value.toString)
-                case None     => true
-              })
+    def perFile(files: Seq[String],
+        statsCache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]],
+        bloomCache: scala.collection.mutable.Map[String, Map[String, BloomIndex.FileBloom]]): Seq[String] =
+      files.groupBy(f =>
+          if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+        .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+          if (v.isEmpty) fl
+          else {
+            val stats = statsCache.getOrElseUpdate(v,
+              FileStats.read(fs, new Path(new Path(root, v), "_stats")))
+            val blooms = bloomCache.getOrElseUpdate(v,
+              BloomIndex.read(fs, new Path(new Path(root, v), s"_bloom_$column")))
+            fl.filter { f =>
+              val inner = f.stripPrefix(v + "/")
+              values.exists { value =>
+                partitionMayContain(f, column, Some(value), Some(value)) &&
+                (stats.get(inner).flatMap(_.get(column)) match {
+                  case Some(cs) => FileStats.mayContain(cs, Some(value), Some(value))
+                  case None     => true
+                }) &&
+                (blooms.get(inner) match {
+                  case Some(fb) => BloomIndex.mightContain(fb.bits, fb.k, value.toString)
+                  case None     => true
+                })
+              }
             }
           }
         }
-      }
-    (kept, files.size)
+    val sc = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
+    val bc = scala.collection.mutable.Map[String, Map[String, BloomIndex.FileBloom]]()
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) =>
+        // a chunk is skipped only when its merged stat excludes EVERY
+        // probe value — one surviving value opens it
+        var total = 0
+        val kept = chunks.flatMap { ch =>
+          total += ch.nFiles
+          ch.stats.get(column) match {
+            case Some(cs) if !values.exists(v =>
+                FileStats.mayContain(cs, Some(v), Some(v))) => Nil
+            case _ => perFile(readChunk(fs, root, ch.name), sc, bc)
+          }
+        }
+        (kept, total)
+      case None =>
+        val files = snapshotFiles(name)
+        (perFile(files, sc, bc), files.size)
+    }
   }
 
   /** Point-lookup scan: prune files via `pruneFilesEquals` (partition
@@ -543,16 +706,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def readEquals(name: String, column: String, values: Seq[Any]): DataFrame = {
     val (kept, _) = pruneFilesEquals(name, column, values)
-    val full = readFiles(name, snapshotFiles(name))
     val base =
-      if (kept.isEmpty) full.where(lit(false))
+      if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
       else {
         val pruned = readFiles(name, kept)
-        (full.schema.find(_.name == column),
-          pruned.schema.find(_.name == column)) match {
-          case (Some(f), Some(p)) if f.dataType != p.dataType =>
-            pruned.withColumn(column, col(column).cast(f.dataType))
-          case _ => pruned
+        // partition-column type guard only — see readSkipping
+        if (!kept.exists(_.contains(s"$column="))) pruned
+        else {
+          val full = readFiles(name, snapshotFiles(name))
+          (full.schema.find(_.name == column),
+            pruned.schema.find(_.name == column)) match {
+            case (Some(f), Some(p)) if f.dataType != p.dataType =>
+              pruned.withColumn(column, col(column).cast(f.dataType))
+            case _ => pruned
+          }
         }
       }
     base.where(col(column).isin(values: _*))
@@ -690,6 +857,113 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (seen.isEmpty) 1L else seen.max + 1
     }
 
+  /** Build one manifest's CONTENT for `files`, writing `_mchunk_vN_i`
+    * sibling files when the list crosses `manifestChunkSize` (else the
+    * flat format). Chunks are partition-clustered: the list is sorted
+    * by (partition rel path, path) first, so a partition-value range
+    * maps to few chunks. Per-chunk metadata is assembled from the
+    * version dirs' existing sidecars — no data file is opened:
+    *
+    *  - rowSum: Σ `_rows` entries, −1 when any file's count is unknown
+    *    (legacy vintages) — an unknown never hides as a number;
+    *  - column stats: `_stats` entries merged per chunk, kept only for
+    *    columns EVERY chunk file bounds with one agreed type;
+    *  - partition-path columns: each file's `col=value` segment decoded
+    *    — typed long when every value parses, else UTF-8 string stats
+    *    (the same orders `mayContain`/`partitionMayContain` compare in).
+    */
+  private def manifestContent(fs: FileSystem, root: Path, n: Long,
+      files: Seq[String]): (String, Seq[String]) = {
+    if (files.size <= manifestChunkSize)
+      return (files.mkString("\n") + "\n", Nil)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val sorted = files.sortBy(f => (partitionRel(f), f))
+    val byVersion = sorted.groupBy(f =>
+      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+    val statsByV = byVersion.keys.map { v =>
+      v -> (if (v.isEmpty) Map.empty[String, Map[String, FileStats.ColStat]]
+        else FileStats.read(fs, new Path(new Path(root, v), "_stats")))
+    }.toMap
+    val rowsByV = byVersion.keys.map { v =>
+      v -> (if (v.isEmpty) Map.empty[String, FileStats.RowStat]
+        else FileStats.readRows(fs, new Path(new Path(root, v), "_rows")))
+    }.toMap
+    def fileStats(f: String): Map[String, FileStats.ColStat] = {
+      val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+      val footer = statsByV(v).getOrElse(f.stripPrefix(v + "/"), Map.empty)
+      // hive partition segments become per-file single-value stats so
+      // chunk pruning covers the partition axis too
+      val partStats = f.split('/').toSeq.collect {
+        case seg if seg.contains('=') && !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") &&
+            !seg.contains('\t') =>
+          val c = seg.takeWhile(_ != '=')
+          val raw = java.net.URLDecoder.decode(seg.substring(c.length + 1), "UTF-8")
+          c -> (raw.toLongOption match {
+            case Some(l) => FileStats.ColStat("long", l.toString, l.toString)
+            case None => FileStats.ColStat("string",
+              java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
+              java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")))
+          })
+      }.toMap
+      footer ++ partStats
+    }
+    def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
+      if (a.typ != b.typ) return None
+      a.typ match {
+        case "long" => Some(FileStats.ColStat("long",
+          math.min(a.min.toLong, b.min.toLong).toString,
+          math.max(a.max.toLong, b.max.toLong).toString))
+        case "double" => Some(FileStats.ColStat("double",
+          math.min(a.min.toDouble, b.min.toDouble).toString,
+          math.max(a.max.toDouble, b.max.toDouble).toString))
+        case "string" =>
+          val d = java.util.Base64.getDecoder
+          val mn = if (FileStats.cmpBytes(d.decode(a.min), d.decode(b.min)) <= 0)
+            a.min else b.min
+          val mx = if (FileStats.cmpBytes(d.decode(a.max), d.decode(b.max)) >= 0)
+            a.max else b.max
+          Some(FileStats.ColStat("string", mn, mx))
+        case _ => None
+      }
+    }
+    val header = new StringBuilder(ChunkedHeader).append('\n')
+    val written = scala.collection.mutable.ListBuffer[String]()
+    sorted.grouped(manifestChunkSize).zipWithIndex.foreach { case (chunk, i) =>
+      val name = s"_mchunk_v${n}_${tag}_$i"
+      written += name
+      val out = fs.create(new Path(root, name), true)
+      try out.write((chunk.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val rowSums = chunk.map { f =>
+        val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+        rowsByV(v).get(f.stripPrefix(v + "/")).map(_.numRows)
+      }
+      val rowSum = if (rowSums.exists(_.isEmpty)) -1L else rowSums.flatten.sum
+      header.append(s"chunk\t$name\t${chunk.size}\t$rowSum\n")
+      // merged stats: fold per-file maps, dropping any column the fold
+      // can't bound for every file (None poisons the entry)
+      val merged = chunk.map(f => fileStats(f).view.mapValues(Option(_)).toMap)
+        .reduce { (x, y) =>
+          (x.keySet intersect y.keySet).map { c =>
+            c -> (for { a <- x(c); b <- y(c); m <- mergeStat(a, b) } yield m)
+          }.toMap
+        }
+      merged.toSeq.sortBy(_._1).foreach {
+        case (c, Some(cs)) if !c.contains('\t') =>
+          header.append(s"stat\t$name\t$c\t${cs.typ}\t${cs.min}\t${cs.max}\n")
+        case _ => ()
+      }
+    }
+    (header.toString, written.toList)
+  }
+
+  /** Remove exactly THIS attempt's chunk files (abort cleanup — never
+    * touches another attempt's same-n chunks).
+    */
+  private def deleteChunks(fs: FileSystem, root: Path,
+      names: Seq[String]): Unit =
+    names.foreach(n => fs.delete(new Path(root, n), false))
+
   /** Test seam: invoked after the manifest file is created but before
     * the `_CURRENT` compare-and-set — the exact window a racing writer
     * exploits. Tests inject a competing commit here to prove the loser
@@ -745,9 +1019,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // a fresh manifest
     val own = ownVersion.getOrElse(n)
     val prev = expectedPrev.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
+    // chunk files (if any) land BEFORE the manifest create — the
+    // create-no-overwrite on the manifest stays the commit claim; a
+    // loser's already-written chunks are reaped by abort()/GC
+    val (content, ownChunks) = manifestContent(fs, root, n, files)
     val mf = new Path(root, s"_manifest_v$n")
-    val out = fs.create(mf, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    val out =
+      try fs.create(mf, false)
+      catch { case e: java.io.IOException =>
+        deleteChunks(fs, root, ownChunks); throw e
+      }
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     commitTestHook(name)
     // what a reader would resolve now, ignoring our own not-yet-current
@@ -757,6 +1039,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .orElse(highestManifest(fs, root, exclude = Some(mf.getName)))
     def abort(observed: Option[String]): Nothing = {
       fs.delete(mf, false)
+      deleteChunks(fs, root, ownChunks)
       // an append REBASE keeps its already-written version dir (and its
       // in-flight marker): the files are base-independent and the retry
       // recommits them under a fresh manifest instead of rewriting the
@@ -822,6 +1105,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           // a fresh in-flight marker shields the manifest as well as
           // the version dir: an open WAP branch's staged snapshot
           // (manifest + data) must survive main-line publishes
+          fs.delete(st.getPath, false)
+        case c @ MChunkRe(num, _, _) if st.isFile &&
+            !keepManifests.contains(s"_manifest_v$num") && !markerFresh(num) =>
+          // chunk files live and die with their manifest (same shield)
           fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -1102,6 +1389,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .filter { case (m, _) => !current.contains(m) && !branchMfs.contains(m) }
       .sortBy(-_._2).headOption.map(_._1)
     val keepManifests = (current.toSeq ++ previous.toSeq ++ branchMfs.toSeq).toSet
+    // chunk files the kept manifests actually reference — anything
+    // else under a kept manifest number is a crashed attempt's orphan
+    val referencedChunks = keepManifests.toSeq
+      .flatMap(m => manifestChunks(fs, new Path(root, m)).getOrElse(Nil))
+      .map(_.name).toSet
     val live = keepManifests.toSeq
       .flatMap(m => readManifest(fs, new Path(root, m)))
       .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
@@ -1127,6 +1419,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
           fs.delete(st.getPath, false)
           deleted += m
+        case c @ MChunkRe(num, _, _) if st.isFile && !markerFresh(num) &&
+            (!keepManifests.contains(s"_manifest_v$num") ||
+              !referencedChunks.contains(c)) =>
+          // dead manifest's chunks, OR a crash-orphaned write attempt's
+          // chunks under a LIVE manifest number (unique uuid tags — the
+          // kept manifest's header names exactly the chunks it owns)
+          fs.delete(st.getPath, false)
+          deleted += c
         case d @ DvDirRe(m, _) if st.isDirectory &&
             (!keepManifests.contains(m) ||
               (!pointerStore.read(fs, root, dvPtrName(m)).contains(d) &&
@@ -1481,16 +1781,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         !staged.contains(m) && curV.forall(v <= _)
       }.sortBy(_._1)
     mfs.map { case (v, m) =>
-      val files = readManifest(fs, new Path(root, m))
-      val perFile = files.groupBy(_.split("/").head).toSeq.flatMap {
-        case (vdir, fl) =>
-          val rs = FileStats.readRows(fs,
-            new Path(new Path(root, vdir), "_rows"))
-          fl.map(f => rs.get(f.stripPrefix(vdir + "/")).map(_.numRows))
+      manifestChunks(fs, new Path(root, m)) match {
+        case Some(chunks) =>
+          // chunked: the ledger row comes straight from the header —
+          // O(chunks), no chunk file (let alone sidecar) opened
+          val rows = if (chunks.exists(_.rowSum < 0)) None
+            else Some(chunks.map(_.rowSum).sum)
+          (v, chunks.map(_.nFiles.toLong).sum, rows)
+        case None =>
+          val files = readManifest(fs, new Path(root, m))
+          val perFile = files.groupBy(_.split("/").head).toSeq.flatMap {
+            case (vdir, fl) =>
+              val rs = FileStats.readRows(fs,
+                new Path(new Path(root, vdir), "_rows"))
+              fl.map(f => rs.get(f.stripPrefix(vdir + "/")).map(_.numRows))
+          }
+          val rows = if (perFile.exists(_.isEmpty)) None
+            else Some(perFile.flatten.sum)
+          (v, files.size.toLong, rows)
       }
-      val rows = if (perFile.exists(_.isEmpty)) None
-        else Some(perFile.flatten.sum)
-      (v, files.size.toLong, rows)
     }
   }
 
@@ -1566,9 +1875,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(currentManifest(fs, root).isDefined,
       s"branching requires a current snapshot on $name")
     val (n, files) = writeVersion(name, df, partitionCols)
+    val (content, _) = manifestContent(fs, root, n, files)
     val mf = new Path(root, s"_manifest_v$n")
     val out = fs.create(mf, false)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     val ptr = fs.create(branchPtrPath(root, branch), true)
     try ptr.write(mf.getName.getBytes("UTF-8")) finally ptr.close()

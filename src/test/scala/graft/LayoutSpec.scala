@@ -755,6 +755,113 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("chunked manifest: header answers counts, narrow ranges open only matching chunks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunked").toString
+    // chunk every 8 entries: 64 range-clustered files → 8 chunks
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 8)
+    wh.atomicPublish("t", spark.range(0, 10000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .repartitionByRange(64, $"k").sortWithinPartitions($"k"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunkFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).filter(_.startsWith("_mchunk_"))
+    assert(chunkFiles.length === 8, s"64 files / 8 per chunk: $chunkFiles")
+
+    // metadata-only count: HEADER alone, zero chunk files opened
+    wh.chunkOpens = 0
+    assert(wh.statsRowCount("t") === Some(10000L))
+    assert(wh.chunkOpens === 0L, "row count must come from the manifest header")
+
+    // narrow range: chunk-level stats skip 7 of 8 chunks unopened
+    wh.chunkOpens = 0
+    val (kept, total) = wh.pruneFiles("t", "k", Some(1500L), Some(1700L))
+    assert(total === 64)
+    assert(wh.chunkOpens <= 2, s"[1500,1700] spans ≤2 of 8 chunks, opened ${wh.chunkOpens}")
+    assert(kept.size <= 3, s"kept ${kept.size} files")
+    // ...and the pruned read stays EXACT (the correctness boundary)
+    assert(wh.readSkipping("t", "k", Some(1500L), Some(1700L))
+      .orderBy("k").select("k").as[Long].collect() === (1500L to 1700L).toArray)
+
+    // string column prunes at the chunk level too (same clustering)
+    wh.chunkOpens = 0
+    wh.pruneFiles("t", "s", Some("s02000"), Some("s02500"))
+    assert(wh.chunkOpens <= 2, s"string range opened ${wh.chunkOpens} chunks")
+
+    // append on a chunked table: the full-list path still composes
+    wh.append("t", spark.range(10000, 10100).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k")))
+    assert(wh.read("t").count() === 10100)
+    assert(wh.statsRowCount("t") === Some(10100L))
+    // time travel to the pre-append snapshot resolves through its chunks
+    assert(wh.readVersion("t", 1).count() === 10000)
+
+    // GC: chunk files die with their manifest (one-publish grace)
+    wh.atomicPublish("t", spark.range(0, 50).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k")))
+    wh.atomicPublish("t", spark.range(0, 60).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k")))
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).filter(n => n.startsWith("_mchunk_v1_") ||
+        n.startsWith("_mchunk_v2_"))
+    assert(leftover.isEmpty, s"reaped manifests must take their chunks: ${leftover.toSeq}")
+  }
+
+  test("chunked manifest: racing appends rebase clean — winner's chunks intact, orphans vacuumed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-race").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    val whB = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    wh.atomicPublish("t", spark.range(0, 1000).toDF("k").repartition(16))
+
+    // B commits inside A's append window (manifest written, CAS
+    // pending): A loses, rebases its already-written version under a
+    // fresh chunked manifest. Chunk attempts carry unique tags, so
+    // A's abort can only delete A's own chunk files — B's committed
+    // chunks must survive byte-for-byte.
+    var fired = false
+    wh.commitTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", spark.range(2000, 2100).toDF("k").repartition(4))
+    }
+    wh.append("t", spark.range(1000, 1100).toDF("k").repartition(4))
+    wh.commitTestHook = _ => ()
+    assert(wh.read("t").count() === 1200, "both appends must land")
+    assert(wh.read("t").select(sum($"k")).head.getLong(0) ===
+      (0L until 1000).sum + (1000L until 1100).sum + (2000L until 2100).sum)
+
+    // after vacuum, every surviving chunk file is referenced by a
+    // retained manifest (no crash-attempt orphans linger)
+    whB.vacuumOrphans("t")
+    assert(whB.read("t").count() === 1200)
+    assert(whB.statsRowCount("t") === Some(1200L))
+  }
+
+  test("chunked manifest: hive partition values prune chunks for point lookups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-part").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    // 32 partitions × 1 file, chunked by 4 → 8 chunks clustered by the
+    // partition path; a single-date probe must open exactly one chunk
+    val df = spark.range(0, 3200).toDF("id")
+      .withColumn("d", format_string("2024-%02d", $"id" % 32 + 1))
+      .repartition($"d")
+    wh.atomicPublish("t", df, partitionCols = Seq("d"))
+    wh.chunkOpens = 0
+    val (kept, total) = wh.pruneFilesEquals("t", "d", Seq("2024-07"))
+    assert(wh.chunkOpens <= 1, s"one partition value = one chunk, opened ${wh.chunkOpens}")
+    assert(kept.forall(_.contains("d=2024-07")), s"kept: $kept")
+    assert(wh.readEquals("t", "d", Seq("2024-07")).count() === 100)
+
+    // the partition-scoped upsert rides the same chunk pruning
+    wh.chunkOpens = 0
+    wh.upsert("t",
+      df.filter($"d" === "2024-07").withColumn("id", $"id" + 100000),
+      Seq("id"), partitionCols = Seq("d"))
+    assert(wh.read("t").count() === 3200 + 100)
+  }
+
   test("maintain: small-file pressure triggers one compaction + vacuum; healthy tables untouched") {
     import spark.implicits._
     val (wh, _) = mk("graft-maintain")
