@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * measured.
   *
   * Scaling model = MORE data, not denser data: each extra copy is a
-  * disjoint shard — documents get a copy-specific token interleaved
-  * between words (within-copy dup/near-dup structure is preserved
-  * verbatim because both members of a pair receive the same
-  * insertion; cross-copy shingle overlap drops to ~0), and
+  * disjoint shard — documents get every WORD prefixed with a
+  * copy-specific tag (a bijective vocabulary rename: every
+  * within-copy pairwise Jaccard/shingle relation is preserved
+  * EXACTLY, so the copy reproduces the base's dup/near-dup structure
+  * verbatim, while cross-copy token overlap is zero), and
   * orders/lineitem offset their order/customer/part key spaces per
   * copy (per-customer degrees and per-edge supports stay EXACTLY the
   * base's — the realistic growth mode; hot-key degeneracy is
@@ -45,7 +46,7 @@ object ScaleProbe {
       val shifted = d.withColumn("doc_id", $"doc_id" + lit(c * idS))
       if (c == 0) shifted
       else shifted.withColumn("text",
-        regexp_replace($"text", " ", s" zc$c "))
+        regexp_replace($"text", "(\\S+)", s"zc$c" + "$1"))
     }.repartition(8 * factor)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 

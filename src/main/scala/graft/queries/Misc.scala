@@ -1249,17 +1249,21 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "stmw")
         val chk = graft.sources.Scratch.dir(s, "stmc")
-        // sink partitioned by window DATE: a micro-batch only updates
+        // sink partitioned by window MONTH: a micro-batch only updates
         // windows near the stream head, so the partition-scoped merge
-        // reads/rewrites the recent dates' partitions, not the whole
-        // sink — at a real event rate the merge cost tracks batch
-        // recency, not table age (StreamingSpec pins the scoping)
+        // reads/rewrites the recent months' partitions, not the whole
+        // sink — merge cost tracks batch recency, not table age
+        // (StreamingSpec pins the scoping mechanism). Month, not day:
+        // partition count ~ corpus age / 30, so the per-batch write
+        // fans out to a handful of directories, not hundreds — the
+        // r10 day-grained first cut tripled these queries' bench cost
+        // on pure small-file write amplification.
         val q = graft.streaming.EventStream.sinkToWarehouse(
           graft.streaming.EventStream.windowedCounts(
               graft.streaming.EventStream.read(s, land))
-            .withColumn("w_date", date_format($"w_start", "yyyy-MM-dd")),
+            .withColumn("w_month", date_format($"w_start", "yyyy-MM")),
           wh, "ev_win", Seq("w_start", "event_type"), chk,
-          partitionCols = Seq("w_date"))
+          partitionCols = Seq("w_month"))
         q.awaitTermination()
         wh.read("ev_win")
           .select(unix_micros($"w_start").as("w_us"), $"event_type", $"n", $"total")
@@ -1324,19 +1328,20 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sjw")
         val chk = graft.sources.Scratch.dir(s, "sjc")
-        // pairs partition by click DATE: each append-mode micro-batch
-        // carries pairs for the freshly-watermark-complete clicks, so
-        // the partition-scoped merge touches the stream head's dates
-        // only — never re-merging the whole sink per batch
+        // pairs partition by click MONTH (see m31's granularity note):
+        // each append-mode micro-batch carries pairs for the freshly-
+        // watermark-complete clicks, so the partition-scoped merge
+        // touches the stream head's months only — never re-merging the
+        // whole sink per batch
         val q = graft.streaming.EventStream.clicksWithPriorView(
             graft.streaming.EventStream.read(s, land))
-          .withColumn("c_date", date_format($"c_ts", "yyyy-MM-dd"))
+          .withColumn("c_month", date_format($"c_ts", "yyyy-MM"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             wh.upsert("cv", b, Seq("click_id", "view_id"),
-              partitionCols = Seq("c_date"))
+              partitionCols = Seq("c_month"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1436,18 +1441,19 @@ object Misc {
         ev.repartition(2).write.mode("append").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sdw")
         val chk = graft.sources.Scratch.dir(s, "sdc")
-        // sink partitioned by event DATE (string — prunes through the
-        // manifest's typed partition-path compare): each batch merges
-        // into the dates it carries, not the whole sink table
+        // sink partitioned by event MONTH (string — prunes through the
+        // manifest's typed partition-path compare; see m31's
+        // granularity note): each batch merges into the months it
+        // carries, not the whole sink table
         val q = graft.streaming.EventStream.deduplicated(
             graft.streaming.EventStream.read(s, land))
-          .withColumn("e_date", date_format($"ts", "yyyy-MM-dd"))
+          .withColumn("e_month", date_format($"ts", "yyyy-MM"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             wh.upsert("dedup", b, Seq("event_id"),
-              partitionCols = Seq("e_date"))
+              partitionCols = Seq("e_month"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1490,6 +1496,39 @@ object Misc {
         SELECT a.part AS p1, b.part AS p2, count(*) AS n_cust
         FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
         GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY n_cust DESC, p1, p2""")),
+
+    // ---- Capped co-purchase: the 100 TB form, on the exact gate --------
+    // m37's production variant with the degree cap ENGAGED (maxDegree
+    // 50 drops the hottest ~1/3 of customers at this SF): the capped
+    // path is one bounded-buffer aggregation (CappedDocListAgg —
+    // O(cap) state per customer however hot the key) + a row-local
+    // pair explosion bounded by C(cap,2) per basket — no self-join, no
+    // broadcast of a customer list. The semantics are exactly
+    // SQL-expressible (drop groups whose degree exceeds the cap, pair
+    // the rest), so the scale valve itself sits on the driver's hash
+    // gate rather than only on a spec.
+    Q("m63_copurchase_capped",
+      (s, dir) => {
+        import s.implicits._
+        val cp = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"o_custkey".as("cust"), $"l_partkey".as("part"))
+          .distinct()
+        graft.operators.CoPurchase.pairs(cp, "cust", "part",
+            minSupport = 2, maxDegree = Some(50))
+          .orderBy($"n_cust".desc, $"p1", $"p2")
+      },
+      Some("""WITH cp AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT cust, count(*) AS d FROM cp GROUP BY cust),
+        kept AS (SELECT cp.cust, cp.part FROM cp
+          JOIN deg ON cp.cust = deg.cust WHERE deg.d <= 50)
+        SELECT a.part AS p1, b.part AS p2, count(*) AS n_cust
+        FROM kept a JOIN kept b ON a.cust = b.cust AND a.part < b.part
+        GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY n_cust DESC, p1, p2""")),
 
     // ---- Robust outliers: median/MAD gate per event_type -------------

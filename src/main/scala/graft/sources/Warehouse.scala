@@ -155,6 +155,43 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   private[graft] var chunkOpens: Long = 0L
 
+  /** Chunk-level may-contain, typed by the CALLER's bounds: a stat is
+    * consulted only when its type class matches the bounds' — a
+    * mismatch (e.g. a plong partition stat probed with string bounds,
+    * where numeric compare could wrongly prune a lexicographic match)
+    * KEEPS the chunk so the per-file logic (partitionMayContain, which
+    * implements exactly this typing rule per file) decides. Pruning
+    * only ever removes chunks proven empty under the caller's own
+    * comparison semantics.
+    */
+  private def chunkStatMayContain(cs: FileStats.ColStat, lower: Option[Any],
+      upper: Option[Any]): Boolean = {
+    val bounds = lower.toSeq ++ upper.toSeq
+    if (bounds.isEmpty) return true
+    val integral = bounds.forall {
+      case _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    }
+    val numeric = bounds.forall(_.isInstanceOf[Number])
+    val stringy = bounds.forall(_.isInstanceOf[String])
+    cs.typ match {
+      case "long" | "plong" if integral =>
+        FileStats.mayContain(cs.copy(typ = "long"), lower, upper)
+      case "double" if numeric =>
+        FileStats.mayContain(cs, lower, upper)
+      case "string" | "pstring" if stringy =>
+        FileStats.mayContain(cs.copy(typ = "string"), lower, upper)
+      // footer `long` stats and a numeric (double) caller compare
+      // safely in double space — same widening the per-file path uses
+      case "long" if numeric =>
+        FileStats.mayContain(FileStats.ColStat("double",
+          cs.min.toLong.toDouble.toString, cs.max.toLong.toDouble.toString),
+          lower, upper)
+      case _ => true
+    }
+  }
+
   private def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -252,7 +289,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         val kept = chunks.flatMap { ch =>
           total += ch.nFiles
           ch.stats.get(column) match {
-            case Some(cs) if !FileStats.mayContain(cs, lower, upper) => Nil
+            case Some(cs) if !chunkStatMayContain(cs, lower, upper) => Nil
             case _ => pruneFileList(fs, root, readChunk(fs, root, ch.name),
               column, lower, upper, cache)
           }
@@ -353,9 +390,36 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def statsMinMax(name: String, column: String): Option[(Any, Any)] = {
     require(manifest, "stats queries require manifest mode")
-    val files = snapshotFiles(name)
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
+    // chunked manifests: the header's merged per-chunk stats exist for
+    // a column ONLY when every file in the chunk bounds it with one
+    // agreed type (manifestContent poisons partial columns), so
+    // presence in EVERY chunk is exactly this method's completeness
+    // contract — fold the O(chunks) header values, open nothing
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) if chunks.nonEmpty =>
+        val per = chunks.map(_.stats.get(column))
+        if (per.exists(_.isEmpty)) return None
+        val cs = per.flatten
+        if (cs.map(_.typ).distinct.size != 1) return None
+        return cs.head.typ match {
+          case "long" => Some((cs.map(_.min.toLong).min, cs.map(_.max.toLong).max))
+          case "double" => Some((cs.map(_.min.toDouble).min, cs.map(_.max.toDouble).max))
+          case "string" =>
+            val d = java.util.Base64.getDecoder
+            def lt(a: String, b: String) =
+              FileStats.cmpBytes(d.decode(a), d.decode(b)) < 0
+            Some((new String(d.decode(cs.map(_.min).reduce((a, b) =>
+                if (lt(a, b)) a else b)), "UTF-8"),
+              new String(d.decode(cs.map(_.max).reduce((a, b) =>
+                if (lt(a, b)) b else a)), "UTF-8")))
+          case _ => None
+        }
+      case _ => ()
+    }
+    val files = snapshotFiles(name)
     val perFile: Seq[Option[(Any, Any)]] = files
       .groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
       .toSeq.flatMap { case (v, fl) =>
@@ -686,7 +750,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           total += ch.nFiles
           ch.stats.get(column) match {
             case Some(cs) if !values.exists(v =>
-                FileStats.mayContain(cs, Some(v), Some(v))) => Nil
+                chunkStatMayContain(cs, Some(v), Some(v))) => Nil
             case _ => perFile(readChunk(fs, root, ch.name), sc, bc)
           }
         }
@@ -893,14 +957,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val footer = statsByV(v).getOrElse(f.stripPrefix(v + "/"), Map.empty)
       // hive partition segments become per-file single-value stats so
       // chunk pruning covers the partition axis too
+      // partition values get DISTINCT stat types (plong/pstring, never
+      // long/string): a path value types by how it PARSES, but pruning
+      // correctness types by the CALLER's bounds — a lone '9' partition
+      // as a `long` [9,9] stat would let string bounds ['10','95']
+      // numerically prune a file whose value is lexicographically IN
+      // range (the r6 trap, resurfacing at chunk level). The p-types
+      // are compared only when the caller's bound types match
+      // (chunkStatMayContain) and are invisible to statsMinMax, whose
+      // contract is footer values typed as stored.
       val partStats = f.split('/').toSeq.collect {
         case seg if seg.contains('=') && !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") &&
             !seg.contains('\t') =>
           val c = seg.takeWhile(_ != '=')
           val raw = java.net.URLDecoder.decode(seg.substring(c.length + 1), "UTF-8")
           c -> (raw.toLongOption match {
-            case Some(l) => FileStats.ColStat("long", l.toString, l.toString)
-            case None => FileStats.ColStat("string",
+            case Some(l) => FileStats.ColStat("plong", l.toString, l.toString)
+            case None => FileStats.ColStat("pstring",
               java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
               java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")))
           })
@@ -910,19 +983,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
       if (a.typ != b.typ) return None
       a.typ match {
-        case "long" => Some(FileStats.ColStat("long",
+        case t @ ("long" | "plong") => Some(FileStats.ColStat(t,
           math.min(a.min.toLong, b.min.toLong).toString,
           math.max(a.max.toLong, b.max.toLong).toString))
         case "double" => Some(FileStats.ColStat("double",
           math.min(a.min.toDouble, b.min.toDouble).toString,
           math.max(a.max.toDouble, b.max.toDouble).toString))
-        case "string" =>
+        case t @ ("string" | "pstring") =>
           val d = java.util.Base64.getDecoder
           val mn = if (FileStats.cmpBytes(d.decode(a.min), d.decode(b.min)) <= 0)
             a.min else b.min
           val mx = if (FileStats.cmpBytes(d.decode(a.max), d.decode(b.max)) >= 0)
             a.max else b.max
-          Some(FileStats.ColStat("string", mn, mx))
+          Some(FileStats.ColStat(t, mn, mx))
         case _ => None
       }
     }

@@ -769,10 +769,13 @@ class LayoutSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("_mchunk_"))
     assert(chunkFiles.length === 8, s"64 files / 8 per chunk: $chunkFiles")
 
-    // metadata-only count: HEADER alone, zero chunk files opened
+    // metadata-only count + min/max: HEADER alone, zero chunk files opened
     wh.chunkOpens = 0
     assert(wh.statsRowCount("t") === Some(10000L))
-    assert(wh.chunkOpens === 0L, "row count must come from the manifest header")
+    assert(wh.statsMinMax("t", "k") === Some((0L, 9999L)))
+    assert(wh.statsMinMax("t", "s") === Some(("s00000", "s09999")))
+    assert(wh.statsMinMax("t", "no_such_col") === None)
+    assert(wh.chunkOpens === 0L, "counts and min/max must come from the manifest header")
 
     // narrow range: chunk-level stats skip 7 of 8 chunks unopened
     wh.chunkOpens = 0
@@ -806,6 +809,32 @@ class LayoutSpec extends SparkSpec {
       .map(_.getPath.getName).filter(n => n.startsWith("_mchunk_v1_") ||
         n.startsWith("_mchunk_v2_"))
     assert(leftover.isEmpty, s"reaped manifests must take their chunks: ${leftover.toSeq}")
+  }
+
+  test("chunked manifest: partition typing trap — numeric-looking values never numerically prune string bounds") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-trap").toString
+    // chunk size 1: every file is its own chunk, so the lone-'9'
+    // partition gets its own plong [9,9] chunk stat — the exact shape
+    // where a caller-blind numeric compare would prune a
+    // lexicographically-matching file (the r6 trap at chunk level)
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 1)
+    val df = Seq((1L, "9"), (2L, "50"), (3L, "abc")).toDF("k", "part")
+    wh.upsert("t", df, Seq("k"), Seq("part"))
+    val got = wh.readSkipping("t", "part", Some("10"), Some("95"))
+      .select($"k").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L),
+      "'9' is inside the STRING range ['10','95'] — a plong chunk stat " +
+      "compared numerically would silently drop it")
+    // numeric bounds: the unparseable 'abc' partition keeps its chunk,
+    // so the pruned scan surfaces the same ANSI cast error as unpruned
+    val e = intercept[Exception] {
+      wh.readSkipping("t", "part", Some(10L), Some(95L)).collect()
+    }
+    assert(e.getMessage.contains("CAST_INVALID_INPUT"))
+    // and metadata min/max refuses partition-derived p-stats (they are
+    // path values typed by parse, not footer values typed as stored)
+    assert(wh.statsMinMax("t", "part") === None)
   }
 
   test("chunked manifest: racing appends rebase clean — winner's chunks intact, orphans vacuumed") {
