@@ -1211,6 +1211,47 @@ object Relational {
     // THIS is what a 100 TB table does instead, until compaction
     // materializes. The oracle filters both predicates out of the
     // source directly.
+    // ---- Chunked manifest: 10⁶-file metadata discipline, exact -------
+    // The manifest-LIST layer (Warehouse chunked manifests) on the
+    // hash gate: 64 range-clustered files under an 8-entry chunk size
+    // force the chunked format, then (a) the exact row count is
+    // answered from the manifest HEADER alone — `meta_rows` pins it
+    // against the oracle's count(*) with zero chunk or data files
+    // opened, and (b) a narrow key-range scan must prune at CHUNK
+    // level: `pruned` pins that at most 2 of the 8 chunk files were
+    // parsed (the `chunkOpens` seam), while the returned aggregate
+    // stays exact — pruning is never the correctness boundary. At
+    // 100 TB this is the difference between O(files) driver metadata
+    // per query and O(chunks).
+    Q("s27_chunked_manifest",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_totalprice")
+        val wh = new graft.sources.Warehouse(s,
+          graft.sources.Scratch.dir(s, "chm"), manifest = true,
+          manifestChunkSize = 8)
+        wh.atomicPublish("ord_c", o.repartitionByRange(64, $"o_orderkey")
+          .sortWithinPartitions($"o_orderkey"))
+        wh.chunkOpens = 0L
+        val metaRows = wh.statsRowCount("ord_c").getOrElse(-1L)
+        val headerOnly = wh.chunkOpens == 0L
+        wh.chunkOpens = 0L
+        val hit = wh.readSkipping("ord_c", "o_orderkey",
+          Some(1000L), Some(1100L))
+        val agg = hit.agg(count(lit(1)).as("n"),
+          dsum($"o_totalprice").as("revenue"))
+        val pruned = wh.chunkOpens <= 2
+        agg.select($"n", $"revenue", lit(metaRows).as("meta_rows"),
+          lit(headerOnly && pruned).as("pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          (SELECT count(*) FROM orders) AS meta_rows,
+          TRUE AS pruned
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 1100""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -147,7 +147,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private val MChunkRe = "_mchunk_v(\\d+)_([0-9a-f]{8})_(\\d+)".r
 
   private final case class ChunkMeta(name: String, nFiles: Int, rowSum: Long,
-      stats: Map[String, FileStats.ColStat])
+      stats: Map[String, FileStats.ColStat], nulls: Map[String, Long])
 
   /** Test seam: number of chunk FILES actually opened (header parses
     * don't count) — LayoutSpec pins that pruned reads open only the
@@ -221,9 +221,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     }).groupBy(_._1).map { case (ch, rows) =>
       ch -> rows.map(r => r._2 -> r._3).toMap
     }
+    val nulls = lines.filter(_.startsWith("nulls\t")).flatMap(_.split('\t') match {
+      case Array(_, ch, c, n) if n.toLongOption.isDefined => Some((ch, c, n.toLong))
+      case _                                              => None
+    }).groupBy(_._1).map { case (ch, rows) =>
+      ch -> rows.map(r => r._2 -> r._3).toMap
+    }
     Some(lines.filter(_.startsWith("chunk\t")).flatMap(_.split('\t') match {
       case Array(_, name, nf, rs) if nf.toIntOption.isDefined && rs.toLongOption.isDefined =>
-        Some(ChunkMeta(name, nf.toInt, rs.toLong, stats.getOrElse(name, Map.empty)))
+        Some(ChunkMeta(name, nf.toInt, rs.toLong, stats.getOrElse(name, Map.empty),
+          nulls.getOrElse(name, Map.empty)))
       case _ => None
     }))
   }
@@ -511,10 +518,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def statsNullCount(name: String, column: String): Option[Long] = {
     require(manifest, "stats queries require metadata mode")
-    val per = snapshotRowStats(name)
-    val counts = per.map(_._2.flatMap(_.nullCounts.get(column)))
-    if (counts.isEmpty || counts.exists(_.isEmpty)) None
-    else Some(counts.flatten.sum)
+    // chunked: per-chunk null sums live in the header (written only
+    // when every chunk file knows the column) — O(chunks), like the
+    // row count
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) =>
+        val per = chunks.map(_.nulls.get(column))
+        if (per.isEmpty || per.exists(_.isEmpty)) None
+        else Some(per.flatten.sum)
+      case None =>
+        val per = snapshotRowStats(name)
+        val counts = per.map(_._2.flatMap(_.nullCounts.get(column)))
+        if (counts.isEmpty || counts.exists(_.isEmpty)) None
+        else Some(counts.flatten.sum)
+    }
   }
 
   /** IS NULL / IS NOT NULL scan with file skipping: `isNull = true`
@@ -525,13 +545,44 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def readSkippingIsNull(name: String, column: String,
       isNull: Boolean): DataFrame = {
-    val kept = snapshotRowStats(name).collect {
-      case (f, rs) if rs.forall { r =>
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    def keepFile(f: String, rs: Option[FileStats.RowStat]): Boolean =
+      rs.forall { r =>
         r.nullCounts.get(column) match {
           case None     => true // unknown ⇒ keep, as always
           case Some(nc) => if (isNull) nc > 0 else nc < r.numRows
         }
-      } => f
+      }
+    val kept = currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) =>
+        // chunk-level skip from the header null sums: zero nulls ⇒ no
+        // IS NULL rows anywhere in the chunk; all-null (nulls == rows,
+        // rows known) ⇒ no IS NOT NULL rows — either way the chunk is
+        // never opened. Unknown sums open the chunk for per-file logic.
+        val rowsCache = scala.collection.mutable.Map[String, Map[String, FileStats.RowStat]]()
+        chunks.flatMap { ch =>
+          val skip = ch.nulls.get(column) match {
+            case Some(nc) if isNull => nc == 0L
+            case Some(nc)           => ch.rowSum >= 0 && nc == ch.rowSum
+            case None               => false
+          }
+          if (skip) Nil
+          else readChunk(fs, root, ch.name).filter { f =>
+            val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+            val rs =
+              if (v.isEmpty) None
+              else rowsCache.getOrElseUpdate(v,
+                FileStats.readRows(fs, new Path(new Path(root, v), "_rows")))
+                .get(f.stripPrefix(v + "/"))
+            keepFile(f, rs)
+          }
+        }
+      case None =>
+        snapshotRowStats(name).collect {
+          case (f, rs) if keepFile(f, rs) => f
+        }
     }
     val c = col(column)
     val base =
@@ -1007,12 +1058,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val out = fs.create(new Path(root, name), true)
       try out.write((chunk.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      val rowSums = chunk.map { f =>
+      val rowStats = chunk.map { f =>
         val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
-        rowsByV(v).get(f.stripPrefix(v + "/")).map(_.numRows)
+        rowsByV(v).get(f.stripPrefix(v + "/"))
       }
-      val rowSum = if (rowSums.exists(_.isEmpty)) -1L else rowSums.flatten.sum
+      val rowSum = if (rowStats.exists(_.isEmpty)) -1L
+        else rowStats.flatten.map(_.numRows).sum
       header.append(s"chunk\t$name\t${chunk.size}\t$rowSum\n")
+      // per-chunk null counts, only for columns EVERY chunk file knows
+      // (absent must mean unknown, never zero — the _rows discipline)
+      if (!rowStats.exists(_.isEmpty)) {
+        val rss = rowStats.flatten
+        val knownCols = rss.map(_.nullCounts.keySet).reduce(_ intersect _)
+        knownCols.toSeq.sorted.foreach { c =>
+          if (!c.contains('\t'))
+            header.append(s"nulls\t$name\t$c\t${rss.map(_.nullCounts(c)).sum}\n")
+        }
+      }
       // merged stats: fold per-file maps, dropping any column the fold
       // can't bound for every file (None poisons the entry)
       val merged = chunk.map(f => fileStats(f).view.mapValues(Option(_)).toMap)

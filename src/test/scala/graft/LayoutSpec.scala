@@ -775,7 +775,18 @@ class LayoutSpec extends SparkSpec {
     assert(wh.statsMinMax("t", "k") === Some((0L, 9999L)))
     assert(wh.statsMinMax("t", "s") === Some(("s00000", "s09999")))
     assert(wh.statsMinMax("t", "no_such_col") === None)
-    assert(wh.chunkOpens === 0L, "counts and min/max must come from the manifest header")
+    assert(wh.statsNullCount("t", "k") === Some(0L))
+    assert(wh.statsNullCount("t", "no_such_col") === None,
+      "unknown column must be unknown, never zero")
+    assert(wh.chunkOpens === 0L, "counts, min/max and null counts must come from the manifest header")
+
+    // IS NULL skipping at chunk level: zero header nulls ⇒ chunks for
+    // an IS NULL scan are skipped unopened (only the empty-result
+    // schema read touches the listing)
+    wh.chunkOpens = 0
+    val nullScan = wh.readSkippingIsNull("t", "k", isNull = true)
+    assert(wh.chunkOpens <= 8, "pruning itself must not open chunks for a proven-null-free table")
+    assert(nullScan.count() === 0)
 
     // narrow range: chunk-level stats skip 7 of 8 chunks unopened
     wh.chunkOpens = 0
