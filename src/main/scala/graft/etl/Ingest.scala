@@ -19,6 +19,50 @@ import graft.sources.{EdinetCsv, Warehouse}
   */
 class Ingest(spark: SparkSession, wh: Warehouse) {
 
+  /** The reference's import script (scripts/import_financial_data.py:
+    * 38-53) as ONE composition: land the date's document list →
+    * quarterly filter (P9) → land each filing's ZIP → distributed
+    * member extract into a CSV landing dir → one distributed ingest of
+    * everything landed. The reference loops documents serially,
+    * fetching AND persisting one at a time inside the loop; here the
+    * driver loop only LANDS archives (a date's filing list is small —
+    * tens of rows; ZIP payloads go fetcher-to-disk, never through
+    * Spark's driver), and everything downstream is the same
+    * distributed scan/extract/upsert pipeline as `run`. A filing
+    * whose archive 404s is reported and skipped (the reference's
+    * "Failed to Fetch data." branch, import_financial_data.py:52-53)
+    * — one missing upstream file never aborts the date.
+    *
+    * Returns (ingested doc ids, fetch-failed doc ids, quarantine).
+    */
+  def runForDate(fetcher: graft.sources.EdinetApi.Fetcher,
+      date: java.time.LocalDate, workDir: String,
+      strict: Boolean = false): (Seq[String], Seq[String], DataFrame) = {
+    import spark.implicits._
+    val listPath = fetcher.fetchDocumentList(date)
+    val docs = graft.sources.EdinetApi.quarterlyReports(
+      graft.sources.EdinetApi.documentList(spark, listPath))
+    val ids = docs.select("docID").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val landed = ids.map { id =>
+      id -> (try Some(fetcher.fetchArchive(id))
+        catch { case _: java.io.FileNotFoundException => None })
+    }
+    val ok = landed.collect { case (id, Some(_)) => id }
+    val failed = landed.collect { case (id, None) => id }
+    if (ok.isEmpty)
+      return (Nil, failed, Seq.empty[(String, String)].toDF("doc_id", "reason"))
+    // the fetcher lands all archives under one dir — extract THIS
+    // date's members only (other dates' zips may share the landing)
+    val zipDir = new org.apache.hadoop.fs.Path(
+      landed.collectFirst { case (_, Some(p)) => p }.get).getParent.toString
+    val extracted = graft.sources.ZipExtract.extract(spark, zipDir)
+      .filter(element_at(split(col("archive"), "/"), -1)
+        .isin(ok.map(_ + ".zip"): _*))
+    graft.sources.ZipExtract.toLanding(extracted, s"$workDir/csv")
+    (ok, failed, run(s"$workDir/csv", strict))
+  }
+
   /** Ingest every filing under `pathSpec`. Returns the quarantine
     * DataFrame (docs whose required fields failed extraction —
     * reference raises and aborts; we route and continue, strict=false).

@@ -198,11 +198,33 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     finally in.close()
   }
 
-  private def readChunk(fs: FileSystem, root: Path, name: String): Seq[String] = {
+  /** Chunk entries: `<path>` or `<path>\t<bytes>` per line — byte
+    * sizes are captured at commit from ONE directory listing per
+    * version dir, so `tableHealth` on a chunked table answers with
+    * ZERO per-file stat RPCs (the last O(files)-RPC driver surface; at
+    * 10⁶ files that is 10⁶ NameNode/S3 round-trips saved per health
+    * probe). Size-less lines (older chunks) degrade to the per-file
+    * stat fallback.
+    */
+  private def chunkEntries(fs: FileSystem, root: Path,
+      name: String): Seq[(String, Option[Long])] = {
     chunkOpens += 1
     readSmallFile(fs, new Path(root, name))
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        // size = the text after the LAST tab iff numeric; else the
+        // whole line is the path (sizes are optional, paths win ties)
+        val i = line.lastIndexOf('\t')
+        if (i < 0) (line, None)
+        else line.drop(i + 1).toLongOption match {
+          case some @ Some(_) => (line.take(i), some)
+          case None           => (line, None)
+        }
+      }
   }
+
+  private def readChunk(fs: FileSystem, root: Path, name: String): Seq[String] =
+    chunkEntries(fs, root, name).map(_._1)
 
   /** Parse a manifest's HEADER: Some(chunks) for the chunked format,
     * None for flat.
@@ -1050,13 +1072,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         case _ => None
       }
     }
+    // per-file byte sizes from ONE recursive listing per referenced
+    // version dir (a directory LIST, not a per-file stat) — ride the
+    // chunk entries so tableHealth never stats files one by one
+    def sizesUnder(d: Path, prefix: String): Map[String, Long] =
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(".") || nm.startsWith("_")) Nil
+        else if (st.isDirectory) sizesUnder(st.getPath, s"$prefix$nm/").toSeq
+        else Seq(s"$prefix$nm" -> st.getLen)
+      }.toMap
+    val sizesByV = byVersion.keys.map { v =>
+      v -> (if (v.isEmpty) sizesUnder(root, "")
+        else sizesUnder(new Path(root, v), s"$v/"))
+    }.toMap
+    def sizeOf(f: String): Option[Long] = {
+      val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+      sizesByV(v).get(f)
+    }
     val header = new StringBuilder(ChunkedHeader).append('\n')
     val written = scala.collection.mutable.ListBuffer[String]()
     sorted.grouped(manifestChunkSize).zipWithIndex.foreach { case (chunk, i) =>
       val name = s"_mchunk_v${n}_${tag}_$i"
       written += name
       val out = fs.create(new Path(root, name), true)
-      try out.write((chunk.mkString("\n") + "\n").getBytes("UTF-8"))
+      val body = chunk.map(f =>
+        sizeOf(f).map(sz => s"$f\t$sz").getOrElse(f)).mkString("\n")
+      try out.write((body + "\n").getBytes("UTF-8"))
       finally out.close()
       val rowStats = chunk.map { f =>
         val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
@@ -1589,10 +1632,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def tableHealth(name: String,
       smallBytes: Long = 8L * 1024 * 1024): TableHealth = {
-    val files = snapshotFiles(name)
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val sizes = files.map(f => fs.getFileStatus(new Path(root, f)).getLen)
+    // chunked manifests carry commit-time byte sizes per entry: the
+    // health probe costs O(chunk parses), ZERO per-file stat RPCs —
+    // exactly the surface a maintenance scheduler polls on every
+    // table, every few minutes, at 10⁶ files. Size-less entries
+    // (older chunks) fall back to a stat; flat manifests keep the
+    // original per-file path.
+    val (files, sizes) = (if (manifest) currentManifest(fs, root)
+        .flatMap(m => manifestChunks(fs, new Path(root, m))) else None) match {
+      case Some(chunks) =>
+        val entries = chunks.flatMap(ch => chunkEntries(fs, root, ch.name))
+        (entries.map(_._1), entries.map { case (f, sz) =>
+          sz.getOrElse(fs.getFileStatus(new Path(root, f)).getLen)
+        })
+      case None =>
+        val fl = snapshotFiles(name)
+        (fl, fl.map(f => fs.getFileStatus(new Path(root, f)).getLen))
+    }
     val versions = if (fs.exists(root))
       fs.listStatus(root).count(st =>
         st.isDirectory && st.getPath.getName.matches("_v\\d+"))

@@ -822,6 +822,28 @@ class LayoutSpec extends SparkSpec {
     assert(leftover.isEmpty, s"reaped manifests must take their chunks: ${leftover.toSeq}")
   }
 
+  test("chunked manifest: tableHealth answers from chunk-entry sizes — zero per-file stat RPCs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-health").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 8)
+    wh.atomicPublish("t", spark.range(0, 10000).toDF("k")
+      .repartitionByRange(64, $"k"))
+    val th = wh.tableHealth("t")
+    assert(th.files === 64 && th.rows === Some(10000L) && th.totalBytes > 0)
+    assert(th.smallFiles === 64, "64 tiny files are all under the default threshold")
+
+    // proof there is no per-file stat: delete a data file behind the
+    // warehouse's back — a getFileStatus-per-file health would throw
+    // FileNotFoundException; the chunk-entry sizes still answer, and
+    // the totals are unchanged (commit-time truth)
+    val victim = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/t/_v1"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.delete(victim)
+    val th2 = wh.tableHealth("t")
+    assert(th2.files === 64 && th2.totalBytes === th.totalBytes,
+      "health must come from commit-time chunk entries, not live stats")
+  }
+
   test("chunked manifest: partition typing trap — numeric-looking values never numerically prune string bounds") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-trap").toString
