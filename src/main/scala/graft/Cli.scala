@@ -32,6 +32,25 @@ object Cli {
         println(s"ingest complete; quarantined docs: $nBad")
         if (nBad > 0) quarantine.show(20, truncate = false)
 
+      // the reference import script's surface (scripts/
+      // import_financial_data.py — one submission date per run), live:
+      // document list → quarterly filter → archive landing →
+      // distributed extract + ingest. API key via EDINET_API_KEY.
+      case "ingest-api" :: baseUrl :: whDir :: dates if dates.nonEmpty =>
+        val wh = new Warehouse(spark, whDir)
+        val work = s"$whDir/_ingest_work"
+        val fetcher = new graft.sources.EdinetApi.HttpFetcher(
+          spark, baseUrl, s"$work/landing",
+          apiKey = sys.env.get("EDINET_API_KEY"))
+        dates.foreach { d =>
+          val (ok, failed, quarantine) = new Ingest(spark, wh)
+            .runForDate(fetcher, java.time.LocalDate.parse(d), work)
+          println(s"$d: ingested ${ok.size} filings" +
+            (if (failed.nonEmpty) s"; fetch failed: ${failed.mkString(",")}" else ""))
+          val nBad = quarantine.count()
+          if (nBad > 0) quarantine.show(20, truncate = false)
+        }
+
       case "summary" :: whDir :: rest =>
         val wh = new Warehouse(spark, whDir)
         val (flags, args2) = rest.partition(_.startsWith("--"))
@@ -137,7 +156,9 @@ object Cli {
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(
-          "usage: ingest <csvDir> <whDir> | summary <whDir> [edinetCode] | " +
+          "usage: ingest <csvDir> <whDir> | " +
+          "ingest-api <baseUrl> <whDir> <date>... | " +
+          "summary <whDir> [edinetCode] [--format=json] | " +
           "companies <whDir> | health <whDir> <table> | " +
           "optimize <whDir> <table> [numFiles] | " +
           "maintain <whDir> <table> [smallFileLimit] | " +

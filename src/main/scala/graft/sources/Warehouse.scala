@@ -2306,9 +2306,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         // without a parseable partition segment are kept), so rows of
         // untouched partitions that survive pruning are still filtered
         // before the merge.
-        val pruned =
-          if (manifest && partitionCols.size == 1) {
-            val vals = parts.collect().map(_.get(0)).toSeq
+        // bounded collect: a sane batch touches few partitions; a
+        // pathological one (backfill rewriting 10⁵ partitions) skips
+        // manifest pruning rather than hauling the value list to the
+        // driver — the semi-join below still scopes the merge
+        val touchedVals =
+          if (manifest && partitionCols.size == 1)
+            Some(parts.limit(10001).collect().map(_.get(0)).toSeq)
+              .filter(_.size <= 10000)
+          else None
+        val pruned = touchedVals match {
+          case None => existing
+          case Some(vals) =>
             val (kept, _) = pruneFilesEquals(name, partitionCols.head, vals)
             if (kept.isEmpty) existing.where(lit(false))
             else {
@@ -2322,7 +2331,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
                 case _ => pr
               }
             }
-          } else existing
+        }
         pruned.join(broadcast(parts), partitionCols, "left_semi")
       }
     val keyed = base.withColumn("_src", lit(0))
