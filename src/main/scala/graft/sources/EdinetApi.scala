@@ -118,8 +118,12 @@ object EdinetApi {
             }
           } catch {
             case e: java.io.FileNotFoundException => throw e
-            case e @ (_: java.io.IOException | _: InterruptedException) =>
-              Left(e.toString)
+            case e: InterruptedException =>
+              // an interrupt is a shutdown signal, never a retryable
+              // blip — restore the flag and fail the fetch loudly
+              Thread.currentThread().interrupt()
+              throw new java.io.IOException(s"interrupted fetching $url", e)
+            case e: java.io.IOException => Left(e.toString)
           }
         outcome match {
           case Right(b) => body = b

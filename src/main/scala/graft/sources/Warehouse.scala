@@ -357,6 +357,30 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         }
       }
 
+  /** Decode a hive-escaped partition path value: %XX byte escapes
+    * ONLY. java.net.URLDecoder additionally turns '+' into a space —
+    * but Spark's escapePathName writes a literal '+' for a literal
+    * '+', so URL-decoding corrupts such values ("a+b" → "a b") and a
+    * typed compare against the corrupted value can WRONGLY PRUNE a
+    * matching file. Malformed escapes return None; callers must keep
+    * (never prune on a value they can't read).
+    */
+  private def unescapePathValue(s: String): Option[String] = {
+    if (!s.contains('%')) return Some(s)
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%') {
+        if (i + 3 > s.length) return None
+        try { bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte }
+        catch { case _: NumberFormatException => return None }
+        i += 3
+      } else { bytes ++= ch.toString.getBytes("UTF-8"); i += 1 }
+    }
+    Some(new String(bytes.toArray, "UTF-8"))
+  }
+
   /** Can the `column=value` hive segment of a file's path contain a
     * value in [lower, upper]? True (keep) when the layout doesn't
     * encode the column or the comparison type is ambiguous;
@@ -377,8 +401,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     file.split('/').collectFirst {
       case seg if seg.startsWith(column + "=") &&
           !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") =>
-        java.net.URLDecoder.decode(seg.substring(column.length + 1), "UTF-8")
-    } match {
+        unescapePathValue(seg.substring(column.length + 1))
+    }.flatten match {
       case None => true
       case Some(raw) =>
         val bounds = lower.toSeq ++ upper.toSeq
@@ -1039,17 +1063,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // are compared only when the caller's bound types match
       // (chunkStatMayContain) and are invisible to statsMinMax, whose
       // contract is footer values typed as stored.
-      val partStats = f.split('/').toSeq.collect {
+      val partStats = f.split('/').toSeq.flatMap {
         case seg if seg.contains('=') && !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") &&
             !seg.contains('\t') =>
           val c = seg.takeWhile(_ != '=')
-          val raw = java.net.URLDecoder.decode(seg.substring(c.length + 1), "UTF-8")
-          c -> (raw.toLongOption match {
-            case Some(l) => FileStats.ColStat("plong", l.toString, l.toString)
-            case None => FileStats.ColStat("pstring",
-              java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
-              java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")))
-          })
+          // undecodable values get NO partition stat (the chunk then
+          // never prunes on this column — keep, the safe direction)
+          unescapePathValue(seg.substring(c.length + 1)).map { raw =>
+            c -> (raw.toLongOption match {
+              case Some(l) => FileStats.ColStat("plong", l.toString, l.toString)
+              case None => FileStats.ColStat("pstring",
+                java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
+                java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")))
+            })
+          }
+        case _ => None
       }.toMap
       footer ++ partStats
     }

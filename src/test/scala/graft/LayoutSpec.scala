@@ -822,6 +822,29 @@ class LayoutSpec extends SparkSpec {
     assert(leftover.isEmpty, s"reaped manifests must take their chunks: ${leftover.toSeq}")
   }
 
+  test("partition values with '+' and escaped chars never wrong-prune (URL-decode trap)") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-plus")
+    // 'a+b' is written LITERALLY by Spark's path escaping; URLDecoder
+    // would read it back as 'a b' and a typed compare against the
+    // corrupted value pruned the matching file — silently empty result.
+    // 'x y' round-trips through a real %20 escape; 'p%q' through %25.
+    val df = Seq((1L, "a+b"), (2L, "x y"), (3L, "p%q")).toDF("k", "part")
+    wh.upsert("t", df, Seq("k"), Seq("part"))
+    for ((v, k) <- Seq(("a+b", 1L), ("x y", 2L), ("p%q", 3L))) {
+      val got = wh.readEquals("t", "part", Seq(v)).select($"k").as[Long].collect()
+      assert(got.toSeq === Seq(k), s"value '$v' must survive partition pruning")
+    }
+    // and the same through a CHUNKED manifest's pstring stats
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plus-chunked").toString
+    val whc = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 1)
+    whc.upsert("t", df, Seq("k"), Seq("part"))
+    for ((v, k) <- Seq(("a+b", 1L), ("x y", 2L), ("p%q", 3L))) {
+      val got = whc.readEquals("t", "part", Seq(v)).select($"k").as[Long].collect()
+      assert(got.toSeq === Seq(k), s"value '$v' must survive chunk-level pruning")
+    }
+  }
+
   test("chunked manifest: tableHealth answers from chunk-entry sizes — zero per-file stat RPCs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-health").toString
