@@ -845,6 +845,39 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("partition-value escape round-trip: nasty characters probe exactly through flat and chunked prunes") {
+    import spark.implicits._
+    // every ASCII character class Spark's path escaping handles
+    // differently: literal-on-disk ('+', ' ', ':', '*') and
+    // %XX-escaped ('/', '=', '#', '%', tab, newline). Each must
+    // round-trip through write → path → decode → typed probe with
+    // EXACTLY its own row coming back — a wrong decode either
+    // wrong-prunes (silent empty) or wrong-keeps another value's row.
+    // (Non-ASCII partition values are excluded HERE only because this
+    // sandbox JVM's sun.jnu.encoding cannot create such paths at the
+    // filesystem layer — the decode path itself is byte-oriented
+    // UTF-8 and agnostic.)
+    val nasty = Seq("a/b", "a=b", "a#b", "a%b", "a+b", "a b", "a:b",
+      "a*b", "100%", "a\tb", "a\nb")
+    val df = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "part")
+    val (wh, _) = mk("graft-nasty")
+    wh.upsert("t", df, Seq("k"), Seq("part"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nasty-chunked").toString
+    val whc = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 1)
+    whc.upsert("t", df, Seq("k"), Seq("part"))
+    for ((v, i) <- nasty.zipWithIndex; w <- Seq(wh, whc)) {
+      val got = w.readEquals("t", "part", Seq(v)).select($"k").as[Long].collect()
+      assert(got.toSeq === Seq(i.toLong),
+        s"value ${v.map(c => f"\\u${c.toInt}%04x").mkString} must probe to exactly its row")
+    }
+    // the tab/newline values also stress the chunk-entry and header
+    // wire formats (tab-separated, line-oriented): sizes and counts
+    // must still answer from the header with escaped paths in play
+    assert(whc.statsRowCount("t") === Some(nasty.size.toLong))
+    assert(whc.tableHealth("t").files === nasty.size)
+  }
+
   test("chunked manifest: tableHealth answers from chunk-entry sizes — zero per-file stat RPCs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-chunked-health").toString
