@@ -112,19 +112,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   //   #graft-chunked-manifest v1
   //   chunk\t<chunkFile>\t<nFiles>\t<rowSum|-1>
   //   stat\t<chunkFile>\t<col>\t<typ>\t<min>\t<max>
+  //   nulls\t<chunkFile>\t<col>\t<nullSum>
   //
-  // — and the file entries live in `_mchunk_vN_<i>` sibling files,
-  // partition-clustered (entries sorted by partition path before
-  // splitting). Chunk row sums come from the `_rows` sidecars and
-  // chunk column stats are the per-file `_stats` merged per chunk
-  // (plus hive partition-path values, decoded and typed), so:
+  // — and the file entries (`<path>` or `<path>\t<bytes>`) live in
+  // `_mchunk_vN_<tag>_<i>` sibling files, partition-clustered
+  // (entries sorted by partition path before splitting). Chunk row
+  // and null sums come from the `_rows` sidecars, chunk column stats
+  // are the per-file `_stats` merged per chunk (plus hive
+  // partition-path values, decoded and typed p-stats), and entry byte
+  // sizes come from one directory listing per version dir, so:
   //
-  //  - `statsRowCount` answers from the header alone — O(chunks), not
-  //    O(files), driver work on a 10⁶-file table;
-  //  - `pruneFiles`/`pruneFilesEquals` drop whole chunks whose merged
-  //    stats exclude the range BEFORE opening them — a narrow range on
-  //    a clustered layout parses the matching chunk(s) only (LayoutSpec
-  //    counts the opens via `chunkOpens`);
+  //  - `statsRowCount`/`statsNullCount`/`statsMinMax`/`history`
+  //    answer from the header alone — O(chunks), not O(files), driver
+  //    work on a 10⁶-file table — and `tableHealth` from the chunk
+  //    entries with zero per-file stat RPCs;
+  //  - `pruneFiles`/`pruneFilesEquals`/`readSkippingIsNull` drop whole
+  //    chunks whose merged stats exclude the range BEFORE opening them
+  //    — a narrow range on a clustered layout parses the matching
+  //    chunk(s) only (LayoutSpec counts the opens via `chunkOpens`);
   //  - full-list consumers (resolveSnapshot, GC live-set, fsck, time
   //    travel) concat the chunks through the same `readManifest` call
   //    they always used — O(files) exactly where reading all data is
@@ -1018,20 +1023,26 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (seen.isEmpty) 1L else seen.max + 1
     }
 
-  /** Build one manifest's CONTENT for `files`, writing `_mchunk_vN_i`
-    * sibling files when the list crosses `manifestChunkSize` (else the
-    * flat format). Chunks are partition-clustered: the list is sorted
-    * by (partition rel path, path) first, so a partition-value range
-    * maps to few chunks. Per-chunk metadata is assembled from the
-    * version dirs' existing sidecars — no data file is opened:
+  /** Build one manifest's CONTENT for `files`, writing
+    * `_mchunk_vN_<tag>_<i>` sibling files when the list crosses
+    * `manifestChunkSize` (else the flat format). Chunks are
+    * partition-clustered: the list is sorted by (partition rel path,
+    * path) first, so a partition-value range maps to few chunks.
+    * Per-chunk metadata is assembled from the version dirs' existing
+    * sidecars plus one listing per version dir — no data file is
+    * opened:
     *
-    *  - rowSum: Σ `_rows` entries, −1 when any file's count is unknown
-    *    (legacy vintages) — an unknown never hides as a number;
+    *  - rowSum / null sums: Σ `_rows` entries, unknown (−1 / absent)
+    *    when any file's count is unknown — an unknown never hides as
+    *    a number;
     *  - column stats: `_stats` entries merged per chunk, kept only for
     *    columns EVERY chunk file bounds with one agreed type;
     *  - partition-path columns: each file's `col=value` segment decoded
-    *    — typed long when every value parses, else UTF-8 string stats
-    *    (the same orders `mayContain`/`partitionMayContain` compare in).
+    *    — plong when every value parses, else pstring UTF-8 stats,
+    *    consulted only against matching caller bound types
+    *    (chunkStatMayContain);
+    *  - entry byte sizes from the per-version-dir listing, for the
+    *    zero-RPC tableHealth.
     */
   private def manifestContent(fs: FileSystem, root: Path, n: Long,
       files: Seq[String]): (String, Seq[String]) = {
