@@ -980,6 +980,42 @@ class LayoutSpec extends SparkSpec {
     assert(wh.read("t").count() === 3200 + 100)
   }
 
+  test("chunked pruning fuzz: random ranges and probes — pruned results always equal exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // unpartitioned, range-clustered on long + string, 32 files / 8 chunks
+    val tmp1 = java.nio.file.Files.createTempDirectory("graft-fuzz1").toString
+    val wh1 = new Warehouse(spark, tmp1, manifest = true, manifestChunkSize = 4)
+    val base = spark.range(0, 10000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .repartitionByRange(32, $"k").sortWithinPartitions($"k")
+      .persist()
+    wh1.atomicPublish("t", base)
+    // partitioned by a string date over 16 values, 1 file each / 16 chunks
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-fuzz2").toString
+    val wh2 = new Warehouse(spark, tmp2, manifest = true, manifestChunkSize = 1)
+    wh2.atomicPublish("t", spark.range(0, 3200).toDF("id")
+      .withColumn("d", format_string("2024-%02d", $"id" % 16 + 1))
+      .repartition($"d"), partitionCols = Seq("d"))
+    for (i <- 1 to 25) {
+      val lo = rnd.nextInt(11000) - 500L // ranges beyond both edges too
+      val hi = lo + rnd.nextInt(4000)
+      val exactK = base.filter($"k" >= lo && $"k" <= hi).count()
+      assert(wh1.readSkipping("t", "k", Some(lo), Some(hi)).count() === exactK,
+        s"iter $i long range [$lo,$hi]")
+      val (sl, sh) = (f"s${math.max(lo, 0)}%05d", f"s${math.max(hi, 0)}%05d")
+      val exactS = base.filter($"s" >= sl && $"s" <= sh).count()
+      assert(wh1.readSkipping("t", "s", Some(sl), Some(sh)).count() === exactS,
+        s"iter $i string range [$sl,$sh]")
+      // point probes on the partitioned layout, present and absent
+      val probe = f"2024-${rnd.nextInt(20) + 1}%02d" // months 17-20 absent
+      val exactP = if (probe > "2024-16") 0L else 200L
+      assert(wh2.readEquals("t", "d", Seq(probe)).count() === exactP,
+        s"iter $i partition probe $probe")
+    }
+    base.unpersist()
+  }
+
   test("maintain: small-file pressure triggers one compaction + vacuum; healthy tables untouched") {
     import spark.implicits._
     val (wh, _) = mk("graft-maintain")
