@@ -59,8 +59,15 @@ class Ingest(spark: SparkSession, wh: Warehouse) {
     val extracted = graft.sources.ZipExtract.extract(spark, zipDir)
       .filter(element_at(split(col("archive"), "/"), -1)
         .isin(ok.map(_ + ".zip"): _*))
-    graft.sources.ZipExtract.toLanding(extracted, s"$workDir/csv")
-    (ok, failed, run(s"$workDir/csv", strict))
+    // per-DATE csv landing: the work dir is shared across a multi-date
+    // backfill loop, and `run` scans its whole pathSpec — landing every
+    // date into one flat `csv/` would re-scan and re-upsert all earlier
+    // dates' documents on each later date (output polluted with stale
+    // docs, work quadratic in the number of dates). A date-scoped
+    // subdir keeps each call's scan exactly its own extract.
+    val csvDir = s"$workDir/csv/$date"
+    graft.sources.ZipExtract.toLanding(extracted, csvDir)
+    (ok, failed, run(csvDir, strict))
   }
 
   /** Ingest every filing under `pathSpec`. Returns the quarantine

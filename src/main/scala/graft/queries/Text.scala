@@ -428,7 +428,7 @@ object Text {
         val tot = docs.agg(count(lit(1)).as("n_docs"))
         docs.select(explode(array_distinct(TextOps.tokens($"text"))).as("term"))
           .groupBy($"term").agg(count(lit(1)).as("df"))
-          .crossJoin(tot)
+          .crossJoin(broadcast(tot))
           .filter($"df".cast("double") / $"n_docs" >= 0.10)
           .select($"term", $"df", $"n_docs",
             ($"df".cast("double") / $"n_docs").as("pct"))

@@ -88,6 +88,15 @@ object EdinetApi {
     private def keyParam: String =
       apiKey.map(k => s"&Subscription-Key=$k").getOrElse("")
 
+    /** The credential must never reach logs: every error message (and
+      * anything else human-facing) reports the URL with the
+      * Subscription-Key parameter's VALUE masked — fetch failures
+      * stack-trace through job logs and retry loops, which would
+      * otherwise persist the key in plaintext on every blip.
+      */
+    private def redact(url: String): String =
+      url.replaceAll("(Subscription-Key=)[^&]*", "$1***")
+
     def fetchDocumentList(date: java.time.LocalDate): String =
       land(s"$baseUrl/documents.json?date=$date&type=2$keyParam",
         s"$landingDir/$date.json")
@@ -111,10 +120,10 @@ object EdinetApi {
             resp.statusCode() match {
               case 200 => Right(resp.body())
               case 404 => throw new java.io.FileNotFoundException(
-                s"HTTP 404: $url")
+                s"HTTP 404: ${redact(url)}")
               case s if s >= 500 => Left(s"HTTP $s")
               case s => throw new java.io.IOException(
-                s"HTTP $s fetching $url — not retryable")
+                s"HTTP $s fetching ${redact(url)} — not retryable")
             }
           } catch {
             case e: java.io.FileNotFoundException => throw e
@@ -122,15 +131,16 @@ object EdinetApi {
               // an interrupt is a shutdown signal, never a retryable
               // blip — restore the flag and fail the fetch loudly
               Thread.currentThread().interrupt()
-              throw new java.io.IOException(s"interrupted fetching $url", e)
-            case e: java.io.IOException => Left(e.toString)
+              throw new java.io.IOException(
+                s"interrupted fetching ${redact(url)}", e)
+            case e: java.io.IOException => Left(redact(e.toString))
           }
         outcome match {
           case Right(b) => body = b
           case Left(why) =>
             if (attempt >= maxRetries)
               throw new java.io.IOException(
-                s"fetch failed after ${attempt + 1} attempts: $url ($why)")
+                s"fetch failed after ${attempt + 1} attempts: ${redact(url)} ($why)")
             attempt += 1
             Thread.sleep(retryBackoffMs * attempt)
         }

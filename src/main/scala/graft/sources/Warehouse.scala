@@ -670,7 +670,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
       else {
         val pruned = readFiles(name, kept)
-        if (!kept.exists(_.contains(s"$column="))) pruned
+        if (!snapshotEncodesPartition(name, kept, column)) pruned
         else {
           val full = readFiles(name, snapshotFiles(name))
           (full.schema.find(_.name == column),
@@ -685,6 +685,28 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val lo = lower.map(v => c >= lit(v)).getOrElse(lit(true))
     val hi = upper.map(v => c <= lit(v)).getOrElse(lit(true))
     base.where(lo && hi)
+  }
+
+  /** Does the snapshot's layout encode `column` as a hive partition
+    * path segment anywhere — i.e. must a pruned read apply the
+    * full-table type guard? Two past traps, both pinned in LayoutSpec:
+    *
+    *  - the match is by WHOLE path segment (`split('/')` +
+    *    `startsWith(column + "=")`), never substring — a column named
+    *    `id` must not match a `uuid=...` segment and spuriously pay
+    *    (or worse, mis-resolve) the guard;
+    *  - the decision consults the FULL snapshot, not just the pruned
+    *    subset: on a mixed evolved/flat layout a pruned subset that
+    *    happens to contain only flat-vintage files would skip the
+    *    guard even though the full-table schema types the column from
+    *    the evolved files' paths — exactly the r6 type-flip the guard
+    *    exists to catch. The kept-subset check stays as the fast path
+    *    (a hit there already proves the layout encodes the column).
+    */
+  private def snapshotEncodesPartition(name: String, kept: Seq[String],
+      column: String): Boolean = {
+    def hasSeg(f: String) = f.split('/').exists(_.startsWith(column + "="))
+    kept.exists(hasSeg) || snapshotFiles(name).exists(hasSeg)
   }
 
   /** Build a per-file Bloom-filter index for `column` over the CURRENT
@@ -877,7 +899,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       else {
         val pruned = readFiles(name, kept)
         // partition-column type guard only — see readSkipping
-        if (!kept.exists(_.contains(s"$column="))) pruned
+        if (!snapshotEncodesPartition(name, kept, column)) pruned
         else {
           val full = readFiles(name, snapshotFiles(name))
           (full.schema.find(_.name == column),
@@ -1654,6 +1676,12 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           // once past the same age gate deleteRows' own GC uses
           fs.delete(st.getPath, true)
           deleted += d
+        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) =>
+          // the reaped manifest's `_DVPTR_` pointer goes with its
+          // lineage — deleteRows' own GC only tends its LIVE manifest,
+          // so without this sweep dead pointers accumulate forever
+          fs.delete(st.getPath, false)
+          deleted += p
         case _ => ()
       }
     }
@@ -1880,6 +1908,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def newDvDirName(mfName: String) =
     s"_dv_${mfName}_${java.util.UUID.randomUUID().toString.take(8)}"
   private val DvDirRe = "_dv_(_manifest_v\\d+)_([0-9a-f]{8})".r
+  private val DvPtrRe = "_DVPTR_(_manifest_v\\d+)".r
   private val DvOrphanGraceMs: Long = 15L * 60 * 1000
 
   /** Current DV dir for a manifest, resolved through the pointer. */
