@@ -63,8 +63,17 @@ object Cli {
           // chart-shaped series (app.py:158-169 reshape), one JSON
           // object per (company, period, metric) row
           Summary.chartSeries(typed.toDF()).toJSON.collect().foreach(println)
-        else
-          Summary.display(typed.toDF()).show(50, truncate = false)
+        else flags.find(_.startsWith("--chart=")) match {
+          case Some(f) =>
+            // static dashboard egress: one Vega-Lite bar chart per
+            // (company, period) — the app.py:172-189 Altair chart
+            val out = f.stripPrefix("--chart=")
+            graft.etl.ChartWriter.writeHtml(
+              Summary.chartSeries(typed.toDF()), out)
+            println(s"wrote $out")
+          case None =>
+            Summary.display(typed.toDF()).show(50, truncate = false)
+        }
 
       case "companies" :: whDir :: Nil =>
         val wh = new Warehouse(spark, whDir)

@@ -63,7 +63,138 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
+  /** Commit-path scaling sweep (`runMain graft.ScaleProbe commit
+    * <workDir> <n1,n2,...>`): fabricate a chunked snapshot of N empty
+    * data files (+ real `_stats`/`_rows` sidecars, so the commit pays
+    * the same metadata reads a real table would), then time
+    *
+    *  - `full`:    a full-list publish — the cost EVERY round-10
+    *               commit paid (re-sort, re-read every sidecar,
+    *               re-list every version dir, rewrite every chunk);
+    *  - `append`:  an incremental Delta adding 16 files — the
+    *               round-11 path (reuse untouched chunks by
+    *               reference);
+    *  - `upsert`:  an incremental Delta swapping ONE partition;
+    *  - `rowcount`: the header-only metadata count.
+    *
+    * One JSON line per (op, N); the fitted exponent
+    * ln(t_b/t_a)/ln(b/a) goes to SCALE.md — full ≈ 1 (by design),
+    * append/upsert ≪ 1 is the claim under test.
+    */
+  def commitSweep(spark: SparkSession, workDir: String, sizes: Seq[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    sizes.foreach { nf =>
+      val dir = s"$workDir/commit_$nf"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      fs.delete(root, true)
+      val wh = new graft.sources.Warehouse(spark, dir, manifest = true)
+      val nParts = math.max(4, nf / 16) // ~16 files per hive partition
+      def fabricate(vdir: String, names: Seq[(String, String)]): Seq[String] = {
+        // names = (partition value, file name); empty data files via
+        // java.io (local probe), one _stats + _rows sidecar per vdir
+        names.map(_._1).distinct.foreach { p =>
+          new java.io.File(s"$dir/t/$vdir/pt=$p").mkdirs()
+        }
+        val rel = names.map { case (p, f) => s"pt=$p/$f" }
+        rel.foreach(r => new java.io.File(s"$dir/t/$vdir/$r").createNewFile())
+        val vroot = new org.apache.hadoop.fs.Path(s"$dir/t/$vdir")
+        graft.sources.FileStats.write(fs,
+          new org.apache.hadoop.fs.Path(vroot, "_stats"),
+          rel.zipWithIndex.map { case (r, i) =>
+            r -> Map("k" -> graft.sources.FileStats.ColStat("long",
+              (i * 100L).toString, (i * 100L + 99).toString))
+          }.toMap)
+        graft.sources.FileStats.writeRows(fs,
+          new org.apache.hadoop.fs.Path(vroot, "_rows"),
+          rel.map(r => r -> graft.sources.FileStats.RowStat(100L,
+            Map("k" -> 0L))).toMap)
+        rel.map(r => s"$vdir/$r")
+      }
+      def time[T](body: => T): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val v1 = fabricate("_v1",
+        (0 until nf).map(i => (s"${i % nParts}", f"part-$i%05d.parquet")))
+      val tFull0 = time(wh.commitFabricated("t", v1))
+      val v2 = fabricate("_v2", (0 until 16).map(i => ("0", f"part-a$i%03d.parquet")))
+      val tAppend = time(wh.commitFabricatedDelta("t", Set.empty, v2))
+      val v3 = fabricate("_v3", (0 until 16).map(i => ("1", f"part-b$i%03d.parquet")))
+      val tUpsert = time(wh.commitFabricatedDelta("t", Set("pt=1"), v3))
+      // the round-10-equivalent commit: every publish was this
+      val now = (v1.filterNot(_.contains("/pt=1/")) ++ v2 ++ v3)
+      val tFull = time(wh.commitFabricated("t", now))
+      val tCount = time(require(wh.statsRowCount("t").nonEmpty))
+      Seq("bootstrap" -> tFull0, "append" -> tAppend, "upsert" -> tUpsert,
+        "full" -> tFull, "rowcount" -> tCount).foreach { case (op, s) =>
+        println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
+      }
+      System.err.println(f"[scaleprobe] commit sweep n=$nf: full=$tFull%.3fs append=$tAppend%.3fs upsert=$tUpsert%.3fs")
+    }
+  }
+
+  /** Hub-skew sweep (`runMain graft.ScaleProbe skew <workDir>
+    * <d1,d2,...>`): a synthetic co-purchase corpus — 5000 ordinary
+    * customers of degree 20 over a shared 2000-part vocabulary, plus
+    * ONE hub customer of degree d — runs the UNMODIFIED m37 (exact,
+    * uncapped) and m63 (production, maxDegree=50) catalog code. The
+    * uncapped self-join owes the hub C(d,2) pairs, so its wall-time
+    * must blow up quadratically in d while the capped form drops the
+    * hub whole and stays flat — the SCALE.md table demonstrating the
+    * valve, complementing OperatorsSpec's exact pair-bound pin.
+    */
+  def skewSweep(spark: SparkSession, workDir: String, degrees: Seq[Int]): Unit = {
+    import spark.implicits._
+    degrees.foreach { d =>
+      val dir = s"$workDir/skew_$d"
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        val nCust = 5000L
+        val hub = nCust // one extra customer, the hub
+        spark.range(0, nCust + 1)
+          .select($"id".as("o_orderkey"), $"id".as("o_custkey"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val ordinary = spark.range(0, nCust)
+          .select($"id".as("l_orderkey"),
+            explode(sequence(lit(0), lit(19))).as("j"))
+          .select($"l_orderkey",
+            (($"l_orderkey" % 100) * 20 + $"j").as("l_partkey"))
+        val hubRows = spark.range(0, d.toLong)
+          .select(lit(hub).as("l_orderkey"), $"id".as("l_partkey"))
+        ordinary.unionByName(hubRows).repartition(16)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+      Seq("m63_copurchase_capped", "m37_copurchase").foreach { q =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"""{"query":"$q","hub_degree":$d,"rows":$n,"sec":$s%.2f}""")
+        System.err.println(f"[scaleprobe] $q hub=$d rows=$n ${s}%.2fs")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("skew")) {
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      skewSweep(spark, args(1), args(2).split(',').toSeq.map(_.trim.toInt))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("commit")) {
+      val spark = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      commitSweep(spark, args(1), args(2).split(',').toSeq.map(_.trim.toInt))
+      spark.stop()
+      return
+    }
     val Array(baseDir, workDir, factorS, queriesS) = args.take(4)
     val factor = factorS.toInt
     val queries = queriesS.split(',').toSeq

@@ -1253,17 +1253,18 @@ object Misc {
         // windows near the stream head, so the partition-scoped merge
         // reads/rewrites the recent months' partitions, not the whole
         // sink — merge cost tracks batch recency, not table age
-        // (StreamingSpec pins the scoping mechanism). Month, not day:
-        // partition count ~ corpus age / 30, so the per-batch write
-        // fans out to a handful of directories, not hundreds — the
-        // r10 day-grained first cut tripled these queries' bench cost
-        // on pure small-file write amplification.
+        // (StreamingSpec pins the scoping mechanism). The day/month
+        // grain is ADAPTIVE per deployment (EventStream.timeGrain,
+        // sticky table prop): this corpus's windowed counts are sparse
+        // and range-wide, so the heuristic lands on month — the same
+        // choice r10 measured by hand after the day-grained first cut
+        // tripled these queries' bench cost on small-file write
+        // amplification.
         val q = graft.streaming.EventStream.sinkToWarehouse(
           graft.streaming.EventStream.windowedCounts(
-              graft.streaming.EventStream.read(s, land))
-            .withColumn("w_month", date_format($"w_start", "yyyy-MM")),
+              graft.streaming.EventStream.read(s, land)),
           wh, "ev_win", Seq("w_start", "event_type"), chk,
-          partitionCols = Seq("w_month"))
+          timeCol = Some("w_start"))
         q.awaitTermination()
         wh.read("ev_win")
           .select(unix_micros($"w_start").as("w_us"), $"event_type", $"n", $"total")
@@ -1328,20 +1329,21 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sjw")
         val chk = graft.sources.Scratch.dir(s, "sjc")
-        // pairs partition by click MONTH (see m31's granularity note):
-        // each append-mode micro-batch carries pairs for the freshly-
-        // watermark-complete clicks, so the partition-scoped merge
-        // touches the stream head's months only — never re-merging the
-        // whole sink per batch
+        // pairs partition by click time at the ADAPTIVE grain (see
+        // m31's note; month on this corpus): each append-mode
+        // micro-batch carries pairs for the freshly-watermark-complete
+        // clicks, so the partition-scoped merge touches the stream
+        // head's partitions only — never re-merging the whole sink
         val q = graft.streaming.EventStream.clicksWithPriorView(
             graft.streaming.EventStream.read(s, land))
-          .withColumn("c_month", date_format($"c_ts", "yyyy-MM"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            wh.upsert("cv", b, Seq("click_id", "view_id"),
-              partitionCols = Seq("c_month"))
+            val (pb, pc) = graft.streaming.EventStream
+              .withTimePartition(wh, "cv", b, "c_ts")
+            wh.upsert("cv", pb, Seq("click_id", "view_id"),
+              partitionCols = Seq(pc))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1441,19 +1443,20 @@ object Misc {
         ev.repartition(2).write.mode("append").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "sdw")
         val chk = graft.sources.Scratch.dir(s, "sdc")
-        // sink partitioned by event MONTH (string — prunes through the
-        // manifest's typed partition-path compare; see m31's
-        // granularity note): each batch merges into the months it
-        // carries, not the whole sink table
+        // sink partitioned by event time at the ADAPTIVE grain (string
+        // — prunes through the manifest's typed partition-path
+        // compare; see m31's granularity note): each batch merges into
+        // the partitions it carries, not the whole sink table
         val q = graft.streaming.EventStream.deduplicated(
             graft.streaming.EventStream.read(s, land))
-          .withColumn("e_month", date_format($"ts", "yyyy-MM"))
           .writeStream
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            wh.upsert("dedup", b, Seq("event_id"),
-              partitionCols = Seq("e_month"))
+            val (pb, pc) = graft.streaming.EventStream
+              .withTimePartition(wh, "dedup", b, "ts")
+            wh.upsert("dedup", pb, Seq("event_id"),
+              partitionCols = Seq(pc))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

@@ -111,12 +111,28 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   //
   //   #graft-chunked-manifest v1
   //   chunk\t<chunkFile>\t<nFiles>\t<rowSum|-1>
+  //   span\t<chunkFile>\t<firstEntry>\t<lastEntry>
+  //   vdirs\t<chunkFile>\t<_v3,_v7|->          (- = legacy root files)
+  //   pcols\t<chunkFile>\t<c1,c2|-|!>          (! = unrepresentable)
   //   stat\t<chunkFile>\t<col>\t<typ>\t<min>\t<max>
   //   nulls\t<chunkFile>\t<col>\t<nullSum>
+  //   ndv\t<chunkFile>\t<col>\t<b64 HLL registers>
   //
   // — and the file entries (`<path>` or `<path>\t<bytes>`) live in
   // `_mchunk_vN_<tag>_<i>` sibling files, partition-clustered
-  // (entries sorted by partition path before splitting). Chunk row
+  // (entries sorted by partition path before splitting). The span /
+  // vdirs / pcols lines exist so a LATER commit can treat chunks as
+  // immutable reusable units (see "Incremental commits" below): the
+  // span is the chunk's (partition-path, path) sort-key range — which
+  // chunks a delta touches is decided without opening any; vdirs
+  // names the version dirs a chunk references — the GC live-set and
+  // commit bookkeeping never concat the file list; pcols records the
+  // hive partition columns encoded in the chunk's paths — the pruned-
+  // read type guard (`snapshotEncodesPartition`) answers header-only.
+  // ndv lines carry per-chunk merged HyperLogLog registers for
+  // columns whose every file had an `_ndv_<col>` sidecar entry at
+  // commit time, so `statsApproxNdv` answers from the header alone.
+  // Chunk row
   // and null sums come from the `_rows` sidecars, chunk column stats
   // are the per-file `_stats` merged per chunk (plus hive
   // partition-path values, decoded and typed p-stats), and entry byte
@@ -151,14 +167,45 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   // crash-orphaned tag no kept manifest references.
   private val MChunkRe = "_mchunk_v(\\d+)_([0-9a-f]{8})_(\\d+)".r
 
+  /** One chunk as the header describes it. `span`/`vdirs`/`pcols` are
+    * None on pre-incremental (round-10) headers — consumers that need
+    * them fall back to reading the chunk (or the full list); every
+    * NEW header writes them. `raw` keeps the chunk's original header
+    * lines verbatim so an incremental commit re-emits a reused chunk's
+    * metadata byte-for-byte without recomputing (or even re-reading)
+    * anything.
+    */
   private final case class ChunkMeta(name: String, nFiles: Int, rowSum: Long,
-      stats: Map[String, FileStats.ColStat], nulls: Map[String, Long])
+      stats: Map[String, FileStats.ColStat], nulls: Map[String, Long],
+      span: Option[(String, String)], vdirs: Option[Seq[String]],
+      pcols: Option[Seq[String]], ndv: Map[String, Array[Byte]],
+      raw: Seq[String])
 
   /** Test seam: number of chunk FILES actually opened (header parses
     * don't count) — LayoutSpec pins that pruned reads open only the
     * overlapping chunks.
     */
   private[graft] var chunkOpens: Long = 0L
+
+  /** Test seam: number of chunk files WRITTEN — LayoutSpec pins that
+    * a delta commit writes only the chunks its delta touches (an
+    * append to one partition of a 10k-file table rewrites ≤ touched+1
+    * chunks, not all of them).
+    */
+  private[graft] var chunkWrites: Long = 0L
+
+  /** Test seam: the version dirs whose sidecars (`_stats`/`_rows`/
+    * listing) the MOST RECENT manifest build actually opened —
+    * LayoutSpec pins that a delta commit reads no sidecar of an
+    * untouched version dir.
+    */
+  private[graft] var lastCommitSidecarDirs: Set[String] = Set.empty
+
+  /** Test seam: per-file getFileStatus RPCs issued by `tableHealth`'s
+    * fallback path — pinned to zero for manifest tables (sizes come
+    * from chunk entries or one listing per version dir).
+    */
+  private[graft] var fileStatRpcs: Long = 0L
 
   /** Chunk-level may-contain, typed by the CALLER's bounds: a stat is
     * consulted only when its type class matches the bounds' — a
@@ -242,22 +289,51 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // loses chunk-level pruning for that column (may-contain), and a
     // dropped chunk line surfaces as missing data at read — loud — not
     // as a parse crash during GC/vacuum shield computation
-    val stats = lines.filter(_.startsWith("stat\t")).flatMap(_.split('\t') match {
-      case Array(_, ch, c, t, mn, mx) => Some((ch, c, FileStats.ColStat(t, mn, mx)))
-      case _                          => None
-    }).groupBy(_._1).map { case (ch, rows) =>
-      ch -> rows.map(r => r._2 -> r._3).toMap
-    }
-    val nulls = lines.filter(_.startsWith("nulls\t")).flatMap(_.split('\t') match {
-      case Array(_, ch, c, n) if n.toLongOption.isDefined => Some((ch, c, n.toLong))
-      case _                                              => None
-    }).groupBy(_._1).map { case (ch, rows) =>
-      ch -> rows.map(r => r._2 -> r._3).toMap
-    }
+    def byChunk[T](kind: String)(parse: Array[String] => Option[T]): Map[String, Seq[T]] =
+      lines.filter(_.startsWith(kind + "\t")).flatMap { l =>
+        val f = l.split('\t')
+        if (f.length >= 2) parse(f).map(f(1) -> _) else None
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val stats = byChunk("stat") {
+      case Array(_, _, c, t, mn, mx) => Some(c -> FileStats.ColStat(t, mn, mx))
+      case _                         => None
+    }.view.mapValues(_.toMap).toMap
+    val nulls = byChunk("nulls") {
+      case Array(_, _, c, n) if n.toLongOption.isDefined => Some(c -> n.toLong)
+      case _                                             => None
+    }.view.mapValues(_.toMap).toMap
+    val spans = byChunk("span") {
+      case Array(_, _, first, last) => Some((first, last))
+      case _                        => None
+    }.view.mapValues(_.headOption).toMap
+    // "-" = the chunk holds legacy root files (no version dir); the
+    // sentinel round-trips so vdirs stays decidable header-only even
+    // for mixed legacy/versioned chunks
+    val vdirs = byChunk("vdirs") {
+      case Array(_, _, vs) => Some(vs.split(',').toSeq.filter(_.nonEmpty))
+      case _               => None
+    }.view.mapValues(_.headOption).toMap
+    val pcols = byChunk("pcols") {
+      case Array(_, _, "!") => Some(None) // unrepresentable column name
+      case Array(_, _, "-") => Some(Some(Seq.empty[String]))
+      case Array(_, _, cs)  => Some(Some(cs.split(',').toSeq.filter(_.nonEmpty)))
+      case _                => None
+    }.view.mapValues(_.headOption.flatten).toMap
+    val ndv = byChunk("ndv") {
+      case Array(_, _, c, b64) =>
+        try Some(c -> java.util.Base64.getDecoder.decode(b64))
+        catch { case _: IllegalArgumentException => None }
+      case _ => None
+    }.view.mapValues(_.toMap).toMap
+    val rawByChunk = lines.filter(_.contains('\t'))
+      .groupBy(_.split('\t').lift(1).getOrElse(""))
     Some(lines.filter(_.startsWith("chunk\t")).flatMap(_.split('\t') match {
       case Array(_, name, nf, rs) if nf.toIntOption.isDefined && rs.toLongOption.isDefined =>
-        Some(ChunkMeta(name, nf.toInt, rs.toLong, stats.getOrElse(name, Map.empty),
-          nulls.getOrElse(name, Map.empty)))
+        Some(ChunkMeta(name, nf.toInt, rs.toLong,
+          stats.getOrElse(name, Map.empty), nulls.getOrElse(name, Map.empty),
+          spans.get(name).flatten, vdirs.get(name).flatten,
+          pcols.get(name).flatten, ndv.getOrElse(name, Map.empty),
+          rawByChunk.getOrElse(name, Nil)))
       case _ => None
     }))
   }
@@ -706,7 +782,42 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def snapshotEncodesPartition(name: String, kept: Seq[String],
       column: String): Boolean = {
     def hasSeg(f: String) = f.split('/').exists(_.startsWith(column + "="))
-    kept.exists(hasSeg) || snapshotFiles(name).exists(hasSeg)
+    if (kept.exists(hasSeg)) return true
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    // chunked manifests answer from the header's pcols lines — the
+    // guard decision must NOT cost a full-list concat on a 10^6-file
+    // table (s27 pins chunk opens). A chunk whose pcols is
+    // unrepresentable (`!`) or a pre-pcols header falls back to the
+    // list, the conservative direction.
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) if chunks.nonEmpty && chunks.forall(_.pcols.isDefined) =>
+        chunks.exists(_.pcols.get.contains(column))
+      case _ => snapshotFiles(name).exists(hasSeg)
+    }
+  }
+
+  /** First entry of the current snapshot — the partition-layout
+    * witness `append` needs — without materializing the list: flat
+    * manifests read their first line, chunked ones the first chunk's
+    * span (falling back to opening that one chunk on a pre-span
+    * header).
+    */
+  private def snapshotHeadFile(name: String): Option[String] = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    currentManifest(fs, root) match {
+      case Some(m) =>
+        val mf = new Path(root, m)
+        manifestChunks(fs, mf) match {
+          case Some(chunks) => chunks.headOption.flatMap(c =>
+            c.span.map(_._1)
+              .orElse(readChunk(fs, root, c.name).headOption))
+          case None => readManifest(fs, mf).headOption
+        }
+      case None => listDataFiles(fs, root, root).headOption
+    }
   }
 
   /** Build a per-file Bloom-filter index for `column` over the CURRENT
@@ -789,6 +900,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         NdvSketch.write(fileSystem(vdir), new Path(vdir, s"_ndv_$column"),
           perFile)
     }
+    // chunked tables: fold the fresh sidecars into the manifest header
+    // as per-chunk merged registers via a metadata-only recommit, so
+    // `statsApproxNdv` answers header-only (zero chunk opens) until
+    // the next data change. A full rebuild is fine here — buildNdv
+    // just scanned the DATA; an O(files) metadata pass is
+    // proportionally free, and later delta commits re-derive ndv lines
+    // only for the chunks they touch.
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    currentManifest(fs, root).foreach { m =>
+      if (manifestChunks(fs, new Path(root, m)).exists(_.nonEmpty)) {
+        val files = readManifest(fs, new Path(root, m))
+        val n = claimVersion(fs, root)
+        commitSnapshot(name, n, FullList(files), Some(m))
+      }
+    }
   }
 
   /** Approximate distinct count of `column`, answered from the
@@ -804,6 +931,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "metadata NDV requires manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
+    // chunked manifests carry per-chunk MERGED registers in the header
+    // (written at commit when every chunk file had a sketch, refreshed
+    // by buildNdv's metadata recommit): the estimate answers from the
+    // header alone — zero chunk files, zero sidecars, zero data. Same
+    // completeness contract as ever: every chunk must know the column,
+    // at one register width.
+    currentManifest(fs, root)
+      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+      case Some(chunks) if chunks.nonEmpty &&
+          chunks.forall(_.ndv.contains(column)) =>
+        val regs = chunks.map(_.ndv(column))
+        if (regs.forall(_.length == regs.head.length))
+          return Some(NdvSketch.estimate(regs.reduce(NdvSketch.merge)))
+      case _ => ()
+    }
     val byVersion = snapshotFiles(name).groupBy(f =>
       if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
     val sketches = byVersion.toSeq.sortBy(_._1).flatMap { case (v, fl) =>
@@ -1045,57 +1187,130 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (seen.isEmpty) 1L else seen.max + 1
     }
 
-  /** Build one manifest's CONTENT for `files`, writing
-    * `_mchunk_vN_<tag>_<i>` sibling files when the list crosses
-    * `manifestChunkSize` (else the flat format). Chunks are
-    * partition-clustered: the list is sorted by (partition rel path,
-    * path) first, so a partition-value range maps to few chunks.
-    * Per-chunk metadata is assembled from the version dirs' existing
-    * sidecars plus one listing per version dir — no data file is
-    * opened:
-    *
-    *  - rowSum / null sums: Σ `_rows` entries, unknown (−1 / absent)
-    *    when any file's count is unknown — an unknown never hides as
-    *    a number;
-    *  - column stats: `_stats` entries merged per chunk, kept only for
-    *    columns EVERY chunk file bounds with one agreed type;
-    *  - partition-path columns: each file's `col=value` segment decoded
-    *    — plong when every value parses, else pstring UTF-8 stats,
-    *    consulted only against matching caller bound types
-    *    (chunkStatMayContain);
-    *  - entry byte sizes from the per-version-dir listing, for the
-    *    zero-RPC tableHealth.
+  // ---- Incremental commits: chunks as immutable reusable units ------
+  //
+  // Round-10 commits were O(files): every publish re-sorted the full
+  // list, re-read every version dir's sidecars, re-listed every
+  // version dir for byte sizes, and rewrote EVERY chunk. At 10^6
+  // files that is ~1 GB of driver string work to append one
+  // partition. This layer makes commits O(delta + chunks), the
+  // Iceberg property: a new manifest REFERENCES the previous
+  // snapshot's chunks by name wherever its delta doesn't touch them
+  // (their header lines re-emitted verbatim from the parsed header —
+  // nothing re-read, nothing re-derived) and writes only
+  //
+  //   - rewritten chunks: previous chunks whose (partition, path)
+  //     span intersects the delta's removals, reloaded and re-emitted
+  //     minus the removed entries (byte sizes carried over from the
+  //     old entries; stats/rows re-merged from ONLY those chunks'
+  //     version-dir sidecars);
+  //   - fresh chunks for the added files (sidecars + one listing of
+  //     only the added files' version dirs).
+  //
+  // Because chunks now outlive their manifest number, chunk GC is
+  // REFERENCE-COUNTED: a `_mchunk_*` file survives exactly while some
+  // kept manifest's header names it (or its number's in-flight marker
+  // is fresh — the write-window shield). Appends accumulate one small
+  // chunk per publish; when the chunk count exceeds 2x the ideal
+  // (min 8), the commit falls back to a full rebuild — the amortized
+  // manifest-compaction Iceberg schedules explicitly, folded in here.
+
+  /** What a commit publishes. `FullList` = the complete file list
+    * (overwrite publishes, migrations, explicit rebuilds). `Delta` =
+    * base's files − removedPartitions − removedFiles + added, where
+    * `base` is the manifest the delta was computed against — the
+    * incremental path reuses its untouched chunks without ever
+    * materializing the base file list.
     */
-  private def manifestContent(fs: FileSystem, root: Path, n: Long,
-      files: Seq[String]): (String, Seq[String]) = {
-    if (files.size <= manifestChunkSize)
-      return (files.mkString("\n") + "\n", Nil)
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val sorted = files.sortBy(f => (partitionRel(f), f))
-    val byVersion = sorted.groupBy(f =>
-      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
-    val statsByV = byVersion.keys.map { v =>
-      v -> (if (v.isEmpty) Map.empty[String, Map[String, FileStats.ColStat]]
-        else FileStats.read(fs, new Path(new Path(root, v), "_stats")))
-    }.toMap
-    val rowsByV = byVersion.keys.map { v =>
-      v -> (if (v.isEmpty) Map.empty[String, FileStats.RowStat]
-        else FileStats.readRows(fs, new Path(new Path(root, v), "_rows")))
-    }.toMap
-    def fileStats(f: String): Map[String, FileStats.ColStat] = {
-      val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
-      val footer = statsByV(v).getOrElse(f.stripPrefix(v + "/"), Map.empty)
-      // hive partition segments become per-file single-value stats so
-      // chunk pruning covers the partition axis too
-      // partition values get DISTINCT stat types (plong/pstring, never
-      // long/string): a path value types by how it PARSES, but pruning
-      // correctness types by the CALLER's bounds — a lone '9' partition
-      // as a `long` [9,9] stat would let string bounds ['10','95']
-      // numerically prune a file whose value is lexicographically IN
-      // range (the r6 trap, resurfacing at chunk level). The p-types
-      // are compared only when the caller's bound types match
-      // (chunkStatMayContain) and are invisible to statsMinMax, whose
-      // contract is footer values typed as stored.
+  private sealed trait SnapSpec
+  private final case class FullList(files: Seq[String]) extends SnapSpec
+  private final case class Delta(base: Option[String],
+      removedPartitions: Set[String], removedFiles: Set[String],
+      added: Seq[String]) extends SnapSpec
+
+  private final case class BuiltManifest(content: String,
+      ownChunks: Seq[String], vdirs: Set[String])
+
+  /** (partition path, full path) — the chunk clustering/order key. */
+  private def sortKey(f: String): (String, String) = (partitionRel(f), f)
+  private def keyLe(a: (String, String), b: (String, String)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  /** Per-commit memoized access to the version dirs' commit-time
+    * metadata: `_stats` / `_rows` sidecars, ONE recursive listing per
+    * dir for byte sizes (which also surfaces the `_ndv_*` sidecar
+    * names), and lazy HLL register loads. Records which dirs it
+    * touched — the `lastCommitSidecarDirs` seam pins that a delta
+    * commit never opens an untouched version dir's metadata.
+    */
+  private final class VersionMeta(fs: FileSystem, root: Path) {
+    val touched = scala.collection.mutable.Set[String]()
+    private val statsC = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
+    private val rowsC = scala.collection.mutable.Map[String, Map[String, FileStats.RowStat]]()
+    private val listC = scala.collection.mutable.Map[String, Map[String, Long]]()
+    private val ndvColsC = scala.collection.mutable.Map[String, Seq[String]]()
+    private val ndvC = scala.collection.mutable.Map[(String, String), Map[String, Array[Byte]]]()
+
+    private def vOf(f: String): String =
+      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+
+    /** Recursive per-file sizes — paid ONLY when an entry arrives
+      * without a carried byte size (fresh version dirs; a rewritten
+      * chunk's survivors carry their old sizes, so a delta commit
+      * never re-lists a big old version dir for them).
+      */
+    private def listing(v: String): Map[String, Long] =
+      listC.getOrElseUpdate(v, {
+        touched += v
+        val base = if (v.isEmpty) root else new Path(root, v)
+        sizesUnder(fs, base, if (v.isEmpty) "" else s"$v/")
+      })
+
+    /** `_ndv_*` sidecar names: ONE top-level (non-recursive) listing —
+      * never the full-file walk, whose cost is O(version size) and
+      * would ride every rewritten-chunk commit.
+      */
+    private def ndvColNames(v: String): Seq[String] =
+      ndvColsC.getOrElseUpdate(v, {
+        touched += v
+        val base = if (v.isEmpty) root else new Path(root, v)
+        if (!fs.exists(base)) Nil
+        else fs.listStatus(base).toSeq.collect {
+          case st if st.isFile && st.getPath.getName.startsWith("_ndv_") =>
+            st.getPath.getName.stripPrefix("_ndv_")
+        }
+      })
+
+    def size(f: String): Option[Long] = listing(vOf(f)).get(f)
+
+    def rows(f: String): Option[FileStats.RowStat] = {
+      val v = vOf(f)
+      if (v.isEmpty) None
+      else rowsC.getOrElseUpdate(v, {
+        touched += v
+        FileStats.readRows(fs, new Path(new Path(root, v), "_rows"))
+      }).get(f.stripPrefix(v + "/"))
+    }
+
+    /** Footer stats ++ hive partition-path single-value stats.
+      * Partition values get DISTINCT stat types (plong/pstring, never
+      * long/string): a path value types by how it PARSES, but pruning
+      * correctness types by the CALLER's bounds — a lone '9' partition
+      * as a `long` [9,9] stat would let string bounds ['10','95']
+      * numerically prune a file whose value is lexicographically IN
+      * range (the r6 trap, resurfacing at chunk level). The p-types
+      * are compared only when the caller's bound types match
+      * (chunkStatMayContain) and are invisible to statsMinMax, whose
+      * contract is footer values typed as stored.
+      */
+    def stats(f: String): Map[String, FileStats.ColStat] = {
+      val v = vOf(f)
+      val footer =
+        if (v.isEmpty) Map.empty[String, FileStats.ColStat]
+        else statsC.getOrElseUpdate(v, {
+          touched += v
+          FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+        }).getOrElse(f.stripPrefix(v + "/"), Map.empty)
       val partStats = f.split('/').toSeq.flatMap {
         case seg if seg.contains('=') && !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") &&
             !seg.contains('\t') =>
@@ -1114,86 +1329,281 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       }.toMap
       footer ++ partStats
     }
-    def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
-      if (a.typ != b.typ) return None
-      a.typ match {
-        case t @ ("long" | "plong") => Some(FileStats.ColStat(t,
-          math.min(a.min.toLong, b.min.toLong).toString,
-          math.max(a.max.toLong, b.max.toLong).toString))
-        case "double" => Some(FileStats.ColStat("double",
-          math.min(a.min.toDouble, b.min.toDouble).toString,
-          math.max(a.max.toDouble, b.max.toDouble).toString))
-        case t @ ("string" | "pstring") =>
-          val d = java.util.Base64.getDecoder
-          val mn = if (FileStats.cmpBytes(d.decode(a.min), d.decode(b.min)) <= 0)
-            a.min else b.min
-          val mx = if (FileStats.cmpBytes(d.decode(a.max), d.decode(b.max)) >= 0)
-            a.max else b.max
-          Some(FileStats.ColStat(t, mn, mx))
-        case _ => None
-      }
+
+    /** Columns with an `_ndv_<col>` sidecar in EVERY version dir the
+      * given files span (legacy root files have none => empty).
+      */
+    def ndvCols(files: Seq[String]): Seq[String] = {
+      val vs = files.map(vOf).distinct
+      if (vs.isEmpty || vs.contains("")) Nil
+      else vs.map(v => ndvColNames(v).toSet).reduce(_ intersect _).toSeq.sorted
     }
-    // per-file byte sizes from ONE recursive listing per referenced
-    // version dir (a directory LIST, not a per-file stat) — ride the
-    // chunk entries so tableHealth never stats files one by one
-    def sizesUnder(d: Path, prefix: String): Map[String, Long] =
-      if (!fs.exists(d)) Map.empty
-      else fs.listStatus(d).toSeq.flatMap { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith(".") || nm.startsWith("_")) Nil
-        else if (st.isDirectory) sizesUnder(st.getPath, s"$prefix$nm/").toSeq
-        else Seq(s"$prefix$nm" -> st.getLen)
-      }.toMap
-    val sizesByV = byVersion.keys.map { v =>
-      v -> (if (v.isEmpty) sizesUnder(root, "")
-        else sizesUnder(new Path(root, v), s"$v/"))
-    }.toMap
-    def sizeOf(f: String): Option[Long] = {
-      val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
-      sizesByV(v).get(f)
+
+    def ndvRegs(f: String, col: String): Option[Array[Byte]] = {
+      val v = vOf(f)
+      if (v.isEmpty) None
+      else ndvC.getOrElseUpdate((v, col), {
+        touched += v
+        NdvSketch.read(fs, new Path(new Path(root, v), s"_ndv_$col"))
+      }).get(f.stripPrefix(v + "/"))
     }
-    val header = new StringBuilder(ChunkedHeader).append('\n')
+  }
+
+  private def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
+    if (a.typ != b.typ) return None
+    a.typ match {
+      case t @ ("long" | "plong") => Some(FileStats.ColStat(t,
+        math.min(a.min.toLong, b.min.toLong).toString,
+        math.max(a.max.toLong, b.max.toLong).toString))
+      case "double" => Some(FileStats.ColStat("double",
+        math.min(a.min.toDouble, b.min.toDouble).toString,
+        math.max(a.max.toDouble, b.max.toDouble).toString))
+      case t @ ("string" | "pstring") =>
+        val d = java.util.Base64.getDecoder
+        val mn = if (FileStats.cmpBytes(d.decode(a.min), d.decode(b.min)) <= 0)
+          a.min else b.min
+        val mx = if (FileStats.cmpBytes(d.decode(a.max), d.decode(b.max)) >= 0)
+          a.max else b.max
+        Some(FileStats.ColStat(t, mn, mx))
+      case _ => None
+    }
+  }
+
+  /** Writes chunk files for THIS attempt (uuid tag — see MChunkRe) and
+    * derives their header lines from the version dirs' sidecars.
+    * Entries carry a known byte size when the caller has one (a
+    * rewritten chunk reuses the old entry's), else the version dir's
+    * single listing supplies it.
+    */
+  private final class ChunkWriter(fs: FileSystem, root: Path, n: Long,
+      meta: VersionMeta) {
+    private val tag = java.util.UUID.randomUUID().toString.take(8)
+    private var idx = 0
     val written = scala.collection.mutable.ListBuffer[String]()
-    sorted.grouped(manifestChunkSize).zipWithIndex.foreach { case (chunk, i) =>
-      val name = s"_mchunk_v${n}_${tag}_$i"
+
+    def write(entries: Seq[(String, Option[Long])]): Seq[String] = {
+      val name = s"_mchunk_v${n}_${tag}_$idx"
+      idx += 1
       written += name
+      chunkWrites += 1
+      val body = entries.map { case (f, sz) =>
+        sz.orElse(meta.size(f)).map(s => s"$f\t$s").getOrElse(f)
+      }.mkString("\n")
       val out = fs.create(new Path(root, name), true)
-      val body = chunk.map(f =>
-        sizeOf(f).map(sz => s"$f\t$sz").getOrElse(f)).mkString("\n")
       try out.write((body + "\n").getBytes("UTF-8"))
       finally out.close()
-      val rowStats = chunk.map { f =>
-        val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
-        rowsByV(v).get(f.stripPrefix(v + "/"))
-      }
+      headerLines(name, entries.map(_._1))
+    }
+
+    /** chunk / span / vdirs / pcols / nulls / stat / ndv lines for a
+      * freshly written chunk. Same conservatism discipline as always:
+      * rowSum −1 when any file's count is unknown, stat/nulls/ndv
+      * only for columns EVERY file knows, pcols `!` when a partition
+      * column's name can't ride the comma list (the guard then
+      * resolves conservatively from the full list).
+      */
+    def headerLines(name: String, files: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      val rowStats = files.map(meta.rows)
       val rowSum = if (rowStats.exists(_.isEmpty)) -1L
         else rowStats.flatten.map(_.numRows).sum
-      header.append(s"chunk\t$name\t${chunk.size}\t$rowSum\n")
-      // per-chunk null counts, only for columns EVERY chunk file knows
-      // (absent must mean unknown, never zero — the _rows discipline)
+      out += s"chunk\t$name\t${files.size}\t$rowSum"
+      if (files.nonEmpty && !files.head.contains('\t') && !files.last.contains('\t'))
+        out += s"span\t$name\t${files.head}\t${files.last}"
+      val vds = files.map(f =>
+        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "-").distinct
+      if (vds.forall(v => !v.contains(',') && !v.contains('\t')))
+        out += s"vdirs\t$name\t${vds.mkString(",")}"
+      val pcs = files.flatMap(_.split('/').toSeq.filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))).distinct.sorted
+      out += (if (pcs.exists(c => c.contains(',') || c.contains('\t')))
+        s"pcols\t$name\t!"
+      else if (pcs.isEmpty) s"pcols\t$name\t-"
+      else s"pcols\t$name\t${pcs.mkString(",")}")
       if (!rowStats.exists(_.isEmpty)) {
         val rss = rowStats.flatten
         val knownCols = rss.map(_.nullCounts.keySet).reduce(_ intersect _)
         knownCols.toSeq.sorted.foreach { c =>
           if (!c.contains('\t'))
-            header.append(s"nulls\t$name\t$c\t${rss.map(_.nullCounts(c)).sum}\n")
+            out += s"nulls\t$name\t$c\t${rss.map(_.nullCounts(c)).sum}"
         }
       }
       // merged stats: fold per-file maps, dropping any column the fold
       // can't bound for every file (None poisons the entry)
-      val merged = chunk.map(f => fileStats(f).view.mapValues(Option(_)).toMap)
-        .reduce { (x, y) =>
+      val merged = files.map(f => meta.stats(f).view.mapValues(Option(_)).toMap)
+        .reduceOption { (x, y) =>
           (x.keySet intersect y.keySet).map { c =>
             c -> (for { a <- x(c); b <- y(c); m <- mergeStat(a, b) } yield m)
           }.toMap
-        }
+        }.getOrElse(Map.empty[String, Option[FileStats.ColStat]])
       merged.toSeq.sortBy(_._1).foreach {
         case (c, Some(cs)) if !c.contains('\t') =>
-          header.append(s"stat\t$name\t$c\t${cs.typ}\t${cs.min}\t${cs.max}\n")
+          out += s"stat\t$name\t$c\t${cs.typ}\t${cs.min}\t${cs.max}"
         case _ => ()
       }
+      meta.ndvCols(files).foreach { c =>
+        if (!c.contains('\t')) {
+          val regs = files.map(f => meta.ndvRegs(f, c))
+          if (!regs.exists(_.isEmpty)) {
+            val rs = regs.flatten
+            if (rs.forall(_.length == rs.head.length))
+              out += s"ndv\t$name\t$c\t" +
+                java.util.Base64.getEncoder.encodeToString(rs.reduce(NdvSketch.merge))
+          }
+        }
+      }
+      out.toList
     }
-    (header.toString, written.toList)
+  }
+
+  /** Build one manifest's CONTENT. Flat format when the resulting
+    * list fits `manifestChunkSize`; otherwise chunked — incrementally
+    * when `spec` is a Delta against a chunked base whose header
+    * carries spans (reusing untouched chunks by reference), else a
+    * full rebuild. Returns the content, the chunk files THIS attempt
+    * wrote (abort deletes exactly these — never a reused chunk), and
+    * the version dirs the snapshot references (the GC live-set,
+    * computed without materializing the file list on the incremental
+    * path).
+    */
+  private def buildManifest(fs: FileSystem, root: Path, n: Long,
+      spec: SnapSpec): BuiltManifest = {
+    val meta = new VersionMeta(fs, root)
+    val built = spec match {
+      case FullList(files) => buildFull(fs, root, n, files, meta)
+      case d @ Delta(base, _, _, added) =>
+        def drop(files: Seq[String]): Seq[String] =
+          files.filterNot(f => d.removedFiles.contains(f) ||
+            d.removedPartitions.contains(partitionRel(f)))
+        base.map(m => new Path(root, m)).filter(fs.exists(_)) match {
+          case None =>
+            // bootstrap: adopt the live legacy listing as the base
+            buildFull(fs, root, n, drop(listDataFiles(fs, root, root)) ++ added, meta)
+          case Some(mf) =>
+            manifestChunks(fs, mf) match {
+              case Some(chunks) if chunks.nonEmpty &&
+                  chunks.forall(c => c.span.isDefined && c.vdirs.isDefined) =>
+                buildIncremental(fs, root, n, chunks, d, meta)
+              case Some(_) =>
+                // round-10 header without spans: one-time migration
+                // rebuild; every later commit is incremental
+                buildFull(fs, root, n, drop(readManifest(fs, mf)) ++ added, meta)
+              case None =>
+                buildFull(fs, root, n, drop(readManifest(fs, mf)) ++ added, meta)
+            }
+        }
+    }
+    lastCommitSidecarDirs = meta.touched.toSet
+    built
+  }
+
+  private def buildFull(fs: FileSystem, root: Path, n: Long,
+      files: Seq[String], meta: VersionMeta): BuiltManifest = {
+    val vdirs = files.map(f =>
+      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "-").toSet
+    if (files.size <= manifestChunkSize)
+      return BuiltManifest(files.mkString("\n") + "\n", Nil, vdirs)
+    val sorted = files.sortBy(sortKey)
+    val writer = new ChunkWriter(fs, root, n, meta)
+    val header = new StringBuilder(ChunkedHeader).append('\n')
+    sorted.grouped(manifestChunkSize).foreach { chunk =>
+      writer.write(chunk.map(f => f -> Option.empty[Long]))
+        .foreach(l => header.append(l).append('\n'))
+    }
+    BuiltManifest(header.toString, writer.written.toList, vdirs)
+  }
+
+  /** The O(delta) path. Chunks whose span can't intersect the removals
+    * are reused by reference (raw header lines re-emitted); touched
+    * chunks are reloaded and rewritten minus the removed entries (old
+    * byte sizes carried); added files append as fresh chunks. Falls
+    * back to `buildFull` when the result fits flat or the chunk count
+    * has drifted past 2x ideal (the amortized compaction).
+    */
+  private def buildIncremental(fs: FileSystem, root: Path, n: Long,
+      chunks: Seq[ChunkMeta], d: Delta, meta: VersionMeta): BuiltManifest = {
+    def removesEntry(f: String): Boolean =
+      d.removedFiles.contains(f) || d.removedPartitions.contains(partitionRel(f))
+    def touches(c: ChunkMeta): Boolean = c.span match {
+      case None => true
+      case Some((first, last)) =>
+        val lo = sortKey(first); val hi = sortKey(last)
+        d.removedPartitions.exists(p => lo._1 <= p && p <= hi._1) ||
+        d.removedFiles.exists(f => { val k = sortKey(f); keyLe(lo, k) && keyLe(k, hi) })
+    }
+    val (touchedChunks, reused) = chunks.partition(touches)
+    val survivors: Map[String, Seq[(String, Option[Long])]] = touchedChunks.map { c =>
+      c.name -> chunkEntries(fs, root, c.name).filterNot(e => removesEntry(e._1))
+    }.toMap
+    val sortedAdded = d.added.sortBy(sortKey)
+    val totalFiles = reused.map(_.nFiles.toLong).sum +
+      survivors.valuesIterator.map(_.size.toLong).sum + sortedAdded.size
+    val resultChunks = reused.size + survivors.valuesIterator.count(_.nonEmpty) +
+      (sortedAdded.size + manifestChunkSize - 1) / manifestChunkSize
+    val idealChunks = (totalFiles + manifestChunkSize - 1) / manifestChunkSize
+    if (totalFiles <= manifestChunkSize || resultChunks > math.max(8L, 2L * idealChunks)) {
+      // small result -> flat; drifted layout -> amortized full
+      // compaction (both materialize the list — the rare O(files)
+      // publish that buys many O(delta) ones)
+      val all = chunks.flatMap { c =>
+        if (survivors.contains(c.name)) survivors(c.name).map(_._1)
+        else readChunk(fs, root, c.name).filterNot(removesEntry)
+      } ++ sortedAdded
+      return buildFull(fs, root, n, all, meta)
+    }
+    val writer = new ChunkWriter(fs, root, n, meta)
+    val header = new StringBuilder(ChunkedHeader).append('\n')
+    val vdirs = scala.collection.mutable.Set[String]()
+    def vdirOf(f: String): String =
+      if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "-"
+    chunks.foreach { c =>
+      survivors.get(c.name) match {
+        case None =>
+          c.raw.foreach(l => header.append(l).append('\n'))
+          vdirs ++= c.vdirs.getOrElse(Nil)
+        case Some(es) if es.nonEmpty =>
+          writer.write(es).foreach(l => header.append(l).append('\n'))
+          vdirs ++= es.map(e => vdirOf(e._1))
+        case Some(_) => () // every entry removed: the chunk just drops
+      }
+    }
+    sortedAdded.grouped(manifestChunkSize).foreach { chunk =>
+      writer.write(chunk.map(f => f -> Option.empty[Long]))
+        .foreach(l => header.append(l).append('\n'))
+      vdirs ++= chunk.map(vdirOf)
+    }
+    BuiltManifest(header.toString, writer.written.toList, vdirs.toSet)
+  }
+
+  /** Per-file byte sizes from ONE recursive listing under `d`
+    * (metadata names skipped), keys prefixed with `prefix` — the
+    * zero-RPC size source `tableHealth` shares with the commit path's
+    * VersionMeta (a directory LIST per version dir, never a per-file
+    * stat).
+    */
+  private def sizesUnder(fs: FileSystem, d: Path,
+      prefix: String): Map[String, Long] =
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq.flatMap { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith(".") || nm.startsWith("_")) Nil
+      else if (st.isDirectory) sizesUnder(fs, st.getPath, s"$prefix$nm/").toSeq
+      else Seq(s"$prefix$nm" -> st.getLen)
+    }.toMap
+
+  /** Version dirs a manifest references, header-only when the chunked
+    * header carries vdirs lines (every post-round-10 write), else via
+    * the file list — the GC live-set input.
+    */
+  private def manifestVdirs(fs: FileSystem, root: Path, m: String): Seq[String] = {
+    val mf = new Path(root, m)
+    if (!fs.exists(mf)) return Nil
+    manifestChunks(fs, mf) match {
+      case Some(chunks) if chunks.nonEmpty && chunks.forall(_.vdirs.isDefined) =>
+        chunks.flatMap(_.vdirs.get).distinct
+      case _ => readManifest(fs, mf)
+        .flatMap(_.split("/").headOption).distinct
+    }
   }
 
   /** Remove exactly THIS attempt's chunk files (abort cleanup — never
@@ -1202,6 +1612,61 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def deleteChunks(fs: FileSystem, root: Path,
       names: Seq[String]): Unit =
     names.foreach(n => fs.delete(new Path(root, n), false))
+
+  /** Tiny per-table key→value metadata (a file under the WAREHOUSE
+    * root's `_PROPS/<table>/` — deliberately outside the table dir,
+    * so writing a prop before the table's first publish never makes
+    * `exists`/`create`/`read` see a data-less directory): deployment-
+    * sticky choices that must survive across jobs but don't belong in
+    * any snapshot — e.g. the streaming sink's chosen time-partition
+    * grain (a hive layout must never mix grains in one column, so the
+    * first writer's choice binds every later one). Last-write-wins,
+    * driver metadata only.
+    */
+  private def propPath(name: String, key: String): Path = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"unsafe prop key: $key")
+    new Path(dir, s"_PROPS/$name/$key")
+  }
+
+  def tableProp(name: String, key: String): Option[String] = {
+    val p = propPath(name, key)
+    val fs = fileSystem(p)
+    if (!fs.exists(p)) None
+    else Some(readSmallFile(fs, p).trim).filter(_.nonEmpty)
+  }
+
+  def setTableProp(name: String, key: String, value: String): Unit = {
+    val p = propPath(name, key)
+    val fs = fileSystem(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Probe/test seams: drive the commit protocol with FABRICATED file
+    * lists (no Spark job behind them) — ScaleProbe's commit-path
+    * scaling sweep builds synthetic 10³..10⁵-file snapshots with
+    * these to measure commit wall-time vs file count (SCALE.md's
+    * commit-exponent table). `commitFabricated` is the full-list
+    * publish every round-10 commit paid; `commitFabricatedDelta` is
+    * the round-11 incremental path.
+    */
+  private[graft] def commitFabricated(name: String, files: Seq[String]): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val expected = currentManifest(fs, root)
+    val n = claimVersion(fs, root)
+    commitSnapshot(name, n, FullList(files), expected)
+  }
+
+  private[graft] def commitFabricatedDelta(name: String,
+      removedPartitions: Set[String], added: Seq[String]): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val base = currentManifest(fs, root)
+    val n = claimVersion(fs, root)
+    commitSnapshot(name, n, Delta(base, removedPartitions, Set.empty, added), base)
+  }
 
   /** Test seam: invoked after the manifest file is created but before
     * the `_CURRENT` compare-and-set — the exact window a racing writer
@@ -1246,7 +1711,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * fast path: a stale commit aborts before ever touching the
     * pointer's critical section.
     */
-  private def commitSnapshot(name: String, n: Long, files: Seq[String],
+  private def commitSnapshot(name: String, n: Long, spec: SnapSpec,
       expectedPrev: Option[String],
       retainVersionOnAbort: Boolean = false,
       ownVersion: Option[Long] = None): Unit = {
@@ -1257,18 +1722,31 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // original write's number for an append REBASE recommitting under
     // a fresh manifest
     val own = ownVersion.getOrElse(n)
-    val prev = expectedPrev.map(m => readManifest(fs, new Path(root, m))).getOrElse(Nil)
+    // a REBASE commits under manifest number n while its data shield
+    // is `_inflight_v{own}` — chunk files named `_mchunk_v{n}_*` land
+    // BEFORE `_manifest_v{n}` exists, and with no marker for n a
+    // concurrent vacuum would reap them as orphans, leaving the
+    // then-committed snapshot referencing deleted chunks. Claim n's
+    // own marker first (create-no-overwrite: losing the claim means
+    // another writer owns the number — the same IOException signal the
+    // manifest create would give, so commitAppend rebases afresh).
+    val claimedMarker = own != n
+    if (claimedMarker) fs.create(new Path(root, s"_inflight_v$n"), false).close()
+    def releaseClaim(): Unit =
+      if (claimedMarker) fs.delete(new Path(root, s"_inflight_v$n"), false)
     // chunk files (if any) land BEFORE the manifest create — the
     // create-no-overwrite on the manifest stays the commit claim; a
     // loser's already-written chunks are reaped by abort()/GC
-    val (content, ownChunks) = manifestContent(fs, root, n, files)
+    val built =
+      try buildManifest(fs, root, n, spec)
+      catch { case e: Throwable => releaseClaim(); throw e }
     val mf = new Path(root, s"_manifest_v$n")
     val out =
       try fs.create(mf, false)
       catch { case e: java.io.IOException =>
-        deleteChunks(fs, root, ownChunks); throw e
+        deleteChunks(fs, root, built.ownChunks); releaseClaim(); throw e
       }
-    try out.write(content.getBytes("UTF-8"))
+    try out.write(built.content.getBytes("UTF-8"))
     finally out.close()
     commitTestHook(name)
     // what a reader would resolve now, ignoring our own not-yet-current
@@ -1278,7 +1756,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .orElse(highestManifest(fs, root, exclude = Some(mf.getName)))
     def abort(observed: Option[String]): Nothing = {
       fs.delete(mf, false)
-      deleteChunks(fs, root, ownChunks)
+      deleteChunks(fs, root, built.ownChunks)
+      releaseClaim()
       // an append REBASE keeps its already-written version dir (and its
       // in-flight marker): the files are base-independent and the retry
       // recommits them under a fresh manifest instead of rewriting the
@@ -1300,14 +1779,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         mf.getName, () => observe()))
       abort(observe())
     // committed: the own version dir is now manifest-referenced — its
-    // in-flight shield has done its job
+    // in-flight shield has done its job (ditto the rebase's claim on n)
     fs.delete(new Path(root, s"_inflight_v$own"), false)
+    releaseClaim()
     // GC: a _vN dir is deletable only when NEITHER the new nor the
     // previous snapshot references any file in it — AND no live writer
     // still shields it with a fresh in-flight marker (a stale marker
     // means a crashed writer; its dir is reaped like any orphan).
-    // Manifests older than the just-superseded one go too (metadata
-    // would otherwise grow one tiny file per publish forever).
+    // Version LIVE-SETS come from the manifests' header vdirs lines —
+    // O(chunks) driver work — never a file-list concat. Manifests
+    // older than the just-superseded one go too (metadata would
+    // otherwise grow one tiny file per publish forever).
     // Open WAP branches are shielded by their `_BRANCH_` POINTER, not
     // by marker freshness — the same contract as `vacuumOrphans` ("the
     // pointer IS the intent record"): a branch outliving the in-flight
@@ -1317,13 +1799,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // dangling — a state no code path could then clean up.)
     val branchPinned = branchPointedManifests(fs, root).values.toSet
     val branchLive = branchPinned.toSeq
-      .filter(m => fs.exists(new Path(root, m)))
-      .flatMap(m => readManifest(fs, new Path(root, m)))
-      .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
-    val live = ((files ++ prev).flatMap(_.split("/").headOption).collect {
+      .flatMap(m => manifestVdirs(fs, root, m))
+    val prevVdirs = expectedPrev.toSeq.flatMap(m => manifestVdirs(fs, root, m))
+    val live = (built.vdirs.toSeq ++ prevVdirs ++ branchLive).collect {
       case v @ VersionRe(_) => v
-    } ++ branchLive).toSet
+    }.toSet
     val keepManifests = Set(mf.getName) ++ expectedPrev ++ branchPinned
+    // chunks are REFERENCE-COUNTED across manifests (an incremental
+    // commit reuses a prior manifest's chunks by name): a chunk file
+    // survives exactly while a kept manifest's header names it, or its
+    // number's in-flight marker is fresh (the write-window shield).
+    val referencedChunks = keepManifests.toSeq
+      .filter(m => fs.exists(new Path(root, m)))
+      .flatMap(m => manifestChunks(fs, new Path(root, m)).getOrElse(Nil))
+      .map(_.name).toSet
     def markerFresh(num: String): Boolean = {
       val marker = new Path(root, s"_inflight_v$num")
       try fs.exists(marker) &&
@@ -1346,8 +1835,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           // (manifest + data) must survive main-line publishes
           fs.delete(st.getPath, false)
         case c @ MChunkRe(num, _, _) if st.isFile &&
-            !keepManifests.contains(s"_manifest_v$num") && !markerFresh(num) =>
-          // chunk files live and die with their manifest (same shield)
+            !referencedChunks.contains(c) && !markerFresh(num) =>
           fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -1634,8 +2122,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .flatMap(m => manifestChunks(fs, new Path(root, m)).getOrElse(Nil))
       .map(_.name).toSet
     val live = keepManifests.toSeq
-      .flatMap(m => readManifest(fs, new Path(root, m)))
-      .flatMap(_.split("/").headOption).collect { case v @ VersionRe(_) => v }
+      .flatMap(m => manifestVdirs(fs, root, m))
+      .collect { case v @ VersionRe(_) => v }
       .toSet
     def markerFresh(num: String): Boolean = {
       val marker = new Path(root, s"_inflight_v$num")
@@ -1659,11 +2147,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           fs.delete(st.getPath, false)
           deleted += m
         case c @ MChunkRe(num, _, _) if st.isFile && !markerFresh(num) &&
-            (!keepManifests.contains(s"_manifest_v$num") ||
-              !referencedChunks.contains(c)) =>
-          // dead manifest's chunks, OR a crash-orphaned write attempt's
-          // chunks under a LIVE manifest number (unique uuid tags — the
-          // kept manifest's header names exactly the chunks it owns)
+            !referencedChunks.contains(c) =>
+          // pure REFERENCE-COUNT: incremental commits reuse chunks
+          // across manifest numbers, so a chunk lives exactly while
+          // some kept manifest's header names it (the number only
+          // scopes the in-flight write shield). Covers dead manifests'
+          // chunks AND crash-orphaned attempts under live numbers
+          // (unique uuid tags — a kept header names exactly its own).
           fs.delete(st.getPath, false)
           deleted += c
         case d @ DvDirRe(m, _) if st.isDirectory &&
@@ -1707,16 +2197,35 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // table, every few minutes, at 10⁶ files. Size-less entries
     // (older chunks) fall back to a stat; flat manifests keep the
     // original per-file path.
+    // flat manifests (and size-less chunk entries) resolve sizes from
+    // ONE recursive listing per version dir — a directory LIST, the
+    // same primitive the commit path uses — so health on ANY manifest
+    // layout costs zero per-file stat RPCs (`fileStatRpcs` pins it);
+    // the per-file stat survives only as the legacy-path fallback for
+    // files the listing genuinely didn't cover.
+    val sized = scala.collection.mutable.Map[String, Map[String, Long]]()
+    def sizeOf(f: String): Long = {
+      val v = if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+      val m = sized.getOrElseUpdate(v, {
+        val base = if (v.isEmpty) root else new Path(root, v)
+        val prefix = if (v.isEmpty) "" else s"$v/"
+        sizesUnder(fs, base, prefix)
+      })
+      m.getOrElse(f, {
+        fileStatRpcs += 1
+        fs.getFileStatus(new Path(root, f)).getLen
+      })
+    }
     val (files, sizes) = (if (manifest) currentManifest(fs, root)
         .flatMap(m => manifestChunks(fs, new Path(root, m))) else None) match {
       case Some(chunks) =>
         val entries = chunks.flatMap(ch => chunkEntries(fs, root, ch.name))
         (entries.map(_._1), entries.map { case (f, sz) =>
-          sz.getOrElse(fs.getFileStatus(new Path(root, f)).getLen)
+          sz.getOrElse(sizeOf(f))
         })
       case None =>
         val fl = snapshotFiles(name)
-        (fl, fl.map(f => fs.getFileStatus(new Path(root, f)).getLen))
+        (fl, fl.map(sizeOf))
     }
     val versions = if (fs.exists(root))
       fs.listStatus(root).count(st =>
@@ -1838,11 +2347,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       s"v$toVersion of $name is staged on open branch " +
       s"'${staged.map(_._1.stripPrefix("_BRANCH_")).getOrElse("")}' — " +
       "not committed history; promote or abandon the branch instead")
-    val files = readManifest(fs, src)
     // claim a number exactly like a data write — the marker guards the
-    // (empty) write→commit window; commitSnapshot releases it
+    // (empty) write→commit window; commitSnapshot releases it. The
+    // empty Delta against the RESTORED manifest reuses its chunks by
+    // reference: restoring a 10^6-file snapshot writes one header and
+    // zero chunk files (metadata-only in the strictest sense).
     val n = claimVersion(fs, root)
-    commitSnapshot(name, n, files, expected)
+    commitSnapshot(name, n, Delta(Some(src.getName), Set.empty, Set.empty, Nil),
+      expected)
   }
 
   /** Constraint-gated publish (the Delta CHECK-constraint shape on
@@ -2136,7 +2648,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(currentManifest(fs, root).isDefined,
       s"branching requires a current snapshot on $name")
     val (n, files) = writeVersion(name, df, partitionCols)
-    val (content, _) = manifestContent(fs, root, n, files)
+    val content = buildManifest(fs, root, n, FullList(files)).content
     val mf = new Path(root, s"_manifest_v$n")
     val out = fs.create(mf, false)
     try out.write(content.getBytes("UTF-8"))
@@ -2170,9 +2682,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     val mf = branchManifestPath(fs, root, branch)
     val bv = branchVersionOf(mf.getName)
-    val files = readManifest(fs, mf)
+    // empty Delta against the BRANCH manifest: its chunks are reused
+    // by reference — promotion is one header write + the pointer CAS
     val n = claimVersion(fs, root)
-    commitSnapshot(name, n, files, currentManifest(fs, root))
+    commitSnapshot(name, n, Delta(Some(mf.getName), Set.empty, Set.empty, Nil),
+      currentManifest(fs, root))
     fs.delete(new Path(root, s"_inflight_v$bv"), false)
     fs.delete(branchPtrPath(root, branch), false)
   }
@@ -2225,14 +2739,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def append(name: String, df: DataFrame): Unit =
     if (manifest) {
-      val (base, before) = resolveSnapshot(name)
+      val root = new Path(tablePath(name))
+      val base = currentManifest(fileSystem(root), root)
       // layout-preserving: a batch appended to a partitioned table
       // writes under the same hive layout (else the mixed layout would
       // silently demote the table to unpartitioned); derived from the
-      // already-resolved snapshot — no second pointer+manifest read.
-      val parts = partitionColsFrom(before.headOption)
+      // snapshot's FIRST entry (flat head or first chunk's span —
+      // header-only), so a 10^6-file append never materializes the
+      // base list: the commit is a pure Delta against `base`.
+      val parts = partitionColsFrom(snapshotHeadFile(name))
       val (n, added) = writeVersion(name, df, parts)
-      commitAppend(name, n, added, base, before)
+      commitAppend(name, n, added, base)
     } else {
       recover(name)
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
@@ -2252,19 +2769,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * caller, with the version dir cleaned up.
     */
   private def commitAppend(name: String, n: Long, added: Seq[String],
-      base0: Option[String], before0: Seq[String],
+      base0: Option[String],
       maxRebases: Int = 4): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     var attempt = 0
     var done = false
     while (!done) {
-      val (base, before) =
-        if (attempt == 0) (base0, before0) else resolveSnapshot(name)
+      val base = if (attempt == 0) base0 else currentManifest(fs, root)
       val mN = if (attempt == 0) n else nextVersion(fs, root)
       try {
-        commitSnapshot(name, mN, before ++ added, base,
-          retainVersionOnAbort = true, ownVersion = Some(n))
+        commitSnapshot(name, mN, Delta(base, Set.empty, Set.empty, added),
+          base, retainVersionOnAbort = true, ownVersion = Some(n))
         done = true
       } catch {
         // CME = lost the pointer CAS; IOException = two rebasing
@@ -2305,9 +2821,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   def appendEvolved(name: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     require(manifest, "partition evolution requires manifest mode")
-    val (base, before) = resolveSnapshot(name)
+    val root = new Path(tablePath(name))
+    val base = currentManifest(fileSystem(root), root)
     val (n, added) = writeVersion(name, df, partitionCols)
-    commitAppend(name, n, added, base, before) // pure append: rebases too
+    commitAppend(name, n, added, base) // pure append: rebases too
   }
 
   /** Initialize a table if absent (S10 bootstrap). */
@@ -2556,7 +3073,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val root = new Path(tablePath(name))
       val expected = currentManifest(fileSystem(root), root)
       val (n, files) = writeVersion(name, df, partitionCols)
-      commitSnapshot(name, n, files, expected)
+      commitSnapshot(name, n, FullList(files), expected)
       return
     }
     val live = new Path(tablePath(name))
@@ -2589,11 +3106,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // partition — untouched data is REFERENCED, never copied (the
       // object-store property a rename-swap can't give). Base resolved
       // BEFORE the write so the whole job is covered by the commit CAS.
-      val (base, baseFiles) = resolveSnapshot(name)
+      val root = new Path(tablePath(name))
+      val base = currentManifest(fileSystem(root), root)
       val (n, added) = writeVersion(name, df, partitionCols)
       val touched = added.map(partitionRel).toSet
-      val kept = baseFiles.filterNot(f => touched.contains(partitionRel(f)))
-      commitSnapshot(name, n, kept ++ added, base)
+      commitSnapshot(name, n, Delta(base, touched, Set.empty, added), base)
       return
     }
     val live = new Path(tablePath(name))

@@ -116,14 +116,65 @@ object EventStream {
     * a batch lands in one or two time partitions, so the merge cost
     * tracks batch size, not table size.
     */
+  /** Adaptive time-partition grain for a streaming sink, chosen from
+    * the FIRST batch's observed shape and STICKY thereafter (persisted
+    * as a table prop — a hive layout must never mix day and month
+    * values in one partition column, and a key whose partition value
+    * changed between batches would dodge the scoped merge and
+    * duplicate). The heuristic encodes round-10's measurement rather
+    * than a guess: day-graining the bench corpus tripled the streaming
+    * queries on pure small-file write amplification (~140 one-row
+    * directories per publish), because each batch spanned the WHOLE
+    * time range. So day is chosen only when the batch both writes few
+    * enough directories (`maxDirsPerBatch` — a live stream's head
+    * spans 1-2 days however dense it is) and fills them
+    * (`minRowsPerDir`); anything sparser or wider partitions by month.
+    */
+  def timeGrain(wh: graft.sources.Warehouse, table: String, batch: DataFrame,
+      timeCol: String, minRowsPerDir: Long = 100,
+      maxDirsPerBatch: Long = 31): String = {
+    val key = s"grain_$timeCol"
+    wh.tableProp(table, key).getOrElse {
+      val a = batch.agg(count(lit(1)),
+        countDistinct(to_date(col(timeCol)))).head
+      val rows = a.getLong(0)
+      val days = math.max(1L, a.getLong(1))
+      val g = if (days <= maxDirsPerBatch && rows / days >= minRowsPerDir)
+        "day" else "month"
+      wh.setTableProp(table, key, g)
+      g
+    }
+  }
+
+  /** `batch` + its grain-formatted partition column; returns the
+    * augmented frame and the partition column's name.
+    */
+  def withTimePartition(wh: graft.sources.Warehouse, table: String,
+      batch: DataFrame, timeCol: String): (DataFrame, String) = {
+    val fmt = if (timeGrain(wh, table, batch, timeCol) == "day") "yyyy-MM-dd"
+      else "yyyy-MM"
+    val c = s"p_$timeCol"
+    (batch.withColumn(c, date_format(col(timeCol), fmt)), c)
+  }
+
   def sinkToWarehouse(df: DataFrame, wh: graft.sources.Warehouse, table: String,
       keyCols: Seq[String], checkpoint: String,
       partitionCols: Seq[String] = Nil,
-      commitRetries: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+      commitRetries: Int = 2,
+      timeCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // timeCol mode: partition by the ADAPTIVE day/month grain of
+        // the event-time column (see timeGrain) instead of a
+        // caller-precomputed constant
+        val (batch, parts) = timeCol match {
+          case Some(tc) =>
+            val (b, c) = withTimePartition(wh, table, batch0, tc)
+            (b, Seq(c))
+          case None => (batch0, partitionCols)
+        }
         // A concurrent publisher (e.g. a maintenance compact) racing
         // this micro-batch makes the upsert's commit CAS abort loudly;
         // the upsert is key-idempotent and re-resolves the fresh
@@ -134,7 +185,7 @@ object EventStream {
         var attempt = 0
         var done = false
         while (!done) {
-          try { wh.upsert(table, batch, keyCols, partitionCols); done = true }
+          try { wh.upsert(table, batch, keyCols, parts); done = true }
           catch {
             case e: java.util.ConcurrentModificationException =>
               if (attempt >= commitRetries) throw e

@@ -281,6 +281,35 @@ class EtlSpec extends SparkSpec {
     assert(series.collect().map(_.getAs[String]("項目")).toSeq ===
       Seq("売上高", "営業利益", "経常利益", "純利益"),
       "chart order is the reference's insertion order (Altair sort=None)")
+
+    // chart SPEC egress (app.py:172-189 Altair chart → Vega-Lite):
+    // golden-check the emitted spec for the reference company — bar
+    // mark, 項目 unsorted on x, zero-anchored 金額 on y, 20-pt axes
+    val specs = graft.etl.ChartWriter.specs(series)
+    assert(specs.length === 1)
+    val (_, _, spec) = specs.head
+    val vals = series.collect().map(r =>
+      s"""{"項目":"${r.getAs[String]("項目")}","金額":${r.getAs[Double]("金額")}}""")
+      .mkString("[", ",", "]")
+    assert(spec ===
+      """{"$schema":"https://vega.github.io/schema/vega-lite/v5.json",""" +
+      s""""title":"テスト株式会社 ${s.period_name}",""" +
+      s""""data":{"values":$vals},""" +
+      """"mark":"bar","encoding":{""" +
+      """"x":{"field":"項目","type":"nominal","sort":null,""" +
+      """"axis":{"labelFontSize":20,"titleFontSize":20}},""" +
+      """"y":{"field":"金額","type":"quantitative","scale":{"zero":true},""" +
+      """"axis":{"labelFontSize":20,"titleFontSize":20}}}}""")
+    assert(vals.contains(""""金額":43858.0"""), "insertion-order head is 売上高")
+    // the HTML writer embeds exactly that spec (render-engine-free
+    // artifact: a <pre> fallback keeps it legible offline)
+    val out = java.nio.file.Files.createTempDirectory("graft-chart")
+      .resolve("charts.html").toString
+    graft.etl.ChartWriter.writeHtml(series, out)
+    val html = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8")
+    assert(html.contains(spec))
+    assert(html.contains("vega-lite"))
   }
 
   test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {

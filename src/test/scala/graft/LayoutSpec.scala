@@ -1069,4 +1069,192 @@ class LayoutSpec extends SparkSpec {
     assert(wh.readMor("t").count() === 89,
       "vacuum must never reap the pointer-resolved vector")
   }
+
+  test("incremental commits: append writes one new chunk, reads no untouched sidecar") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-append").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    // 16 hive partitions, ~2 files each → ~32 files / ~8 chunks
+    wh.atomicPublish("t",
+      spark.range(0, 3200).toDF("id")
+        .withColumn("d", format_string("2024-%02d", $"id" % 16 + 1))
+        .withColumn("h", $"id" % 2)
+        .repartition($"d", $"h").drop("h"),
+      partitionCols = Seq("d"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def chunksOnDisk() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).filter(_.startsWith("_mchunk_")).toSet
+    val before = chunksOnDisk()
+    assert(before.size >= 4, s"expected a multi-chunk base, got $before")
+
+    // a pure append must write exactly the delta's chunks (one here),
+    // re-reference every existing chunk untouched, and open no
+    // sidecar of any pre-existing version dir
+    wh.chunkWrites = 0
+    wh.append("t", spark.range(100000, 100050).toDF("id")
+      .withColumn("d", lit("2024-07")).coalesce(1))
+    assert(wh.chunkWrites === 1L,
+      s"append of one small batch must write 1 chunk, wrote ${wh.chunkWrites}")
+    assert(wh.lastCommitSidecarDirs === Set("_v2"),
+      s"append must touch only its own version dir's metadata, touched ${wh.lastCommitSidecarDirs}")
+    assert(before.subsetOf(chunksOnDisk()),
+      "every pre-append chunk must survive (reused by reference)")
+    assert(wh.read("t").count() === 3250)
+    assert(wh.statsRowCount("t") === Some(3250L))
+    assert(wh.readEquals("t", "d", Seq("2024-07")).count() === 250)
+
+    // reused chunks outlive their ORIGINAL manifest number: after two
+    // more publishes the v1 manifest is GC'd, but v1-numbered chunks
+    // referenced by the current manifest must survive both commit-time
+    // GC and an explicit vacuum
+    wh.append("t", spark.range(200000, 200010).toDF("id")
+      .withColumn("d", lit("2024-03")).coalesce(1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/t/_manifest_v1")),
+      "v1 manifest should be GC'd (older than previous)")
+    assert(chunksOnDisk().exists(_.startsWith("_mchunk_v1_")),
+      "v1-numbered chunks referenced by newer manifests must survive GC")
+    wh.vacuumOrphans("t")
+    assert(chunksOnDisk().exists(_.startsWith("_mchunk_v1_")),
+      "vacuum is reference-counted: reused chunks stay")
+    assert(wh.read("t").count() === 3260)
+    assert(wh.statsRowCount("t") === Some(3260L))
+  }
+
+  test("incremental commits: partition-scoped upsert rewrites only the touched partition's chunks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-upsert").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    val base = spark.range(0, 3200).toDF("id")
+      .withColumn("d", format_string("2024-%02d", $"id" % 16 + 1))
+      .withColumn("v", $"id" * 10)
+    wh.atomicPublish("t", base.repartition($"d"), partitionCols = Seq("d"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def chunksOnDisk() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+      .map(_.getPath.getName).filter(_.startsWith("_mchunk_")).toSet
+    val nBefore = chunksOnDisk().size
+
+    // upsert into ONE partition: the delta removes d=2024-05's old
+    // files and adds its merged replacement — at most the touched
+    // chunk is rewritten plus one fresh chunk for the added files
+    wh.chunkWrites = 0
+    wh.upsert("t",
+      base.filter($"d" === "2024-05").withColumn("v", $"v" + 1),
+      Seq("id"), partitionCols = Seq("d"))
+    // the merged partition republishes as _v2: its own files chunk
+    // freshly (ceil(added/4)), plus at most 2 rewritten chunks that
+    // spanned d=2024-05 — a full rebuild would rewrite ~all 8+
+    val added = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t/_v2/d=2024-05"))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+    assert(wh.chunkWrites <= (added + 3) / 4 + 2,
+      s"one touched partition: wrote ${wh.chunkWrites} chunks for $added added files")
+    assert(wh.read("t").count() === 3200)
+    assert(wh.read("t").filter($"d" === "2024-05")
+      .select(sum($"v")).head.getLong(0) ===
+      base.filter($"d" === "2024-05").select(sum($"v" + 1)).head.getLong(0))
+    // untouched partitions still served by the ORIGINAL chunk files
+    assert(chunksOnDisk().size <= nBefore + 2)
+  }
+
+  test("incremental commits: rollback and promote write zero chunk files") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-meta").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    wh.atomicPublish("t", spark.range(0, 1000).toDF("k").repartition(16))
+    wh.append("t", spark.range(1000, 1100).toDF("k").repartition(4))
+    // rollback to v1: the restored manifest REUSES v1's chunks by
+    // reference — a 10^6-file restore writes one header and no chunks
+    wh.chunkWrites = 0
+    wh.rollback("t", 1)
+    assert(wh.chunkWrites === 0L,
+      s"rollback is metadata-only: zero chunk writes, wrote ${wh.chunkWrites}")
+    assert(wh.read("t").count() === 1000)
+    assert(wh.statsRowCount("t") === Some(1000L))
+
+    // WAP promote likewise reuses the branch manifest's chunks
+    wh.publishBranch("t", "audit", spark.range(0, 500).toDF("k").repartition(8))
+    wh.chunkWrites = 0
+    wh.promoteBranch("t", "audit")
+    assert(wh.chunkWrites === 0L,
+      s"promote is metadata-only: zero chunk writes, wrote ${wh.chunkWrites}")
+    assert(wh.read("t").count() === 500)
+  }
+
+  test("incremental commits: chunk-count drift triggers the amortized compaction") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-compact").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    wh.atomicPublish("t", spark.range(0, 3200).toDF("k").repartition(32))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // header chunk count of the CURRENT manifest (disk may also hold
+    // the previous manifest's chunks — the one-publish grace)
+    def headerChunks(): Int = {
+      val cur = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/t"))
+        .map(_.getPath.getName).filter(_.startsWith("_manifest_v"))
+        .maxBy(_.stripPrefix("_manifest_v").toLong)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$tmp/t/$cur"))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split('\n').count(_.startsWith("chunk\t"))
+    }
+    // 1-file appends drift the chunk count up (one half-empty chunk
+    // each); the pre-commit check folds the layout back to ideal the
+    // moment it would pass 2× — so the invariant holds at EVERY step
+    var rebuilt = false
+    (1 to 20).foreach { i =>
+      wh.append("t", spark.range(100L * i, 100L * i + 10).toDF("k").coalesce(1))
+      val files = 32 + i
+      val bound = math.max(8, 2 * ((files + 3) / 4))
+      val hc = headerChunks()
+      assert(hc <= bound, s"after $i appends: $hc chunks for $files files (bound $bound)")
+      if (hc <= (files + 3) / 4 + 1 && i > 5) rebuilt = true
+    }
+    assert(rebuilt, "the amortized rebuild should have folded the layout at least once")
+    assert(wh.read("t").count() === 3200 + 20 * 10)
+    assert(wh.statsRowCount("t") === Some(3200L + 20 * 10))
+  }
+
+  test("chunked manifest: NDV answers header-only after buildNdv; appends void it loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr-ndv").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    wh.atomicPublish("t", spark.range(0, 10000).toDF("k")
+      .withColumn("g", $"k" % 500)
+      .repartitionByRange(32, $"k").sortWithinPartitions($"k"))
+    wh.buildNdv("t", "g")
+    wh.chunkOpens = 0
+    val est = wh.statsApproxNdv("t", "g")
+    assert(wh.chunkOpens === 0L,
+      "NDV must answer from the header's merged registers — zero chunk opens")
+    assert(est.isDefined && math.abs(est.get - 500L) <= 25,
+      s"HLL estimate $est should be within ~5% of 500")
+    // an appended file has no sketch: the answer must become None
+    // (unknown), never a silent undercount from partial coverage
+    wh.append("t", spark.range(20000, 20100).toDF("k").withColumn("g", $"k")
+      .coalesce(1))
+    assert(wh.statsApproxNdv("t", "g") === None,
+      "partial sketch coverage must be unknown, not a stale estimate")
+    // rebuilding restores the header-only answer over the new snapshot
+    wh.buildNdv("t", "g")
+    wh.chunkOpens = 0
+    val est2 = wh.statsApproxNdv("t", "g")
+    assert(wh.chunkOpens === 0L)
+    assert(est2.isDefined && est2.get > 500L,
+      s"rebuilt estimate $est2 must cover the appended distinct values")
+  }
+
+  test("tableHealth: flat manifest answers with zero per-file stat RPCs") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-health-flat")
+    wh.atomicPublish("t", spark.range(0, 1000).toDF("k").repartition(16))
+    wh.append("t", spark.range(1000, 1100).toDF("k").repartition(4))
+    wh.fileStatRpcs = 0
+    val h = wh.tableHealth("t")
+    assert(h.files === 20 && h.totalBytes > 0 && h.rows === Some(1100L))
+    assert(wh.fileStatRpcs === 0L,
+      s"flat-layout health must come from per-dir listings, issued ${wh.fileStatRpcs} stat RPCs")
+  }
 }

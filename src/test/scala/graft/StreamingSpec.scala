@@ -187,6 +187,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("adaptive sink grain: dense head picks day, sparse wide stream picks month — sticky, scoped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-grain").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    def events(n: Int, days: Int, idOffset: Long) =
+      spark.range(0, n).select(
+        ($"id" + idOffset).as("event_id"),
+        ($"id" % 50).as("user_id"),
+        lit("view").as("event_type"),
+        (to_timestamp(lit("2024-03-01 00:00:00")).cast("long")
+          + ($"id" % (days * 24)) * 3600L).cast("timestamp").as("ts"),
+        lit(1.0).as("value"))
+
+    // DENSE HEAD: 4000 rows across 2 days → ≥100 rows per day dir and
+    // ≤31 dirs per batch → day grain
+    events(4000, 2, 0).write.mode("overwrite").parquet(s"$tmp/dense")
+    EventStream.sinkToWarehouse(EventStream.read(spark, s"$tmp/dense"),
+        wh, "dense", Seq("event_id"), s"$tmp/ck1", timeCol = Some("ts"))
+      .awaitTermination(120000)
+    assert(wh.tableProp("dense", "grain_ts") === Some("day"))
+    assert(wh.read("dense").select($"p_ts").distinct().as[String].collect()
+      .forall(_.matches("\\d{4}-\\d{2}-\\d{2}")), "day grain partitions")
+    assert(wh.read("dense").count() === 4000)
+
+    // SPARSE/WIDE: 500 rows across ~90 days → too many near-empty day
+    // dirs per batch → month grain
+    events(500, 90, 100000).write.mode("overwrite").parquet(s"$tmp/sparse")
+    EventStream.sinkToWarehouse(EventStream.read(spark, s"$tmp/sparse"),
+        wh, "sparse", Seq("event_id"), s"$tmp/ck2", timeCol = Some("ts"))
+      .awaitTermination(120000)
+    assert(wh.tableProp("sparse", "grain_ts") === Some("month"))
+    assert(wh.read("sparse").select($"p_ts").distinct().as[String].collect()
+      .forall(_.matches("\\d{4}-\\d{2}")), "month grain partitions")
+    assert(wh.read("sparse").count() === 500)
+
+    // STICKY: a later sparse-looking batch into the dense table keeps
+    // the day grain (mixing grains in one hive column would let moved
+    // keys dodge the scoped merge) — and the scoped-merge property
+    // itself still holds at the chosen grain
+    events(20, 60, 200000).write.mode("overwrite").parquet(s"$tmp/dense2")
+    EventStream.sinkToWarehouse(EventStream.read(spark, s"$tmp/dense2"),
+        wh, "dense", Seq("event_id"), s"$tmp/ck3", timeCol = Some("ts"))
+      .awaitTermination(120000)
+    assert(wh.tableProp("dense", "grain_ts") === Some("day"), "grain must stay sticky")
+    assert(wh.read("dense").count() === 4020)
+    assert(wh.read("dense").select($"p_ts").distinct().as[String].collect()
+      .forall(_.matches("\\d{4}-\\d{2}-\\d{2}")), "no mixed grains in the layout")
+  }
+
   test("manifest commit CAS linearizes a compaction racing the streaming sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-race").toString
