@@ -109,6 +109,15 @@ object ScaleProbe {
           new org.apache.hadoop.fs.Path(vroot, "_rows"),
           rel.map(r => r -> graft.sources.FileStats.RowStat(100L,
             Map("k" -> 0L))).toMap)
+        // per-partition shards, like writeVersion writes them — the
+        // upsert leg of the sweep measures the shard-read path
+        graft.sources.FileStats.writeSharded(fs, vroot,
+          rel.zipWithIndex.map { case (r, i) =>
+            r -> Map("k" -> graft.sources.FileStats.ColStat("long",
+              (i * 100L).toString, (i * 100L + 99).toString))
+          }.toMap,
+          rel.map(r => r -> graft.sources.FileStats.RowStat(100L,
+            Map("k" -> 0L))).toMap)
         rel.map(r => s"$vdir/$r")
       }
       def time[T](body: => T): Double = {

@@ -1252,6 +1252,69 @@ object Relational {
           TRUE AS pruned
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 1100""")),
 
+    // ---- Incremental commits on the hash gate ------------------------
+    // s27 put chunked READS on the oracle; this puts the O(delta)
+    // WRITE path there: a chunked partitioned table takes an append
+    // and a partition-scoped upsert through the round-11 Delta commit
+    // (untouched chunks reused by reference), and the final per-month
+    // totals must hash-match DuckDB replaying the same merge. The
+    // `incremental` flag asserts the scale property ON the gate: the
+    // append wrote ≤ 2 chunk files (a full rebuild of the ~10-chunk
+    // layout would write them all) and opened NO pre-existing version
+    // dir's sidecars. The fine-grained counting pins live in
+    // LayoutSpec; this row proves the production path computes the
+    // right ANSWER while being incremental.
+    Q("s28_incremental_commit",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"), dec2($"o_totalprice").as("v"),
+            date_format($"o_orderdate", "yyyy").as("oy"))
+        val wh = new graft.sources.Warehouse(s,
+          graft.sources.Scratch.dir(s, "incr"), manifest = true,
+          manifestChunkSize = 4)
+        // ~7 year partitions x 4 files each = ~28 files / ~7 chunks —
+        // multi-chunk but only a handful of hive dirs per publish
+        wh.atomicPublish("ord_i",
+          base.repartition($"oy", $"k" % 4), partitionCols = Seq("oy"))
+        // data-derived touched year (exists at every SF): the year of
+        // the lowest order key — same derivation in the oracle
+        val hotYear = base.orderBy($"k").select($"oy").limit(1)
+          .as[String].head()
+        wh.chunkWrites = 0
+        wh.append("ord_i", base.filter($"k" % 97 === 0)
+          .select(($"k" + 100000000L).as("k"), $"v", lit("2099").as("oy"))
+          .coalesce(1))
+        val incremental = wh.chunkWrites <= 2 &&
+          wh.lastCommitSidecarDirs.size <= 1
+        wh.upsert("ord_i",
+          base.filter($"oy" === hotYear)
+            .withColumn("v", dec2($"v" + 1)),
+          Seq("k"), partitionCols = Seq("oy"))
+        wh.read("ord_i")
+          .groupBy($"oy")
+          .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("total"))
+          .select($"oy", $"n", $"total", lit(incremental).as("incremental"))
+          .orderBy($"oy")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+            strftime(o_orderdate, '%Y') AS oy
+          FROM orders),
+        hot AS (SELECT oy FROM base ORDER BY k LIMIT 1),
+        appended AS (
+          SELECT k + 100000000 AS k, v, '2099' AS oy
+          FROM base WHERE k % 97 = 0),
+        merged AS (
+          SELECT k,
+            CASE WHEN oy = (SELECT oy FROM hot)
+              THEN CAST(v + 1 AS DECIMAL(18,2)) ELSE v END AS v, oy
+          FROM base
+          UNION ALL SELECT * FROM appended)
+        SELECT oy, count(*) AS n, CAST(SUM(v) AS DOUBLE) AS total,
+          TRUE AS incremental
+        FROM merged GROUP BY oy ORDER BY oy""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

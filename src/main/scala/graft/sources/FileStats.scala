@@ -252,6 +252,57 @@ object FileStats {
     finally out.close()
   }
 
+  /** Per-PARTITION sidecar shards alongside the monolithic files:
+    * `_stats_p/<first path segment>` and `_rows_p/<segment>` (root
+    * files shard under "-"). The monolithic `_stats`/`_rows` stay the
+    * read surface for whole-version consumers; the shards exist so a
+    * partition-scoped commit (rewriting the chunks one upsert
+    * touches) parses the TOUCHED partition's stats instead of the
+    * whole version dir's — the O(version-size) residual the commit
+    * sweep measured. Hive segments are already path-escaped (%XX), so
+    * a segment is a safe file name.
+    */
+  private def shardKey(relFile: String): String = {
+    val i = relFile.indexOf('/')
+    if (i < 0) "-" else relFile.substring(0, i)
+  }
+
+  def writeSharded(fs: FileSystem, vdir: Path,
+      stats: Map[String, Map[String, ColStat]],
+      rows: Map[String, RowStat]): Unit = {
+    val keys = (stats.keySet ++ rows.keySet).groupBy(shardKey)
+    // single-shard versions (unpartitioned, or one partition) gain
+    // nothing over the monolithic files — skip the duplication
+    if (keys.size <= 1) return
+    keys.foreach { case (seg, files) =>
+      write(fs, new Path(new Path(vdir, "_stats_p"), seg),
+        files.toSeq.flatMap(f => stats.get(f).map(f -> _)).toMap)
+      writeRows(fs, new Path(new Path(vdir, "_rows_p"), seg),
+        files.toSeq.flatMap(f => rows.get(f).map(f -> _)).toMap)
+    }
+  }
+
+  /** Shard-or-monolith reads: the shard file if the shard DIR exists
+    * (post-round-11 versions), else the whole monolithic sidecar —
+    * absent either way means unknown, exactly the monolithic
+    * contract. Callers memoize per (vdir, segment).
+    */
+  def readShard(fs: FileSystem, vdir: Path,
+      seg: String): Option[Map[String, Map[String, ColStat]]] = {
+    val dir = new Path(vdir, "_stats_p")
+    if (!fs.exists(dir)) None
+    else Some(read(fs, new Path(dir, seg)))
+  }
+
+  def readRowsShard(fs: FileSystem, vdir: Path,
+      seg: String): Option[Map[String, RowStat]] = {
+    val dir = new Path(vdir, "_rows_p")
+    if (!fs.exists(dir)) None
+    else Some(readRows(fs, new Path(dir, seg)))
+  }
+
+  def shardKeyOf(relFile: String): String = shardKey(relFile)
+
   /** Read a `_rows` sidecar; absent ⇒ empty (counts unknown — callers
     * must fall back to scanning, never assume zero).
     */

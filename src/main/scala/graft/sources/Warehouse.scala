@@ -1283,13 +1283,28 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
 
     def size(f: String): Option[Long] = listing(vOf(f)).get(f)
 
+    // sidecar reads are SHARD-first (per-partition files, see
+    // FileStats.writeSharded): a rewritten chunk's survivors load only
+    // their own partitions' records — the whole-version parse happens
+    // only for pre-shard versions. Cache key = (version, shard).
+    private val statsShardC = scala.collection.mutable.Map[(String, String), Option[Map[String, Map[String, FileStats.ColStat]]]]()
+    private val rowsShardC = scala.collection.mutable.Map[(String, String), Option[Map[String, FileStats.RowStat]]]()
+
     def rows(f: String): Option[FileStats.RowStat] = {
       val v = vOf(f)
-      if (v.isEmpty) None
-      else rowsC.getOrElseUpdate(v, {
+      if (v.isEmpty) return None
+      val inner = f.stripPrefix(v + "/")
+      val seg = FileStats.shardKeyOf(inner)
+      rowsShardC.getOrElseUpdate((v, seg), {
         touched += v
-        FileStats.readRows(fs, new Path(new Path(root, v), "_rows"))
-      }).get(f.stripPrefix(v + "/"))
+        FileStats.readRowsShard(fs, new Path(root, v), seg)
+      }) match {
+        case Some(m) => m.get(inner)
+        case None => rowsC.getOrElseUpdate(v, {
+          touched += v
+          FileStats.readRows(fs, new Path(new Path(root, v), "_rows"))
+        }).get(inner)
+      }
     }
 
     /** Footer stats ++ hive partition-path single-value stats.
@@ -1305,12 +1320,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       */
     def stats(f: String): Map[String, FileStats.ColStat] = {
       val v = vOf(f)
+      val inner = if (v.isEmpty) f else f.stripPrefix(v + "/")
       val footer =
         if (v.isEmpty) Map.empty[String, FileStats.ColStat]
-        else statsC.getOrElseUpdate(v, {
-          touched += v
-          FileStats.read(fs, new Path(new Path(root, v), "_stats"))
-        }).getOrElse(f.stripPrefix(v + "/"), Map.empty)
+        else {
+          val seg = FileStats.shardKeyOf(inner)
+          statsShardC.getOrElseUpdate((v, seg), {
+            touched += v
+            FileStats.readShard(fs, new Path(root, v), seg)
+          }) match {
+            case Some(m) => m.getOrElse(inner, Map.empty)
+            case None => statsC.getOrElseUpdate(v, {
+              touched += v
+              FileStats.read(fs, new Path(new Path(root, v), "_stats"))
+            }).getOrElse(inner, Map.empty)
+          }
+        }
       val partStats = f.split('/').toSeq.flatMap {
         case seg if seg.contains('=') && !seg.endsWith("=__HIVE_DEFAULT_PARTITION__") &&
             !seg.contains('\t') =>
@@ -2728,6 +2753,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     FileStats.write(fs, new Path(vdir, "_stats"),
       all.map { case (f, (cols, _)) => f -> cols })
     FileStats.writeRows(fs, new Path(vdir, "_rows"),
+      all.map { case (f, (_, rows)) => f -> rows })
+    // per-partition shards of the same records: a later partition-
+    // scoped commit reads only the touched partition's stats
+    FileStats.writeSharded(fs, vdir,
+      all.map { case (f, (cols, _)) => f -> cols },
       all.map { case (f, (_, rows)) => f -> rows })
     (n, rel)
   }
