@@ -1340,10 +1340,8 @@ object Misc {
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            val (pb, pc) = graft.streaming.EventStream
-              .withTimePartition(wh, "cv", b, "c_ts")
-            wh.upsert("cv", pb, Seq("click_id", "view_id"),
-              partitionCols = Seq(pc))
+            graft.streaming.EventStream.upsertByTime(wh, "cv", b, "c_ts",
+              Seq("click_id", "view_id"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -1453,10 +1451,8 @@ object Misc {
           .option("checkpointLocation", chk)
           .outputMode("append")
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            val (pb, pc) = graft.streaming.EventStream
-              .withTimePartition(wh, "dedup", b, "ts")
-            wh.upsert("dedup", pb, Seq("event_id"),
-              partitionCols = Seq(pc))
+            graft.streaming.EventStream.upsertByTime(wh, "dedup", b, "ts",
+              Seq("event_id"))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

@@ -121,18 +121,23 @@ object EventStream {
     * as a table prop — a hive layout must never mix day and month
     * values in one partition column, and a key whose partition value
     * changed between batches would dodge the scoped merge and
-    * duplicate). The heuristic encodes round-10's measurement rather
-    * than a guess: day-graining the bench corpus tripled the streaming
-    * queries on pure small-file write amplification (~140 one-row
-    * directories per publish), because each batch spanned the WHOLE
-    * time range. So day is chosen only when the batch both writes few
-    * enough directories (`maxDirsPerBatch` — a live stream's head
-    * spans 1-2 days however dense it is) and fills them
-    * (`minRowsPerDir`); anything sparser or wider partitions by month.
+    * duplicate). The cost driver is DIRECTORIES TOUCHED PER BATCH:
+    * each day-dir a batch spans costs a publish directory and a
+    * scoped-merge partition, so day-graining is safe exactly when
+    * batches are time-LOCAL — a live stream's head spans 1-2 days
+    * however dense it is, while a backfill (AvailableNow over
+    * history) spans its whole range and must coarsen to month. The
+    * round-10/11 measurements picked the bound: the 30-day bench
+    * corpus at day grain tripled the streaming queries on small-file
+    * write amplification (30 dirs × every batch), so day is chosen
+    * only when the first batch spans ≤ `maxDirsPerBatch` (default 8 —
+    * comfortably above a live head, far below any backfill) AND fills
+    * its dirs (`minRowsPerDir`); anything wider or sparser partitions
+    * by month.
     */
   def timeGrain(wh: graft.sources.Warehouse, table: String, batch: DataFrame,
       timeCol: String, minRowsPerDir: Long = 100,
-      maxDirsPerBatch: Long = 31): String = {
+      maxDirsPerBatch: Long = 8): String = {
     val key = s"grain_$timeCol"
     wh.tableProp(table, key).getOrElse {
       val a = batch.agg(count(lit(1)),
@@ -157,6 +162,20 @@ object EventStream {
     (batch.withColumn(c, date_format(col(timeCol), fmt)), c)
   }
 
+  /** The foreachBatch body for an adaptive-grain sink: partition the
+    * batch at the table's time grain and scoped-upsert it. The grain
+    * probe is ONE extra aggregation over the first-ever batch of the
+    * table (every later batch reads the persisted prop) — measured
+    * cheaper than persisting the deciding batch around the probe
+    * (caching a stream-stream join's first output cost m33 ~0.4 s
+    * more than just recomputing it once).
+    */
+  def upsertByTime(wh: graft.sources.Warehouse, table: String,
+      batch: DataFrame, timeCol: String, keyCols: Seq[String]): Unit = {
+    val (b, c) = withTimePartition(wh, table, batch, timeCol)
+    wh.upsert(table, b, keyCols, Seq(c))
+  }
+
   def sinkToWarehouse(df: DataFrame, wh: graft.sources.Warehouse, table: String,
       keyCols: Seq[String], checkpoint: String,
       partitionCols: Seq[String] = Nil,
@@ -169,12 +188,6 @@ object EventStream {
         // timeCol mode: partition by the ADAPTIVE day/month grain of
         // the event-time column (see timeGrain) instead of a
         // caller-precomputed constant
-        val (batch, parts) = timeCol match {
-          case Some(tc) =>
-            val (b, c) = withTimePartition(wh, table, batch0, tc)
-            (b, Seq(c))
-          case None => (batch0, partitionCols)
-        }
         // A concurrent publisher (e.g. a maintenance compact) racing
         // this micro-batch makes the upsert's commit CAS abort loudly;
         // the upsert is key-idempotent and re-resolves the fresh
@@ -185,7 +198,13 @@ object EventStream {
         var attempt = 0
         var done = false
         while (!done) {
-          try { wh.upsert(table, batch, keyCols, parts); done = true }
+          try {
+            timeCol match {
+              case Some(tc) => upsertByTime(wh, table, batch0, tc, keyCols)
+              case None => wh.upsert(table, batch0, keyCols, partitionCols)
+            }
+            done = true
+          }
           catch {
             case e: java.util.ConcurrentModificationException =>
               if (attempt >= commitRetries) throw e
