@@ -130,15 +130,26 @@ object ScaleProbe {
       val tAppend = time(wh.commitFabricatedDelta("t", Set.empty, v2))
       val v3 = fabricate("_v3", (0 until 16).map(i => ("1", f"part-b$i%03d.parquet")))
       val tUpsert = time(wh.commitFabricatedDelta("t", Set("pt=1"), v3))
+      // DV carry: a 1000-entry deletion vector on the current
+      // snapshot; the next append commit pays the carry (a byte copy
+      // of the vector dir, no Spark job) — must stay FLAT in nf, the
+      // round-11 merge-on-read cost claim
+      wh.fabricateDv("t", spark.range(0, 1000).selectExpr(
+        "concat('_v1/pt=0/part-', lpad(cast(id % 16 as string), 5, '0'), " +
+          "'.parquet') AS _file",
+        "id AS _pos"))
+      val v4 = fabricate("_v4", (0 until 16).map(i => ("2", f"part-c$i%03d.parquet")))
+      val tAppendDv = time(wh.commitFabricatedDelta("t", Set.empty, v4))
       // the round-10-equivalent commit: every publish was this
-      val now = (v1.filterNot(_.contains("/pt=1/")) ++ v2 ++ v3)
+      val now = (v1.filterNot(_.contains("/pt=1/")) ++ v2 ++ v3 ++ v4)
       val tFull = time(wh.commitFabricated("t", now))
       val tCount = time(require(wh.statsRowCount("t").nonEmpty))
       Seq("bootstrap" -> tFull0, "append" -> tAppend, "upsert" -> tUpsert,
-        "full" -> tFull, "rowcount" -> tCount).foreach { case (op, s) =>
+        "appendDv" -> tAppendDv, "full" -> tFull,
+        "rowcount" -> tCount).foreach { case (op, s) =>
         println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
       }
-      System.err.println(f"[scaleprobe] commit sweep n=$nf: full=$tFull%.3fs append=$tAppend%.3fs upsert=$tUpsert%.3fs")
+      System.err.println(f"[scaleprobe] commit sweep n=$nf: full=$tFull%.3fs append=$tAppend%.3fs upsert=$tUpsert%.3fs appendDv=$tAppendDv%.3fs")
     }
   }
 

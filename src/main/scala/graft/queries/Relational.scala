@@ -1315,6 +1315,57 @@ object Relational {
           TRUE AS incremental
         FROM merged GROUP BY oy ORDER BY oy""")),
 
+    // ---- DV lineage carry (the round-11 wrong-results find, on the
+    // oracle gate): a GDPR delete, then the table keeps living — an
+    // append and a partition-scoped upsert. The deletes must survive
+    // BOTH file-preserving commits (carried in the untouched
+    // partitions, materialized in the rewritten one) or the group
+    // counts diverge from the oracle's filtered union. At 100 TB the
+    // carry is a deleted-rows-sized sidecar copy per commit; nothing
+    // here rescans or rewrites untouched data.
+    Q("s29_dv_carry",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".as("k"), dec2($"o_totalprice").as("v"),
+            date_format($"o_orderdate", "yyyy").as("oy"))
+        val wh = graft.sources.Scratch.warehouse(s, "dvc")
+        wh.atomicPublish("ord_c", o.repartition($"oy"),
+          partitionCols = Seq("oy"))
+        wh.deleteRows("ord_c", $"k" % 10 === 0)
+        wh.append("ord_c", o.filter($"k" % 97 === 0)
+          .select(($"k" + 100000000L).as("k"), $"v", lit("2099").as("oy"))
+          .coalesce(1))
+        // data-derived hot year (exists at every SF), as in s28
+        val hotYear = o.orderBy($"k").select($"oy").limit(1)
+          .as[String].head()
+        wh.upsert("ord_c",
+          o.filter($"oy" === hotYear && $"k" % 10 =!= 0)
+            .withColumn("v", dec2($"v" + 1)),
+          Seq("k"), partitionCols = Seq("oy"))
+        wh.read("ord_c")
+          .groupBy($"oy")
+          .agg(count(lit(1)).as("n"), sum($"v").cast("double").as("total"))
+          .orderBy($"oy")
+      },
+      Some("""WITH base AS (
+          SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+            strftime(o_orderdate, '%Y') AS oy
+          FROM orders),
+        hot AS (SELECT oy FROM base ORDER BY k LIMIT 1),
+        alive AS (SELECT * FROM base WHERE k % 10 <> 0),
+        appended AS (
+          SELECT k + 100000000 AS k, v, '2099' AS oy
+          FROM base WHERE k % 97 = 0),
+        merged AS (
+          SELECT k,
+            CASE WHEN oy = (SELECT oy FROM hot)
+              THEN CAST(v + 1 AS DECIMAL(18,2)) ELSE v END AS v, oy
+          FROM alive
+          UNION ALL SELECT * FROM appended)
+        SELECT oy, count(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
+        FROM merged GROUP BY oy ORDER BY oy""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -79,9 +79,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   def surrogateKey(naturalKey: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     abs(xxhash64(naturalKey))
 
+  /** Current-snapshot read. In manifest mode this is MERGE-ON-READ:
+    * the snapshot's deletion vector (if any) is subtracted, so every
+    * consumer — queries, `upsert`'s base scan, `compact`'s rewrite —
+    * sees deletes without special-casing them. The overlay rides the
+    * manifest lineage: `commitSnapshot` carries surviving DV entries
+    * forward across file-preserving commits, and a full rewrite
+    * (`atomicPublish`) materializes them because its input came from
+    * this very read.
+    */
   def read(name: String): DataFrame =
-    if (manifest) readFiles(name, snapshotFiles(name))
-    else {
+    if (manifest) {
+      val (mf, files) = resolveSnapshot(name)
+      readFilesMor(name, files, mf)
+    } else {
       recover(name)
       spark.read.parquet(tablePath(name))
     }
@@ -99,7 +110,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val mf = new Path(root, s"_manifest_v$version")
     require(fs.exists(mf),
       s"snapshot v$version of $name is not available (GC keeps current + previous)")
-    readFiles(name, readManifest(fs, mf))
+    // each retained snapshot applies ITS OWN manifest's deletion
+    // vector: a rollback target reads exactly as it last read when
+    // current (deletes applied while it was current included)
+    readFilesMor(name, readManifest(fs, mf), Some(mf.getName))
   }
 
   // ---- Manifest wire format: flat or chunked -------------------------
@@ -363,16 +377,54 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * versions (parquet mergeSchema semantics), instead of failing the
     * whole snapshot.
     */
-  private def readFiles(name: String, files: Seq[String]): DataFrame = {
+  private def readFiles(name: String, files: Seq[String],
+      withPos: Boolean = false): DataFrame = {
     val root = tablePath(name)
     require(files.nonEmpty, s"manifest table $name has no data files")
+    // `withPos` annotates each row's physical address (_file relative
+    // to the TABLE root, _pos within the file) — the deletion-vector
+    // key. It must be projected INSIDE each per-version scan: the
+    // `_metadata` struct resolves against a single file-source
+    // relation, not through the union.
+    val prefix = new Path(root).toUri.getPath + "/"
     files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
       .toSeq.sortBy(_._1)
       .map { case (v, fs) =>
         val base = if (v.isEmpty) root else s"$root/$v"
-        spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+        val scan = spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+        if (!withPos) scan
+        else scan
+          .withColumn("_file",
+            expr(s"substring(_metadata.file_path, " +
+              s"instr(_metadata.file_path, '$prefix') + ${prefix.length})"))
+          .withColumn("_pos", expr("_metadata.row_index"))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Scan an explicit file list MINUS the deletion vector of manifest
+    * `mf` (merge-on-read — the single DV-aware read every public read
+    * surface routes through). No DV pointer for `mf` ⇒ the plain scan,
+    * zero overhead beyond one pointer read. The anti-join's right side
+    * is sized by deleted rows, never the table, and is broadcast; DV
+    * entries for files outside `files` (a pruned read's complement)
+    * simply never match.
+    */
+  private def readFilesMor(name: String, files: Seq[String],
+      mf: Option[String]): DataFrame = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    mf.flatMap(currentDv(fs, root, _)) match {
+      case None => readFiles(name, files)
+      case Some(d) =>
+        val dels = spark.read.parquet(d.toString)
+          .select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
+        readFiles(name, files, withPos = true)
+          .join(broadcast(dels),
+            col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
+            "left_anti")
+          .drop("_file", "_pos")
+    }
   }
 
   /** File-level data skipping (manifest mode): the current snapshot's
@@ -415,6 +467,38 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * whole flat snapshot): hive partition-path check + footer-stat
     * check, sidecars memoized in `cache`.
     */
+  /** Footer-stats map for version `v`'s PROBED files: shard-first
+    * when the probe touches few partitions of a sharded version (a
+    * narrow pruned read then parses only those partitions' shard
+    * files — never the whole version's sidecar), falling back to the
+    * monolithic file for wide probes (where one read beats
+    * per-partition round trips) and pre-shard versions. Shard maps
+    * and the monolithic map share the caller's memo (keys `v#seg` /
+    * `v`).
+    */
+  private def footerStats(fs: FileSystem, root: Path, v: String,
+      fl: Seq[String],
+      cache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]): Map[String, Map[String, FileStats.ColStat]] = {
+    val vdir = new Path(root, v)
+    val segs = fl.map(f => FileStats.shardKeyOf(f.stripPrefix(v + "/"))).distinct
+    // shard-dir existence memoized in the same cache under a key no
+    // version string can collide with: a 1-entry marker map = exists,
+    // empty = pre-shard version (checked once per version, not per
+    // probed chunk)
+    val sharded = segs.size <= 4 &&
+      cache.getOrElseUpdate(s"$v#?", {
+        if (fs.exists(new Path(vdir, "_stats_p")))
+          Map("" -> Map.empty[String, FileStats.ColStat])
+        else Map.empty
+      }).nonEmpty
+    if (sharded)
+      segs.map(seg => cache.getOrElseUpdate(s"$v#$seg",
+        FileStats.read(fs, new Path(new Path(vdir, "_stats_p"), seg))))
+        .foldLeft(Map.empty[String, Map[String, FileStats.ColStat]])(_ ++ _)
+    else cache.getOrElseUpdate(v,
+      FileStats.read(fs, new Path(vdir, "_stats")))
+  }
+
   private def pruneFileList(fs: FileSystem, root: Path, files: Seq[String],
       column: String, lower: Option[Any], upper: Option[Any],
       cache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]): Seq[String] =
@@ -423,8 +507,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
         if (v.isEmpty) fl // legacy layout: no sidecar, keep all
         else {
-          val stats = cache.getOrElseUpdate(v,
-            FileStats.read(fs, new Path(new Path(root, v), "_stats")))
+          val stats = footerStats(fs, root, v, fl, cache)
           fl.filter { f =>
             // a hive `column=value` path segment prunes too — the
             // partition column is never IN the file, so footer stats
@@ -713,7 +796,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     }
     val c = col(column)
     val base =
-      if (kept.nonEmpty) readFiles(name, kept)
+      if (kept.nonEmpty) readFilesMor(name, kept, currentManifest(fs, root))
       else readFiles(name, snapshotFiles(name)).where(lit(false))
     base.where(if (isNull) c.isNull else c.isNotNull)
   }
@@ -745,7 +828,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val base =
       if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
       else {
-        val pruned = readFiles(name, kept)
+        val root = new Path(tablePath(name))
+        val pruned = readFilesMor(name, kept,
+          currentManifest(fileSystem(root), root))
         if (!snapshotEncodesPartition(name, kept, column)) pruned
         else {
           val full = readFiles(name, snapshotFiles(name))
@@ -984,8 +1069,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
           if (v.isEmpty) fl
           else {
-            val stats = statsCache.getOrElseUpdate(v,
-              FileStats.read(fs, new Path(new Path(root, v), "_stats")))
+            val stats = footerStats(fs, root, v, fl, statsCache)
             val blooms = bloomCache.getOrElseUpdate(v,
               BloomIndex.read(fs, new Path(new Path(root, v), s"_bloom_$column")))
             fl.filter { f =>
@@ -1039,7 +1123,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val base =
       if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
       else {
-        val pruned = readFiles(name, kept)
+        val root = new Path(tablePath(name))
+        val pruned = readFilesMor(name, kept,
+          currentManifest(fileSystem(root), root))
         // partition-column type guard only — see readSkipping
         if (!snapshotEncodesPartition(name, kept, column)) pruned
         else {
@@ -1693,6 +1779,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     commitSnapshot(name, n, Delta(base, removedPartitions, Set.empty, added), base)
   }
 
+  /** Probe seam: install a fabricated deletion vector of (`_file`,
+    * `_pos`) entries on the CURRENT manifest through the same staged
+    * dir + pointer flip `deleteRows` uses — lets the scale probes
+    * measure the commit-time carry cost without scanning (fabricated,
+    * empty) data files.
+    */
+  private[graft] def fabricateDv(name: String, entries: DataFrame): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mf = currentManifest(fs, root).getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot for $name"))
+    val expected = pointerStore.read(fs, root, dvPtrName(mf))
+    val next = new Path(root, newDvDirName(mf))
+    entries.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(next.toString)
+    require(pointerStore.compareAndSet(fs, root, dvPtrName(mf), expected,
+      next.getName, () => pointerStore.read(fs, root, dvPtrName(mf))),
+      s"fabricateDv lost the pointer CAS on $name")
+  }
+
   /** Test seam: invoked after the manifest file is created but before
     * the `_CURRENT` compare-and-set — the exact window a racing writer
     * exploits. Tests inject a competing commit here to prove the loser
@@ -1774,6 +1879,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     try out.write(built.content.getBytes("UTF-8"))
     finally out.close()
     commitTestHook(name)
+    // ---- Deletion-vector carry-forward (staged pre-CAS) -------------
+    // A Delta commit preserves base files, so the base lineage's DV
+    // entries for surviving files must keep applying — otherwise an
+    // append after a GDPR delete silently RESURRECTS the deleted rows.
+    // The carried vector is staged under the NEW manifest's name
+    // before the pointer flip: a reader that resolves the new snapshot
+    // always finds its DV pointer already in place (no resurrect
+    // window). FullList commits (full rewrites) carry nothing — their
+    // input came from the DV-aware `read`, so deletes are materialized
+    // and the lineage legitimately resets.
+    val (dvBase, dvRemP, dvRemF) = spec match {
+      case Delta(b, p, f, _) => (b, p, f)
+      case _ => (Option.empty[String], Set.empty[String], Set.empty[String])
+    }
+    var carriedFrom: Option[String] =
+      dvBase.flatMap(b => pointerStore.read(fs, root, dvPtrName(b)))
+    var stagedDv: Option[String] = None
     // what a reader would resolve now, ignoring our own not-yet-current
     // manifest (it may already be the highest-numbered) — shared by the
     // optimistic pre-check here and the store's in-lock re-check
@@ -1782,6 +1904,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     def abort(observed: Option[String]): Nothing = {
       fs.delete(mf, false)
       deleteChunks(fs, root, built.ownChunks)
+      stagedDv.foreach { d =>
+        fs.delete(new Path(root, dvPtrName(mf.getName)), false)
+        fs.delete(new Path(root, d), true)
+      }
       releaseClaim()
       // an append REBASE keeps its already-written version dir (and its
       // in-flight marker): the files are base-independent and the retry
@@ -1797,6 +1923,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         s"names ${observed.getOrElse("<none>")} — aborted (orphan manifest " +
         "removed); re-read the table and retry")
     }
+    try carriedFrom.foreach { d =>
+      val staged = stageDvCarry(fs, root, new Path(root, d), mf.getName,
+        dvRemP, dvRemF)
+      stagedDv = Some(staged)
+      if (!pointerStore.compareAndSet(fs, root, dvPtrName(mf.getName), None,
+          staged, () => pointerStore.read(fs, root, dvPtrName(mf.getName)))) {
+        // unreachable for a not-yet-current manifest (deleteRows only
+        // targets the CURRENT lineage) — but if it ever fires, the
+        // existing pointer wins and our staged copy is surplus
+        fs.delete(new Path(root, staged), true)
+        stagedDv = None
+      }
+    } catch { case e: Throwable =>
+      try abort(observe()) catch { case _: Throwable => () }
+      throw e
+    }
     val observed = observe()
     if (observed != expectedPrev) abort(observed)
     casTestHook(name)
@@ -1807,6 +1949,43 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // in-flight shield has done its job (ditto the rebase's claim on n)
     fs.delete(new Path(root, s"_inflight_v$own"), false)
     releaseClaim()
+    // ---- DV carry repair (post-CAS) ---------------------------------
+    // The DV pointer CAS arbitrates deletes against deletes; a
+    // deleteRows that flipped the BASE lineage inside our carry-read →
+    // commit-CAS window is invisible in what we carried. Re-read after
+    // winning the commit and merge any movement in (bounded CAS loop —
+    // a racer targeting OUR new lineage just makes the merge re-read).
+    // deleteRows' own post-CAS current-manifest re-check covers the
+    // mirrored half of the window, so every interleaving has at least
+    // one side detect and repair or fail loudly.
+    dvBase.foreach { b =>
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 4) {
+        val nowFrom = pointerStore.read(fs, root, dvPtrName(b))
+        if (nowFrom == carriedFrom || nowFrom.isEmpty) done = true
+        else {
+          attempts += 1
+          val curPtr = pointerStore.read(fs, root, dvPtrName(mf.getName))
+          val next = new Path(root, newDvDirName(mf.getName))
+          val moved = dvSurvivors(new Path(root, nowFrom.get), dvRemP, dvRemF)
+          val merged = curPtr match {
+            case Some(c) => moved.unionByName(
+              spark.read.parquet(new Path(root, c).toString)).distinct()
+            case None => moved.distinct()
+          }
+          merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(next.toString)
+          if (pointerStore.compareAndSet(fs, root, dvPtrName(mf.getName),
+              curPtr, next.getName,
+              () => pointerStore.read(fs, root, dvPtrName(mf.getName)))) {
+            carriedFrom = nowFrom
+            // the superseded staged dir stays for in-flight readers;
+            // the age-gated sweeps reap it like any unpointed vector
+          } else fs.delete(next, true)
+        }
+      }
+    }
     // GC: a _vN dir is deletable only when NEITHER the new nor the
     // previous snapshot references any file in it — AND no live writer
     // still shields it with a fresh in-flight marker (a stale marker
@@ -1861,6 +2040,15 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           fs.delete(st.getPath, false)
         case c @ MChunkRe(num, _, _) if st.isFile &&
             !referencedChunks.contains(c) && !markerFresh(num) =>
+          fs.delete(st.getPath, false)
+        case d @ DvDirRe(m, _) if st.isDirectory && !keepManifests.contains(m) =>
+          // dead DV lineage: with carry-forward every commit on a
+          // DV-bearing table stages a fresh vector, so without this
+          // sweep superseded lineages would pile one dir per publish
+          // until a vacuum. Kept lineages (current/previous/branch)
+          // keep their vectors — time travel still merges on read.
+          fs.delete(st.getPath, true)
+        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) =>
           fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -2101,6 +2289,31 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     versions.foreach { v =>
       if (!fs.exists(new Path(new Path(root, v), "_stats")))
         issues += s"version $v has no _stats sidecar"
+    }
+    // deletion-vector lineage: a pointer naming a missing dir means
+    // merge-on-read CANNOT resolve (readers throw) — surface it before
+    // anyone trusts the table; a vector addressing files outside the
+    // snapshot is harmless (anti-join misses) but flags an
+    // incomplete carry, so report it too
+    mf.foreach { m =>
+      pointerStore.read(fs, root, dvPtrName(m)).foreach { d =>
+        val dvDir = new Path(root, d)
+        if (!fs.exists(dvDir))
+          issues += s"DV pointer ${dvPtrName(m)} names missing dir $d"
+        else {
+          // bounded: an anti-join probe, examples only — never a
+          // full-vector collect (a mass delete's DV can be large)
+          val snapFiles = spark.createDataset(files)(
+            org.apache.spark.sql.Encoders.STRING).toDF("_sf")
+          val stale = spark.read.parquet(dvDir.toString)
+            .select(col("_file")).distinct()
+            .join(snapFiles, col("_file") === col("_sf"), "left_anti")
+            .limit(3).collect().map(_.getString(0))
+          if (stale.nonEmpty)
+            issues += s"DV of $m addresses files not in the snapshot " +
+              s"(e.g. ${stale.mkString(", ")})"
+        }
+      }
     }
     issues.toList
   }
@@ -2448,6 +2661,50 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private val DvPtrRe = "_DVPTR_(_manifest_v\\d+)".r
   private val DvOrphanGraceMs: Long = 15L * 60 * 1000
 
+  /** DV entries of `d` that survive a delta's removals — the same
+    * file-drop rule `buildManifest` applies to the base list
+    * (removedPartitions match on the partition-relative dir,
+    * removedFiles on the full path), expressed over the vector's
+    * `_file` column. Entries of removed files are dropped WITH their
+    * files: those partitions are rewritten from a DV-subtracted scan,
+    * so the delete is materialized there, not carried.
+    */
+  private def dvSurvivors(d: Path, removedPartitions: Set[String],
+      removedFiles: Set[String]): DataFrame = {
+    val dels = spark.read.parquet(d.toString)
+    if (removedPartitions.isEmpty && removedFiles.isEmpty) dels
+    else {
+      val noV = regexp_replace(col("_file"), "^_v[0-9]+/", "")
+      val partRel = regexp_extract(noV, "^(.*)/[^/]*$", 1)
+      val conds = Seq(
+        if (removedPartitions.isEmpty) None
+        else Some(!partRel.isin(removedPartitions.toSeq: _*)),
+        if (removedFiles.isEmpty) None
+        else Some(!col("_file").isin(removedFiles.toSeq: _*))).flatten
+      dels.filter(conds.reduce(_ && _))
+    }
+  }
+
+  /** Stage base manifest `from`'s DV under `newMf`'s lineage: a pure
+    * ADD delta (append/rollback/promote — no removals) byte-copies the
+    * vector dir (no Spark job on the commit path); a removing delta
+    * (scoped upsert) filters to the survivors. Returns the staged dir
+    * name; the CALLER flips `_DVPTR_<newMf>` and owns cleanup on
+    * abort.
+    */
+  private def stageDvCarry(fs: FileSystem, root: Path, from: Path,
+      newMf: String, removedPartitions: Set[String],
+      removedFiles: Set[String]): String = {
+    val next = new Path(root, newDvDirName(newMf))
+    if (removedPartitions.isEmpty && removedFiles.isEmpty)
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, next,
+        false, spark.sparkContext.hadoopConfiguration)
+    else
+      dvSurvivors(from, removedPartitions, removedFiles)
+        .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(next.toString)
+    next.getName
+  }
+
   /** Current DV dir for a manifest, resolved through the pointer. */
   private def currentDv(fs: FileSystem, root: Path,
       mfName: String): Option[Path] =
@@ -2464,15 +2721,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * file) from the parquet reader's `_metadata` struct. The address
     * is what deletion vectors key on.
     */
-  private def readWithPos(name: String): DataFrame = {
-    val root = tablePath(name)
-    val prefix = new Path(root).toUri.getPath + "/"
-    read(name)
-      .withColumn("_file",
-        expr(s"substring(_metadata.file_path, " +
-          s"instr(_metadata.file_path, '$prefix') + ${prefix.length})"))
-      .withColumn("_pos", expr("_metadata.row_index"))
-  }
+  private def readWithPos(name: String): DataFrame =
+    // RAW scan (no DV subtraction): hits on already-deleted rows are
+    // harmless — deleteRows unions them into the accumulated vector,
+    // where they were already present. Building on the raw scan keeps
+    // the address columns resolvable (they come from each scan's
+    // `_metadata`, which cannot be referenced above the MOR anti-join).
+    readFiles(name, snapshotFiles(name), withPos = true)
 
   /** Row-level DELETE without rewriting a single data file (the
     * Delta/Iceberg-v2 deletion-vector shape): rows matching `cond`
@@ -2486,6 +2741,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * over `readMor`). Publish is a staged-dir swap, atomic for
     * readers on a rename filesystem.
     */
+  /** Test seam: fires after `deleteRows` resolves its target manifest
+    * and expected vector, before it stages — the window a concurrent
+    * commit's carry-forward can race (LayoutSpec injects one here and
+    * pins the loud failure).
+    */
+  private[graft] var dvTestHook: String => Unit = _ => ()
+
   def deleteRows(name: String, cond: org.apache.spark.sql.Column): Long = {
     require(manifest, "deletion vectors require manifest mode")
     val root = new Path(tablePath(name))
@@ -2493,6 +2755,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val mf = currentManifest(fs, root).getOrElse(
       throw new IllegalArgumentException(s"no current snapshot for $name"))
     val expected = pointerStore.read(fs, root, dvPtrName(mf))
+    dvTestHook(name)
     val hits = readWithPos(name).filter(cond).select(col("_file"), col("_pos"))
     val merged = expected match {
       case Some(d) =>
@@ -2512,6 +2775,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         s"${expected.getOrElse("<none>")} — staged vector discarded; " +
         "re-run against the fresh sidecar")
     }
+    // Lost-delete guard vs concurrent COMMITS (the DV CAS only
+    // arbitrates against other deletes): if a commit superseded `mf`
+    // while this delete was in flight, the flip above may have landed
+    // on a dead lineage AFTER the commit's carry-forward read it —
+    // silently invisible to the new snapshot. Fail loudly; re-running
+    // against the fresh snapshot is idempotent (already-carried hits
+    // dedup in the union). commitSnapshot's own post-CAS re-read
+    // covers the mirrored half of the window.
+    if (!currentManifest(fs, root).contains(mf))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit on $name during deleteRows: snapshot moved " +
+        s"past $mf — the delete may not have carried into the new " +
+        "lineage; re-run against the current snapshot")
     // GC, like manifests: keep the new and the immediately-previous
     // vector (an in-flight reader that resolved before the flip still
     // has its files) unconditionally; everything else in this
@@ -2531,24 +2807,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     n
   }
 
-  /** Merge-on-read scan: the current snapshot minus its deletion
-    * vector — one left-anti join on the (file, position) address. No
-    * DV sidecar ⇒ plain read. The anti-join's right side is sized by
-    * deleted rows, not the table.
+  /** Merge-on-read scan. Since round 11 `read` itself IS merge-on-read
+    * (the DV anti-join lives in `readFilesMor`, shared by every read
+    * surface); this alias survives for callers written against the
+    * pre-MOR API.
     */
   def readMor(name: String): DataFrame = {
     require(manifest, "deletion vectors require manifest mode")
-    val root = new Path(tablePath(name))
-    val fs = fileSystem(root)
-    val dv = currentManifest(fs, root).flatMap(currentDv(fs, root, _))
-    if (dv.isEmpty) return read(name)
-    val dels = spark.read.parquet(dv.get.toString)
-      .select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
-    readWithPos(name)
-      .join(broadcast(dels),
-        col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
-        "left_anti")
-      .drop("_file", "_pos")
+    read(name)
   }
 
   /** DESCRIBE HISTORY, metadata-only: every still-retained COMMITTED
@@ -2699,7 +2965,12 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * CAS as any publish), then the branch pointer and its GC shield
     * are released. Snapshot-level semantics: the branch wholesale
     * becomes the table, regardless of main-line publishes since the
-    * branch was cut — the audit gate owns that decision.
+    * branch was cut — the audit gate owns that decision. That replace
+    * contract extends to deletion vectors: the promote carries the
+    * BRANCH lineage's vector (a branch staged via `publishBranch` has
+    * none — full writes reset the lineage), and any `deleteRows`
+    * applied to MAIN while the branch was open is superseded along
+    * with the rest of the main-line state it deleted from.
     */
   def promoteBranch(name: String, branch: String): Unit = {
     require(manifest, "branches require manifest mode")
@@ -2936,7 +3207,12 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             val (kept, _) = pruneFilesEquals(name, partitionCols.head, vals)
             if (kept.isEmpty) existing.where(lit(false))
             else {
-              val pr = readFiles(name, kept)
+              // DV-aware like `read`: the touched partitions are
+              // REWRITTEN from this scan, so a deleted row served here
+              // would be physically resurrected into the new files
+              val wroot = new Path(tablePath(name))
+              val pr = readFilesMor(name, kept,
+                currentManifest(fileSystem(wroot), wroot))
               // same type guard as readEquals: hive path inference on a
               // pruned subset can flip the partition column's type
               val c = partitionCols.head

@@ -631,7 +631,11 @@ class LayoutSpec extends SparkSpec {
     assert(wh.deleteRows("t", $"k" < 10) === 10)
     assert(wh.deleteRows("t", $"k" % 50 === 0) === 11) // accumulates; overlap k=0 deduped
     assert(wh.readMor("t").count() === 89)
-    assert(wh.read("t").count() === 100, "base files must still hold every row")
+    assert(wh.read("t").count() === 89,
+      "read IS merge-on-read: every surface sees deletes")
+    // the delete is an overlay: the base files physically keep every row
+    assert(spark.read.parquet(s"$tmp/t/_v1").count() === 100,
+      "base files must still hold every row")
     assert(dataFileMtimes === before, "a DV delete must not touch data files")
 
     // compaction materializes: republish the MOR view, DV lineage resets
@@ -1244,6 +1248,296 @@ class LayoutSpec extends SparkSpec {
     assert(wh.chunkOpens === 0L)
     assert(est2.isDefined && est2.get > 500L,
       s"rebuilt estimate $est2 must cover the appended distinct values")
+  }
+
+  test("pruned reads parse only the probed partitions' sidecar shards") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard-prune").toString
+    // chunked manifest: chunk-level pruning narrows to 1-2 chunks
+    // FIRST; the per-file pass inside the survivors then touches <= 4
+    // partitions — exactly the shape whose stats should come from
+    // partition shards, never the whole version's sidecar
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    // partitioned version → writeVersion writes per-partition shards
+    // k CLUSTERS with the partition (ids 0..199 → d=01, …), so footer
+    // k-ranges are disjoint per partition and a narrow range is
+    // prunable — the point under test is WHERE the stats come from
+    wh.atomicPublish("t", spark.range(0, 3200).toDF("id")
+      .withColumn("d", format_string("2024-%02d", ($"id" / 200).cast("int") + 1))
+      .withColumn("k", $"id" * 3)
+      .repartition($"d"), partitionCols = Seq("d"))
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/t/_v1/_stats_p")),
+      "partitioned versions must carry per-partition stat shards")
+    // remove the MONOLITHIC sidecar: a narrow probe must still prune —
+    // proof it reads the probed partition's SHARD, not the whole file
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/t/_v1/_stats"), false)
+    val (kept, total) = wh.pruneFiles("t", "k", Some(300L), Some(330L))
+    assert(total === 16)
+    assert(kept.size < total, s"shard stats must prune: kept ${kept.size}/$total")
+    // the exact residual still holds on the survivors
+    assert(wh.readSkipping("t", "k", Some(300L), Some(330L))
+      .agg(count(lit(1))).head.getLong(0) ===
+      (300L to 330L).count(_ % 3 == 0))
+    // a WIDE probe (all partitions) skips the shard path; with the
+    // monolithic file gone it degrades to keep-all — conservative,
+    // never wrong, never a crash
+    val (keptWide, _) = wh.pruneFiles("t", "k", Some(0L), Some(100000L))
+    assert(keptWide.size === total)
+  }
+
+  test("lifecycle fuzz: random publish/append/upsert/delete/rollback/compact/vacuum always equals the model") {
+    import spark.implicits._
+    // Model-based randomized check over the WHOLE round-11 commit
+    // machinery at once: delta commits with chunk reuse, ref-counted
+    // chunk GC, per-partition sidecar shards, deletion vectors,
+    // header-only rollback, amortized chunk rebuild — interleaved in
+    // random orders that no hand-written scenario covers. After every
+    // op the table must equal an in-memory Map; after every committing
+    // op the new version's snapshot is recorded so rollbacks and
+    // time-travel reads are checked against the model's own history.
+    val rnd = new scala.util.Random(1123)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lifefuzz").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 3)
+    def pOf(k: Long): String = s"p${k % 3}"
+    def df(rows: Seq[(Long, Long)]) =
+      rows.map { case (k, v) => (k, v, pOf(k)) }.toDF("k", "v", "p")
+
+    var model = Map.empty[Long, Long] // k -> v (p derived)
+    var snaps = Map.empty[Long, Map[Long, Long]] // committed version -> model
+    def liveVersions: Seq[Long] = wh.history("t").map(_._1)
+    def recordCommit(): Unit = { snaps += (liveVersions.last -> model) }
+
+    wh.atomicPublish("t", df((0L until 60L).map(k => k -> k * 10)),
+      partitionCols = Seq("p"))
+    model = (0L until 60L).map(k => k -> k * 10).toMap
+    recordCommit()
+
+    def check(ctx: String): Unit = {
+      val got = wh.read("t").select("k", "v", "p")
+        .as[(Long, Long, String)].collect().toSet
+      val want = model.map { case (k, v) => (k, v, pOf(k)) }.toSet
+      assert(got === want, s"$ctx: table diverged from model " +
+        s"(extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)})")
+    }
+
+    var nextKey = 60L
+    for (i <- 1 to 26) {
+      val op = rnd.nextInt(100)
+      if (op < 22) { // append a fresh batch (Delta commit, chunk reuse)
+        val batch = (nextKey until nextKey + 8 + rnd.nextInt(12)).map(k => k -> k * 10)
+        nextKey = batch.last._1 + 1
+        wh.append("t", df(batch)); model ++= batch; recordCommit()
+        check(s"op$i append")
+      } else if (op < 48) { // upsert: update existing + insert new keys
+        val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(6))
+          .map(k => k -> (model(k) + 1))
+        val ins = (nextKey until nextKey + rnd.nextInt(5)).map(k => k -> k * 10)
+        nextKey += ins.size
+        val rows = upd ++ ins
+        if (rows.nonEmpty) {
+          wh.upsert("t", df(rows), keyCols = Seq("k"), partitionCols = Seq("p"))
+          model ++= rows; recordCommit()
+        }
+        check(s"op$i upsert")
+      } else if (op < 64) { // deleteRows via deletion vectors
+        val which = rnd.nextInt(3)
+        if (which == 0 && model.nonEmpty) {
+          val ks = model.keys.toSeq.sorted
+          val a = ks(rnd.nextInt(ks.size)); val b = a + 1 + rnd.nextInt(20)
+          wh.deleteRows("t", $"k" >= a && $"k" < b)
+          model = model.filter { case (k, _) => !(k >= a && k < b) }
+        } else if (which == 1) {
+          val pv = s"p${rnd.nextInt(3)}"
+          wh.deleteRows("t", $"p" === pv && $"v" % 20 === 0)
+          model = model.filter { case (k, v) => !(pOf(k) == pv && v % 20 == 0) }
+        } else {
+          wh.deleteRows("t", $"v" < 0) // matches nothing — still commits
+        }
+        recordCommit()
+        check(s"op$i delete")
+      } else if (op < 76) { // rollback to a random still-live version
+        val candidates = liveVersions.dropRight(1).filter(snaps.contains)
+        if (candidates.nonEmpty) {
+          val to = candidates(rnd.nextInt(candidates.size))
+          wh.rollback("t", to); model = snaps(to); recordCommit()
+          check(s"op$i rollback->v$to")
+        }
+      } else if (op < 84) { // compaction under small-file pressure
+        wh.maintain("t", smallFileLimit = 6)
+        snaps = snaps.filter { case (v, _) => liveVersions.contains(v) }
+        if (!snaps.contains(liveVersions.last)) recordCommit()
+        check(s"op$i maintain")
+      } else if (op < 92) { // WAP: stage a full rewrite, audit, promote/abandon
+        val staged = model.map { case (k, v) => k -> (v + 5) }
+        wh.publishBranch("t", "audit", df(staged.toSeq),
+          partitionCols = Seq("p"))
+        assert(wh.readBranch("t", "audit").count() === staged.size.toLong,
+          s"op$i branch audit")
+        if (rnd.nextBoolean()) {
+          wh.promoteBranch("t", "audit")
+          model = staged; recordCommit()
+        } else wh.abandonBranch("t", "audit")
+        check(s"op$i wap")
+      } else { // GC — content must be untouched, reaped versions forgotten
+        wh.vacuumOrphans("t")
+        snaps = snaps.filter { case (v, _) => liveVersions.contains(v) }
+        check(s"op$i vacuum")
+      }
+      if (i % 5 == 0) { // prune equivalence + time travel + integrity
+        val lo = rnd.nextLong(nextKey); val hi = lo + rnd.nextInt(40)
+        assert(wh.readSkipping("t", "k", Some(lo), Some(hi)).count() ===
+          model.keys.count(k => k >= lo && k <= hi).toLong, s"op$i prune probe")
+        val tv = liveVersions.filter(snaps.contains)
+        if (tv.nonEmpty) {
+          val v = tv(rnd.nextInt(tv.size))
+          assert(wh.readVersion("t", v).select("k", "v")
+            .as[(Long, Long)].collect().toSet === snaps(v).toSet,
+            s"op$i time travel v$v")
+        }
+        val issues = wh.fsck("t")
+        assert(issues.isEmpty, s"op$i fsck: $issues")
+      }
+    }
+  }
+
+  test("deletion vectors survive every file-preserving commit") {
+    import spark.implicits._
+    // The round-11 wrong-results find: DVs were keyed to the manifest
+    // that was current at delete time and silently DROPPED by every
+    // later commit — an append after a GDPR delete resurrected the
+    // deleted rows, and pruned reads bypassed the vector entirely.
+    // This pins the fixed contract: carry across append / scoped
+    // upsert / rollback, DV-aware pruned surfaces, materialization on
+    // full rewrite.
+    val (wh, tmp) = mk("graft-dv-carry")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def df(ks: Range) = ks.map(k => (k.toLong, k.toLong * 10, s"p${k % 2}"))
+      .toDF("k", "v", "p")
+    wh.atomicPublish("t", df(0 until 100), partitionCols = Seq("p"))
+    assert(wh.deleteRows("t", $"k" < 20) === 20)
+
+    // 1. APPEND carries: no resurrect, and the carry is a byte-copy
+    //    (pure-add delta) visible as a pointer for the new manifest
+    wh.append("t", df(100 until 110))
+    assert(wh.read("t").count() === 90)
+    assert(wh.read("t").filter($"k" < 20).count() === 0,
+      "append after delete must not resurrect deleted rows")
+    // 2. PRUNED surfaces subtract the same vector
+    assert(wh.readSkipping("t", "k", Some(0L), Some(30L)).count() === 11)
+    assert(wh.readEquals("t", "k", Seq(5L, 25L)).count() === 1)
+    assert(wh.readSkippingIsNull("t", "v", isNull = false)
+      .filter($"k" < 20).count() === 0)
+    // 3. SCOPED upsert: touched partition rewrites DV-subtracted
+    //    (materializes its deletes), untouched partition's entries
+    //    carry — deleted rows reappear in NEITHER
+    wh.upsert("t", Seq((20L, 999L, "p0"), (21L, 998L, "p1")).toDF("k", "v", "p"),
+      keyCols = Seq("k"), partitionCols = Seq("p"))
+    assert(wh.read("t").count() === 90)
+    assert(wh.read("t").filter($"k" < 20).count() === 0,
+      "scoped upsert must neither resurrect rewritten-partition deletes " +
+      "(materialized) nor drop untouched-partition ones (carried)")
+    assert(wh.read("t").filter($"k" === 20L && $"v" === 999L).count() === 1)
+    // 4. TIME TRAVEL + ROLLBACK: each retained snapshot reads with its
+    //    own carried vector, so a restore shows the restored state
+    //    as it last read — deletes included
+    val versions = wh.history("t").map(_._1)
+    val prev = versions.dropRight(1).last
+    assert(wh.readVersion("t", prev).filter($"k" < 20).count() === 0)
+    wh.rollback("t", prev)
+    assert(wh.read("t").count() === 90)
+    assert(wh.read("t").filter($"k" < 20).count() === 0,
+      "rollback must carry the restored snapshot's vector")
+    // 5. COMPACT materializes: content identical, lineage reset
+    wh.compact("t")
+    assert(wh.read("t").count() === 90)
+    val cur = wh.history("t").map(_._1).last
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$tmp/t/_DVPTR__manifest_v$cur")),
+      "a full rewrite materializes deletes and resets the DV lineage")
+  }
+
+  test("deletion vectors subtract across mixed evolved vintages") {
+    import spark.implicits._
+    // The MOR anti-join keys on per-scan `_metadata` addresses; a
+    // snapshot mixing a flat vintage, an evolved hive-partitioned
+    // vintage, AND a schema-widened vintage reads as a 3-way
+    // unionByName — the vector must subtract from exactly the
+    // addressed vintage, and carry across an evolution commit.
+    val (wh, _) = mk("graft-dv-evolve")
+    wh.atomicPublish("t", spark.range(0, 50).toDF("k").repartition(2))
+    assert(wh.deleteRows("t", $"k" < 5) === 5)
+    // evolution commit AFTER the delete: partition layout changes,
+    // old vintage keeps its layout, the vector must carry
+    wh.appendEvolved("t",
+      spark.range(50, 80).toDF("k").withColumn("part", $"k" % 2),
+      partitionCols = Seq("part"))
+    // widened vintage: an extra column, null-filled on older rows
+    wh.appendEvolved("t",
+      spark.range(80, 90).toDF("k").withColumn("part", $"k" % 2)
+        .withColumn("w", $"k" * 2),
+      partitionCols = Seq("part"))
+    assert(wh.read("t").count() === 85)
+    assert(wh.read("t").filter($"k" < 5).count() === 0,
+      "deletes must survive partition evolution")
+    assert(wh.read("t").filter($"w".isNotNull).count() === 10)
+    // a second delete spanning ALL THREE vintages in one vector —
+    // the return is the CUMULATIVE vector size: 5 carried + 9 new
+    assert(wh.deleteRows("t", $"k" % 10 === 7) === 14)
+    assert(wh.read("t").count() === 76)
+    assert(wh.read("t").filter($"k" % 10 === 7).count() === 0,
+      "one vector must subtract from every vintage it addresses")
+    assert(wh.fsck("t").isEmpty)
+  }
+
+  test("a delete racing a commit's DV carry window is merged in, never lost") {
+    import spark.implicits._
+    // casTestHook fires between the commit's carry-forward read and
+    // its pointer CAS — exactly the window where a concurrent
+    // deleteRows' flip would be invisible to the carried vector. The
+    // commit's post-CAS re-read must merge the movement in.
+    val (wh, tmp) = mk("graft-dv-race-carry")
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
+    assert(wh.deleteRows("t", $"k" < 10) === 10)
+    var fired = false
+    wh.casTestHook = _ => if (!fired) {
+      fired = true
+      whB.deleteRows("t", $"k" === 50)
+    }
+    try wh.append("t", spark.range(100, 110).toDF("k"))
+    finally wh.casTestHook = _ => ()
+    assert(fired, "race hook must have fired")
+    assert(wh.read("t").count() === 99,
+      "the racer's delete must survive into the committed lineage")
+    assert(wh.read("t").filter($"k" === 50 || $"k" < 10).count() === 0)
+  }
+
+  test("a commit racing a delete's window fails the delete loudly, never silently") {
+    import spark.implicits._
+    // The mirrored half: a commit that lands inside deleteRows'
+    // resolve→flip window may have carried the base vector BEFORE the
+    // delete's flip. The delete detects the moved snapshot after its
+    // own CAS and fails loudly — a re-run against the fresh snapshot
+    // applies cleanly (never a silent loss).
+    val (wh, tmp) = mk("graft-dv-race-del")
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
+    var fired = false
+    wh.dvTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", spark.range(100, 110).toDF("k"))
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      wh.deleteRows("t", $"k" < 10)
+    } finally wh.dvTestHook = _ => ()
+    assert(fired, "race hook must have fired")
+    assert(wh.read("t").count() === 110,
+      "the failed delete must leave the committed snapshot untouched")
+    assert(wh.deleteRows("t", $"k" < 10) === 10)
+    assert(wh.read("t").count() === 100)
   }
 
   test("tableHealth: flat manifest answers with zero per-file stat RPCs") {
