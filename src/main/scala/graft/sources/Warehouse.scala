@@ -2223,11 +2223,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def compact(name: String, numFiles: Int = 1): Unit = {
     val parts = partitionColsOf(name)
-    val snap = read(name)
+    // captured-base CAS: compacting is read-modify-write too — a
+    // commit racing the rewrite must abort this publish, never be
+    // silently replaced by data computed from the stale snapshot
+    val (snap, base) =
+      if (manifest) {
+        val (mf, files) = resolveSnapshot(name)
+        (readFilesMor(name, files, mf), Some(mf))
+      } else (read(name), None)
     val arranged =
       if (parts.isEmpty) snap.coalesce(numFiles)
       else snap.repartition(parts.map(col): _*)
-    atomicPublish(name, arranged, parts)
+    atomicPublish(name, arranged, parts, base)
   }
 
   /** Row-level diff between two committed snapshots (CDC-lite, the
@@ -2518,7 +2525,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       bits: Int = 8): Unit = {
     require(partitionColsOf(name).isEmpty,
       "z-order compaction targets unpartitioned layouts")
-    atomicPublish(name, ZOrder.cluster(read(name), cols, numFiles, bits))
+    if (manifest) {
+      val (mf, files) = resolveSnapshot(name)
+      atomicPublish(name,
+        ZOrder.cluster(readFilesMor(name, files, mf), cols, numFiles, bits),
+        expectedBase = Some(mf))
+    } else
+      atomicPublish(name, ZOrder.cluster(read(name), cols, numFiles, bits))
   }
 
   /** Write `df` into a fresh `_vN` dir and return (n, its files).
@@ -2747,6 +2760,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * pins the loud failure).
     */
   private[graft] var dvTestHook: String => Unit = _ => ()
+
+  /** Test seam: fires after `upsert` captures its base snapshot,
+    * before the merge reads it — the read-modify-write window whose
+    * strictness the captured-base CAS enforces (LayoutSpec injects a
+    * commit here and pins the loud abort).
+    */
+  private[graft] var upsertTestHook: String => Unit = _ => ()
 
   def deleteRows(name: String, cond: org.apache.spark.sql.Column): Long = {
     require(manifest, "deletion vectors require manifest mode")
@@ -3170,12 +3190,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           s"merge would leave their old-partition rows behind. Examples: " +
           moved.map(_.toString).mkString("; "))
     }
+    // capture the base snapshot ONCE: the merge below reads THESE
+    // files, and the publish hands THIS manifest to the commit CAS —
+    // so a commit landing anywhere in the read-merge-publish span
+    // aborts loudly instead of being silently clobbered by a merge
+    // computed from the stale base (re-resolving at publish time was
+    // exactly that hole)
+    val (mfCap, filesCap) =
+      if (manifest) resolveSnapshot(name)
+      else (None, Seq.empty[String])
+    upsertTestHook(name)
     // a table previously written UNPARTITIONED has its rows in root
     // part-files: a partition-scoped swap would leave the old rows
     // behind → one whole-table merge migrates it to the partitioned
     // layout, after which upserts are partition-scoped
-    val scoped = partitionCols.nonEmpty && isPartitionedLayout(name)
-    val existing = read(name)
+    val scoped = partitionCols.nonEmpty && (
+      if (manifest) filesCap.nonEmpty && filesCap.forall(partitionRel(_).nonEmpty)
+      else isPartitionedLayout(name))
+    val existing =
+      if (manifest) readFilesMor(name, filesCap, mfCap) else read(name)
     val base =
       if (!scoped) existing
       else {
@@ -3207,12 +3240,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             val (kept, _) = pruneFilesEquals(name, partitionCols.head, vals)
             if (kept.isEmpty) existing.where(lit(false))
             else {
-              // DV-aware like `read`: the touched partitions are
-              // REWRITTEN from this scan, so a deleted row served here
-              // would be physically resurrected into the new files
-              val wroot = new Path(tablePath(name))
-              val pr = readFilesMor(name, kept,
-                currentManifest(fileSystem(wroot), wroot))
+              // DV-aware like `read`, against the CAPTURED manifest:
+              // the touched partitions are REWRITTEN from this scan,
+              // so a deleted row served here would be physically
+              // resurrected into the new files
+              val pr = readFilesMor(name, kept, mfCap)
               // same type guard as readEquals: hive path inference on a
               // pruned subset can flip the partition column's type
               val c = partitionCols.head
@@ -3231,8 +3263,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val merged = keyed.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_src", "_rn")
-    if (scoped) publishPartitions(name, merged, partitionCols)
-    else atomicPublish(name, merged, partitionCols)
+    if (scoped) publishPartitions(name, merged, partitionCols,
+      if (manifest) Some(mfCap) else None)
+    else atomicPublish(name, merged, partitionCols,
+      if (manifest) Some(mfCap) else None)
   }
 
   /** S8+: slowly-changing-dimension type-2 upsert — the
@@ -3265,7 +3299,12 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     if (!exists(name)) { atomicPublish(name, open(updates)); return }
     val dataCols = updates.columns.filterNot(keyCols.contains).toSeq
     def fp(cols: Seq[String]) = md5(to_json(struct(cols.sorted.map(col): _*)))
-    val existing = read(name).persist(
+    // captured-base CAS, like upsert: the merge below reads THIS
+    // snapshot and the publish compares against THIS manifest
+    val (scd2Base, scd2Files) =
+      if (manifest) resolveSnapshot(name) else (None, Seq.empty[String])
+    val existing = (if (manifest) readFilesMor(name, scd2Files, scd2Base)
+      else read(name)).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var curCached: Option[DataFrame] = None
     try {
@@ -3306,7 +3345,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val merged = hist.unionByName(untouched, allowMissingColumns = true)
         .unionByName(closed, allowMissingColumns = true)
         .unionByName(opened, allowMissingColumns = true)
-      atomicPublish(name, merged, partitionColsOf(name))
+      atomicPublish(name, merged, partitionColsOf(name),
+        if (manifest) Some(scd2Base) else None)
     } finally {
       existing.unpersist()
       curCached.foreach(_.unpersist())
@@ -3336,9 +3376,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
     }
 
-  /** S9: delete-by-key as one anti-join. */
+  /** S9: delete-by-key as one anti-join. The base snapshot is captured
+    * once so the publish CAS covers the whole read-filter-publish span
+    * (see atomicPublish's expectedBase).
+    */
   def delete(name: String, keys: DataFrame, keyCols: Seq[String]): Unit =
-    atomicPublish(name, read(name).join(keys, keyCols, "left_anti"))
+    if (manifest) {
+      val (mf, files) = resolveSnapshot(name)
+      atomicPublish(name,
+        readFilesMor(name, files, mf).join(keys, keyCols, "left_anti"),
+        expectedBase = Some(mf))
+    } else
+      atomicPublish(name, read(name).join(keys, keyCols, "left_anti"))
 
   /** Bucketed table: pre-shuffled, per-bucket-sorted layout on the join
     * key, registered in the session catalog (bucketing metadata lives
@@ -3374,10 +3423,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * the retry story instead.)
     */
   def atomicPublish(name: String, df: DataFrame,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      expectedBase: Option[Option[String]] = None): Unit = {
     if (manifest) {
+      // `expectedBase` (when given) is the snapshot the CALLER's
+      // computation actually read — read-modify-write ops (upsert,
+      // delete, compact) pass it so the commit CAS compares against
+      // THAT, not a re-resolve at publish time. Re-resolving here
+      // would let a commit that landed between the caller's read and
+      // this publish slip past the strictness contract: the CAS would
+      // compare against the racer's manifest and silently clobber its
+      // changes with data computed from the stale base.
       val root = new Path(tablePath(name))
-      val expected = currentManifest(fileSystem(root), root)
+      val expected = expectedBase.getOrElse(
+        currentManifest(fileSystem(root), root))
       val (n, files) = writeVersion(name, df, partitionCols)
       commitSnapshot(name, n, FullList(files), expected)
       return
@@ -3404,16 +3463,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * swap crashes between renames.
     */
   def publishPartitions(name: String, df: DataFrame,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String],
+      expectedBase: Option[Option[String]] = None): Unit = {
     require(partitionCols.nonEmpty, "publishPartitions needs partition columns")
     if (manifest) {
       // partition-scoped snapshot: new files for the partitions present
       // in `df`, the previous snapshot's files for every other
       // partition — untouched data is REFERENCED, never copied (the
-      // object-store property a rename-swap can't give). Base resolved
-      // BEFORE the write so the whole job is covered by the commit CAS.
+      // object-store property a rename-swap can't give). The base is
+      // the snapshot the caller's merge actually READ (`expectedBase`,
+      // see atomicPublish) so the commit CAS covers the whole
+      // read-merge-publish span, not just the write; resolving here is
+      // only the fallback for callers that stage fresh data.
       val root = new Path(tablePath(name))
-      val base = currentManifest(fileSystem(root), root)
+      val base = expectedBase.getOrElse(
+        currentManifest(fileSystem(root), root))
       val (n, added) = writeVersion(name, df, partitionCols)
       val touched = added.map(partitionRel).toSet
       commitSnapshot(name, n, Delta(base, touched, Set.empty, added), base)

@@ -1515,6 +1515,41 @@ class LayoutSpec extends SparkSpec {
     assert(wh.read("t").filter($"k" === 50 || $"k" < 10).count() === 0)
   }
 
+  test("a commit racing an upsert's read-merge window aborts the upsert loudly") {
+    import spark.implicits._
+    // Read-modify-write strictness: the upsert's merge is computed
+    // from the snapshot it READ, so the publish must CAS against that
+    // captured manifest. Re-resolving at publish time (the old shape)
+    // let a commit landing between read and publish pass the CAS —
+    // and its rows in the touched partition were silently clobbered
+    // by the stale merge.
+    val (wh, tmp) = mk("graft-upsert-race")
+    val whB = new Warehouse(spark, tmp, manifest = true)
+    def df(rows: Seq[(Long, Long)]) =
+      rows.map { case (k, v) => (k, v, s"p${k % 2}") }.toDF("k", "v", "p")
+    wh.atomicPublish("t", df((0L until 20L).map(k => k -> k)),
+      partitionCols = Seq("p"))
+    var fired = false
+    wh.upsertTestHook = _ => if (!fired) {
+      fired = true
+      whB.append("t", df(Seq(100L -> 100L))) // lands in partition p0
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      wh.upsert("t", df(Seq(0L -> 999L)), keyCols = Seq("k"),
+        partitionCols = Seq("p"))
+    } finally wh.upsertTestHook = _ => ()
+    assert(fired, "race hook must have fired")
+    assert(wh.read("t").filter($"k" === 100L).count() === 1,
+      "the racer's append must survive the aborted upsert")
+    assert(wh.read("t").count() === 21)
+    // retry against the fresh snapshot applies cleanly
+    wh.upsert("t", df(Seq(0L -> 999L)), keyCols = Seq("k"),
+      partitionCols = Seq("p"))
+    assert(wh.read("t").filter($"k" === 0L).select("v")
+      .as[Long].head() === 999L)
+    assert(wh.read("t").count() === 21)
+  }
+
   test("a commit racing a delete's window fails the delete loudly, never silently") {
     import spark.implicits._
     // The mirrored half: a commit that lands inside deleteRows'

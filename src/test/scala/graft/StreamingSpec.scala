@@ -391,6 +391,81 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("lsh_index").count() === wh.read("corpus").count())
   }
 
+  test("streaming dedup fuzz: random batch splits replay to the sequential fold") {
+    import spark.implicits._
+    import graft.queries.Dedup
+    import graft.streaming.StreamingDedup
+    // Model-based: split the incoming docs into RANDOM micro-batches
+    // (sizes and membership drawn from a pinned seed), run the real
+    // gated ingest one file per trigger, and replay the SAME batches
+    // through a sequential fold of the batch-side decision — the
+    // streamed admit set must match the fold EXACTLY. This pins the
+    // plumbing a single-batch test can't: cross-batch near-dup chains
+    // (a doc admitted in batch 1 must reject its near-dups in batch
+    // 3), index freshness between triggers, and order stability.
+    val rnd = new scala.util.Random(20260814)
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-fuzz").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val seed = d.filter($"doc_id" < 300)
+    wh.atomicPublish("corpus", seed)
+    wh.atomicPublish("lsh_index", Dedup.buildLshIndex(seed))
+    val incomingIds = rnd.shuffle(d.filter($"doc_id" >= 300)
+      .select($"doc_id").as[Long].collect().toSeq)
+    // 4 random-sized contiguous cuts of the shuffled ids
+    val cutsRaw = Seq.fill(3)(rnd.nextInt(incomingIds.size)).sorted.distinct
+    val bounds = (0 +: cutsRaw :+ incomingIds.size).distinct.sorted
+    val chunks = bounds.sliding(2).map { case Seq(a, b) =>
+      incomingIds.slice(a, b).toSet }.filter(_.nonEmpty).toSeq
+    // one parquet file per chunk, mtimes forced ascending so the file
+    // source's (modTime, path) order IS the model's fold order
+    val incoming = s"$tmp/incoming"
+    val fs = new org.apache.hadoop.fs.Path(incoming)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    chunks.zipWithIndex.foreach { case (ids, i) =>
+      d.filter($"doc_id".isin(ids.toSeq: _*)).coalesce(1)
+        .write.mode("append").parquet(incoming)
+      val t = 1700000000000L + i * 60000L
+      fs.listStatus(new org.apache.hadoop.fs.Path(incoming))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .filter(_.getModificationTime > t)
+        .foreach(st => fs.setTimes(st.getPath, t, t))
+    }
+    val src = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(incoming)
+    StreamingDedup.dedupIngest(src, wh, "corpus", "lsh_index", 0.5, s"$tmp/ckpt")
+      .awaitTermination(180000)
+    // the sequential fold: same chunks, same order, same decision fn —
+    // admitted ids MATERIALIZED per step (re-deriving the corpus from
+    // `d` by id keeps the plan shallow; folding unions of LSH joins
+    // grows an unresolved tree that OOMs the driver's analyzer)
+    var modelIds = seed.select($"doc_id").as[Long].collect().toSet
+    chunks.foreach { ids =>
+      val corpusDf = d.filter($"doc_id".isin(modelIds.toSeq: _*))
+      val batch = d.filter($"doc_id".isin(ids.toSeq: _*))
+      modelIds ++= StreamingDedup.acceptedOf(batch,
+        Dedup.buildLshIndex(corpusDf), 0.5)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    val want = modelIds
+    val got = wh.read("corpus").select($"doc_id").as[Long].collect().toSet
+    assert(got === want,
+      s"streamed corpus diverged from the sequential fold " +
+      s"(extra=${(got -- want).take(5)}, missing=${(want -- got).take(5)})")
+    assert(wh.read("lsh_index").count() === wh.read("corpus").count())
+    // some cross-batch rejection actually happened, or the fuzz is vacuous
+    assert(got.size < 300 + incomingIds.size, "no doc was rejected")
+    // full redelivery (fresh checkpoint, same files): idempotent
+    StreamingDedup.dedupIngest(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(incoming),
+      wh, "corpus", "lsh_index", 0.5, s"$tmp/ckpt2")
+      .awaitTermination(180000)
+    assert(wh.read("corpus").select($"doc_id").as[Long].collect().toSet === want)
+    assert(wh.read("lsh_index").count() === wh.read("corpus").count())
+  }
+
   test("streaming IVF indexer: streamed postings == batch assignment; redelivery converges") {
     import spark.implicits._
     import graft.operators.IvfCodebook
