@@ -439,10 +439,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       upper: Option[Any]): (Seq[String], Int) = {
     require(manifest, "data skipping requires manifest mode")
     val root = new Path(tablePath(name))
+    pruneFilesFrom(name, currentManifest(fileSystem(root), root),
+      column, lower, upper)
+  }
+
+  /** `pruneFiles` against an EXPLICIT manifest — the snapshot-
+    * consistency seam: `readSkipping` resolves the manifest ONCE and
+    * routes prune, type guard, and DV subtraction through the same
+    * resolution, so a commit racing the read can never pair one
+    * snapshot's file list with another's deletion vector or schema.
+    */
+  private def pruneFilesFrom(name: String, mf: Option[String],
+      column: String, lower: Option[Any],
+      upper: Option[Any]): (Seq[String], Int) = {
+    val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val cache = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
-    currentManifest(fs, root)
-      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+    mf.flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) =>
         // chunk-level skip FIRST: a chunk whose merged stat excludes
         // the range is never opened — on a clustered 10⁶-file table a
@@ -458,9 +471,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         }
         (kept, total)
       case None =>
-        val files = snapshotFiles(name)
+        val files = manifestFilesOrLegacy(fs, root, mf)
         (pruneFileList(fs, root, files, column, lower, upper, cache), files.size)
     }
+  }
+
+  /** File list of an explicit manifest (or the legacy root listing
+    * when the table has none) — `resolveSnapshot`'s second half, for
+    * callers that already hold the manifest name.
+    */
+  private def manifestFilesOrLegacy(fs: FileSystem, root: Path,
+      mf: Option[String]): Seq[String] = mf match {
+    case Some(m) => readManifest(fs, new Path(root, m))
+    case None => listDataFiles(fs, root, root)
   }
 
   /** Per-file pruning over an explicit file list (one chunk or the
@@ -757,6 +780,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       isNull: Boolean): DataFrame = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
+    // single-resolution read — see readSkipping
+    val mfC = currentManifest(fs, root)
     def keepFile(f: String, rs: Option[FileStats.RowStat]): Boolean =
       rs.forall { r =>
         r.nullCounts.get(column) match {
@@ -764,7 +789,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           case Some(nc) => if (isNull) nc > 0 else nc < r.numRows
         }
       }
-    val kept = currentManifest(fs, root)
+    val kept = mfC
       .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) =>
         // chunk-level skip from the header null sums: zero nulls ⇒ no
@@ -790,14 +815,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           }
         }
       case None =>
-        snapshotRowStats(name).collect {
-          case (f, rs) if keepFile(f, rs) => f
-        }
+        val files = manifestFilesOrLegacy(fs, root, mfC)
+        files.groupBy(f =>
+            if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+          .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
+            if (v.isEmpty) fl.filter(f => keepFile(f, None))
+            else {
+              val rows = FileStats.readRows(fs,
+                new Path(new Path(root, v), "_rows"))
+              fl.filter(f => keepFile(f, rows.get(f.stripPrefix(v + "/"))))
+            }
+          }
     }
     val c = col(column)
     val base =
-      if (kept.nonEmpty) readFilesMor(name, kept, currentManifest(fs, root))
-      else readFiles(name, snapshotFiles(name)).where(lit(false))
+      if (kept.nonEmpty) readFilesMor(name, kept, mfC)
+      else readFiles(name, manifestFilesOrLegacy(fs, root, mfC))
+        .where(lit(false))
     base.where(if (isNull) c.isNull else c.isNotNull)
   }
 
@@ -810,7 +844,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def readSkipping(name: String, column: String, lower: Option[Any],
       upper: Option[Any]): DataFrame = {
-    val (kept, _) = pruneFiles(name, column, lower, upper)
+    // ONE manifest resolution for the whole read: prune, the type
+    // guard's full-schema probe, and the DV subtraction all answer
+    // from the same snapshot — a commit racing this read can never
+    // pair one snapshot's files with another's vector or schema
+    val rootC = new Path(tablePath(name))
+    val mfC = currentManifest(fileSystem(rootC), rootC)
+    val (kept, _) = pruneFilesFrom(name, mfC, column, lower, upper)
     // schema truth is the FULL snapshot (plan-only: one footer + the
     // path listing already in hand — no data scan): hive partition
     // column types are INFERRED from the surviving paths, so a pruned
@@ -825,15 +865,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // footers, identical in any subset) — skipping it otherwise keeps
     // the pruned fast path free of the full-snapshot listing a
     // chunked 10⁶-file manifest would have to concat.
+    lazy val fullFiles = manifestFilesOrLegacy(fileSystem(rootC), rootC, mfC)
     val base =
-      if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
+      if (kept.isEmpty) readFiles(name, fullFiles).where(lit(false))
       else {
-        val root = new Path(tablePath(name))
-        val pruned = readFilesMor(name, kept,
-          currentManifest(fileSystem(root), root))
-        if (!snapshotEncodesPartition(name, kept, column)) pruned
+        val pruned = readFilesMor(name, kept, mfC)
+        if (!snapshotEncodesPartition(name, mfC, kept, column)) pruned
         else {
-          val full = readFiles(name, snapshotFiles(name))
+          val full = readFiles(name, fullFiles)
           (full.schema.find(_.name == column),
             pruned.schema.find(_.name == column)) match {
             case (Some(f), Some(p)) if f.dataType != p.dataType =>
@@ -864,8 +903,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     *    exists to catch. The kept-subset check stays as the fast path
     *    (a hit there already proves the layout encodes the column).
     */
-  private def snapshotEncodesPartition(name: String, kept: Seq[String],
-      column: String): Boolean = {
+  private def snapshotEncodesPartition(name: String, mf: Option[String],
+      kept: Seq[String], column: String): Boolean = {
     def hasSeg(f: String) = f.split('/').exists(_.startsWith(column + "="))
     if (kept.exists(hasSeg)) return true
     val root = new Path(tablePath(name))
@@ -874,12 +913,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // guard decision must NOT cost a full-list concat on a 10^6-file
     // table (s27 pins chunk opens). A chunk whose pcols is
     // unrepresentable (`!`) or a pre-pcols header falls back to the
-    // list, the conservative direction.
-    currentManifest(fs, root)
-      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+    // list, the conservative direction. The manifest comes from the
+    // CALLER's single resolution (snapshot consistency, see
+    // pruneFilesFrom).
+    mf.flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) if chunks.nonEmpty && chunks.forall(_.pcols.isDefined) =>
         chunks.exists(_.pcols.get.contains(column))
-      case _ => snapshotFiles(name).exists(hasSeg)
+      case _ => manifestFilesOrLegacy(fs, root, mf).exists(hasSeg)
     }
   }
 
@@ -1060,6 +1100,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       values: Seq[Any]): (Seq[String], Int) = {
     require(manifest, "data skipping requires manifest mode")
     val root = new Path(tablePath(name))
+    pruneFilesEqualsFrom(name, currentManifest(fileSystem(root), root),
+      column, values)
+  }
+
+  /** `pruneFilesEquals` against an explicit manifest — see
+    * `pruneFilesFrom` for the snapshot-consistency rationale.
+    */
+  private def pruneFilesEqualsFrom(name: String, mf: Option[String],
+      column: String, values: Seq[Any]): (Seq[String], Int) = {
+    val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     def perFile(files: Seq[String],
         statsCache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]],
@@ -1090,8 +1140,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         }
     val sc = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
     val bc = scala.collection.mutable.Map[String, Map[String, BloomIndex.FileBloom]]()
-    currentManifest(fs, root)
-      .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
+    mf.flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) =>
         // a chunk is skipped only when its merged stat excludes EVERY
         // probe value — one surviving value opens it
@@ -1106,7 +1155,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         }
         (kept, total)
       case None =>
-        val files = snapshotFiles(name)
+        val files = manifestFilesOrLegacy(fs, root, mf)
         (perFile(files, sc, bc), files.size)
     }
   }
@@ -1119,17 +1168,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * to an unpruned scan.
     */
   def readEquals(name: String, column: String, values: Seq[Any]): DataFrame = {
-    val (kept, _) = pruneFilesEquals(name, column, values)
+    // single-resolution read, like readSkipping
+    val rootC = new Path(tablePath(name))
+    val mfC = currentManifest(fileSystem(rootC), rootC)
+    val (kept, _) = pruneFilesEqualsFrom(name, mfC, column, values)
+    lazy val fullFiles = manifestFilesOrLegacy(fileSystem(rootC), rootC, mfC)
     val base =
-      if (kept.isEmpty) readFiles(name, snapshotFiles(name)).where(lit(false))
+      if (kept.isEmpty) readFiles(name, fullFiles).where(lit(false))
       else {
-        val root = new Path(tablePath(name))
-        val pruned = readFilesMor(name, kept,
-          currentManifest(fileSystem(root), root))
+        val pruned = readFilesMor(name, kept, mfC)
         // partition-column type guard only — see readSkipping
-        if (!snapshotEncodesPartition(name, kept, column)) pruned
+        if (!snapshotEncodesPartition(name, mfC, kept, column)) pruned
         else {
-          val full = readFiles(name, snapshotFiles(name))
+          val full = readFiles(name, fullFiles)
           (full.schema.find(_.name == column),
             pruned.schema.find(_.name == column)) match {
             case (Some(f), Some(p)) if f.dataType != p.dataType =>
@@ -3237,7 +3288,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         val pruned = touchedVals match {
           case None => existing
           case Some(vals) =>
-            val (kept, _) = pruneFilesEquals(name, partitionCols.head, vals)
+            // prune against the CAPTURED manifest (snapshot
+            // consistency with the merge's file list)
+            val (kept, _) = pruneFilesEqualsFrom(name, mfCap,
+              partitionCols.head, vals)
             if (kept.isEmpty) existing.where(lit(false))
             else {
               // DV-aware like `read`, against the CAPTURED manifest:
