@@ -1458,21 +1458,7 @@ object Text {
         // base index over the corpus as of yesterday
         publishBm25(wh, d.filter($"doc_id" < 350))
         // today's batch: the remaining docs, derived and merged in
-        val batch = d.filter($"doc_id" >= 350)
-        val (np, _, nl, _) = bm25Tables(batch)
-        val inc = np.groupBy($"term").agg(count(lit(1)).as("dfinc"))
-        val dictNew = wh.read("bm25_dict")
-          .join(inc, Seq("term"), "full_outer")
-          .select($"term",
-            (coalesce($"df", lit(0L)) + coalesce($"dfinc", lit(0L))).as("df"))
-        val bstats = nl.agg(count(lit(1)).as("bnd"),
-          coalesce(sum($"dl"), lit(0L)).as("blsum"))
-        val totNew = wh.read("bm25_totals").crossJoin(broadcast(bstats))
-          .select(($"nd" + $"bnd").as("nd"), ($"lsum" + $"blsum").as("lsum"))
-        wh.append("bm25_postings", np)
-        wh.append("bm25_doclen", nl)
-        wh.atomicPublish("bm25_dict", dictNew)
-        wh.atomicPublish("bm25_totals", totNew)
+        incrementBm25(wh, d.filter($"doc_id" >= 350))
         val sc = servedSterms(wh, qterms)
         bm25TopK(sc, qterms)
       },
@@ -2012,7 +1998,7 @@ object Text {
     * totals) derived from a (doc_id, toks) frame — used for the base
     * build AND for an incremental batch's delta (x29).
     */
-  private def bm25Tables(d: org.apache.spark.sql.DataFrame)
+  private[graft] def bm25Tables(d: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val postings = d.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -2023,7 +2009,7 @@ object Text {
     (postings, dict, dls, tots)
   }
 
-  private def publishBm25(wh: graft.sources.Warehouse,
+  private[graft] def publishBm25(wh: graft.sources.Warehouse,
       d: org.apache.spark.sql.DataFrame): Unit = {
     val (postings, dict, dls, tots) = bm25Tables(d)
     wh.atomicPublish("bm25_postings", postings)
@@ -2043,6 +2029,34 @@ object Text {
     wh
   }
 
+  /** Incremental BM25 ADD (the x29 shape, shared with the lifecycle
+    * fuzz): the batch's postings and doc-lengths APPEND (new doc ids,
+    * no key overlap — the manifest append only references old files),
+    * the dictionary takes per-term df increments via one full-outer
+    * merge (cost ∝ |dict| + |batch vocab|, never the corpus), the
+    * 1-row totals add the batch's counts. Must be indistinguishable
+    * from a full rebuild — x29's oracle and the fuzz's fresh-build
+    * comparisons both pin exactly that.
+    */
+  private[graft] def incrementBm25(wh: graft.sources.Warehouse,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val (np, _, nl, _) = bm25Tables(batch)
+    val inc = np.groupBy(col("term")).agg(count(lit(1)).as("dfinc"))
+    val dictNew = wh.read("bm25_dict")
+      .join(inc, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("dfinc"), lit(0L))).as("df"))
+    val bstats = nl.agg(count(lit(1)).as("bnd"),
+      coalesce(sum(col("dl")), lit(0L)).as("blsum"))
+    val totNew = wh.read("bm25_totals").crossJoin(broadcast(bstats))
+      .select((col("nd") + col("bnd")).as("nd"),
+        (col("lsum") + col("blsum")).as("lsum"))
+    wh.append("bm25_postings", np)
+    wh.append("bm25_doclen", nl)
+    wh.atomicPublish("bm25_dict", dictNew)
+    wh.atomicPublish("bm25_totals", totNew)
+  }
+
   /** Decrement the derived BM25 aggregates for a deleted-doc set: one
     * bounded pass over the doomed docs' postings yields per-term df
     * drops (dict rows hitting zero are removed) and the totals' count/
@@ -2052,7 +2066,7 @@ object Text {
     * Cost ∝ |deleted| + |dict| — both tables are vocab-bounded / 1
     * row. Shared by x28 (eager fold) and x30 (merge-on-read).
     */
-  private def applyBm25Deletes(wh: graft.sources.Warehouse,
+  private[graft] def applyBm25Deletes(wh: graft.sources.Warehouse,
       doomed: org.apache.spark.sql.DataFrame): Unit = {
     val dec = wh.read("bm25_postings")
       .join(doomed, Seq("doc_id"), "left_semi")
@@ -2081,7 +2095,7 @@ object Text {
     * index rewrite. Shared by x26 (single query), x27 (query batch),
     * x28 (post-fold re-probe), x29 (post-increment), x30 (tombstoned).
     */
-  private def servedSterms(wh: graft.sources.Warehouse,
+  private[graft] def servedSterms(wh: graft.sources.Warehouse,
       qterms: Seq[String],
       tombstones: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {

@@ -328,4 +328,74 @@ class BreadthSpec extends SparkSpec {
     val tri = wedges.join(or, Seq("src", "dst"), "left_semi").count()
     assert(tri === 1L, s"expected exactly the one triangle, got $tri")
   }
+
+  test("bm25 lifecycle fuzz: random add/eager-delete/tombstone always serves the fresh build") {
+    import spark.implicits._
+    import graft.queries.Text
+    // Model-based equivalence of two GENUINELY DIFFERENT code paths:
+    // the maintained index (incremental df merges, eager folds,
+    // tombstone overlays — x28/x29/x30's machinery) vs a from-scratch
+    // build over the model's live doc set. Served per-(term, doc)
+    // scores must be IDENTICAL after every random op: both paths
+    // compute the same formula from integer inputs, so any bookkeeping
+    // drift (df off by one, totals not decremented, tombstone leak)
+    // shows up as a score mismatch, not a tolerance judgement call.
+    val rnd = new scala.util.Random(31337)
+    val qterms = Seq("dup", "vector", "join", "the")
+    val d = Tables.load(spark, dir, "documents")
+      .select($"doc_id", graft.operators.TextOps.tokens($"text").as("toks"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-fuzz").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    val allIds = d.select($"doc_id").as[Long].collect().toSet
+    var live = allIds.filter(_ < 250)
+    var unused = allIds -- live
+    var tombs = Set.empty[Long] // deleted but physically still in postings
+    Text.publishBm25(wh, d.filter($"doc_id".isin(live.toSeq: _*)))
+
+    def serveBoth(ctx: String): Unit = {
+      val tdf = tombs.toSeq.toDF("doc_id")
+      val got = Text.servedSterms(wh, qterms,
+          if (tombs.isEmpty) None else Some(tdf))
+        .select($"term", $"doc_id", $"sterm")
+        .as[(String, Long, Double)].collect().toSet
+      val fresh = new graft.sources.Warehouse(spark,
+        s"$tmp/fresh_$ctx", manifest = true)
+      Text.publishBm25(fresh, d.filter($"doc_id".isin(live.toSeq: _*)))
+      val want = Text.servedSterms(fresh, qterms)
+        .select($"term", $"doc_id", $"sterm")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got === want, s"$ctx: maintained index diverged from fresh " +
+        s"build (extra=${(got -- want).take(3)}, missing=${(want -- got).take(3)})")
+    }
+
+    serveBoth("base")
+    for (i <- 1 to 4) {
+      rnd.nextInt(3) match {
+        case 0 => // incremental ADD of unused docs
+          val ids = rnd.shuffle(unused.toSeq).take(30 + rnd.nextInt(30)).toSet
+          if (ids.nonEmpty) {
+            Text.incrementBm25(wh, d.filter($"doc_id".isin(ids.toSeq: _*)))
+            live ++= ids; unused --= ids
+          }
+          serveBoth(s"op$i-add")
+        case 1 => // EAGER delete: fold postings/doclen, decrement dict/totals
+          val ids = rnd.shuffle((live -- tombs).toSeq).take(20).toSet
+          if (ids.nonEmpty) {
+            val doomed = ids.toSeq.toDF("doc_id")
+            Text.applyBm25Deletes(wh, doomed)
+            wh.delete("bm25_postings", doomed, Seq("doc_id"))
+            wh.delete("bm25_doclen", doomed, Seq("doc_id"))
+            live --= ids
+          }
+          serveBoth(s"op$i-fold")
+        case 2 => // TOMBSTONE delete: dict/totals decrement only, MOR overlay
+          val ids = rnd.shuffle((live -- tombs).toSeq).take(15).toSet
+          if (ids.nonEmpty) {
+            Text.applyBm25Deletes(wh, ids.toSeq.toDF("doc_id"))
+            tombs ++= ids; live --= ids
+          }
+          serveBoth(s"op$i-tomb")
+      }
+    }
+  }
 }
