@@ -2627,6 +2627,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * cannot be silently clobbered. Only snapshots GC still retains
     * (current + previous) are restorable — the loud `require`
     * mirrors `readVersion`.
+    *
+    * Deletion vectors ride the lineage: the restore carries the
+    * TARGET snapshot's vector, so deletes applied while it was
+    * current stay applied, and deletes that only exist in LATER
+    * history are undone with the rest of that history. The same
+    * GDPR caveat as Delta/Iceberg follows: a row-level delete is only
+    * irreversible once compaction has materialized it AND the
+    * pre-delete snapshots have aged out of GC.
     */
   def rollback(name: String, toVersion: Long): Unit = {
     require(manifest, "rollback requires manifest mode")

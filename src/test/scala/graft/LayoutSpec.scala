@@ -1459,6 +1459,23 @@ class LayoutSpec extends SparkSpec {
       "a full rewrite materializes deletes and resets the DV lineage")
   }
 
+  test("bloom-pruned point lookups subtract the deletion vector") {
+    import spark.implicits._
+    // A deleted row's value still sets its file's Bloom bits, so the
+    // prune keeps the file — the MOR subtraction on the pruned read is
+    // what keeps the lookup honest. Pin the composition.
+    val (wh, _) = mk("graft-bloom-dv")
+    wh.atomicPublish("t", spark.range(0, 1000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .repartition(8, $"k"))
+    wh.buildBloom("t", "s")
+    assert(wh.readEquals("t", "s", Seq("s00007", "s00500")).count() === 2)
+    assert(wh.deleteRows("t", $"k" === 7L) === 1)
+    assert(wh.readEquals("t", "s", Seq("s00007", "s00500"))
+      .as[(Long, String)].collect().toSet === Set((500L, "s00500")),
+      "a bloom-kept file must still subtract its deleted rows")
+  }
+
   test("deletion vectors subtract across mixed evolved vintages") {
     import spark.implicits._
     // The MOR anti-join keys on per-scan `_metadata` addresses; a
