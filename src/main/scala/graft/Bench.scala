@@ -63,7 +63,20 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // machine-load self-labeling (round-12): the driver's capture runs
+    // on a shared box and load contamination has cost every round
+    // since r6 an idle re-measure to interpret the totals. Each
+    // query's detail row carries the 1-minute /proc/loadavg sampled
+    // at its timing block, so a contended capture is readable as such
+    // without re-running anything.
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
+      loads(name) = loadAvg()
       val times = (1 to runs).map { _ =>
         // queries that persist intermediate frames (d3/d7 shingles,
         // sim2/d8 codebook) would otherwise hand run 2 a live SQL cache
@@ -95,7 +108,7 @@ object Bench {
     def qmap(rs: Iterable[(String, Double)], fmt: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"failed":$failed,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"load":${qmap(loads, _.toString)},"failed":$failed,"sf":"$sfDir","runs":$runs}"""
     // full detail: committed artifact in the repo root + scratch copy
     for (path <- Seq("BENCH_DETAIL.json", "target/bench_detail.json")) {
       val f = new java.io.File(path)
@@ -104,12 +117,14 @@ object Bench {
       try w.println(detailLine) finally w.close()
     }
     val watchedRs = results.filter { case (k, _) => watched.contains(k) }
+    val loadEnd = loadAvg()
+    val loadMax = (loads.values ++ Seq(loadStart, loadEnd)).max
     spark.stop()
     // printed after spark.stop() so no shutdown logging can land
     // between this line and end-of-output; "queries" carries the
     // watched subset so the line stays ~0.5 KB regardless of catalog
     // growth — the full map lives in BENCH_DETAIL.json
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"detail":"BENCH_DETAIL.json"}""")
   }
 }

@@ -144,12 +144,31 @@ object ScaleProbe {
       val now = (v1.filterNot(_.contains("/pt=1/")) ++ v2 ++ v3 ++ v4)
       val tFull = time(wh.commitFabricated("t", now))
       val tCount = time(require(wh.statsRowCount("t").nonEmpty))
+      // GC legs (round-12): plant crashed-writer debris — an orphan
+      // chunk under a live number, a stale in-flight marker, a dead
+      // lineage's DV dir — backdated past every grace, then time the
+      // audits. `vacuumOrphans` works from the ROOT listing plus
+      // manifest HEADERS (live-sets from vdirs lines, ref-counted
+      // chunks), so its cost must track chunk count, never the files
+      // inside version dirs; `fsck` reads the whole file list by
+      // design and is the one O(files) audit.
+      val aged = System.currentTimeMillis() - 30L * 60 * 1000
+      Seq(s"$dir/t/_mchunk_v2_deadbeef_9", s"$dir/t/_inflight_v99")
+        .foreach(p => new java.io.File(p).createNewFile())
+      new java.io.File(s"$dir/t/_dv__manifest_v1_deadbeef").mkdirs()
+      Seq("_mchunk_v2_deadbeef_9", "_inflight_v99", "_dv__manifest_v1_deadbeef")
+        .foreach { nm =>
+          fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/t/$nm"), aged, aged)
+        }
+      val tVacuum = time(wh.vacuumOrphans("t"))
+      val tFsck = time(wh.fsck("t"))
       Seq("bootstrap" -> tFull0, "append" -> tAppend, "upsert" -> tUpsert,
         "appendDv" -> tAppendDv, "full" -> tFull,
-        "rowcount" -> tCount).foreach { case (op, s) =>
+        "rowcount" -> tCount, "vacuum" -> tVacuum,
+        "fsck" -> tFsck).foreach { case (op, s) =>
         println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
       }
-      System.err.println(f"[scaleprobe] commit sweep n=$nf: full=$tFull%.3fs append=$tAppend%.3fs upsert=$tUpsert%.3fs appendDv=$tAppendDv%.3fs")
+      System.err.println(f"[scaleprobe] commit sweep n=$nf: full=$tFull%.3fs append=$tAppend%.3fs upsert=$tUpsert%.3fs appendDv=$tAppendDv%.3fs vacuum=$tVacuum%.3fs fsck=$tFsck%.3fs")
     }
   }
 
@@ -195,7 +214,99 @@ object ScaleProbe {
     }
   }
 
+  /** Generate a FULL factor-scaled corpus (every table) — the sf1
+    * gate's data source (`runMain graft.ScaleProbe gen <baseSfDir>
+    * <outDir> <factor>`): the driver's generator is not available to
+    * this repo, so sf1 ≈ sf0.1 × 10 by the same disjoint-shard model
+    * `scaleTables` uses, extended corpus-wide. Key shifts are
+    * CONSISTENT across tables (orders.o_custkey and
+    * customer.c_custkey shift by the same stride, lineitem's
+    * part/supp keys by part's/supplier's) so every join in the
+    * catalog remains referentially intact; region/nation copy
+    * verbatim (TPC-H dimensions don't scale). Embeddings get a
+    * per-copy deterministic SIGN-FLIP pattern: within a copy every
+    * dot product is preserved EXACTLY (the same signs cancel), while
+    * cross-copy vectors decorrelate — the near-dup/ANN structure of
+    * the base replicates per shard instead of exploding into
+    * cross-copy duplicate clusters. Document urls/text get the same
+    * per-copy token tag as `scaleTables`.
+    */
+  def genCorpus(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    def copies(df: DataFrame)(mutate: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(c => mutate(df, c)).reduce(_.unionByName(_))
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    val customer = Tables.load(spark, baseDir, "customer")
+    val supplier = Tables.load(spark, baseDir, "supplier")
+    val part = Tables.load(spark, baseDir, "part")
+    val orders = Tables.load(spark, baseDir, "orders")
+    val lineitem = Tables.load(spark, baseDir, "lineitem")
+    val events = Tables.load(spark, baseDir, "events")
+    val docs = Tables.load(spark, baseDir, "documents")
+    val emb = Tables.load(spark, baseDir, "embeddings")
+    val ckS = customer.agg(max($"c_custkey")).head.getLong(0) + 1
+    val skS = supplier.agg(max($"s_suppkey")).head.getLong(0) + 1
+    val pkS = part.agg(max($"p_partkey")).head.getLong(0) + 1
+    val okS = orders.agg(max($"o_orderkey")).head.getLong(0) + 1
+    val eiS = events.agg(max($"event_id")).head.getLong(0) + 1
+    val uiS = events.agg(max($"user_id")).head.getLong(0) + 1
+    val diS = docs.agg(max($"doc_id")).head.getLong(0) + 1
+    val viS = emb.agg(max($"vec_id")).head.getLong(0) + 1
+
+    Tables.load(spark, baseDir, "region").write.mode("overwrite")
+      .parquet(s"$outDir/region.parquet")
+    Tables.load(spark, baseDir, "nation").write.mode("overwrite")
+      .parquet(s"$outDir/nation.parquet")
+    write(copies(customer)((d, c) =>
+      d.withColumn("c_custkey", $"c_custkey" + lit(c * ckS))), "customer", 8)
+    write(copies(supplier)((d, c) =>
+      d.withColumn("s_suppkey", $"s_suppkey" + lit(c * skS))), "supplier", 4)
+    write(copies(part)((d, c) =>
+      d.withColumn("p_partkey", $"p_partkey" + lit(c * pkS))), "part", 8)
+    write(copies(orders)((d, c) =>
+      d.withColumn("o_orderkey", $"o_orderkey" + lit(c * okS))
+        .withColumn("o_custkey", $"o_custkey" + lit(c * ckS))),
+      "orders", 8 * factor)
+    write(copies(lineitem)((d, c) =>
+      d.withColumn("l_orderkey", $"l_orderkey" + lit(c * okS))
+        .withColumn("l_partkey", $"l_partkey" + lit(c * pkS))
+        .withColumn("l_suppkey", $"l_suppkey" + lit(c * skS))),
+      "lineitem", 8 * factor)
+    write(copies(events)((d, c) =>
+      d.withColumn("event_id", $"event_id" + lit(c * eiS))
+        .withColumn("user_id", $"user_id" + lit(c * uiS))),
+      "events", 8 * factor)
+    write(copies(docs) { (d, c) =>
+      val shifted = d.withColumn("doc_id", $"doc_id" + lit(c * diS))
+      if (c == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace($"text", "(\\S+)", s"zc$c" + "$1"))
+    }, "documents", 8 * factor)
+    write(copies(emb) { (d, c) =>
+      val shifted = d.withColumn("vec_id", $"vec_id" + lit(c * viS))
+      if (c == 0) shifted
+      else shifted.withColumn("embedding",
+        expr(s"transform(embedding, (x, i) -> " +
+          s"CASE WHEN pmod(hash($c, i), 2) = 0 THEN x ELSE -x END)"))
+    }, "embeddings", 4 * factor)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("gen")) {
+      val Array(_, baseDir, outDir, factor) = args
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      genCorpus(spark, baseDir, outDir, factor.toInt)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("skew")) {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

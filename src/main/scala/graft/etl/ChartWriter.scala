@@ -37,7 +37,10 @@ object ChartWriter {
   }
 
   private def jsonNum(d: Double): String =
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+    if (d.isNaN || d.isInfinite) "null" // a null 金額 surfaces as NaN;
+      // bare NaN/Infinity is invalid JSON — Vega-Lite treats a null
+      // datum as missing, which is the faithful rendering
+    else if (d == d.floor && math.abs(d) < 1e15)
       s"${d.toLong}.0"
     else d.toString
 
@@ -86,10 +89,8 @@ object ChartWriter {
       }
   }
 
-  /** One static HTML page, a chart div per spec. */
-  def writeHtml(series: DataFrame, outFile: String): Unit = {
-    val ss = specs(series)
-    val divs = ss.zipWithIndex.map { case ((_, _, spec), i) =>
+  private def chartDivs(ss: Seq[(String, String, String)]): String =
+    ss.zipWithIndex.map { case ((_, _, spec), i) =>
       s"""<div id="chart$i"></div>
          |<pre class="fallback" id="spec$i">$spec</pre>
          |<script>
@@ -99,22 +100,62 @@ object ChartWriter {
          |}
          |</script>""".stripMargin
     }.mkString("\n")
-    val html =
-      s"""<!DOCTYPE html>
-         |<html><head><meta charset="utf-8">
-         |<title>financial summary</title>
-         |<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
-         |<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
-         |<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
-         |<style>body{font-family:sans-serif;margin:2em}pre.fallback{background:#f6f6f6;padding:1em;overflow-x:auto}</style>
-         |</head><body>
-         |<h1>決算サマリー</h1>
-         |$divs
-         |</body></html>
-         |""".stripMargin
-    val p = java.nio.file.Paths.get(outFile)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, html.getBytes("UTF-8"))
+
+  private def page(title: String, body: String): String =
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<title>$title</title>
+       |<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+       |<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+       |<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>
+       |<style>body{font-family:sans-serif;margin:2em}pre.fallback{background:#f6f6f6;padding:1em;overflow-x:auto}</style>
+       |</head><body>
+       |$body
+       |</body></html>
+       |""".stripMargin
+
+  private def writeFile(path: java.nio.file.Path, content: String): Unit = {
+    if (path.getParent != null)
+      java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, content.getBytes("UTF-8"))
     ()
+  }
+
+  /** One static HTML page, a chart div per spec. */
+  def writeHtml(series: DataFrame, outFile: String): Unit =
+    writeFile(java.nio.file.Paths.get(outFile),
+      page("financial summary", "<h1>決算サマリー</h1>\n" +
+        chartDivs(specs(series))))
+
+  private def htmlEsc(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  /** Company-picker parity with the reference's one remaining live
+    * surface (the Streamlit selectbox at app/app.py:95-101 chooses
+    * which company's chart renders): a static SITE — `index.html`
+    * listing every company as a link, one `company_<i>.html` per
+    * company with that company's charts. The engine's boundary is
+    * unchanged (specs, not widgets); the interactive picker becomes
+    * navigation. Filenames are index-based so company names (Japanese,
+    * arbitrary) never have to be filesystem-safe.
+    */
+  def writeSite(series: DataFrame, outDir: String): Unit = {
+    val ss = specs(series)
+    val dir = java.nio.file.Paths.get(outDir)
+    val companies = ss.map(_._1).distinct // specs() sorts by company
+    companies.zipWithIndex.foreach { case (c, i) =>
+      writeFile(dir.resolve(s"company_$i.html"),
+        page(c, s"""<p><a href="index.html">← 企業一覧</a></p>
+                   |<h1>${htmlEsc(c)} 決算サマリー</h1>
+                   |""".stripMargin + chartDivs(ss.filter(_._1 == c))))
+    }
+    val items = companies.zipWithIndex.map { case (c, i) =>
+      s"""<li><a href="company_$i.html">${htmlEsc(c)}</a></li>"""
+    }.mkString("\n")
+    writeFile(dir.resolve("index.html"),
+      page("決算サマリー", s"<h1>企業一覧</h1>\n<ul>\n$items\n</ul>"))
   }
 }

@@ -36,6 +36,30 @@ trait PointerStore {
   def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
       expected: Option[String], next: String,
       observe: () => Option[String]): Boolean
+
+  /** Remove the pointer — including every on-disk artifact the store
+    * privately encodes it with — so a later `read` returns None. NOT
+    * atomic against a concurrent `compareAndSet`: callers only delete
+    * pointers whose name they exclusively own (the DV pointer of a
+    * `_manifest_vN` they just created create-no-overwrite) or whose
+    * lineage is dead. The round-12 multi-process fuzz found why this
+    * must be a STORE operation: `Warehouse.abort` used to remove DV
+    * pointers with a raw file delete of the literal name, which
+    * silently no-ops for stores with private encodings (gen files) —
+    * manifest-number reuse then attached the stale vector to an
+    * unrelated later snapshot.
+    */
+  def delete(fs: FileSystem, root: Path, ptrName: String): Unit = {
+    fs.delete(new Path(root, ptrName), false)
+    ()
+  }
+
+  /** Which LOGICAL pointer (if any) the given on-disk file name
+    * encodes — lets listing-driven GC recognize a store's private
+    * file shapes (gen / tmp files) and route their cleanup through
+    * `delete`. Default (literal-file stores): the file encodes itself.
+    */
+  def ownedPointer(fileName: String): Option[String] = Some(fileName)
 }
 
 /** Default filesystem implementation: mutual exclusion via an
@@ -280,6 +304,32 @@ final class GenFencedPointerStore extends PointerStore {
   override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] =
     current(fs, root, ptrName).map(_._2).filter(_.nonEmpty)
 
+  /** Every artifact of the pointer goes: the whole gen ladder plus any
+    * orphan tmps. Only for names the caller exclusively owns or whose
+    * lineage is dead (trait contract).
+    */
+  override def delete(fs: FileSystem, root: Path, ptrName: String): Unit = {
+    val re = genRe(ptrName)
+    val tp = tmpPrefix(ptrName)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case re(_) => fs.delete(st.getPath, false)
+        case n if n.startsWith(tp) => fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+  }
+
+  private val AnyGenRe = "^\\.(.+)\\.gen-\\d+$".r
+  private val AnyTmpRe = "^\\.(.+)\\.tmp-.*$".r
+  override def ownedPointer(fileName: String): Option[String] =
+    fileName match {
+      case AnyGenRe(name) => Some(name)
+      case AnyTmpRe(name) => Some(name)
+      case _ => None
+    }
+
   override def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
       expected: Option[String], next: String,
       observe: () => Option[String]): Boolean = {
@@ -367,6 +417,14 @@ final class InMemoryPointerStore extends PointerStore {
 
   override def read(fs: FileSystem, root: Path, ptrName: String): Option[String] =
     registers.getOrDefault(s"$root/$ptrName", None)
+
+  override def delete(fs: FileSystem, root: Path, ptrName: String): Unit = {
+    registers.remove(s"$root/$ptrName")
+    ()
+  }
+
+  // no on-disk encoding: never claim a listed file
+  override def ownedPointer(fileName: String): Option[String] = None
 
   override def compareAndSet(fs: FileSystem, root: Path, ptrName: String,
       expected: Option[String], next: String,

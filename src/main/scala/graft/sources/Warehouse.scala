@@ -417,7 +417,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     mf.flatMap(currentDv(fs, root, _)) match {
       case None => readFiles(name, files)
       case Some(d) =>
-        val dels = spark.read.parquet(d.toString)
+        val dels = loadDv(fs, d)
           .select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
         readFiles(name, files, withPos = true)
           .join(broadcast(dels),
@@ -1038,8 +1038,105 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       if (manifestChunks(fs, new Path(root, m)).exists(_.nonEmpty)) {
         val files = readManifest(fs, new Path(root, m))
         val n = claimVersion(fs, root)
-        commitSnapshot(name, n, FullList(files), Some(m))
+        // FILE-PRESERVING recommit: the list is the base's raw physical
+        // files (not a DV-subtracted read), so the base's deletion
+        // vector must carry — otherwise this metadata refresh would
+        // silently resurrect deleted (e.g. GDPR) rows
+        commitSnapshot(name, n, FullList(files, carryDvFrom = Some(m)), Some(m))
       }
+    }
+  }
+
+  /** NDV coverage of the snapshot named by manifest `base`: the
+    * columns for which EVERY file carries an `_ndv_<col>` register,
+    * each with its precision p (derived from the register width).
+    * Chunked headers answer this without touching chunk files; flat
+    * manifests intersect the version dirs' sidecar listings. Empty
+    * map = no coverage to maintain.
+    */
+  private def ndvCoverage(fs: FileSystem, root: Path,
+      base: String): Map[String, Int] = {
+    val mf = new Path(root, base)
+    if (!fs.exists(mf)) return Map.empty
+    def pOf(len: Int): Option[Int] =
+      if (len > 0 && Integer.bitCount(len) == 1)
+        Some(Integer.numberOfTrailingZeros(len)) else None
+    manifestChunks(fs, mf) match {
+      case Some(chunks) if chunks.nonEmpty =>
+        chunks.map(_.ndv.keySet).reduce(_ intersect _).toSeq.sorted
+          .flatMap { c =>
+            val lens = chunks.map(_.ndv(c).length).distinct
+            if (lens.size == 1) pOf(lens.head).map(c -> _) else None
+          }.toMap
+      case _ =>
+        val vs = readManifest(fs, mf).map(f =>
+          if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "").distinct
+        if (vs.isEmpty || vs.contains("")) Map.empty
+        else {
+          val perV = vs.map { v =>
+            val d = new Path(root, v)
+            if (!fs.exists(d)) Set.empty[String]
+            else fs.listStatus(d).toSeq.collect {
+              case st if st.isFile && st.getPath.getName.startsWith("_ndv_") =>
+                st.getPath.getName.stripPrefix("_ndv_")
+            }.toSet
+          }
+          perV.reduce(_ intersect _).toSeq.sorted.flatMap { c =>
+            NdvSketch.read(fs, new Path(new Path(root, vs.head), s"_ndv_$c"))
+              .headOption.flatMap(r => pOf(r._2.length)).map(c -> _)
+          }.toMap
+        }
+    }
+  }
+
+  /** Write `_ndv_<col>` sidecars for the files just landed in version
+    * dir `_vN`, at the base snapshot's precisions — the commit-time
+    * leg of NDV maintenance: when the table HAS coverage (someone ran
+    * `buildNdv`), a delta commit keeps it by sketching only the NEW
+    * files (cost ∝ the batch, one column-pruned pass for all covered
+    * columns together), so `statsApproxNdv` stays header-served with
+    * no manual re-run. Tables without coverage pay nothing but the
+    * header probe. Any column absent from the batch's schema, or any
+    * file the name-mapping can't place, simply gets no sidecar entry —
+    * coverage then lapses to None, never to an undercount.
+    */
+  private def maintainNdvSidecars(name: String, n: Long,
+      added: Seq[String], base: Option[String]): Unit = {
+    if (!manifest || added.isEmpty || base.isEmpty) return
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val cov = ndvCoverage(fs, root, base.get)
+    if (cov.isEmpty) return
+    val v = s"_v$n"
+    val marker = s"/$v/"
+    val rel = added.map(_.stripPrefix(v + "/")).toSet
+    val df = spark.read.option("basePath", s"${tablePath(name)}/$v")
+      .parquet(added.map(f => s"${tablePath(name)}/$f"): _*)
+    val present = cov.filter { case (c, _) => df.columns.contains(c) }
+    if (present.isEmpty) return
+    val colsSorted = present.keys.toSeq.sorted
+    val aggs = colsSorted.map { c =>
+      udaf(new NdvSketch.HllAgg(present(c)),
+        org.apache.spark.sql.Encoders.STRING)(col(c).cast("string")).as(s"_s_$c")
+    }
+    val rows = df
+      .select(input_file_name().as("_f") +: colsSorted.map(col): _*)
+      .groupBy(col("_f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    colsSorted.zipWithIndex.foreach { case (c, i) =>
+      val perFile = rows.flatMap { row =>
+        val abs = row.getString(0)
+        val j = abs.indexOf(marker)
+        if (j < 0) None
+        else {
+          val r = abs.substring(j + marker.length)
+          if (rel(r)) Some(r -> row.getAs[Array[Byte]](i + 1)) else None
+        }
+      }.toMap
+      // whole-or-nothing per column: a partial sidecar would make the
+      // chunk header's ndv line silently cover only some files
+      if (perFile.keySet == rel)
+        NdvSketch.write(fs, new Path(new Path(root, v), s"_ndv_$c"), perFile)
     }
   }
 
@@ -1047,8 +1144,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * `_ndv_<column>` sidecars alone — zero data files opened. None
     * unless EVERY snapshot data file carries a sketch (a partial
     * answer presented as the table's NDV would silently undercount —
-    * the statsMinMax completeness rule): re-run `buildNdv` after
-    * appends to restore coverage. Merging is the elementwise-max
+    * the statsMinMax completeness rule). Once `buildNdv` has run,
+    * delta commits (append / scoped upsert) MAINTAIN coverage by
+    * sketching their own new files (`maintainNdvSidecars`); a full
+    * rewrite (compact, unpartitioned upsert) resets the lineage —
+    * re-run `buildNdv` after those. Merging is the elementwise-max
     * register fold, so the estimate equals the one a single sketch of
     * the whole snapshot would give.
     */
@@ -1256,6 +1356,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   private def snapshotFiles(name: String): Seq[String] = resolveSnapshot(name)._2
 
+  /** The current snapshot's manifest name — the capture half of a
+    * captured-base publish for callers OUTSIDE this class (e.g. the
+    * streaming re-grain): capture, read, recompute, then pass this as
+    * `atomicPublish(expectedBase = Some(captured))` so the commit CAS
+    * covers the whole read-rewrite span.
+    */
+  private[graft] def currentSnapshotId(name: String): Option[String] = {
+    val root = new Path(tablePath(name))
+    currentManifest(fileSystem(root), root)
+  }
+
+
   /** Resolve the current snapshot as (manifest name, file list). The
     * manifest name is the commit-time CAS expectation: a read-modify-
     * write op (append, partition-scoped upsert) captures it when it
@@ -1360,7 +1472,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * materializing the base file list.
     */
   private sealed trait SnapSpec
-  private final case class FullList(files: Seq[String]) extends SnapSpec
+  /** `carryDvFrom`: a FILE-PRESERVING full-list recommit (buildNdv's
+    * metadata refresh, rollback-like shapes) names the base manifest
+    * whose deletion vector must ride along — the listed files are the
+    * base's PHYSICAL files, so dropping the vector would resurrect
+    * deleted rows. A genuine full REWRITE leaves it None: its input
+    * came from the DV-aware read, deletes are materialized, and the
+    * lineage legitimately resets.
+    */
+  private final case class FullList(files: Seq[String],
+      carryDvFrom: Option[String] = None) extends SnapSpec
   private final case class Delta(base: Option[String],
       removedPartitions: Set[String], removedFiles: Set[String],
       added: Seq[String]) extends SnapSpec
@@ -1632,7 +1753,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       spec: SnapSpec): BuiltManifest = {
     val meta = new VersionMeta(fs, root)
     val built = spec match {
-      case FullList(files) => buildFull(fs, root, n, files, meta)
+      case FullList(files, _) => buildFull(fs, root, n, files, meta)
       case d @ Delta(base, _, _, added) =>
         def drop(files: Seq[String]): Seq[String] =
           files.filterNot(f => d.removedFiles.contains(f) ||
@@ -1895,7 +2016,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def commitSnapshot(name: String, n: Long, spec: SnapSpec,
       expectedPrev: Option[String],
       retainVersionOnAbort: Boolean = false,
-      ownVersion: Option[Long] = None): Unit = {
+      ownVersion: Option[Long] = None,
+      dvReplace: Option[DataFrame] = None): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     // the version dir this commit wrote (and whose in-flight marker it
@@ -1919,7 +2041,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // create-no-overwrite on the manifest stays the commit claim; a
     // loser's already-written chunks are reaped by abort()/GC
     val built =
-      try buildManifest(fs, root, n, spec)
+      try Warehouse.prof("commit: buildManifest")(buildManifest(fs, root, n, spec))
       catch { case e: Throwable => releaseClaim(); throw e }
     val mf = new Path(root, s"_manifest_v$n")
     val out =
@@ -1929,6 +2051,15 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       }
     try out.write(built.content.getBytes("UTF-8"))
     finally out.close()
+    // We now own manifest number n exclusively (create-no-overwrite
+    // won) — clear any DV-pointer DEBRIS a crashed or aborted earlier
+    // attempt left under this number. Number reuse would otherwise
+    // attach the stale pointer to THIS unrelated snapshot: silent
+    // wrong deletes if its dir survived the crash, a permanently
+    // unreadable lineage if it didn't (round-12 multi-process fuzz
+    // find — the raw abort-path delete also missed gen-fenced stores'
+    // private encodings, hence pointerStore.delete).
+    pointerStore.delete(fs, root, dvPtrName(mf.getName))
     commitTestHook(name)
     // ---- Deletion-vector carry-forward (staged pre-CAS) -------------
     // A Delta commit preserves base files, so the base lineage's DV
@@ -1941,10 +2072,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // input came from the DV-aware `read`, so deletes are materialized
     // and the lineage legitimately resets.
     val (dvBase, dvRemP, dvRemF) = spec match {
+      case _ if dvReplace.isDefined =>
+        // the caller (deleteRows) supplies the new lineage's vector
+        // outright — nothing is carried from the base
+        (Option.empty[String], Set.empty[String], Set.empty[String])
       case Delta(b, p, f, _) => (b, p, f)
+      case FullList(_, b @ Some(_)) =>
+        // file-preserving recommit (e.g. buildNdv's metadata refresh):
+        // same physical files, so the base lineage's vector carries
+        // whole — no removals to subtract
+        (b, Set.empty[String], Set.empty[String])
       case _ => (Option.empty[String], Set.empty[String], Set.empty[String])
     }
-    var carriedFrom: Option[String] =
+    val carriedFrom: Option[String] =
       dvBase.flatMap(b => pointerStore.read(fs, root, dvPtrName(b)))
     var stagedDv: Option[String] = None
     // what a reader would resolve now, ignoring our own not-yet-current
@@ -1956,7 +2096,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       fs.delete(mf, false)
       deleteChunks(fs, root, built.ownChunks)
       stagedDv.foreach { d =>
-        fs.delete(new Path(root, dvPtrName(mf.getName)), false)
+        pointerStore.delete(fs, root, dvPtrName(mf.getName))
         fs.delete(new Path(root, d), true)
       }
       releaseClaim()
@@ -1974,17 +2114,32 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         s"names ${observed.getOrElse("<none>")} — aborted (orphan manifest " +
         "removed); re-read the table and retry")
     }
-    try carriedFrom.foreach { d =>
-      val staged = stageDvCarry(fs, root, new Path(root, d), mf.getName,
-        dvRemP, dvRemF)
-      stagedDv = Some(staged)
-      if (!pointerStore.compareAndSet(fs, root, dvPtrName(mf.getName), None,
-          staged, () => pointerStore.read(fs, root, dvPtrName(mf.getName)))) {
-        // unreachable for a not-yet-current manifest (deleteRows only
-        // targets the CURRENT lineage) — but if it ever fires, the
-        // existing pointer wins and our staged copy is surplus
-        fs.delete(new Path(root, staged), true)
-        stagedDv = None
+    try {
+      // Stage the new lineage's vector pre-CAS: either supplied
+      // outright (deleteRows — a row-level delete IS a commit) or
+      // carried from the base. A reader resolving the new snapshot
+      // always finds its pointer already in place.
+      val toStage: Option[() => String] = dvReplace match {
+        case Some(vec) => Some(() => {
+          val next = new Path(root, newDvDirName(mf.getName))
+          vec.coalesce(1).write.mode(SaveMode.ErrorIfExists)
+            .parquet(next.toString)
+          next.getName
+        })
+        case None => carriedFrom.map(d => () =>
+          stageDvCarry(fs, root, new Path(root, d), mf.getName,
+            dvRemP, dvRemF))
+      }
+      toStage.foreach { stage =>
+        val staged = Warehouse.prof("commit: dv stage")(stage())
+        stagedDv = Some(staged)
+        if (!pointerStore.compareAndSet(fs, root, dvPtrName(mf.getName), None,
+            staged, () => pointerStore.read(fs, root, dvPtrName(mf.getName))))
+          // we exclusively own this manifest name and just cleared its
+          // pointer debris — a conflict here is a protocol violation
+          throw new IllegalStateException(
+            s"DV pointer for fresh manifest ${mf.getName} was set " +
+            "concurrently — commit protocol violated")
       }
     } catch { case e: Throwable =>
       try abort(observe()) catch { case _: Throwable => () }
@@ -2000,43 +2155,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // in-flight shield has done its job (ditto the rebase's claim on n)
     fs.delete(new Path(root, s"_inflight_v$own"), false)
     releaseClaim()
-    // ---- DV carry repair (post-CAS) ---------------------------------
-    // The DV pointer CAS arbitrates deletes against deletes; a
-    // deleteRows that flipped the BASE lineage inside our carry-read →
-    // commit-CAS window is invisible in what we carried. Re-read after
-    // winning the commit and merge any movement in (bounded CAS loop —
-    // a racer targeting OUR new lineage just makes the merge re-read).
-    // deleteRows' own post-CAS current-manifest re-check covers the
-    // mirrored half of the window, so every interleaving has at least
-    // one side detect and repair or fail loudly.
-    dvBase.foreach { b =>
-      var attempts = 0
-      var done = false
-      while (!done && attempts < 4) {
-        val nowFrom = pointerStore.read(fs, root, dvPtrName(b))
-        if (nowFrom == carriedFrom || nowFrom.isEmpty) done = true
-        else {
-          attempts += 1
-          val curPtr = pointerStore.read(fs, root, dvPtrName(mf.getName))
-          val next = new Path(root, newDvDirName(mf.getName))
-          val moved = dvSurvivors(new Path(root, nowFrom.get), dvRemP, dvRemF)
-          val merged = curPtr match {
-            case Some(c) => moved.unionByName(
-              spark.read.parquet(new Path(root, c).toString)).distinct()
-            case None => moved.distinct()
-          }
-          merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-            .parquet(next.toString)
-          if (pointerStore.compareAndSet(fs, root, dvPtrName(mf.getName),
-              curPtr, next.getName,
-              () => pointerStore.read(fs, root, dvPtrName(mf.getName)))) {
-            carriedFrom = nowFrom
-            // the superseded staged dir stays for in-flight readers;
-            // the age-gated sweeps reap it like any unpointed vector
-          } else fs.delete(next, true)
-        }
-      }
-    }
+    // No post-CAS DV repair (the round-11 repair loop is gone): a
+    // lineage's vector is IMMUTABLE once its manifest commits —
+    // `deleteRows` is itself a commit that stages a fresh vector
+    // under a NEW manifest, so the base pointer this commit carried
+    // from cannot move afterwards, and a delete racing this commit
+    // simply wins or loses the ONE manifest CAS like any writer. The
+    // old mutable-DVPTR protocol had an unclosable window where a
+    // delete's entries for files a racing rewrite had removed were
+    // silently dropped by the carry filter (round-12 multi-process
+    // fuzz find).
     // GC: a _vN dir is deletable only when NEITHER the new nor the
     // previous snapshot references any file in it — AND no live writer
     // still shields it with a fresh in-flight marker (a stale marker
@@ -2052,6 +2180,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // `promoteBranch` release it. (Without this, a publish could reap
     // an open branch's manifest + version dir, leaving its pointer
     // dangling — a state no code path could then clean up.)
+    Warehouse.prof("commit: gc sweep") {
     val branchPinned = branchPointedManifests(fs, root).values.toSet
     val branchLive = branchPinned.toSeq
       .flatMap(m => manifestVdirs(fs, root, m))
@@ -2092,17 +2221,36 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         case c @ MChunkRe(num, _, _) if st.isFile &&
             !referencedChunks.contains(c) && !markerFresh(num) =>
           fs.delete(st.getPath, false)
-        case d @ DvDirRe(m, _) if st.isDirectory && !keepManifests.contains(m) =>
+        case d @ DvDirRe(m, _) if st.isDirectory && !keepManifests.contains(m) &&
+            !markerFresh(m.stripPrefix("_manifest_v")) =>
           // dead DV lineage: with carry-forward every commit on a
           // DV-bearing table stages a fresh vector, so without this
           // sweep superseded lineages would pile one dir per publish
           // until a vacuum. Kept lineages (current/previous/branch)
           // keep their vectors — time travel still merges on read.
+          // The in-flight-marker shield matches the manifest/chunk
+          // cases: a concurrent commit stages its carried vector and
+          // flips _DVPTR_ BEFORE its own CAS, while its manifest is
+          // not yet anyone's keepManifests — reaping that staged dir
+          // in the window would let the racer commit a DV-less
+          // lineage and silently resurrect deleted rows.
           fs.delete(st.getPath, true)
-        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) =>
-          fs.delete(st.getPath, false)
-        case _ => ()
+        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) &&
+            !markerFresh(m.stripPrefix("_manifest_v")) =>
+          pointerStore.delete(fs, root, p)
+        case f =>
+          // stores with PRIVATE pointer encodings (gen ladders): ask
+          // the store which logical pointer a file belongs to, and
+          // reap dead DV lineages' pointers through the store — the
+          // literal DvPtrRe case above never matches their files
+          pointerStore.ownedPointer(f) match {
+            case Some(p @ DvPtrRe(m)) if !keepManifests.contains(m) &&
+                !markerFresh(m.stripPrefix("_manifest_v")) =>
+              pointerStore.delete(fs, root, p)
+            case _ => ()
+          }
       }
+    }
     }
   }
 
@@ -2358,6 +2506,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         val dvDir = new Path(root, d)
         if (!fs.exists(dvDir))
           issues += s"DV pointer ${dvPtrName(m)} names missing dir $d"
+        else if (!fs.listStatus(dvDir).exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet")))
+          issues += s"DV dir $d is empty while its pointer is live"
         else {
           // bounded: an anti-join probe, examples only — never a
           // full-vector collect (a mass delete's DV can be large)
@@ -2439,7 +2590,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             !fs.exists(new Path(root, s"_v$num")) =>
           fs.delete(st.getPath, false)
           deleted += i
-        case m @ ManifestRe(_) if st.isFile && !keepManifests.contains(m) =>
+        case m @ ManifestRe(num) if st.isFile && !keepManifests.contains(m) &&
+            !markerFresh(num) =>
+          // marker shield mirrors commit-time GC: with TWO commits in
+          // flight only the highest-numbered rides the "previous"
+          // keep, so the other's just-written (not-yet-current)
+          // manifest needs its in-flight marker to survive a
+          // concurrent vacuum
           fs.delete(st.getPath, false)
           deleted += m
         case c @ MChunkRe(num, _, _) if st.isFile && !markerFresh(num) &&
@@ -2453,22 +2610,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           fs.delete(st.getPath, false)
           deleted += c
         case d @ DvDirRe(m, _) if st.isDirectory &&
-            (!keepManifests.contains(m) ||
+            ((!keepManifests.contains(m) &&
+               !markerFresh(m.stripPrefix("_manifest_v"))) ||
               (!pointerStore.read(fs, root, dvPtrName(m)).contains(d) &&
                System.currentTimeMillis() - st.getModificationTime > DvOrphanGraceMs)) =>
           // dead lineage (manifest reaped ⇒ readMor can never resolve
-          // it again) goes immediately; within a LIVE lineage only the
+          // it again) goes immediately — unless a fresh in-flight
+          // marker says the lineage is a concurrent commit's staged
+          // (not-yet-current) vector; within a LIVE lineage only the
           // pointed vector is load-bearing — superseded/orphan dirs go
           // once past the same age gate deleteRows' own GC uses
           fs.delete(st.getPath, true)
           deleted += d
-        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) =>
+        case p @ DvPtrRe(m) if st.isFile && !keepManifests.contains(m) &&
+            !markerFresh(m.stripPrefix("_manifest_v")) =>
           // the reaped manifest's `_DVPTR_` pointer goes with its
           // lineage — deleteRows' own GC only tends its LIVE manifest,
           // so without this sweep dead pointers accumulate forever
-          fs.delete(st.getPath, false)
+          pointerStore.delete(fs, root, p)
           deleted += p
-        case _ => ()
+        case f =>
+          // private pointer encodings (see commitSnapshot's sweep)
+          pointerStore.ownedPointer(f) match {
+            case Some(p @ DvPtrRe(m)) if !keepManifests.contains(m) &&
+                !markerFresh(m.stripPrefix("_manifest_v")) =>
+              pointerStore.delete(fs, root, p)
+              if (!deleted.contains(p)) deleted += p
+            case _ => ()
+          }
       }
     }
     (deleted ++ danglingPtrs).toList
@@ -2741,9 +2910,33 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * files: those partitions are rewritten from a DV-subtracted scan,
     * so the delete is materialized there, not carried.
     */
+  /** STRICT vector load: a pointer names this dir, so deletes exist —
+    * a vanished OR EMPTY dir is never "no deletes", it's a reader
+    * racing snapshot GC (`fs.delete` recurses child-first, so a racer
+    * can observe an existing-but-childless dir; Spark reads that as an
+    * empty frame, which here would silently RESURRECT deleted rows in
+    * the read — permanently, when the read feeds a merge. Found by the
+    * round-12 multi-process fuzz; the hook-injected races never
+    * produced the half-deleted dir). Listing the part files ourselves
+    * turns both shapes into a loud, retryable failure; the op-level
+    * retry re-reads the fresh snapshot.
+    */
+  private def loadDv(fs: FileSystem, d: Path): DataFrame = {
+    val parts = (try fs.listStatus(d).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (parts.isEmpty)
+      throw new java.io.IOException(
+        s"deletion vector $d is missing or empty while its pointer is " +
+        "live — a concurrent publish GC'd this snapshot mid-read; " +
+        "re-read the table and retry")
+    spark.read.parquet(parts.map(_.getPath.toString): _*)
+  }
+
   private def dvSurvivors(d: Path, removedPartitions: Set[String],
       removedFiles: Set[String]): DataFrame = {
-    val dels = spark.read.parquet(d.toString)
+    val root = d.getParent
+    val dels = loadDv(fileSystem(root), d)
     if (removedPartitions.isEmpty && removedFiles.isEmpty) dels
     else {
       val noV = regexp_replace(col("_file"), "^_v[0-9]+/", "")
@@ -2768,10 +2961,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       newMf: String, removedPartitions: Set[String],
       removedFiles: Set[String]): String = {
     val next = new Path(root, newDvDirName(newMf))
-    if (removedPartitions.isEmpty && removedFiles.isEmpty)
+    if (removedPartitions.isEmpty && removedFiles.isEmpty) {
       org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, next,
         false, spark.sparkContext.hadoopConfiguration)
-    else
+      // the copy races the same GC window loadDv guards reads against:
+      // copying a half-deleted source yields an empty staged dir whose
+      // pointer would then LOUDLY poison every later read of this
+      // lineage. Verify the staged vector is non-empty; aborting here
+      // makes the commit retry against the fresh snapshot instead.
+      val ok = try fs.listStatus(next).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!ok) {
+        fs.delete(next, true)
+        throw new java.io.IOException(
+          s"DV carry source $from vanished mid-copy (concurrent GC) — " +
+          "aborting this commit; retry re-reads the fresh snapshot")
+      }
+    } else
       dvSurvivors(from, removedPartitions, removedFiles)
         .coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(next.toString)
     next.getName
@@ -2782,36 +2989,36 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       mfName: String): Option[Path] =
     pointerStore.read(fs, root, dvPtrName(mfName)).map { d =>
       val p = new Path(root, d)
-      require(fs.exists(p),
-        s"DV pointer ${dvPtrName(mfName)} names $d but the dir is gone — " +
-        "sidecar state corrupted; republish the table to reset the DV lineage")
+      if (!fs.exists(p))
+        // under concurrency this is a READER RACING GC (a commit's
+        // sweep deletes a superseded lineage's dir and pointer as two
+        // separate entries; a reader holding the stale manifest can
+        // observe the half-swept state) — retryable, same class as a
+        // reaped data file. Only if it persists on a quiet table is it
+        // real corruption (then: republish to reset the DV lineage).
+        throw new java.io.IOException(
+          s"DV pointer ${dvPtrName(mfName)} names $d but the dir is " +
+          "gone — snapshot GC'd mid-read; re-read the table and retry")
       p
     }
 
-  /** Current snapshot read annotated with each row's physical address
-    * — (file relative to the table root, row position within the
-    * file) from the parquet reader's `_metadata` struct. The address
-    * is what deletion vectors key on.
-    */
-  private def readWithPos(name: String): DataFrame =
-    // RAW scan (no DV subtraction): hits on already-deleted rows are
-    // harmless — deleteRows unions them into the accumulated vector,
-    // where they were already present. Building on the raw scan keeps
-    // the address columns resolvable (they come from each scan's
-    // `_metadata`, which cannot be referenced above the MOR anti-join).
-    readFiles(name, snapshotFiles(name), withPos = true)
 
   /** Row-level DELETE without rewriting a single data file (the
     * Delta/Iceberg-v2 deletion-vector shape): rows matching `cond`
-    * are recorded as (file, row-position) pairs in a sidecar keyed to
-    * the CURRENT manifest, and `readMor` subtracts them at scan time.
-    * Repeated calls accumulate (union + distinct). Cost ∝ one scan to
-    * find positions + a sidecar write sized by the deleted rows —
-    * deleting 100 rows from a 100 TB table rewrites nothing. The
-    * sidecar is manifest-scoped: a republish starts a fresh DV
-    * lineage (the compaction that materializes deletes is `compact`
-    * over `readMor`). Publish is a staged-dir swap, atomic for
-    * readers on a rename filesystem.
+    * are recorded as (file, row-position) pairs in a sidecar, and
+    * every read surface subtracts them at scan time (merge-on-read).
+    * Since round 12 a delete IS a COMMIT: the merged vector rides a
+    * NEW manifest (chunk-reuse metadata write — O(header), no data
+    * file touched) made current by the same pointer CAS as every
+    * other commit, so one arbiter orders deletes against appends,
+    * upserts, compactions and other deletes, and each version's
+    * vector is immutable (time travel sees deletes as of each
+    * version). Repeated calls accumulate (union + distinct). Cost ∝
+    * one scan to find positions + a sidecar write sized by the
+    * deleted rows — deleting 100 rows from a 100 TB table rewrites
+    * nothing. A full rewrite materializes the deletes and resets the
+    * lineage (the compaction that does so is `compact` over the
+    * MOR read).
     */
   /** Test seam: fires after `deleteRows` resolves its target manifest
     * and expected vector, before it stages — the window a concurrent
@@ -2831,59 +3038,42 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(manifest, "deletion vectors require manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    val mf = currentManifest(fs, root).getOrElse(
+    // A row-level delete IS a snapshot commit (the Iceberg/Delta
+    // model, adopted in round 12): the merged vector is staged under a
+    // NEW manifest that reuses the base's chunks by reference — an
+    // O(header) metadata write — and made current by the same pointer
+    // CAS as every other commit. ONE arbiter means a delete can never
+    // slip inside another writer's read→publish window and be silently
+    // dropped: the loser of the CAS aborts loudly and retries. It also
+    // makes each lineage's vector IMMUTABLE (time travel now sees the
+    // deletes exactly as of each version) and removes every
+    // mutable-DVPTR race the old protocol had to patch one by one —
+    // the round-12 multi-process fuzz caught the unclosable remnant
+    // (a scoped upsert's carry filter dropping a racing delete's
+    // entries for files it rewrote from a pre-delete read).
+    val (mfCap, filesCap) = resolveSnapshot(name)
+    val mf = mfCap.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot for $name"))
     val expected = pointerStore.read(fs, root, dvPtrName(mf))
     dvTestHook(name)
-    val hits = readWithPos(name).filter(cond).select(col("_file"), col("_pos"))
+    // RAW scan (no DV subtraction) over the CAPTURED file list: hits
+    // on already-deleted rows are harmless — they dedup in the union.
+    val hits = readFiles(name, filesCap, withPos = true).filter(cond)
+      .select(col("_file"), col("_pos"))
     val merged = expected match {
       case Some(d) =>
-        spark.read.parquet(new Path(root, d).toString)
-          .unionByName(hits).distinct()
+        // strict: silently merging over a half-GC'd (empty-read) prior
+        // vector would drop every earlier delete from the lineage
+        loadDv(fs, new Path(root, d)).unionByName(hits).distinct()
       case None => hits.distinct()
     }
-    val next = new Path(root, newDvDirName(mf))
-    merged.coalesce(1).write.mode(SaveMode.ErrorIfExists)
-      .parquet(next.toString)
-    val n = spark.read.parquet(next.toString).count()
-    if (!pointerStore.compareAndSet(fs, root, dvPtrName(mf), expected,
-        next.getName, () => pointerStore.read(fs, root, dvPtrName(mf)))) {
-      fs.delete(next, true)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent deleteRows on $name: the DV pointer moved past " +
-        s"${expected.getOrElse("<none>")} — staged vector discarded; " +
-        "re-run against the fresh sidecar")
-    }
-    // Lost-delete guard vs concurrent COMMITS (the DV CAS only
-    // arbitrates against other deletes): if a commit superseded `mf`
-    // while this delete was in flight, the flip above may have landed
-    // on a dead lineage AFTER the commit's carry-forward read it —
-    // silently invisible to the new snapshot. Fail loudly; re-running
-    // against the fresh snapshot is idempotent (already-carried hits
-    // dedup in the union). commitSnapshot's own post-CAS re-read
-    // covers the mirrored half of the window.
-    if (!currentManifest(fs, root).contains(mf))
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit on $name during deleteRows: snapshot moved " +
-        s"past $mf — the delete may not have carried into the new " +
-        "lineage; re-run against the current snapshot")
-    // GC, like manifests: keep the new and the immediately-previous
-    // vector (an in-flight reader that resolved before the flip still
-    // has its files) unconditionally; everything else in this
-    // manifest's lineage is either an older superseded vector or a
-    // crashed writer's never-flipped orphan — both reaped, but only
-    // past the age gate (see newDvDirName: a live racer's staging
-    // must survive this sweep so its own CAS stays the arbiter)
-    val keep = Set(next.getName) ++ expected
-    fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case d @ DvDirRe(m, _) if m == mf && !keep.contains(d) &&
-            System.currentTimeMillis() - st.getModificationTime > DvOrphanGraceMs =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
-    }
-    n
+    val n = claimVersion(fs, root)
+    commitSnapshot(name, n, Delta(Some(mf), Set.empty, Set.empty, Nil),
+      Some(mf), dvReplace = Some(merged))
+    // the committed vector's size (count from the tiny written file,
+    // never a recompute of the hits scan)
+    currentDv(fs, root, s"_manifest_v$n")
+      .map(d => loadDv(fs, d).count()).getOrElse(0L)
   }
 
   /** Merge-on-read scan. Since round 11 `read` itself IS merge-on-read
@@ -3087,9 +3277,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     val n = claimVersion(fs, root)
     val vdir = new Path(root, s"_v$n")
-    val writer = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(vdir.toString)
+    Warehouse.prof("write: parquet") {
+      val writer = df.write.mode(SaveMode.ErrorIfExists)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(vdir.toString)
+    }
     val rel = versionFiles(fs, root, vdir)
     // data-skipping sidecars off the parquet footers just written (no
     // data pages re-read; distributed when the version is large; ONE
@@ -3099,16 +3291,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // before the manifest commit, so a snapshot is never current with
     // its stats missing.
     val inner = rel.map(_.stripPrefix(s"_v$n/"))
-    val all = FileStats.collectAll(spark, vdir.toString, inner)
-    FileStats.write(fs, new Path(vdir, "_stats"),
-      all.map { case (f, (cols, _)) => f -> cols })
-    FileStats.writeRows(fs, new Path(vdir, "_rows"),
-      all.map { case (f, (_, rows)) => f -> rows })
-    // per-partition shards of the same records: a later partition-
-    // scoped commit reads only the touched partition's stats
-    FileStats.writeSharded(fs, vdir,
-      all.map { case (f, (cols, _)) => f -> cols },
-      all.map { case (f, (_, rows)) => f -> rows })
+    Warehouse.prof("write: stats sidecars") {
+      val all = FileStats.collectAll(spark, vdir.toString, inner)
+      FileStats.write(fs, new Path(vdir, "_stats"),
+        all.map { case (f, (cols, _)) => f -> cols })
+      FileStats.writeRows(fs, new Path(vdir, "_rows"),
+        all.map { case (f, (_, rows)) => f -> rows })
+      // per-partition shards of the same records: a later partition-
+      // scoped commit reads only the touched partition's stats
+      FileStats.writeSharded(fs, vdir,
+        all.map { case (f, (cols, _)) => f -> cols },
+        all.map { case (f, (_, rows)) => f -> rows })
+    }
     (n, rel)
   }
 
@@ -3129,6 +3323,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // base list: the commit is a pure Delta against `base`.
       val parts = partitionColsFrom(snapshotHeadFile(name))
       val (n, added) = writeVersion(name, df, parts)
+      // sidecars land BEFORE the commit so the new chunk's header can
+      // carry the merged ndv line (rebases reuse the same version dir,
+      // so the sidecars survive retries)
+      Warehouse.prof("commit: ndv maintain")(
+        maintainNdvSidecars(name, n, added, base))
       commitAppend(name, n, added, base)
     } else {
       recover(name)
@@ -3204,6 +3403,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val root = new Path(tablePath(name))
     val base = currentManifest(fileSystem(root), root)
     val (n, added) = writeVersion(name, df, partitionCols)
+    Warehouse.prof("commit: ndv maintain")(
+      maintainNdvSidecars(name, n, added, base))
     commitAppend(name, n, added, base) // pure append: rebases too
   }
 
@@ -3233,7 +3434,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
-      assertPartitionStable: Boolean = false): Unit = {
+      assertPartitionStable: Boolean = false,
+      touchedValsHint: Option[Seq[Any]] = None): Unit = {
     if (!exists(name)) { atomicPublish(name, updates, partitionCols); return }
     if (assertPartitionStable && partitionCols.nonEmpty) {
       val up = updates.select((keyCols ++ partitionCols).map(col): _*).distinct()
@@ -3256,7 +3458,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // computed from the stale base (re-resolving at publish time was
     // exactly that hole)
     val (mfCap, filesCap) =
-      if (manifest) resolveSnapshot(name)
+      if (manifest) Warehouse.prof("upsert: resolve snapshot")(resolveSnapshot(name))
       else (None, Seq.empty[String])
     upsertTestHook(name)
     // a table previously written UNPARTITIONED has its rows in root
@@ -3287,11 +3489,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         // bounded collect: a sane batch touches few partitions; a
         // pathological one (backfill rewriting 10⁵ partitions) skips
         // manifest pruning rather than hauling the value list to the
-        // driver — the semi-join below still scopes the merge
+        // driver — the semi-join below still scopes the merge.
+        // `touchedValsHint` lets a caller that ALREADY ran a
+        // distinct-partitions action over the batch (the streaming
+        // sink's grain-observation probe) hand the values in, saving
+        // this job entirely — the hint must be the batch's complete
+        // distinct partition-value set.
         val touchedVals =
           if (manifest && partitionCols.size == 1)
-            Some(parts.limit(10001).collect().map(_.get(0)).toSeq)
-              .filter(_.size <= 10000)
+            touchedValsHint.filter(_.size <= 10000).orElse(
+              Some(parts.limit(10001).collect().map(_.get(0)).toSeq)
+                .filter(_.size <= 10000))
           else None
         val pruned = touchedVals match {
           case None => existing
@@ -3541,6 +3749,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val base = expectedBase.getOrElse(
         currentManifest(fileSystem(root), root))
       val (n, added) = writeVersion(name, df, partitionCols)
+      Warehouse.prof("commit: ndv maintain")(
+        maintainNdvSidecars(name, n, added, base))
       val touched = added.map(partitionRel).toSet
       commitSnapshot(name, n, Delta(base, touched, Set.empty, added), base)
       return
@@ -3575,4 +3785,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         && !st.getPath.getName.startsWith("_old"))
       .map(_.getPath)
       .flatMap(p => leafPartitionDirs(fs, p, depth - 1))
+}
+
+object Warehouse {
+  /** Cost-attribution seam (`SPARK_GRAFT_SINK_PROF=1`): per-phase
+    * stderr timing of the write/commit path, so a streaming-sink cost
+    * trend decomposes into NAMED line items instead of a guess (the
+    * round-11 m33 situation). Env-gated at class-load; zero cost off.
+    */
+  private[graft] val profEnabled: Boolean =
+    sys.env.contains("SPARK_GRAFT_SINK_PROF")
+  private[graft] def prof[T](label: String)(body: => T): T =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[sinkprof] %-28s %8.3fs", label,
+        Double.box((System.nanoTime() - t0) / 1e9)))
+      r
+    }
 }

@@ -135,13 +135,21 @@ object EventStream {
     * its dirs (`minRowsPerDir`); anything wider or sparser partitions
     * by month.
     */
+  /** Shared day-grain qualification thresholds — the first-batch
+    * decision and the re-grain observation must agree on what "a
+    * day-grainable batch" means.
+    */
+  val DefaultMinRowsPerDir: Long = 100
+  val DefaultMaxDirsPerBatch: Long = 8
+
   def timeGrain(wh: graft.sources.Warehouse, table: String, batch: DataFrame,
-      timeCol: String, minRowsPerDir: Long = 100,
-      maxDirsPerBatch: Long = 8): String = {
+      timeCol: String, minRowsPerDir: Long = DefaultMinRowsPerDir,
+      maxDirsPerBatch: Long = DefaultMaxDirsPerBatch): String = {
     val key = s"grain_$timeCol"
     wh.tableProp(table, key).getOrElse {
-      val a = batch.agg(count(lit(1)),
-        countDistinct(to_date(col(timeCol)))).head
+      val a = graft.sources.Warehouse.prof("sink: first-batch grain probe")(
+        batch.agg(count(lit(1)),
+          countDistinct(to_date(col(timeCol)))).head)
       val rows = a.getLong(0)
       val days = math.max(1L, a.getLong(1))
       val g = if (days <= maxDirsPerBatch && rows / days >= minRowsPerDir)
@@ -162,6 +170,62 @@ object EventStream {
     (batch.withColumn(c, date_format(col(timeCol), fmt)), c)
   }
 
+  /** Maintain-time RE-GRAIN for an adaptive sink — closes the
+    * "first-batch-sticky forever" gap: a table bootstrapped by a
+    * month-wide backfill then served by a live stream stayed
+    * month-grained for life, giving up the day-grain pruning the live
+    * phase supports. Decision evidence is the `grain_obs_<timeCol>`
+    * qualification STREAK `upsertByTime` maintains: each month-grain
+    * batch records whether it would have qualified for day grain,
+    * measured by the very aggregation whose result the scoped upsert
+    * needs anyway (the touched-partitions probe — net zero extra
+    * jobs on the hot path). Once `lastK` consecutive batches
+    * qualified, maintenance rewrites the table at day grain — a full
+    * rewrite is exactly a compaction publish, the same job class
+    * `maintain` already is — and flips the sticky prop.
+    *
+    * Concurrency: the rewrite is a captured-base publish, so a
+    * micro-batch landing inside the read→publish window makes the CAS
+    * abort loudly and the re-grain simply retries at the next
+    * maintenance window (returns false); a micro-batch that read the
+    * OLD grain prop and lost the race re-enters `upsertByTime` via the
+    * sink's retry loop and re-reads the flipped prop. A crash between
+    * publish and prop flip leaves prop=month over a day-grained table;
+    * this method repairs that at entry (the TABLE's layout is truth),
+    * so re-running maintenance converges.
+    */
+  def maintainGrain(wh: graft.sources.Warehouse, table: String,
+      timeCol: String, lastK: Int = 4): Boolean = {
+    val key = s"grain_$timeCol"
+    val obsKey = s"grain_obs_$timeCol"
+    val pc = s"p_$timeCol"
+    if (!wh.tableProp(table, key).contains("month")) return false
+    val base = wh.currentSnapshotId(table)
+    val cur = wh.read(table)
+    if (!cur.columns.contains(pc) || !cur.columns.contains(timeCol))
+      return false
+    // crash repair: if the stored partition values are already
+    // day-formatted (a prior re-grain published but died before the
+    // prop flip), just flip the prop — no rewrite needed
+    val sampleLen = cur.select(length(col(pc))).head(1)
+    if (sampleLen.nonEmpty && sampleLen.head.getInt(0) == 10) {
+      wh.setTableProp(table, key, "day"); return true
+    }
+    val streak = wh.tableProp(table, obsKey)
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (streak < lastK) return false
+    try {
+      val re = cur.drop(pc)
+        .withColumn(pc, date_format(col(timeCol), "yyyy-MM-dd"))
+      wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base))
+      wh.setTableProp(table, key, "day")
+      wh.setTableProp(table, obsKey, "0")
+      true
+    } catch {
+      case _: java.util.ConcurrentModificationException => false
+    }
+  }
+
   /** The foreachBatch body for an adaptive-grain sink: partition the
     * batch at the table's time grain and scoped-upsert it. The grain
     * probe is ONE extra aggregation over the first-ever batch of the
@@ -171,9 +235,58 @@ object EventStream {
     * more than just recomputing it once).
     */
   def upsertByTime(wh: graft.sources.Warehouse, table: String,
-      batch: DataFrame, timeCol: String, keyCols: Seq[String]): Unit = {
-    val (b, c) = withTimePartition(wh, table, batch, timeCol)
-    wh.upsert(table, b, keyCols, Seq(c))
+      batch0: DataFrame, timeCol: String, keyCols: Seq[String]): Unit = {
+    val key = s"grain_$timeCol"
+    val obsKey = s"grain_obs_$timeCol"
+    val c = s"p_$timeCol"
+    // PERSIST the micro-batch (Spark's documented foreachBatch rule for
+    // multi-action bodies): a batch DataFrame re-executes its whole
+    // lineage per action, and for a stream-stream join sink that is
+    // the join itself — the round-11 m33 cost trend decomposed (via
+    // SPARK_GRAFT_SINK_PROF) into exactly those re-executions: ~1.4 s
+    // first-batch grain probe + ~1.0 s per-batch partition probe, with
+    // the suspected commit machinery at single-digit MILLISECONDS.
+    // With the cache, the lineage runs once; probe and merge read it.
+    val batch = batch0.persist()
+    try {
+      // ONE probe per batch, grouped at DAY grain — it feeds all three
+      // consumers at once: the first-batch grain decision (day count +
+      // density), the month-grain re-grain observation streak, and the
+      // scoped upsert's touched-partition hint (day values roll up to
+      // months exactly, so either grain's partition set derives from
+      // the same rows).
+      val dayProbe = graft.sources.Warehouse.prof("sink: day probe")(
+        batch.groupBy(date_format(col(timeCol), "yyyy-MM-dd").as("_day"))
+          .agg(count(lit(1)).as("_n")).limit(10001).collect())
+      val bounded = dayProbe.length <= 10000
+      val rows = dayProbe.map(_.getLong(1)).sum
+      val days = math.max(1L, dayProbe.length.toLong)
+      val qualifies = bounded && days <= DefaultMaxDirsPerBatch &&
+        rows / days >= DefaultMinRowsPerDir
+      val grain = wh.tableProp(table, key).getOrElse {
+        val g = if (qualifies) "day" else "month"
+        wh.setTableProp(table, key, g)
+        g
+      }
+      val b = batch.withColumn(c,
+        date_format(col(timeCol), if (grain == "day") "yyyy-MM-dd" else "yyyy-MM"))
+      val hint: Option[Seq[Any]] =
+        if (!bounded) None
+        else if (grain == "day") Some(dayProbe.map(_.getString(0)).toSeq)
+        else Some(dayProbe.map(_.getString(0).take(7)).distinct.toSeq)
+      if (grain == "month") {
+        // re-grain observation: steady-state wide batches with streak 0
+        // write nothing — the prop only moves on progress or a reset
+        val prev = wh.tableProp(table, obsKey)
+          .flatMap(_.toLongOption).getOrElse(0L)
+        if (qualifies) wh.setTableProp(table, obsKey, (prev + 1).toString)
+        else if (prev != 0L) wh.setTableProp(table, obsKey, "0")
+      }
+      wh.upsert(table, b, keyCols, Seq(c), touchedValsHint = hint)
+    } finally {
+      batch.unpersist()
+      ()
+    }
   }
 
   def sinkToWarehouse(df: DataFrame, wh: graft.sources.Warehouse, table: String,

@@ -310,6 +310,30 @@ class EtlSpec extends SparkSpec {
       java.nio.file.Paths.get(out)), "UTF-8")
     assert(html.contains(spec))
     assert(html.contains("vega-lite"))
+
+    // SITE egress (the reference's remaining live surface — the
+    // Streamlit company selectbox, app.py:95-101 — as navigation):
+    // index.html lists every company once, each linking to a page
+    // holding exactly that company's charts
+    import org.apache.spark.sql.functions.{lit => flit}
+    val multi = series.union(
+      series.withColumn("company_name", flit("第二株式会社")))
+    val siteDir = java.nio.file.Files.createTempDirectory("graft-site").toString
+    graft.etl.ChartWriter.writeSite(multi, siteDir)
+    def readF(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(siteDir, p)), "UTF-8")
+    val idx = readF("index.html")
+    assert(idx.contains("""<li><a href="company_0.html">テスト株式会社</a></li>"""))
+    assert(idx.contains("""<li><a href="company_1.html">第二株式会社</a></li>"""))
+    assert(idx.sliding("テスト株式会社".length).count(_ == "テスト株式会社") === 1,
+      "one index entry per company, not per (company, period)")
+    val page0 = readF("company_0.html")
+    val page1 = readF("company_1.html")
+    assert(page0.contains(spec), "company page embeds its own spec")
+    assert(!page0.contains("第二株式会社"), "pages are per-company")
+    assert(page1.contains(spec.replace("テスト株式会社", "第二株式会社")),
+      "the second company's page carries its retitled spec")
+    assert(!page1.contains("テスト株式会社"))
   }
 
   test("warehouse: partition-scoped upsert rewrites ONLY touched partitions") {

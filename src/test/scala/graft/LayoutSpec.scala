@@ -475,15 +475,34 @@ class LayoutSpec extends SparkSpec {
     wh.buildNdv("t", "tag")
     assert(wh.statsApproxNdv("t", "tag").contains(7L))
 
-    // append without rebuilding: coverage is partial ⇒ None, never a
-    // silent undercount presented as the table's NDV
+    // append without rebuilding: the commit MAINTAINS coverage by
+    // sketching its own new files at the base's precision — no manual
+    // re-run needed (round-12: maintainNdvSidecars)
     wh.append("t", clustered().repartition(2, $"k"))
-    assert(wh.statsApproxNdv("t", "k").isEmpty)
-    wh.buildNdv("t", "k")
     val est2 = wh.statsApproxNdv("t", "k")
     // the appended rows are the same 10k keys: merged NDV unchanged
     assert(est2.isDefined && math.abs(est2.get - 10000L) <= 500,
-      s"idempotent keys must not move the merged estimate, got ${est2.get}")
+      s"append must keep coverage and the merged estimate, got $est2")
+    assert(wh.statsApproxNdv("t", "tag").contains(7L),
+      "every covered column is maintained, not just one")
+  }
+
+  test("ndv maintenance: deleteRows then buildNdv keeps rows deleted (DV carry on metadata recommit)") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-ndv-dv")
+    val data = (0L until 1000L).map(k => (k, s"t${k % 7}")).toDF("k", "tag")
+    wh.atomicPublish("t", data.repartition(4, $"k"))
+    assert(wh.deleteRows("t", $"k" < 100) === 100)
+    assert(wh.read("t").count() === 900)
+    // buildNdv's metadata-only recommit preserves the same physical
+    // files — the base's deletion vector must ride along or the 100
+    // GDPR-deleted rows silently resurrect (the r12 advice-high find)
+    wh.buildNdv("t", "k")
+    assert(wh.read("t").count() === 900,
+      "buildNdv must not resurrect deleted rows")
+    assert(wh.read("t").agg(min($"k")).head.getLong(0) === 100L)
+    // and the skipping surface agrees (MOR applies on pruned reads)
+    assert(wh.readSkipping("t", "k", Some(0L), Some(199L)).count() === 100)
   }
 
   test("vacuumOrphans: reaps crashed-writer debris, keeps snapshots and fresh in-flight work") {
@@ -1051,27 +1070,40 @@ class LayoutSpec extends SparkSpec {
     val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
-    assert(wh.deleteRows("t", $"k" < 10) === 10)
+    assert(wh.deleteRows("t", $"k" < 10) === 10) // commits _manifest_v2
 
-    // a crashed writer's never-flipped staged vector: unique names mean
-    // no retry can collide with it, and the pointer CAS never saw it —
-    // reads and further deletes are unaffected
-    val orphan = new org.apache.hadoop.fs.Path(root, "_dv__manifest_v1_deadbeef")
+    // a crashed deleteRows' never-committed staged vector, named under
+    // the manifest number the NEXT delete will claim (delete-as-commit
+    // protocol): unique uuid tags mean no retry can collide with it,
+    // and the pointer install never saw it — reads and further deletes
+    // are unaffected
+    val orphan = new org.apache.hadoop.fs.Path(root, "_dv__manifest_v3_deadbeef")
     spark.range(0, 100).selectExpr("'_v1/bogus' AS _file", "id AS _pos")
       .coalesce(1).write.parquet(orphan.toString)
-    assert(wh.deleteRows("t", $"k" === 50) === 11)
+    assert(wh.deleteRows("t", $"k" === 50) === 11) // commits _manifest_v3
     assert(wh.readMor("t").count() === 89)
-    assert(fs.exists(orphan), "a fresh orphan must survive the flip GC " +
-      "(age gate protects live racers)")
+    assert(fs.exists(orphan), "an orphan under a LIVE lineage's name must " +
+      "survive the commit sweep (only the pointed vector is load-bearing)")
 
     // aged past the grace it is debris: vacuum reaps it but never the
     // pointed vector, and the MOR read still resolves
     val aged = System.currentTimeMillis() - 30L * 60 * 1000
     fs.setTimes(orphan, aged, aged)
     val reaped = wh.vacuumOrphans("t")
-    assert(reaped.contains("_dv__manifest_v1_deadbeef"), s"vacuum said: $reaped")
+    assert(reaped.contains("_dv__manifest_v3_deadbeef"), s"vacuum said: $reaped")
     assert(wh.readMor("t").count() === 89,
       "vacuum must never reap the pointer-resolved vector")
+    // a DEAD lineage's vector dir goes at the next commit outright —
+    // no age gate needed: stagings only ever happen under a freshly
+    // created manifest's name, shielded by its in-flight marker
+    val deadDir = fs.listStatus(root).map(_.getPath.getName)
+      .find(_.startsWith("_dv__manifest_v2_"))
+    wh.append("t", spark.range(200, 210).toDF("k")) // v4: keeps {v4, v3}
+    deadDir.foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, d)),
+        "superseded lineage v2's vector must be swept by the v4 commit")
+    }
+    assert(wh.readMor("t").count() === 99)
   }
 
   test("incremental commits: append writes one new chunk, reads no untouched sidecar") {
@@ -1235,19 +1267,20 @@ class LayoutSpec extends SparkSpec {
       "NDV must answer from the header's merged registers — zero chunk opens")
     assert(est.isDefined && math.abs(est.get - 500L) <= 25,
       s"HLL estimate $est should be within ~5% of 500")
-    // an appended file has no sketch: the answer must become None
-    // (unknown), never a silent undercount from partial coverage
+    // an append MAINTAINS coverage: the commit sketches its own new
+    // files (cost ∝ the batch) and the new chunk's header carries the
+    // merged register — still header-only, still no manual re-run
     wh.append("t", spark.range(20000, 20100).toDF("k").withColumn("g", $"k")
       .coalesce(1))
-    assert(wh.statsApproxNdv("t", "g") === None,
-      "partial sketch coverage must be unknown, not a stale estimate")
-    // rebuilding restores the header-only answer over the new snapshot
-    wh.buildNdv("t", "g")
     wh.chunkOpens = 0
     val est2 = wh.statsApproxNdv("t", "g")
-    assert(wh.chunkOpens === 0L)
+    assert(wh.chunkOpens === 0L,
+      "maintained NDV must still answer header-only after an append")
     assert(est2.isDefined && est2.get > 500L,
-      s"rebuilt estimate $est2 must cover the appended distinct values")
+      s"maintained estimate $est2 must cover the appended distinct values")
+    // a column the appended batch cannot know (never sketched) stays
+    // None — maintenance never invents coverage
+    assert(wh.statsApproxNdv("t", "k") === None)
   }
 
   test("pruned reads parse only the probed partitions' sidecar shards") {
@@ -1364,11 +1397,17 @@ class LayoutSpec extends SparkSpec {
           wh.rollback("t", to); model = snaps(to); recordCommit()
           check(s"op$i rollback->v$to")
         }
-      } else if (op < 84) { // compaction under small-file pressure
+      } else if (op < 80) { // compaction under small-file pressure
         wh.maintain("t", smallFileLimit = 6)
         snaps = snaps.filter { case (v, _) => liveVersions.contains(v) }
         if (!snaps.contains(liveVersions.last)) recordCommit()
         check(s"op$i maintain")
+      } else if (op < 84) { // buildNdv: file-preserving metadata
+        // recommit — must carry any live deletion vector (the r12
+        // advice-high find: dropping it resurrected deleted rows)
+        wh.buildNdv("t", "k")
+        if (!snaps.contains(liveVersions.last)) recordCommit()
+        check(s"op$i buildNdv")
       } else if (op < 92) { // WAP: stage a full rewrite, audit, promote/abandon
         val staged = model.map { case (k, v) => k -> (v + 5) }
         wh.publishBranch("t", "audit", df(staged.toSeq),
@@ -1512,9 +1551,10 @@ class LayoutSpec extends SparkSpec {
   test("a delete racing a commit's DV carry window is merged in, never lost") {
     import spark.implicits._
     // casTestHook fires between the commit's carry-forward read and
-    // its pointer CAS — exactly the window where a concurrent
-    // deleteRows' flip would be invisible to the carried vector. The
-    // commit's post-CAS re-read must merge the movement in.
+    // its pointer CAS — exactly the window where a concurrent delete
+    // lands. Delete-as-commit (round 12): the racer's delete moves
+    // _CURRENT, the append LOSES its CAS and REBASES onto the
+    // delete's snapshot, carrying its vector — never a silent loss.
     val (wh, tmp) = mk("graft-dv-race-carry")
     val whB = new Warehouse(spark, tmp, manifest = true)
     wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
@@ -1570,10 +1610,10 @@ class LayoutSpec extends SparkSpec {
   test("a commit racing a delete's window fails the delete loudly, never silently") {
     import spark.implicits._
     // The mirrored half: a commit that lands inside deleteRows'
-    // resolve→flip window may have carried the base vector BEFORE the
-    // delete's flip. The delete detects the moved snapshot after its
-    // own CAS and fails loudly — a re-run against the fresh snapshot
-    // applies cleanly (never a silent loss).
+    // resolve→commit window moves _CURRENT, so the delete's own
+    // commit CAS (delete-as-commit, round 12) fails loudly — a re-run
+    // against the fresh snapshot applies cleanly (never a silent
+    // loss).
     val (wh, tmp) = mk("graft-dv-race-del")
     val whB = new Warehouse(spark, tmp, manifest = true)
     wh.atomicPublish("t", spark.range(0, 100).toDF("k").repartition(4))
@@ -1602,5 +1642,87 @@ class LayoutSpec extends SparkSpec {
     assert(h.files === 20 && h.totalBytes > 0 && h.rows === Some(1100L))
     assert(wh.fileStatRpcs === 0L,
       s"flat-layout health must come from per-dir listings, issued ${wh.fileStatRpcs} stat RPCs")
+  }
+
+  test("multi-process fuzz: forked JVMs race one chunked+DV table; key-space model holds; kill -9 recovers via vacuum") {
+    import spark.implicits._
+    // The single-process lifecycle fuzz injects races through hooks;
+    // this one gets them for real: three separate JVMs (own Spark
+    // sessions, shared NOTHING but the table dir + gen-fenced pointer)
+    // run random append/upsert/delete/maintain/vacuum schedules over
+    // disjoint key ranges, while a fourth is kill -9'd mid-run. Each
+    // survivor journals the k→v map its committed ops imply; the final
+    // table restricted to a survivor's range must EQUAL its journal —
+    // a stale-base clobber, lost DV, or resurrected row anywhere in
+    // the cross-process commit protocol shows up as a diff.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mpfuzz").toString
+    val wh = new Warehouse(spark, tmp, manifest = true,
+      pointerStore = new graft.sources.GenFencedPointerStore,
+      manifestChunkSize = 4)
+    // bootstrap a partitioned chunked table (worker id 9's range —
+    // nobody mutates it, so these rows must survive everything)
+    def pOf(k: Long): String = s"p${k % 3}"
+    val static = (900000L until 900040L).map(k => (k, k, pOf(k)))
+    wh.atomicPublish("t", static.toDF("k", "v", "p"), partitionCols = Seq("p"))
+    assert(wh.deleteRows("t", $"k" >= 900000L && $"k" < 900010L) === 10,
+      "a live deletion vector rides the whole run")
+
+    val cp = Seq("target/scala-2.13/test-classes",
+      "target/scala-2.13/classes", "/opt/spark/jars/*").mkString(":")
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    def launch(id: Int, seed: Long, nOps: Int) = new ProcessBuilder(
+        javaBin, "-Xmx2g", "-cp", cp, "graft.WhFuzzCli",
+        tmp, id.toString, seed.toString, nOps.toString)
+      .redirectErrorStream(true)
+      .redirectOutput(new java.io.File(s"$tmp/worker_$id.log"))
+      .start()
+    val survivors = Seq(1, 2, 3).map(i => i -> launch(i, 7000L + i, 8))
+    val victim = launch(4, 7004L, 60) // long schedule: guaranteed mid-run
+    Thread.sleep(15000)
+    victim.destroyForcibly() // kill -9: mid-op, possibly mid-commit
+    victim.waitFor()
+    val exits = survivors.map { case (i, p) => i -> p.waitFor() }
+    assert(exits.forall(_._2 == 0),
+      s"survivors must complete: exits=$exits — see $tmp/worker_<id>.log")
+
+    // recovery: age out the killed process's in-flight shields (the
+    // 15-min grace, compressed by backdating mtimes as a crash 15 min
+    // ago would look), then vacuum must reap the debris and fsck must
+    // come back clean
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 20L * 60 * 1000
+    fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("_inflight_v"))
+        fs.setTimes(st.getPath, old, old)
+    }
+    wh.vacuumOrphans("t")
+    assert(wh.fsck("t").isEmpty, s"post-crash fsck: ${wh.fsck("t")}")
+
+    // key-space model check per survivor
+    val got = wh.read("t").select("k", "v").as[(Long, Long)].collect()
+      .groupBy(_._1 / 100000L)
+    Seq(1, 2, 3).foreach { i =>
+      val journal = scala.io.Source.fromFile(s"$tmp/worker_$i.tsv", "UTF-8")
+        .getLines().map { l =>
+          val Array(k, v) = l.split("\t"); (k.toLong, v.toLong)
+        }.toSet
+      val inTable = got.getOrElse(i.toLong, Array.empty).toSet
+      assert(inTable === journal,
+        s"worker $i diverged: extra=${(inTable -- journal).take(3)}, " +
+        s"missing=${(journal -- inTable).take(3)}")
+    }
+    // the untouched static range: original rows minus the DV'd ones —
+    // any resurrect or loss under cross-process churn fails here
+    val staticGot = got.getOrElse(9L, Array.empty).toSet
+    assert(staticGot === (900010L until 900040L).map(k => (k, k)).toSet,
+      "static range must keep its deletion vector and nothing else")
+    // the victim's rows: unknown prefix, but every row must be one its
+    // op schedule could have written (k in range, v = k + small bump)
+    val victimRows = got.getOrElse(4L, Array.empty)
+    assert(victimRows.forall { case (k, v) =>
+      k >= 400000L && k < 500000L && v >= k && v - k <= 60 },
+      s"victim debris rows are torn: ${victimRows.filterNot { case (k, v) =>
+        k >= 400000L && k < 500000L && v >= k && v - k <= 60 }.take(3).toSeq}")
   }
 }

@@ -236,6 +236,59 @@ class StreamingSpec extends SparkSpec {
       .forall(_.matches("\\d{4}-\\d{2}-\\d{2}")), "no mixed grains in the layout")
   }
 
+  test("re-grain: backfill-then-live table converges to day grain at maintenance, scoped merge preserved") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-regrain").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    def events(n: Int, day0: Int, days: Int, idOffset: Long) =
+      spark.range(0, n).select(
+        ($"id" + idOffset).as("event_id"),
+        ($"id" % 50).as("user_id"),
+        lit("view").as("event_type"),
+        (to_timestamp(lit("2024-03-01 00:00:00")).cast("long")
+          + day0 * 86400L + ($"id" % (days * 24)) * 3600L)
+          .cast("timestamp").as("ts"),
+        lit(1.0).as("value"))
+
+    // BACKFILL bootstrap: 500 rows across ~90 days → month grain
+    EventStream.upsertByTime(wh, "t", events(500, 0, 90, 0), "ts", Seq("event_id"))
+    assert(wh.tableProp("t", "grain_ts") === Some("month"))
+
+    // insufficient evidence: after only 2 live batches the re-grain
+    // must NOT fire (lastK = 4 needs 4 day-local batches)
+    EventStream.upsertByTime(wh, "t", events(300, 90, 1, 10000), "ts", Seq("event_id"))
+    EventStream.upsertByTime(wh, "t", events(300, 91, 1, 20000), "ts", Seq("event_id"))
+    assert(!EventStream.maintainGrain(wh, "t", "ts"),
+      "two live batches are not enough evidence against a backfill bootstrap")
+    assert(wh.tableProp("t", "grain_ts") === Some("month"))
+
+    // LIVE phase: two more dense 1-day batches → the last 4 committed
+    // versions are all day-local → maintenance re-grains to day
+    EventStream.upsertByTime(wh, "t", events(300, 92, 1, 30000), "ts", Seq("event_id"))
+    EventStream.upsertByTime(wh, "t", events(300, 93, 1, 40000), "ts", Seq("event_id"))
+    assert(EventStream.maintainGrain(wh, "t", "ts"), "drifted table must re-grain")
+    assert(wh.tableProp("t", "grain_ts") === Some("day"))
+    assert(wh.read("t").count() === 500 + 4 * 300)
+    assert(wh.read("t").select($"p_ts").distinct().as[String].collect()
+      .forall(_.matches("\\d{4}-\\d{2}-\\d{2}")),
+      "the rewrite must leave a single day-grained layout")
+
+    // scoped-merge property survives the re-grain: an overlapping live
+    // batch updates in place (no duplicates), new keys insert
+    EventStream.upsertByTime(wh, "t",
+      events(300, 93, 1, 40000).withColumn("value", lit(2.0)), "ts", Seq("event_id"))
+    assert(wh.read("t").count() === 500 + 4 * 300, "upsert must not duplicate")
+    assert(wh.read("t").filter($"event_id" >= 40000 && $"event_id" < 40300)
+      .agg(min($"value")).head.getDouble(0) === 2.0, "update applied")
+    // idempotent: a second maintenance pass is a no-op
+    assert(!EventStream.maintainGrain(wh, "t", "ts"))
+
+    // a table already at day grain never re-grains
+    EventStream.upsertByTime(wh, "d", events(4000, 0, 2, 0), "ts", Seq("event_id"))
+    assert(wh.tableProp("d", "grain_ts") === Some("day"))
+    assert(!EventStream.maintainGrain(wh, "d", "ts"))
+  }
+
   test("manifest commit CAS linearizes a compaction racing the streaming sink") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-race").toString
