@@ -13,14 +13,22 @@ sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for p in sorted(glob.glob(f"{sf}/*.parquet")):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver testdata ships single-file tables; locally generated scale
+    # corpora (ScaleProbe gen) are Spark output DIRECTORIES
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 
 def norm(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else v.hex()
+        if math.isnan(v):
+            return "NaN"
+        # canonicalize signed zero: -0.0 == 0.0 numerically, but hex()
+        # distinguishes them (DuckDB and Spark can disagree on the sign
+        # of an exactly-zero log/odds result)
+        return (v + 0.0).hex() if v == 0.0 else v.hex()
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
@@ -40,7 +48,15 @@ def canon(cols, rows):
 
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+# Per-oracle wall-clock budget (seconds), for oversized-corpus runs:
+# some oracle SQL is inherently pairwise (the exact-similarity joins)
+# and DuckDB has no prefix-filter plan for it — at sf1 one such query
+# would wedge the whole gate. A timed-out oracle is reported as SKIP
+# (named, counted), never silently dropped. Unset = no budget (the
+# driver's sf0.01 gate runs everything).
+budget = float(os.environ["CHECK_TIMEOUT_S"]) if "CHECK_TIMEOUT_S" in os.environ else None
 n_pass = n_fail = 0
+skipped = []
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
@@ -51,7 +67,12 @@ for name in sorted(os.listdir(out)):
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(grows)} rows")
         continue
+    timer = None
     try:
+        if budget:
+            import threading
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         rel = con.sql(oracle[name])
         ocols = list(rel.columns)
         # real DuckDB type names: DB-API description[1] is the generic
@@ -59,10 +80,21 @@ for name in sorted(os.listdir(out)):
         # on it never fire; relation .types renders HUGEINT/DECIMAL(18,2)
         otypes = [str(t).upper() for t in rel.types]
         orows = rel.fetchall()
+    except duckdb.InterruptException:
+        print(f"SKIP {name}: oracle exceeded {budget}s budget")
+        skipped.append(name)
+        continue
     except Exception as e:
+        if budget and "INTERRUPT" in str(e).upper():
+            print(f"SKIP {name}: oracle exceeded {budget}s budget")
+            skipped.append(name)
+            continue
         print(f"FAIL {name}: oracle error: {e}")
         n_fail += 1
         continue
+    finally:
+        if timer:
+            timer.cancel()
     # Hash-surface lint: the driver's fetch path renders DuckDB HUGEINT
     # (int128, from any SUM over integers) and DECIMAL columns differently
     # than Spark's long/decimal parquet output (e.g. pandas converts both
@@ -92,5 +124,7 @@ for name in sorted(os.listdir(out)):
     else:
         print(f"PASS {name}: {len(gr)} rows")
         n_pass += 1
-print(f"\n{n_pass} pass, {n_fail} fail")
+if skipped:
+    print(f"\nSKIPPED (oracle budget): {','.join(skipped)}")
+print(f"\n{n_pass} pass, {n_fail} fail, {len(skipped)} skipped")
 sys.exit(1 if n_fail else 0)
