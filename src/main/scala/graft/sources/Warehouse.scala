@@ -2723,9 +2723,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val before = tableHealth(name, smallBytes)
     val trigger = before.smallFiles > smallFileLimit
     if (trigger) {
+      // compaction is a FULL REWRITE, which legitimately resets the
+      // NDV lineage (deletes materialize, files change) — capture
+      // which columns HAD sketch coverage so maintenance can restore
+      // it afterwards instead of leaving `statsApproxNdv` at None
+      // until someone remembers to re-run `buildNdv` by hand
+      val root = new Path(tablePath(name))
+      val fs = fileSystem(root)
+      val covered: Map[String, Int] =
+        if (manifest)
+          currentManifest(fs, root)
+            .map(m => ndvCoverage(fs, root, m)).getOrElse(Map.empty)
+        else Map.empty
       val nFiles = math.max(1L,
         (before.totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       compact(name, nFiles)
+      covered.foreach { case (c, p) => buildNdv(name, c, p) }
       vacuumOrphans(name)
     }
     (before, trigger, tableHealth(name, smallBytes))

@@ -1281,6 +1281,23 @@ class LayoutSpec extends SparkSpec {
     // a column the appended batch cannot know (never sketched) stays
     // None — maintenance never invents coverage
     assert(wh.statsApproxNdv("t", "k") === None)
+    // delete-as-commit reuses the base's chunks by reference, so a
+    // row-level delete keeps NDV header-served too (the estimate
+    // ignores deleted rows — a safe overcount, never an undercount)
+    wh.deleteRows("t", $"g" === 3L)
+    wh.chunkOpens = 0
+    val est3 = wh.statsApproxNdv("t", "g")
+    assert(wh.chunkOpens === 0L, "NDV must stay header-only across deletes")
+    assert(est3.isDefined && est3.get > 500L)
+    // a compaction legitimately resets the lineage (full rewrite) but
+    // MAINTENANCE restores coverage itself: after maintain triggers,
+    // statsApproxNdv must answer again with no manual buildNdv
+    val (_, compacted, _) = wh.maintain("t", smallFileLimit = 2,
+      smallBytes = 1024 * 1024, targetFileBytes = 4L * 1024 * 1024)
+    assert(compacted, "the 33-file table must trigger compaction")
+    val est4 = wh.statsApproxNdv("t", "g")
+    assert(est4.isDefined && est4.get > 450L,
+      s"maintain must restore NDV coverage after its own compaction, got $est4")
   }
 
   test("pruned reads parse only the probed partitions' sidecar shards") {
@@ -1676,8 +1693,12 @@ class LayoutSpec extends SparkSpec {
       .redirectErrorStream(true)
       .redirectOutput(new java.io.File(s"$tmp/worker_$id.log"))
       .start()
-    val survivors = Seq(1, 2, 3).map(i => i -> launch(i, 7000L + i, 8))
-    val victim = launch(4, 7004L, 60) // long schedule: guaranteed mid-run
+    // seed-pinned by default; a soak run overrides the base seed (and
+    // op count) from the environment to walk fresh interleavings
+    val seedBase = sys.env.getOrElse("GRAFT_MPFUZZ_SEED", "7000").toLong
+    val nOps = sys.env.getOrElse("GRAFT_MPFUZZ_OPS", "8").toInt
+    val survivors = Seq(1, 2, 3).map(i => i -> launch(i, seedBase + i, nOps))
+    val victim = launch(4, seedBase + 4, 60) // long schedule: guaranteed mid-run
     Thread.sleep(15000)
     victim.destroyForcibly() // kill -9: mid-op, possibly mid-commit
     victim.waitFor()
