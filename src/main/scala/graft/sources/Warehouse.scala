@@ -109,7 +109,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     val mf = new Path(root, s"_manifest_v$version")
     require(fs.exists(mf),
-      s"snapshot v$version of $name is not available (GC keeps current + previous)")
+      s"snapshot v$version of $name is not available (GC keeps the " +
+      "last `retain_snapshots` versions, default current + previous)")
     // each retained snapshot applies ITS OWN manifest's deletion
     // vector: a rollback target reads exactly as it last read when
     // current (deletes applied while it was current included)
@@ -2182,13 +2183,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // dangling — a state no code path could then clean up.)
     Warehouse.prof("commit: gc sweep") {
     val branchPinned = branchPointedManifests(fs, root).values.toSet
-    val branchLive = branchPinned.toSeq
+    // retention policy (round 12): keep the last `retain_snapshots`
+    // committed manifests (default 2 = current + previous, the
+    // historical behavior) — Iceberg's retain-last shape, extending
+    // time travel and rollback to real history when the table asks
+    // for it. Everything downstream (version-dir live-sets, chunk
+    // ref-counts, DV lineages) is already keyed off keepManifests,
+    // so retention is purely a bigger keep-set.
+    val keepManifests = retainedManifests(fs, root, name, Some(mf.getName)) ++
+      expectedPrev ++ branchPinned
+    val keptLive = (keepManifests - mf.getName).toSeq
+      .filter(m => fs.exists(new Path(root, m)))
       .flatMap(m => manifestVdirs(fs, root, m))
-    val prevVdirs = expectedPrev.toSeq.flatMap(m => manifestVdirs(fs, root, m))
-    val live = (built.vdirs.toSeq ++ prevVdirs ++ branchLive).collect {
+    val live = (built.vdirs.toSeq ++ keptLive).collect {
       case v @ VersionRe(_) => v
     }.toSet
-    val keepManifests = Set(mf.getName) ++ expectedPrev ++ branchPinned
     // chunks are REFERENCE-COUNTED across manifests (an incremental
     // commit reuses a prior manifest's chunks by name): a chunk file
     // survives exactly while a kept manifest's header names it, or its
@@ -2558,11 +2567,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         if (!ok) { fs.delete(new Path(root, ptr), false); danglingPtrs += ptr }
         ok
     }.values.toSet
-    val previous = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case m @ ManifestRe(v) => (m, v.toLong) }
-      .filter { case (m, _) => !current.contains(m) && !branchMfs.contains(m) }
-      .sortBy(-_._2).headOption.map(_._1)
-    val keepManifests = (current.toSeq ++ previous.toSeq ++ branchMfs.toSeq).toSet
+    // retention-aware: the last `retain_snapshots` committed manifests
+    // (default 2) — in-flight commits above the current number are
+    // shielded by their markers, not by this keep-set
+    val keepManifests =
+      retainedManifests(fs, root, name, current) ++ branchMfs
     // chunk files the kept manifests actually reference — anything
     // else under a kept manifest number is a crashed attempt's orphan
     val referencedChunks = keepManifests.toSeq
@@ -2826,7 +2835,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     require(expected.isDefined, s"table $name has no current snapshot")
     val src = new Path(root, s"_manifest_v$toVersion")
     require(fs.exists(src),
-      s"snapshot v$toVersion of $name is not available (GC keeps current + previous)")
+      s"snapshot v$toVersion of $name is not available (GC keeps the " +
+      "last `retain_snapshots` versions, default current + previous)")
     // a version staged on an open WAP branch is NOT committed history:
     // restoring it would publish the unaudited branch file list while
     // the branch pointer still lives — and a later abandonBranch would
@@ -3160,6 +3170,41 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * staged snapshot is never reaped, listed as history, or restored
     * as if committed.
     */
+  /** The manifests the table's retention policy keeps: the last
+    * `retain_snapshots` COMMITTED manifests (numbered ≤ current —
+    * higher numbers are in-flight or aborted debris, separately
+    * shielded by marker freshness), newest first, default 2
+    * (current + previous). `setSnapshotRetention` raises it; both GC
+    * sweeps and the restore/read guards consume this one definition.
+    */
+  private def retainedManifests(fs: FileSystem, root: Path, name: String,
+      current: Option[String]): Set[String] = {
+    val n = tableProp(name, "retain_snapshots").flatMap(_.toIntOption)
+      .filter(_ >= 2).getOrElse(2)
+    current.collect { case ManifestRe(v) => v.toLong } match {
+      case None => current.toSet
+      case Some(c) =>
+        if (!fs.exists(root)) return current.toSet
+        fs.listStatus(root).map(_.getPath.getName)
+          .collect { case m @ ManifestRe(v) if v.toLong <= c => (v.toLong, m) }
+          .sortBy(-_._1).take(n).map(_._2).toSet
+    }
+  }
+
+  /** Keep the last `n` snapshots alive through GC (default 2 =
+    * current + previous): every retained version stays readable via
+    * `readVersion` and restorable via `rollback`, its deletion-vector
+    * lineage included. Retention multiplies METADATA kept (manifests,
+    * chunk refs) and pins superseded data files until they age out of
+    * the window — the storage-for-history trade every lakehouse
+    * retention knob makes.
+    */
+  def setSnapshotRetention(name: String, n: Int): Unit = {
+    require(n >= 2, "retention below current+previous would break " +
+      "in-flight readers (the one-publish grace)")
+    setTableProp(name, "retain_snapshots", n.toString)
+  }
+
   private def branchPointedManifests(fs: FileSystem,
       root: Path): Map[String, String] =
     if (!fs.exists(root)) Map.empty

@@ -1437,6 +1437,10 @@ class LayoutSpec extends SparkSpec {
         } else wh.abandonBranch("t", "audit")
         check(s"op$i wap")
       } else { // GC — content must be untouched, reaped versions forgotten
+        // occasionally move the retention knob too: every GC decision
+        // downstream must hold at any window size
+        if (rnd.nextBoolean())
+          wh.setSnapshotRetention("t", 2 + rnd.nextInt(3))
         wh.vacuumOrphans("t")
         snaps = snaps.filter { case (v, _) => liveVersions.contains(v) }
         check(s"op$i vacuum")
@@ -1659,6 +1663,42 @@ class LayoutSpec extends SparkSpec {
     assert(h.files === 20 && h.totalBytes > 0 && h.rows === Some(1100L))
     assert(wh.fileStatRpcs === 0L,
       s"flat-layout health must come from per-dir listings, issued ${wh.fileStatRpcs} stat RPCs")
+  }
+
+  test("snapshot retention: retain_snapshots extends time travel and rollback to N versions, DV lineages included") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retention").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    def df(r: Range) = r.map(k => (k.toLong, k.toLong * 10)).toDF("k", "v")
+    wh.atomicPublish("t", df(0 until 100).repartition(4))   // v1
+    wh.setSnapshotRetention("t", 4)
+    wh.append("t", df(100 until 120))                        // v2
+    assert(wh.deleteRows("t", $"k" < 10) === 10)             // v3 (delete IS a commit)
+    wh.append("t", df(120 until 130))                        // v4
+    wh.append("t", df(130 until 140))                        // v5
+
+    // last 4 versions retained: v2 is the oldest survivor, v1 is gone
+    assert(wh.readVersion("t", 2).count() === 120)
+    assert(wh.readVersion("t", 3).count() === 110,
+      "v3 must read with ITS deletion vector applied")
+    assert(wh.readVersion("t", 4).count() === 120)
+    assert(wh.readVersion("t", 5).count() === 130)
+    intercept[IllegalArgumentException](wh.readVersion("t", 1))
+
+    // rollback beyond previous: restore v3 (its DV rides along)
+    wh.rollback("t", 3)                                      // v6
+    assert(wh.read("t").count() === 110)
+    assert(wh.read("t").filter($"k" < 10).count() === 0,
+      "the restored snapshot keeps its deletes")
+    // vacuum honors the same policy and the table stays healthy
+    wh.vacuumOrphans("t")
+    assert(wh.fsck("t").isEmpty)
+    assert(wh.readVersion("t", 4).count() === 120, "still retained post-vacuum")
+    // tightening retention back to 2 reaps old history on next commit
+    wh.setSnapshotRetention("t", 2)
+    wh.append("t", df(140 until 150))                        // v7: keeps {v7, v6}
+    intercept[IllegalArgumentException](wh.readVersion("t", 4))
+    assert(wh.read("t").count() === 120)
   }
 
   test("multi-process fuzz: forked JVMs race one chunked+DV table; key-space model holds; kill -9 recovers via vacuum") {
