@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every catalog query against
   * SPARK_GRAFT_SF_DIR. A warmup pass (tiny sf) first amortizes
@@ -75,8 +75,7 @@ object Bench {
       catch { case _: Throwable => -1.0 }
     val loadStart = loadAvg()
     val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = selected.map { case (name, fn) =>
-      loads(name) = loadAvg()
+    def timeOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val times = (1 to runs).map { _ =>
         // queries that persist intermediate frames (d3/d7 shingles,
         // sim2/d8 codebook) would otherwise hand run 2 a live SQL cache
@@ -95,7 +94,32 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) -1.0 else times.min
+    }
+    val results0 = selected.map { case (name, fn) =>
+      loads(name) = loadAvg()
+      name -> timeOne(name, fn)
+    }
+    // load-gated auto-requeue (round 13): a query whose timing block
+    // SAMPLED heavy ambient load (this is a shared box; s28 was once
+    // captured at load 22 on 32 CPUs) gets one quiet re-run after the
+    // main pass, and the committed number is the min across both
+    // passes — min-of-n can only be inflated by contention, never
+    // deflated, so taking the re-run's min is safe. This makes the
+    // committed artifact idle-equivalent instead of needing a
+    // side-measured idle total to interpret.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "8.0").toDouble
+    val requeued = results0.collect {
+      case (n, v) if v >= 0 && loads.getOrElse(n, 0.0) > loadGate => n
+    }.toSeq
+    val results = results0.map { case (n, v) =>
+      if (!requeued.contains(n)) n -> v
+      else {
+        val l2 = loadAvg()
+        val v2 = timeOne(n, selected(n))
+        if (v2 >= 0 && v2 < v) loads(n) = l2
+        n -> (if (v2 >= 0) math.min(v, v2) else v)
+      }
     }
     // String.format with an explicit ROOT locale: the f-interpolator
     // uses the JVM default, and a comma-decimal locale (de_DE) would
@@ -107,8 +131,9 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     def qmap(rs: Iterable[(String, Double)], fmt: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val requeuedJson = requeued.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"load":${qmap(loads, _.toString)},"failed":$failed,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"load":${qmap(loads, _.toString)},"requeued":$requeuedJson,"failed":$failed,"sf":"$sfDir","runs":$runs}"""
     // full detail: committed artifact in the repo root + scratch copy
     for (path <- Seq("BENCH_DETAIL.json", "target/bench_detail.json")) {
       val f = new java.io.File(path)
@@ -125,6 +150,6 @@ object Bench {
     // watched subset so the line stays ~0.5 KB regardless of catalog
     // growth — the full map lives in BENCH_DETAIL.json
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"requeued":${requeued.size},"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"detail":"BENCH_DETAIL.json"}""")
   }
 }

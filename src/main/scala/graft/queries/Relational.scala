@@ -1366,6 +1366,58 @@ object Relational {
         SELECT oy, count(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
         FROM merged GROUP BY oy ORDER BY oy""")),
 
+    // ---- Adaptive-grain lifecycle on the hash gate -------------------
+    // The streaming sink's re-grain path (EventStream.maintainGrain)
+    // as a catalog row: a corpus-wide BACKFILL bootstraps the sink at
+    // month grain, a run of day-local live batches builds the
+    // qualification streak, and maintenance REWRITES the table at day
+    // grain. The final table — day-formatted partition values
+    // included — must hash-match DuckDB replaying the same merge from
+    // the source, and `regrained` pins the sticky-prop flip. s28/s29
+    // pin incremental commits' data fidelity; this pins the full-
+    // rewrite re-grain's. At 100 TB the rewrite is one compaction-
+    // class publish triggered by sustained evidence, not a per-batch
+    // cost — the streaks live in table props, zero extra jobs.
+    Q("s30_regrain",
+      (s, dir) => {
+        import s.implicits._
+        val E = graft.streaming.EventStream
+        val ev = Tables.load(s, dir, "events")
+          .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        val wh = graft.sources.Scratch.warehouse(s, "rgr")
+        // 1) corpus-wide backfill: 30 distinct days > maxDirsPerBatch
+        //    ⇒ the first-batch decision lands on month
+        E.upsertByTime(wh, "ev_rg", ev, "ts", Seq("event_id"))
+        // 2) the refine qualification streak: the 4 busiest days
+        //    (deterministic; each is 1 dir with ≥ minRowsPerDir rows),
+        //    cycled if the corpus has fewer qualifying days — the
+        //    keyed upsert makes a repeated day batch a no-op on data
+        val hot = ev.groupBy(to_date($"ts").as("_d"))
+          .agg(count(lit(1)).as("_n"))
+          .filter($"_d".isNotNull && $"_n" >= E.DefaultMinRowsPerDir)
+          .orderBy($"_n".desc, $"_d").limit(4)
+          .select($"_d").as[java.sql.Date].collect()
+        Seq.tabulate(if (hot.isEmpty) 0 else 4)(i => hot(i % hot.length))
+          .foreach { d =>
+            E.upsertByTime(wh, "ev_rg", ev.filter(to_date($"ts") === d),
+              "ts", Seq("event_id"))
+          }
+        // 3) maintenance observes the streak and rewrites at day grain
+        val regrained = E.maintainGrain(wh, "ev_rg", "ts") &&
+          wh.tableProp("ev_rg", "grain_ts").contains("day")
+        wh.read("ev_rg")
+          .groupBy($"p_ts", $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("total"))
+          .select($"p_ts", $"event_type", $"n", $"total",
+            lit(regrained).as("regrained"))
+          .orderBy($"p_ts", $"event_type")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS p_ts, event_type,
+          count(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          TRUE AS regrained
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

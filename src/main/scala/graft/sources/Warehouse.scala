@@ -1101,6 +1101,18 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * file the name-mapping can't place, simply gets no sidecar entry —
     * coverage then lapses to None, never to an undercount.
     */
+  /** Driver-side staging bound for NDV maintenance: each (file,
+    * column) pair collects one ~4 KiB HLL register set to the driver,
+    * so an uncapped 100k-file backfill append with 3 covered columns
+    * would stage ~1.2 GB there. Past the cap the commit SKIPS sidecar
+    * maintenance and coverage cleanly lapses to None (the existing
+    * never-undercount rule; `statsApproxNdv` refuses partial
+    * coverage) — re-run `buildNdv` after giant backfills. Var, not
+    * val: LayoutSpec lowers it to pin the lapse without a 100k-file
+    * corpus.
+    */
+  private[graft] var ndvMaintainMaxSketches: Long = 16384L
+
   private def maintainNdvSidecars(name: String, n: Long,
       added: Seq[String], base: Option[String]): Unit = {
     if (!manifest || added.isEmpty || base.isEmpty) return
@@ -1108,6 +1120,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     val cov = ndvCoverage(fs, root, base.get)
     if (cov.isEmpty) return
+    if (added.size.toLong * cov.size > ndvMaintainMaxSketches) return
     val v = s"_v$n"
     val marker = s"/$v/"
     val rel = added.map(_.stripPrefix(v + "/")).toSet
@@ -3181,13 +3194,46 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       current: Option[String]): Set[String] = {
     val n = tableProp(name, "retain_snapshots").flatMap(_.toIntOption)
       .filter(_ >= 2).getOrElse(2)
+    val windowMs = tableProp(name, "retain_ms").flatMap(_.toLongOption)
+      .filter(_ > 0)
     current.collect { case ManifestRe(v) => v.toLong } match {
       case None => current.toSet
       case Some(c) =>
         if (!fs.exists(root)) return current.toSet
-        fs.listStatus(root).map(_.getPath.getName)
-          .collect { case m @ ManifestRe(v) if v.toLong <= c => (v.toLong, m) }
-          .sortBy(-_._1).take(n).map(_._2).toSet
+        val now = System.currentTimeMillis()
+        // COMMITTED history only: a committed manifest released its
+        // in-flight marker at CAS success, so a manifest ≤ current
+        // whose marker is still present AND stale is a crashed
+        // writer's orphan (its number lost to a racing committer, not
+        // yet vacuumed) — letting it occupy a retention slot would
+        // silently shrink real retained history below
+        // `retain_snapshots`. A FRESH marker is a live commit window
+        // and is kept: over-keeping for the grace beats reaping a
+        // just-committed snapshot whose marker delete hasn't landed.
+        def orphaned(num: Long): Boolean = {
+          val marker = new Path(root, s"_inflight_v$num")
+          try fs.exists(marker) && now -
+            fs.getFileStatus(marker).getModificationTime >= InflightGraceMs
+          catch { case _: java.io.IOException => false }
+        }
+        val committed = fs.listStatus(root)
+          .flatMap(st => st.getPath.getName match {
+            case m @ ManifestRe(v) if v.toLong <= c =>
+              Some((v.toLong, m, st.getModificationTime))
+            case _ => None
+          })
+          .filter { case (v, m, _) => current.contains(m) || !orphaned(v) }
+          .sortBy(-_._1).toSeq
+        // keep-set = newest `retain_snapshots` ∪ the `retain_ms`
+        // wall-clock window (union composes both guarantees): the
+        // count knob bounds metadata, the time knob is the contract
+        // ops teams actually state ("time travel must work for 24 h").
+        // Age is the manifest file's mtime — written seconds before
+        // its commit CAS, so window membership tracks commit time.
+        val byTime = windowMs.map(w =>
+          committed.filter { case (_, _, t) => now - t <= w })
+          .getOrElse(Nil)
+        (committed.take(n) ++ byTime).map(_._2).toSet
     }
   }
 
@@ -3204,6 +3250,15 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       "in-flight readers (the one-publish grace)")
     setTableProp(name, "retain_snapshots", n.toString)
   }
+
+  /** Time-based retention companion to `setSnapshotRetention`: every
+    * committed snapshot younger than `ms` stays alive through GC, in
+    * UNION with the count knob (keep-set = newest `retain_snapshots`
+    * ∪ the wall-clock window). `ms <= 0` clears the time knob; the
+    * count floor (current + previous) always holds regardless.
+    */
+  def setSnapshotRetentionMs(name: String, ms: Long): Unit =
+    setTableProp(name, "retain_ms", if (ms > 0) ms.toString else "")
 
   private def branchPointedManifests(fs: FileSystem,
       root: Path): Map[String, String] =
@@ -3493,8 +3548,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   def upsert(name: String, updates: DataFrame, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
       assertPartitionStable: Boolean = false,
-      touchedValsHint: Option[Seq[Any]] = None): Unit = {
-    if (!exists(name)) { atomicPublish(name, updates, partitionCols); return }
+      touchedValsHint: Option[Seq[Any]] = None,
+      expectedBase: Option[Option[String]] = None): Unit = {
+    if (!exists(name)) {
+      atomicPublish(name, updates, partitionCols, expectedBase); return
+    }
     if (assertPartitionStable && partitionCols.nonEmpty) {
       val up = updates.select((keyCols ++ partitionCols).map(col): _*).distinct()
       val renamed = partitionCols.foldLeft(up)((d, c) =>
@@ -3518,6 +3576,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val (mfCap, filesCap) =
       if (manifest) Warehouse.prof("upsert: resolve snapshot")(resolveSnapshot(name))
       else (None, Seq.empty[String])
+    // captured-base expectation (streaming-sink TOCTOU guard): the
+    // caller read table METADATA (e.g. the adaptive-grain prop) under
+    // a snapshot it captured before calling; a commit landing between
+    // that capture and this resolve — a maintenance re-grain that
+    // publishes AND flips the prop inside the window — would otherwise
+    // slip through with no CAS conflict at all, merging rows derived
+    // from the stale metadata (month partition values into a
+    // day-regrained layout). Failing HERE is loud and retryable: the
+    // sink's retry loop re-reads the flipped prop.
+    expectedBase.foreach { exp =>
+      if (manifest && mfCap != exp)
+        throw new java.util.ConcurrentModificationException(
+          s"upsert($name): table advanced from ${exp.getOrElse("<none>")} " +
+          s"to ${mfCap.getOrElse("<none>")} since the caller captured its " +
+          "base — aborted; re-read table metadata and retry")
+    }
     upsertTestHook(name)
     // a table previously written UNPARTITIONED has its rows in root
     // part-files: a partition-scoped swap would leave the old rows
@@ -3554,11 +3628,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         // this job entirely — the hint must be the batch's complete
         // distinct partition-value set.
         val touchedVals =
-          if (manifest && partitionCols.size == 1)
+          (if (manifest && partitionCols.size == 1)
             touchedValsHint.filter(_.size <= 10000).orElse(
               Some(parts.limit(10001).collect().map(_.get(0)).toSeq)
                 .filter(_.size <= 10000))
-          else None
+          else None)
+            // a null partition value (null time column at a streaming
+            // sink) cannot drive metadata pruning: the stats/bloom
+            // probes are value-keyed and the hive null dir has no
+            // parseable value — fall back to the (null-safe) semi-join
+            // alone, which still scopes the merge
+            .filter(!_.contains(null))
         val pruned = touchedVals match {
           case None => existing
           case Some(vals) =>
@@ -3583,7 +3663,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
               }
             }
         }
-        pruned.join(broadcast(parts), partitionCols, "left_semi")
+        // NULL-SAFE semi-join (<=>), found round 13: a plain equi-join
+        // never matches null = null, so base rows whose partition
+        // value is null were silently EXCLUDED from the merge — and
+        // publishPartitions then swapped the hive null dir with only
+        // the batch's rows, losing every pre-existing null-partition
+        // row. With <=> the null partition merges like any other.
+        val partsR = partitionCols.foldLeft(parts)((d, pc) =>
+          d.withColumnRenamed(pc, s"_pv_$pc"))
+        pruned.join(broadcast(partsR),
+          partitionCols.map(pc => col(pc) <=> col(s"_pv_$pc")).reduce(_ && _),
+          "left_semi")
       }
     val keyed = base.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
@@ -3688,6 +3778,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val noV = file.replaceFirst("^_v\\d+/", "")
     val i = noV.lastIndexOf('/')
     if (i < 0) "" else noV.substring(0, i)
+  }
+
+  /** Distinct values of partition column `column` across the current
+    * snapshot's FILE PATHS — a metadata-only answer to "what does the
+    * layout look like" (the streaming re-grain's crash repair asks it;
+    * opening a data file for that question was the old, NPE-prone
+    * way). Hive-encoded dirs come back verbatim, including
+    * `__HIVE_DEFAULT_PARTITION__` for null.
+    */
+  private[graft] def snapshotPartitionValues(name: String,
+      column: String): Seq[String] = {
+    val pre = column + "="
+    snapshotFiles(name).iterator.flatMap(f =>
+      partitionRel(f).split('/').collectFirst {
+        case seg if seg.startsWith(pre) => seg.substring(pre.length)
+      }).toSeq.distinct
   }
 
   /** True iff the live table dir holds no root-level part-files (i.e.

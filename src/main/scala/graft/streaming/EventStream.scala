@@ -171,18 +171,23 @@ object EventStream {
   }
 
   /** Maintain-time RE-GRAIN for an adaptive sink — closes the
-    * "first-batch-sticky forever" gap: a table bootstrapped by a
-    * month-wide backfill then served by a live stream stayed
-    * month-grained for life, giving up the day-grain pruning the live
-    * phase supports. Decision evidence is the `grain_obs_<timeCol>`
-    * qualification STREAK `upsertByTime` maintains: each month-grain
-    * batch records whether it would have qualified for day grain,
+    * "first-batch-sticky forever" gap in BOTH directions: a table
+    * bootstrapped by a month-wide backfill then served by a live
+    * stream stayed month-grained for life (giving up day-grain
+    * pruning), and one bootstrapped by a live stream then fed wide
+    * backfills stayed day-grained (paying the 30-dirs-per-batch write
+    * amplification the grain valve exists to avoid). Decision
+    * evidence is the qualification STREAK pair `upsertByTime`
+    * maintains: each month-grain batch records whether it would have
+    * qualified for day grain (`grain_obs_<timeCol>`), each day-grain
+    * batch whether it would NOT have (`grain_coarse_obs_<timeCol>`) —
     * measured by the very aggregation whose result the scoped upsert
     * needs anyway (the touched-partitions probe — net zero extra
-    * jobs on the hot path). Once `lastK` consecutive batches
-    * qualified, maintenance rewrites the table at day grain — a full
-    * rewrite is exactly a compaction publish, the same job class
-    * `maintain` already is — and flips the sticky prop.
+    * jobs on the hot path). Once `lastK` consecutive month-grain
+    * batches qualified (or `2×lastK` day-grain batches did not — the
+    * hysteresis), maintenance rewrites the table at the other grain —
+    * a full rewrite is exactly a compaction publish, the same job
+    * class `maintain` already is — and flips the sticky prop.
     *
     * Concurrency: the rewrite is a captured-base publish, so a
     * micro-batch landing inside the read→publish window makes the CAS
@@ -198,31 +203,59 @@ object EventStream {
       timeCol: String, lastK: Int = 4): Boolean = {
     val key = s"grain_$timeCol"
     val obsKey = s"grain_obs_$timeCol"
+    val coarseKey = s"grain_coarse_obs_$timeCol"
     val pc = s"p_$timeCol"
-    if (!wh.tableProp(table, key).contains("month")) return false
+    val prop = wh.tableProp(table, key).getOrElse(return false)
+    if (prop != "month" && prop != "day") return false
     val base = wh.currentSnapshotId(table)
     val cur = wh.read(table)
     if (!cur.columns.contains(pc) || !cur.columns.contains(timeCol))
       return false
-    // crash repair: if the stored partition values are already
-    // day-formatted (a prior re-grain published but died before the
-    // prop flip), just flip the prop — no rewrite needed
-    val sampleLen = cur.select(length(col(pc))).head(1)
-    if (sampleLen.nonEmpty && sampleLen.head.getInt(0) == 10) {
-      wh.setTableProp(table, key, "day"); return true
+    // crash repair, answered from MANIFEST partition values (a prior
+    // re-grain published its rewrite but died before the prop flip —
+    // the TABLE's layout is truth): day values are length 10, month
+    // length 7; other segments (the hive null dir for null-timestamp
+    // rows) say nothing about grain and are ignored. No data file is
+    // opened for this metadata question — the old one-arbitrary-row
+    // length() probe both read data and NPE'd on a null row.
+    val lens = wh.snapshotPartitionValues(table, pc)
+      .map(_.length).filter(l => l == 7 || l == 10).distinct
+    val layout = lens match {
+      case Seq(10) => Some("day")
+      case Seq(7)  => Some("month")
+      case _       => None // empty or mixed mid-crash debris: leave as-is
     }
-    val streak = wh.tableProp(table, obsKey)
-      .flatMap(_.toLongOption).getOrElse(0L)
-    if (streak < lastK) return false
-    try {
-      val re = cur.drop(pc)
-        .withColumn(pc, date_format(col(timeCol), "yyyy-MM-dd"))
-      wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base))
-      wh.setTableProp(table, key, "day")
-      wh.setTableProp(table, obsKey, "0")
-      true
-    } catch {
-      case _: java.util.ConcurrentModificationException => false
+    if (layout.exists(_ != prop)) {
+      wh.setTableProp(table, key, layout.get)
+      return true
+    }
+    def streak(k: String): Long =
+      wh.tableProp(table, k).flatMap(_.toLongOption).getOrElse(0L)
+    def rewrite(fmt: String, to: String): Boolean =
+      try {
+        val re = cur.drop(pc)
+          .withColumn(pc, date_format(col(timeCol), fmt))
+        wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base))
+        wh.setTableProp(table, key, to)
+        wh.setTableProp(table, obsKey, "0")
+        wh.setTableProp(table, coarseKey, "0")
+        true
+      } catch {
+        case _: java.util.ConcurrentModificationException => false
+      }
+    if (prop == "month") {
+      if (streak(obsKey) < lastK) false
+      else rewrite("yyyy-MM-dd", "day")
+    } else {
+      // day → month COARSEN (closes the reverse gap: a table
+      // bootstrapped by a live stream that later serves wide
+      // backfills paid day-grain write amplification forever), with
+      // HYSTERESIS: coarsening demands a 2×-longer streak than
+      // refining did, so an alternating live/backfill workload
+      // settles at whichever grain it last earned instead of
+      // thrashing full rewrites every swing.
+      if (streak(coarseKey) < 2L * lastK) false
+      else rewrite("yyyy-MM", "month")
     }
   }
 
@@ -238,7 +271,20 @@ object EventStream {
       batch0: DataFrame, timeCol: String, keyCols: Seq[String]): Unit = {
     val key = s"grain_$timeCol"
     val obsKey = s"grain_obs_$timeCol"
+    val coarseKey = s"grain_coarse_obs_$timeCol"
     val c = s"p_$timeCol"
+    // Captured-base CAS expectation, taken BEFORE the grain-prop read:
+    // a maintenance re-grain that publishes its rewrite AND flips the
+    // prop entirely inside the prop-read → upsert-resolve window would
+    // otherwise race this batch with NO CAS conflict (the upsert would
+    // resolve the regrained snapshot and commit month values into the
+    // day layout). Ordered this way, the re-grain either lands before
+    // the capture (we read the flipped prop) or after it (the upsert
+    // aborts loudly on the stale base and the sink's retry loop
+    // re-enters here, re-reading the flipped prop).
+    val expectedBase: Option[Option[String]] =
+      if (wh.manifest && wh.exists(table)) Some(wh.currentSnapshotId(table))
+      else None
     // PERSIST the micro-batch (Spark's documented foreachBatch rule for
     // multi-action bodies): a batch DataFrame re-executes its whole
     // lineage per action, and for a stream-stream join sink that is
@@ -259,6 +305,13 @@ object EventStream {
         batch.groupBy(date_format(col(timeCol), "yyyy-MM-dd").as("_day"))
           .agg(count(lit(1)).as("_n")).limit(10001).collect())
       val bounded = dayProbe.length <= 10000
+      // null-guard (advisor find): a null timeCol row forms a null
+      // _day group. It still counts as a touched DIRECTORY (the hive
+      // null partition) for the density math, but its value cannot
+      // feed the prune hint — the old unconditional getString NPE'd
+      // here, and the sink's retry re-failed identically, wedging the
+      // stream on a single bad row.
+      val hasNullDay = dayProbe.exists(_.isNullAt(0))
       val rows = dayProbe.map(_.getLong(1)).sum
       val days = math.max(1L, dayProbe.length.toLong)
       val qualifies = bounded && days <= DefaultMaxDirsPerBatch &&
@@ -271,18 +324,22 @@ object EventStream {
       val b = batch.withColumn(c,
         date_format(col(timeCol), if (grain == "day") "yyyy-MM-dd" else "yyyy-MM"))
       val hint: Option[Seq[Any]] =
-        if (!bounded) None
+        if (!bounded || hasNullDay) None
         else if (grain == "day") Some(dayProbe.map(_.getString(0)).toSeq)
         else Some(dayProbe.map(_.getString(0).take(7)).distinct.toSeq)
-      if (grain == "month") {
-        // re-grain observation: steady-state wide batches with streak 0
-        // write nothing — the prop only moves on progress or a reset
-        val prev = wh.tableProp(table, obsKey)
-          .flatMap(_.toLongOption).getOrElse(0L)
-        if (qualifies) wh.setTableProp(table, obsKey, (prev + 1).toString)
-        else if (prev != 0L) wh.setTableProp(table, obsKey, "0")
-      }
-      wh.upsert(table, b, keyCols, Seq(c), touchedValsHint = hint)
+      wh.upsert(table, b, keyCols, Seq(c), touchedValsHint = hint,
+        expectedBase = expectedBase)
+      // re-grain observation streaks, BOTH directions (see
+      // maintainGrain): month-grain batches record would-qualify-for-
+      // day, day-grain batches record would-NOT-qualify. Updated only
+      // after the upsert commits, so a retried batch counts once;
+      // steady-state batches with streak 0 write nothing — a prop
+      // only moves on progress or a reset.
+      val (sKey, progress) =
+        if (grain == "month") (obsKey, qualifies) else (coarseKey, !qualifies)
+      val prev = wh.tableProp(table, sKey).flatMap(_.toLongOption).getOrElse(0L)
+      if (progress) wh.setTableProp(table, sKey, (prev + 1).toString)
+      else if (prev != 0L) wh.setTableProp(table, sKey, "0")
     } finally {
       batch.unpersist()
       ()

@@ -1701,6 +1701,99 @@ class LayoutSpec extends SparkSpec {
     assert(wh.read("t").count() === 120)
   }
 
+  test("time-based retention: retain_ms keeps the wall-clock window, in union with the count knob") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-retms").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    def df(r: Range) = r.map(k => (k.toLong, k.toLong * 10)).toDF("k", "v")
+    wh.atomicPublish("t", df(0 until 100).repartition(4))   // v1
+    // "time travel must work for an hour": with the count knob at its
+    // default 2, the TIME knob alone must keep every snapshot made
+    // inside the window alive through the per-commit GC
+    wh.setSnapshotRetentionMs("t", 3600L * 1000)
+    (1 to 4).foreach(i => wh.append("t", df(100 + i * 10 until 110 + i * 10)))
+    (1L to 5L).foreach { v =>
+      assert(wh.readVersion("t", v).count() === 100 + (v - 1) * 10,
+        s"v$v must stay readable inside the retain_ms window")
+    }
+    // the window composes with retain_snapshots as a UNION: shrinking
+    // the time window to ~nothing leaves the count floor in charge
+    wh.setSnapshotRetentionMs("t", 1)
+    Thread.sleep(50)
+    wh.append("t", df(200 until 210))                        // v6: keeps {v6, v5}
+    assert(wh.readVersion("t", 5).count() === 140)
+    intercept[IllegalArgumentException](wh.readVersion("t", 3))
+    // both knobs together: count 3 ∪ tiny window = 3 kept
+    wh.setSnapshotRetention("t", 3)
+    wh.append("t", df(210 until 220))                        // v7: {v7, v6, v5}
+    assert(wh.readVersion("t", 5).count() === 140)
+    intercept[IllegalArgumentException](wh.readVersion("t", 4))
+    // clearing the time knob is inert (count stays)
+    wh.setSnapshotRetentionMs("t", 0)
+    wh.append("t", df(220 until 230))                        // v8: {v8, v7, v6}
+    assert(wh.readVersion("t", 6).count() === 150)
+    assert(wh.fsck("t").isEmpty)
+  }
+
+  test("retention skips a crashed writer's orphan manifest: no slot stolen from committed history") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orphslot").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    def df(r: Range) = r.map(k => (k.toLong, k.toLong * 10)).toDF("k", "v")
+    wh.atomicPublish("t", df(0 until 100).repartition(4))   // v1
+    wh.append("t", df(100 until 110))                        // v2 (committed)
+    // fabricate a crashed writer: its append writes version dir +
+    // manifest + in-flight marker, then dies before the pointer CAS —
+    // kill -9 leaves exactly this debris, number BELOW the next commit
+    wh.casTestHook = _ => throw new RuntimeException("writer crashed pre-CAS")
+    intercept[RuntimeException](wh.append("t", df(110 until 120)))  // orphan v3
+    wh.casTestHook = _ => ()
+    val root = new org.apache.hadoop.fs.Path(s"$tmp/t")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_manifest_v3")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, "_inflight_v3")),
+      "fabrication must leave the crashed writer's manifest + marker")
+    // age the crash past the in-flight grace (a crash 20 min ago)
+    val old = System.currentTimeMillis() - 20L * 60 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, "_inflight_v3"), old, old)
+    // next commit's GC: the orphan must NOT occupy a retention slot —
+    // keep-set is {v4, v2} (the real previous), not {v4, orphan v3}.
+    // The old newest-N-below-current rule silently shrank retained
+    // history to {v4} of committed snapshots.
+    wh.append("t", df(120 until 130))                        // v4 (current)
+    assert(wh.readVersion("t", 2).count() === 110,
+      "the committed previous must survive — the orphan stole its slot before")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_manifest_v3")),
+      "the stale orphan itself is reaped by the same sweep")
+    // the orphan's rows never committed: v2's 110 + v4's 10
+    assert(wh.read("t").count() === 120)
+    assert(wh.fsck("t").isEmpty)
+  }
+
+  test("NDV maintenance bounds its driver staging: oversized commits lapse coverage, never undercount") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ndvcap").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    def df(r: Range) = r.map(k => (k.toLong, k.toLong * 10)).toDF("k", "v")
+    wh.atomicPublish("t", df(0 until 400).repartition(4))
+    wh.buildNdv("t", "k")
+    val est0 = wh.statsApproxNdv("t", "k")
+    assert(est0.exists(e => math.abs(e - 400) <= 20))
+    // a "giant backfill" append past the cap: maintenance must SKIP
+    // (O(cap) driver bytes, not O(files)) and coverage must lapse to
+    // None — a partial or stale answer would silently undercount
+    wh.ndvMaintainMaxSketches = 1L
+    wh.append("t", df(400 until 600).repartition(4))
+    assert(wh.statsApproxNdv("t", "k").isEmpty,
+      "past-cap commit must lapse coverage, not serve a stale estimate")
+    // buildNdv restores coverage over the whole snapshot, and commits
+    // back under the cap maintain it again
+    wh.ndvMaintainMaxSketches = 16384L
+    wh.buildNdv("t", "k")
+    wh.append("t", df(600 until 700).repartition(2))
+    assert(wh.statsApproxNdv("t", "k").exists(e => math.abs(e - 700) <= 35))
+  }
+
   test("multi-process fuzz: forked JVMs race one chunked+DV table; key-space model holds; kill -9 recovers via vacuum") {
     import spark.implicits._
     // The single-process lifecycle fuzz injects races through hooks;
@@ -1723,13 +1816,24 @@ class LayoutSpec extends SparkSpec {
     wh.atomicPublish("t", static.toDF("k", "v", "p"), partitionCols = Seq("p"))
     assert(wh.deleteRows("t", $"k" >= 900000L && $"k" < 900010L) === 10,
       "a live deletion vector rides the whole run")
+    // the rollback/WAP ARENA table "r": worker 5 is its SOLE mutator
+    // (designated-worker scheme — rollback rewrites state wholesale,
+    // so only one model may own it), while the mutators 1-3 run
+    // content-preserving compact/vacuum on it concurrently — the
+    // chunk ref-count GC under a concurrent rollback is exactly the
+    // interleaving this arms. Retention 8 keeps recorded rollback
+    // targets alive long enough to actually be restored mid-churn.
+    val arenaInit = (500000L until 500020L).map(k => (k, k, pOf(k)))
+    wh.atomicPublish("r", arenaInit.toDF("k", "v", "p"), partitionCols = Seq("p"))
+    wh.setSnapshotRetention("r", 12)
 
     val cp = Seq("target/scala-2.13/test-classes",
       "target/scala-2.13/classes", "/opt/spark/jars/*").mkString(":")
     val javaBin = s"${sys.props("java.home")}/bin/java"
-    def launch(id: Int, seed: Long, nOps: Int) = new ProcessBuilder(
+    def launch(id: Int, seed: Long, nOps: Int, role: String = "mutator") =
+      new ProcessBuilder(
         javaBin, "-Xmx2g", "-cp", cp, "graft.WhFuzzCli",
-        tmp, id.toString, seed.toString, nOps.toString)
+        tmp, id.toString, seed.toString, nOps.toString, role)
       .redirectErrorStream(true)
       .redirectOutput(new java.io.File(s"$tmp/worker_$id.log"))
       .start()
@@ -1737,11 +1841,21 @@ class LayoutSpec extends SparkSpec {
     // op count) from the environment to walk fresh interleavings
     val seedBase = sys.env.getOrElse("GRAFT_MPFUZZ_SEED", "7000").toLong
     val nOps = sys.env.getOrElse("GRAFT_MPFUZZ_OPS", "8").toInt
-    val survivors = Seq(1, 2, 3).map(i => i -> launch(i, seedBase + i, nOps))
+    val survivors = Seq(1, 2, 3).map(i => i -> launch(i, seedBase + i, nOps)) ++
+      Seq(5 -> launch(5, seedBase + 5, math.max(20, nOps), "arena"),
+        // the reader is the LINEARIZABILITY probe: every snapshot it
+        // observes while the others churn must be internally
+        // consistent (resolvable, duplicate-free, static range exact)
+        6 -> launch(6, seedBase + 6, math.max(6, nOps), "reader"))
     val victim = launch(4, seedBase + 4, 60) // long schedule: guaranteed mid-run
+    // second victim: killed DURING a vacuum/GC sweep, not mid-commit —
+    // its role spends most wall-clock inside vacuumOrphans
+    val victimGc = launch(7, seedBase + 7, 200, "vacuumloop")
     Thread.sleep(15000)
     victim.destroyForcibly() // kill -9: mid-op, possibly mid-commit
+    victimGc.destroyForcibly() // kill -9: most likely mid-sweep
     victim.waitFor()
+    victimGc.waitFor()
     val exits = survivors.map { case (i, p) => i -> p.waitFor() }
     assert(exits.forall(_._2 == 0),
       s"survivors must complete: exits=$exits — see $tmp/worker_<id>.log")
@@ -1759,6 +1873,15 @@ class LayoutSpec extends SparkSpec {
     }
     wh.vacuumOrphans("t")
     assert(wh.fsck("t").isEmpty, s"post-crash fsck: ${wh.fsck("t")}")
+    // ditto the arena: the GC-sweep victim may have died mid-sweep on
+    // either table — recovery must converge from half-reaped debris
+    val rroot = new org.apache.hadoop.fs.Path(s"$tmp/r")
+    fs.listStatus(rroot).foreach { st =>
+      if (st.getPath.getName.startsWith("_inflight_v"))
+        fs.setTimes(st.getPath, old, old)
+    }
+    wh.vacuumOrphans("r")
+    assert(wh.fsck("r").isEmpty, s"post-crash arena fsck: ${wh.fsck("r")}")
 
     // key-space model check per survivor
     val got = wh.read("t").select("k", "v").as[(Long, Long)].collect()
@@ -1772,6 +1895,32 @@ class LayoutSpec extends SparkSpec {
       assert(inTable === journal,
         s"worker $i diverged: extra=${(inTable -- journal).take(3)}, " +
         s"missing=${(journal -- inTable).take(3)}")
+    }
+    // arena model check: the final "r" must equal the designated
+    // worker's journal EXACTLY — a rollback raced by a compaction
+    // restoring the wrong chunk set, a promote clobbered by a stale
+    // maintenance commit, or a reaped-chunk read would all diverge
+    val arenaJournal = scala.io.Source.fromFile(s"$tmp/worker_5.tsv", "UTF-8")
+      .getLines().map { l =>
+        val Array(k, v) = l.split("\t"); (k.toLong, v.toLong)
+      }.toSet
+    val arenaGot = wh.read("r").select("k", "v").as[(Long, Long)]
+      .collect().toSet
+    assert(arenaGot === arenaJournal,
+      s"arena diverged: extra=${(arenaGot -- arenaJournal).take(3)}, " +
+      s"missing=${(arenaJournal -- arenaGot).take(3)}")
+    // the pinned seed must actually exercise the ops under test — a
+    // green run that happened to draw zero rollbacks/WAP decisions
+    // would be vacuous (soak seeds may vary; only the default asserts)
+    if (!sys.env.contains("GRAFT_MPFUZZ_SEED")) {
+      val log5 = scala.io.Source.fromFile(s"$tmp/worker_5.log", "UTF-8")
+        .getLines().mkString("\n")
+      val cov = "rollbacks=(\\d+) promotes=(\\d+) abandons=(\\d+)".r
+        .findFirstMatchIn(log5)
+      assert(cov.exists(m =>
+        m.group(1).toInt >= 1 && (m.group(2).toInt + m.group(3).toInt) >= 1),
+        s"arena coverage too thin at the pinned seed — bump its nOps: " +
+        cov.map(_.matched).getOrElse("no coverage line"))
     }
     // the untouched static range: original rows minus the DV'd ones —
     // any resurrect or loss under cross-process churn fails here

@@ -283,10 +283,131 @@ class StreamingSpec extends SparkSpec {
     // idempotent: a second maintenance pass is a no-op
     assert(!EventStream.maintainGrain(wh, "t", "ts"))
 
-    // a table already at day grain never re-grains
+    // a table at day grain with no coarsen evidence never re-grains
     EventStream.upsertByTime(wh, "d", events(4000, 0, 2, 0), "ts", Seq("event_id"))
     assert(wh.tableProp("d", "grain_ts") === Some("day"))
     assert(!EventStream.maintainGrain(wh, "d", "ts"))
+  }
+
+  test("coarsen: live-then-backfill table converges to month grain, with hysteresis") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-coarsen").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    def events(n: Int, day0: Int, days: Int, idOffset: Long) =
+      spark.range(0, n).select(
+        ($"id" + idOffset).as("event_id"),
+        (to_timestamp(lit("2024-03-01 00:00:00")).cast("long")
+          + day0 * 86400L + ($"id" % (days * 24)) * 3600L)
+          .cast("timestamp").as("ts"),
+        lit(1.0).as("value"))
+
+    // LIVE bootstrap: one dense day → day grain
+    EventStream.upsertByTime(wh, "t", events(400, 0, 1, 0), "ts", Seq("event_id"))
+    assert(wh.tableProp("t", "grain_ts") === Some("day"))
+
+    // BACKFILL phase: wide sparse batches (90 days each — would never
+    // qualify for day). Hysteresis: coarsening needs 2×lastK = 8
+    // consecutive non-qualifying batches, so after 7 maintenance must
+    // NOT rewrite...
+    (1 to 7).foreach { i =>
+      EventStream.upsertByTime(wh, "t",
+        events(300, 1, 90, 10000L * i), "ts", Seq("event_id"))
+    }
+    assert(!EventStream.maintainGrain(wh, "t", "ts"),
+      "7 wide batches are under the 2x-lastK hysteresis bar")
+    assert(wh.tableProp("t", "grain_ts") === Some("day"))
+    // ...and a single qualifying live batch RESETS the streak (the
+    // alternating workload that must not thrash full rewrites)
+    EventStream.upsertByTime(wh, "t", events(400, 0, 1, 90000), "ts", Seq("event_id"))
+    (1 to 7).foreach { i =>
+      EventStream.upsertByTime(wh, "t",
+        events(300, 1, 90, 100000L + 10000L * i), "ts", Seq("event_id"))
+    }
+    assert(!EventStream.maintainGrain(wh, "t", "ts"),
+      "the qualifying batch must have reset the coarsen streak")
+
+    // one more wide batch completes a fresh streak of 8 → coarsen
+    EventStream.upsertByTime(wh, "t", events(300, 1, 90, 200000), "ts", Seq("event_id"))
+    assert(EventStream.maintainGrain(wh, "t", "ts"), "sustained backfill must coarsen")
+    assert(wh.tableProp("t", "grain_ts") === Some("month"))
+    assert(wh.read("t").select($"p_ts").distinct().as[String].collect()
+      .forall(_.matches("\\d{4}-\\d{2}")),
+      "the rewrite must leave a single month-grained layout")
+    // nothing lost in the rewrite, scoped merges still work
+    val n0 = wh.read("t").count()
+    EventStream.upsertByTime(wh, "t",
+      events(300, 1, 90, 200000).withColumn("value", lit(2.0)), "ts", Seq("event_id"))
+    assert(wh.read("t").count() === n0, "post-coarsen upsert must not duplicate")
+    // idempotent: a second maintenance pass is a no-op
+    assert(!EventStream.maintainGrain(wh, "t", "ts"))
+  }
+
+  test("crash repair reads the manifest layout, both directions, null-partition tolerant") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repair").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    def ev(n: Int, idOffset: Long) =
+      spark.range(0, n).select(
+        ($"id" + idOffset).as("event_id"),
+        when($"id" % 97 === 0, lit(null).cast("timestamp"))
+          .otherwise((to_timestamp(lit("2024-03-01 00:00:00")).cast("long")
+            + ($"id" % 24) * 3600L).cast("timestamp")).as("ts"),
+        lit(1.0).as("value"))
+    // day-grained table (some null timestamps → hive null partition)
+    EventStream.upsertByTime(wh, "t", ev(400, 0), "ts", Seq("event_id"))
+    assert(wh.tableProp("t", "grain_ts") === Some("day"))
+    // simulate "published the rewrite, died before the prop flip" in
+    // the COARSEN direction: layout is day, prop says month — the
+    // repair must trust the layout and flip the prop back, from the
+    // manifest's partition values alone (the old data-row length()
+    // probe would NPE on the null-partition row it might sample)
+    wh.setTableProp("t", "grain_ts", "month")
+    assert(EventStream.maintainGrain(wh, "t", "ts"), "repair must fire")
+    assert(wh.tableProp("t", "grain_ts") === Some("day"))
+    // and the refine direction: month layout under a day prop
+    val re = wh.read("t").drop("p_ts")
+      .withColumn("p_ts", date_format($"ts", "yyyy-MM"))
+    wh.atomicPublish("t", re, Seq("p_ts"))
+    wh.setTableProp("t", "grain_ts", "day")
+    assert(EventStream.maintainGrain(wh, "t", "ts"), "repair must fire")
+    assert(wh.tableProp("t", "grain_ts") === Some("month"))
+  }
+
+  test("null time column: the sink neither wedges nor loses null-partition rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullts").toString
+    val wh = new graft.sources.Warehouse(spark, s"$tmp/wh", manifest = true)
+    def ev(ids: Seq[Long], nullIds: Set[Long]) =
+      ids.map(i => (i, if (nullIds(i)) None else Some(
+          new java.sql.Timestamp(1709251200000L + i * 3600000L)), 1.0))
+        .toDF("event_id", "ts", "value")
+    // month-grained bootstrap with TWO null-ts rows (advisor find: the
+    // month-grain hint path NPE'd on the null probe group, and the
+    // sink's retry re-failed identically — a wedged stream)
+    EventStream.upsertByTime(wh, "t",
+      ev(0L until 2000L, Set(7L, 13L)), "ts", Seq("event_id"))
+    assert(wh.tableProp("t", "grain_ts") === Some("month"))
+    assert(wh.read("t").count() === 2000)
+    assert(wh.read("t").filter($"ts".isNull).count() === 2)
+    // a later batch updates ONE of the null rows: the scoped merge
+    // must keep the OTHER pre-existing null-partition row — the plain
+    // equi-semi-join dropped all base null rows from the merge and the
+    // partition swap then lost them (the round-13 null-safe <=> fix)
+    EventStream.upsertByTime(wh, "t",
+      ev(Seq(7L), Set(7L)).withColumn("value", lit(9.0)), "ts", Seq("event_id"))
+    assert(wh.read("t").count() === 2000, "null-partition rows must survive the merge")
+    assert(wh.read("t").filter($"ts".isNull).count() === 2)
+    assert(wh.read("t").filter($"event_id" === 7L).head.getDouble(2) === 9.0)
+    assert(wh.read("t").filter($"event_id" === 13L).head.getDouble(2) === 1.0)
+    // day-grain table with nulls: same contract on the day hint path
+    EventStream.upsertByTime(wh, "d",
+      ev(0L until 200L, Set(5L)).withColumn("ts",
+        when($"event_id" === 5L, lit(null).cast("timestamp"))
+          .otherwise(to_timestamp(lit("2024-03-01 12:00:00")))),
+      "ts", Seq("event_id"))
+    assert(wh.tableProp("d", "grain_ts") === Some("day"))
+    assert(wh.read("d").count() === 200)
+    assert(wh.read("d").filter($"ts".isNull).count() === 1)
   }
 
   test("manifest commit CAS linearizes a compaction racing the streaming sink") {
