@@ -364,8 +364,29 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       case Some(chunks) =>
         chunks.flatMap(ch => readChunk(fs, mf.getParent, ch.name))
       case None =>
-        readSmallFile(fs, mf).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+        // `#`-prefixed lines are metadata comments (the `#op` commit
+        // label), never paths — our entries are `_vN/...`, hive
+        // `k=v/...`, or legacy root files
+        readSmallFile(fs, mf).split('\n').toSeq.map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
     }
+
+  /** The commit KIND a manifest was published with (`op` header line /
+    * `#op` flat comment) — None for pre-label manifests. Data-neutral
+    * kinds ("optimize", "maintain") rewrite layout or metadata but
+    * preserve row content; `changes` skips them so a compaction never
+    * floods the change feed with rewrite churn.
+    */
+  def commitKind(name: String, version: Long): Option[String] = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val mf = new Path(root, s"_manifest_v$version")
+    if (!fs.exists(mf)) return None
+    readSmallFile(fs, mf).split('\n').iterator.take(2).collectFirst {
+      case l if l.startsWith("#op\t") => l.stripPrefix("#op\t").trim
+      case l if l.startsWith("op\t")  => l.stripPrefix("op\t").trim
+    }
+  }
 
   /** Assemble a snapshot's explicit file list into one DataFrame: one
     * read per version dir, each with basePath = that version's root so
@@ -1043,7 +1064,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         // files (not a DV-subtracted read), so the base's deletion
         // vector must carry — otherwise this metadata refresh would
         // silently resurrect deleted (e.g. GDPR) rows
-        commitSnapshot(name, n, FullList(files, carryDvFrom = Some(m)), Some(m))
+        commitSnapshot(name, n, FullList(files, carryDvFrom = Some(m)), Some(m),
+          op = "maintain")
       }
     }
   }
@@ -2031,7 +2053,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       expectedPrev: Option[String],
       retainVersionOnAbort: Boolean = false,
       ownVersion: Option[Long] = None,
-      dvReplace: Option[DataFrame] = None): Unit = {
+      dvReplace: Option[DataFrame] = None,
+      op: String = "write"): Unit = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     // the version dir this commit wrote (and whose in-flight marker it
@@ -2063,7 +2086,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       catch { case e: java.io.IOException =>
         deleteChunks(fs, root, built.ownChunks); releaseClaim(); throw e
       }
-    try out.write(built.content.getBytes("UTF-8"))
+    // The commit KIND rides the manifest itself (chunked: an `op` header
+    // line the parser's kind-dispatch already ignores; flat: a `#`
+    // comment line the flat reader skips) — the change feed
+    // (`changes`) needs it to tell a data-neutral rewrite (optimize /
+    // maintain: same rows, new layout) from a real write, the exact
+    // distinction Delta's CDC draws via commitInfo. No new file, no
+    // extra RPC: the label is read by the same header parse every
+    // consumer already does.
+    val labeled =
+      if (built.content.startsWith(ChunkedHeader))
+        built.content.replaceFirst("\n", s"\nop\t$op\n")
+      else s"#op\t$op\n" + built.content
+    try out.write(labeled.getBytes("UTF-8"))
     finally out.close()
     // We now own manifest number n exclusively (create-no-overwrite
     // won) — clear any DV-pointer DEBRIS a crashed or aborted earlier
@@ -2455,7 +2490,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val arranged =
       if (parts.isEmpty) snap.coalesce(numFiles)
       else snap.repartition(parts.map(col): _*)
-    atomicPublish(name, arranged, parts, base)
+    atomicPublish(name, arranged, parts, base, op = "optimize")
   }
 
   /** Row-level diff between two committed snapshots (CDC-lite, the
@@ -2483,6 +2518,168 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val added = b.join(a, all.map(c => b(c) <=> a(c)).reduce(_ && _), "left_anti")
     val removed = a.join(b, all.map(c => a(c) <=> b(c)).reduce(_ && _), "left_anti")
     (added, removed)
+  }
+
+  /** The CHANGE FEED: row-level changes committed in versions
+    * (`fromV`, `toV`], derived per commit from MANIFEST deltas — the
+    * O(changes) shape a 100 TB CDC consumer needs, vs `diffVersions`'
+    * O(table) full-row anti-joins. Columns: the table's data columns
+    * plus `_change_type` (insert | delete) and `_commit_version`; an
+    * update surfaces as delete(old) + insert(new) under the same
+    * version, exactly how a downstream incremental consumer replays
+    * it.
+    *
+    * Per version v the diff against v−1 is assembled from three
+    * manifest-level sources, each O(touched):
+    *
+    *  - files only in v       → their rows minus DV(v)   = inserts
+    *  - files only in v−1     → their rows minus DV(v−1) = deletes
+    *  - files in both with a DV delta → positions marked in DV(v) but
+    *    not DV(v−1) read back as deletes (an inner join on the
+    *    broadcast position set — sized by deleted rows, never the
+    *    table); positions unmarked (a restore) as inserts.
+    *
+    * A partition-scoped upsert rewrites whole partitions, so the raw
+    * file diff contains rewrite churn (unchanged rows as
+    * delete+insert). `collapseUnchanged` (default true) cancels it
+    * with a per-version multiset `exceptAll` between the two sides —
+    * a shuffle sized by the TOUCHED partitions only — so consumers
+    * see precisely the rows whose content changed. Commits labeled
+    * data-neutral (`optimize`, `maintain` — compaction, z-order,
+    * NDV/metadata refresh, grain re-derivation) are skipped outright:
+    * same row content, new layout. (Derived partition-grain columns
+    * are layout metadata in this contract — the hidden-partitioning
+    * stance — so a re-grain's `_day`→`_month` value change is not a
+    * data change.) A `restore` emits the REVERSE diff of the rolled-
+    * back span, which is exactly what replays the table back to the
+    * restored state downstream.
+    *
+    * Availability window = snapshot retention: every manifest in
+    * [`fromV`, `toV`] must still be retained (`retain_snapshots` /
+    * `retain_ms`), since both the removed files' bytes and each
+    * version's immutable DV are needed. Outside the window this
+    * throws — loudly, never a partial feed.
+    */
+  def changes(name: String, fromV: Long, toV: Long,
+      collapseUnchanged: Boolean = true): DataFrame = {
+    require(manifest, "the change feed requires manifest mode")
+    require(fromV <= toV, s"changes($name): fromV $fromV > toV $toV")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    def manifestOf(v: Long): Path = {
+      val p = new Path(root, s"_manifest_v$v")
+      require(fs.exists(p),
+        s"snapshot v$v of $name is not available (the change feed " +
+        "window is snapshot retention — raise `retain_snapshots` / " +
+        "`retain_ms` to widen it)")
+      p
+    }
+    def dvOf(v: Long): Option[DataFrame] =
+      currentDv(fs, root, s"_manifest_v$v").map(d => loadDv(fs, d))
+    // per-version file lists and DV frames are resolved ONCE up front;
+    // the loop below only composes plans
+    val versions = (fromV to toV).map(v => v -> readManifest(fs, manifestOf(v)).toSet)
+    val perVersion: Seq[DataFrame] = versions.sliding(2).toSeq.flatMap {
+      case Seq((pv, prev), (v, cur)) =>
+        val kind = commitKind(name, v)
+        if (kind.exists(k => k == "optimize" || k == "maintain")) None
+        else {
+          val addedFiles = (cur -- prev).toSeq.sorted
+          val removedFiles = (prev -- cur).toSeq.sorted
+          val dvNew = dvOf(v)
+          val dvOld = dvOf(pv)
+          // a file-name frame sized by the DELTA (never the table) —
+          // DV restriction joins against it, broadcast, instead of a
+          // literal In() that would grow with the commit
+          def fileSet(files: Seq[String]): DataFrame = {
+            import spark.implicits._
+            files.toDF("_xfile")
+          }
+          // a DV can only reference files of its OWN manifest, so
+          // "entries on surviving files" = all entries minus the
+          // delta's — the anti side is the small one by construction
+          def dvOn(dv: Option[DataFrame], delta: Seq[String],
+              keep: Boolean): Option[DataFrame] = dv.map { d =>
+            if (delta.isEmpty) { if (keep) d.limit(0) else d }
+            else d.join(broadcast(fileSet(delta)),
+              col("_file") === col("_xfile"),
+              if (keep) "left_semi" else "left_anti")
+          }
+          // rows of an explicit file list minus a DV restricted to it
+          def liveRows(files: Seq[String], dv: Option[DataFrame]): Option[DataFrame] =
+            if (files.isEmpty) None
+            else Some(dvOn(dv, files, keep = true) match {
+              case None => readFiles(name, files).drop("_file", "_pos")
+              case Some(d) =>
+                readFiles(name, files, withPos = true)
+                  .join(broadcast(d.select(col("_file").as("_dfile"),
+                    col("_pos").as("_dpos"))),
+                    col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
+                    "left_anti")
+                  .drop("_file", "_pos")
+            })
+          // DV delta on surviving files: rows read back BY POSITION via
+          // an inner join against the broadcast position set
+          def rowsAt(positions: Option[DataFrame]): Option[DataFrame] =
+            positions.map { p =>
+              val hits = p.select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
+                .collect() // bounded: sized by the version's DELETED rows
+              val files = hits.map(_.getString(0)).distinct.toSeq.sorted
+              if (files.isEmpty) null
+              else readFiles(name, files, withPos = true)
+                .join(broadcast(spark.createDataFrame(
+                  spark.sparkContext.parallelize(hits.toSeq),
+                  org.apache.spark.sql.types.StructType(Seq(
+                    org.apache.spark.sql.types.StructField("_dfile",
+                      org.apache.spark.sql.types.StringType),
+                    org.apache.spark.sql.types.StructField("_dpos",
+                      org.apache.spark.sql.types.LongType)))),
+                  col("_file") === col("_dfile") && col("_pos") === col("_dpos"))
+                .drop("_file", "_pos", "_dfile", "_dpos")
+            }.filter(_ != null)
+          val dvNewC = dvOn(dvNew, addedFiles, keep = false)
+          val dvOldC = dvOn(dvOld, removedFiles, keep = false)
+          val (newlyDeleted, resurrected) = (dvNewC, dvOldC) match {
+            case (None, None)       => (None, None)
+            case (Some(n2), None)   => (Some(n2), None)
+            case (None, Some(o))    => (None, Some(o))
+            case (Some(n2), Some(o)) =>
+              (Some(n2.exceptAll(o)), Some(o.exceptAll(n2)))
+          }
+          val ins0 = Seq(liveRows(addedFiles, dvNew), rowsAt(resurrected)).flatten
+            .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          val del0 = Seq(liveRows(removedFiles, dvOld), rowsAt(newlyDeleted)).flatten
+            .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          // cancel rewrite churn: rows identical on both sides are not
+          // changes (multiset semantics — exceptAll keeps true
+          // duplicate-count deltas)
+          val (ins, del) = (ins0, del0) match {
+            case (Some(i), Some(d)) if collapseUnchanged =>
+              val cols = i.columns.toSet ++ d.columns.toSet
+              def widen(x: DataFrame): DataFrame = cols.diff(x.columns.toSet)
+                .foldLeft(x)((acc, c) => acc.withColumn(c, lit(null)))
+              val iw = widen(i).select(cols.toSeq.sorted.map(col): _*)
+              val dw = widen(d).select(cols.toSeq.sorted.map(col): _*)
+              (Some(iw.exceptAll(dw)), Some(dw.exceptAll(iw)))
+            case other => other
+          }
+          val tagged = Seq(
+            ins.map(_.withColumn("_change_type", lit("insert"))),
+            del.map(_.withColumn("_change_type", lit("delete")))).flatten
+          tagged.reduceOption(_.unionByName(_, allowMissingColumns = true))
+            .map(_.withColumn("_commit_version", lit(v)))
+        }
+      case _ => None
+    }
+    perVersion.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // empty feed, correct schema: the current snapshot's columns
+        // plus the change metadata
+        read(name).limit(0)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+          .limit(0)
+      }
   }
 
   /** Snapshot integrity audit (fsck-lite), driver metadata only:
@@ -2784,9 +2981,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val (mf, files) = resolveSnapshot(name)
       atomicPublish(name,
         ZOrder.cluster(readFilesMor(name, files, mf), cols, numFiles, bits),
-        expectedBase = Some(mf))
+        expectedBase = Some(mf), op = "optimize")
     } else
-      atomicPublish(name, ZOrder.cluster(read(name), cols, numFiles, bits))
+      atomicPublish(name, ZOrder.cluster(read(name), cols, numFiles, bits),
+        op = "optimize")
   }
 
   /** Write `df` into a fresh `_vN` dir and return (n, its files).
@@ -2869,7 +3067,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // zero chunk files (metadata-only in the strictest sense).
     val n = claimVersion(fs, root)
     commitSnapshot(name, n, Delta(Some(src.getName), Set.empty, Set.empty, Nil),
-      expected)
+      expected, op = "restore")
   }
 
   /** Constraint-gated publish (the Delta CHECK-constraint shape on
@@ -3105,7 +3303,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     }
     val n = claimVersion(fs, root)
     commitSnapshot(name, n, Delta(Some(mf), Set.empty, Set.empty, Nil),
-      Some(mf), dvReplace = Some(merged))
+      Some(mf), dvReplace = Some(merged), op = "delete")
     // the committed vector's size (count from the tiny written file,
     // never a recompute of the hits scan)
     currentDv(fs, root, s"_manifest_v$n")
@@ -3472,7 +3670,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val mN = if (attempt == 0) n else nextVersion(fs, root)
       try {
         commitSnapshot(name, mN, Delta(base, Set.empty, Set.empty, added),
-          base, retainVersionOnAbort = true, ownVersion = Some(n))
+          base, retainVersionOnAbort = true, ownVersion = Some(n),
+          op = "append")
         done = true
       } catch {
         // CME = lost the pointer CAS; IOException = two rebasing
@@ -3684,7 +3883,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     if (scoped) publishPartitions(name, merged, partitionCols,
       if (manifest) Some(mfCap) else None)
     else atomicPublish(name, merged, partitionCols,
-      if (manifest) Some(mfCap) else None)
+      if (manifest) Some(mfCap) else None, op = "upsert")
   }
 
   /** S8+: slowly-changing-dimension type-2 upsert — the
@@ -3764,7 +3963,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         .unionByName(closed, allowMissingColumns = true)
         .unionByName(opened, allowMissingColumns = true)
       atomicPublish(name, merged, partitionColsOf(name),
-        if (manifest) Some(scd2Base) else None)
+        if (manifest) Some(scd2Base) else None, op = "upsert")
     } finally {
       existing.unpersist()
       curCached.foreach(_.unpersist())
@@ -3819,9 +4018,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val (mf, files) = resolveSnapshot(name)
       atomicPublish(name,
         readFilesMor(name, files, mf).join(keys, keyCols, "left_anti"),
-        expectedBase = Some(mf))
+        expectedBase = Some(mf), op = "delete")
     } else
-      atomicPublish(name, read(name).join(keys, keyCols, "left_anti"))
+      atomicPublish(name, read(name).join(keys, keyCols, "left_anti"),
+        op = "delete")
 
   /** Bucketed table: pre-shuffled, per-bucket-sorted layout on the join
     * key, registered in the session catalog (bucketing metadata lives
@@ -3858,7 +4058,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def atomicPublish(name: String, df: DataFrame,
       partitionCols: Seq[String] = Nil,
-      expectedBase: Option[Option[String]] = None): Unit = {
+      expectedBase: Option[Option[String]] = None,
+      op: String = "overwrite"): Unit = {
     if (manifest) {
       // `expectedBase` (when given) is the snapshot the CALLER's
       // computation actually read — read-modify-write ops (upsert,
@@ -3872,7 +4073,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       val expected = expectedBase.getOrElse(
         currentManifest(fileSystem(root), root))
       val (n, files) = writeVersion(name, df, partitionCols)
-      commitSnapshot(name, n, FullList(files), expected)
+      commitSnapshot(name, n, FullList(files), expected, op = op)
       return
     }
     val live = new Path(tablePath(name))
@@ -3898,7 +4099,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   def publishPartitions(name: String, df: DataFrame,
       partitionCols: Seq[String],
-      expectedBase: Option[Option[String]] = None): Unit = {
+      expectedBase: Option[Option[String]] = None,
+      op: String = "upsert"): Unit = {
     require(partitionCols.nonEmpty, "publishPartitions needs partition columns")
     if (manifest) {
       // partition-scoped snapshot: new files for the partitions present
@@ -3916,7 +4118,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       Warehouse.prof("commit: ndv maintain")(
         maintainNdvSidecars(name, n, added, base))
       val touched = added.map(partitionRel).toSet
-      commitSnapshot(name, n, Delta(base, touched, Set.empty, added), base)
+      commitSnapshot(name, n, Delta(base, touched, Set.empty, added), base,
+        op = op)
       return
     }
     val live = new Path(tablePath(name))

@@ -235,7 +235,10 @@ object EventStream {
       try {
         val re = cur.drop(pc)
           .withColumn(pc, date_format(col(timeCol), fmt))
-        wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base))
+        // data-neutral: same rows, re-derived partition grain — label
+        // it "optimize" so the change feed skips the rewrite churn
+        wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base),
+          op = "optimize")
         wh.setTableProp(table, key, to)
         wh.setTableProp(table, obsKey, "0")
         wh.setTableProp(table, coarseKey, "0")
