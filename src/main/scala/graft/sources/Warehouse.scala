@@ -2633,7 +2633,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
                     org.apache.spark.sql.types.StructField("_dfile",
                       org.apache.spark.sql.types.StringType),
                     org.apache.spark.sql.types.StructField("_dpos",
-                      org.apache.spark.sql.types.LongType)))),
+                      org.apache.spark.sql.types.LongType))))),
                   col("_file") === col("_dfile") && col("_pos") === col("_dpos"))
                 .drop("_file", "_pos", "_dfile", "_dpos")
             }.filter(_ != null)
