@@ -1397,7 +1397,15 @@ object Relational {
           .filter($"_d".isNotNull && $"_n" >= E.DefaultMinRowsPerDir)
           .orderBy($"_n".desc, $"_d").limit(4)
           .select($"_d").as[java.sql.Date].collect()
-        Seq.tabulate(if (hot.isEmpty) 0 else 4)(i => hot(i % hot.length))
+        // fail FAST on a corpus with no qualifying day: the oracle
+        // hardcodes regrained=TRUE, and without this the gate would
+        // fail as an opaque full-row hash mismatch instead of naming
+        // the precondition (ADVICE r13)
+        assert(hot.nonEmpty,
+          s"s30_regrain precondition: no day in $dir/events reaches " +
+          s"DefaultMinRowsPerDir=${E.DefaultMinRowsPerDir} rows — the " +
+          "refine streak can never qualify and regrained would be false")
+        Seq.tabulate(4)(i => hot(i % hot.length))
           .foreach { d =>
             E.upsertByTime(wh, "ev_rg", ev.filter(to_date($"ts") === d),
               "ts", Seq("event_id"))
@@ -1417,6 +1425,141 @@ object Relational {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
           TRUE AS regrained
         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- change data feed: per-commit row deltas (batch consumer) -----
+    // `Warehouse.changes` — the Delta-CDF shape on the manifest
+    // warehouse (generalizing S8/S9's merge/delete semantics,
+    // reference utils/repositories/base_repository.py:55-61, into the
+    // incremental-consumer contract): six commits land — publish,
+    // append, keyed upsert, DV row-delete, compaction, rollback — and
+    // the feed must emit exactly the row-level deltas of each. The
+    // append surfaces as inserts; the upsert as delete(old)+insert(new)
+    // for the CHANGED keys only (collapseUnchanged cancels the full-
+    // rewrite churn with a per-version multiset exceptAll); the
+    // row-delete is read back BY POSITION from the version's immutable
+    // deletion vector; the compaction (op=optimize) emits NOTHING
+    // (same rows, new layout — the manifest op label draws the
+    // data-neutral line commitInfo draws for Delta); and the rollback
+    // emits the REVERSE diff (the deleted rows return as inserts).
+    // The oracle regenerates every delta from the source table.
+    Q("s31_changes",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val wh = graft.sources.Scratch.warehouse(s, "cdf")
+        wh.atomicPublish("cust_cdf", c)                                 // v1
+        // the feed window IS snapshot retention: hold all six versions
+        wh.setSnapshotRetention("cust_cdf", 8)
+        wh.append("cust_cdf", c.filter($"c_custkey" <= 50)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            $"c_acctbal"))                                              // v2
+        wh.upsert("cust_cdf",
+          c.filter($"c_custkey" % 10 === 0)
+            .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal")),
+          Seq("c_custkey"))                                             // v3
+        wh.deleteRows("cust_cdf", col("c_custkey") % 7 === 0)           // v4
+        wh.compact("cust_cdf", numFiles = 2)                            // v5
+        wh.rollback("cust_cdf", 3)                                      // v6
+        wh.changes("cust_cdf", 1, 6)
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      Some("""WITH orig AS (
+          SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer),
+        app AS (SELECT k + 1000000 AS k, bal FROM orig WHERE k <= 50),
+        v3 AS (
+          SELECT k, CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+          FROM orig
+          UNION ALL SELECT k, bal FROM app),
+        del AS (SELECT k, bal FROM v3 WHERE k % 7 = 0)
+        SELECT * FROM (
+          SELECT CAST(2 AS BIGINT) AS _commit_version,
+            'insert' AS _change_type, count(*) AS n,
+            CAST(SUM(bal) AS DOUBLE) AS bal FROM app
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'delete', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM orig WHERE k % 10 = 0
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'insert', count(*),
+            CAST(SUM(bal + 100) AS DOUBLE) FROM orig WHERE k % 10 = 0
+          UNION ALL
+          SELECT CAST(4 AS BIGINT), 'delete', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM del
+          UNION ALL
+          SELECT CAST(6 AS BIGINT), 'insert', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM del)
+        ORDER BY _commit_version, _change_type""")),
+
+    // ---- streaming CDF: the change feed as an incremental consumer ----
+    // `readChangesStream` serves `changes()` one commit-window per
+    // micro-batch through the v1 Source contract (offset = committed
+    // snapshot version; `BatchAsStream` stamps the computed batch plan
+    // streaming — the FileStreamSource bridge). Two
+    // Trigger.AvailableNow runs share one checkpoint: the first drains
+    // v1+v2 (startingVersion=1 replays the initial publish as inserts
+    // via the synthetic empty v0), a row-delete lands BETWEEN runs,
+    // and the second run serves ONLY the new commit — offsets resume
+    // from the checkpoint, no re-reads, no gaps. Each batch is
+    // appended to a second warehouse table (the sink is the engine's
+    // own append), and the union of batches must equal the batch-API
+    // feed — which the oracle regenerates from the source table. This
+    // is the scale path for wide histories: per-trigger cost is the
+    // commits in the window, never the table, and the batch API's
+    // union-plan growth (changesMaxWindow) never materializes.
+    Q("s32_changes_stream",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val wh = graft.sources.Scratch.warehouse(s, "cds")
+        val chk = graft.sources.Scratch.dir(s, "cdsc")
+        wh.atomicPublish("cust_cds", c)                                 // v1
+        wh.setSnapshotRetention("cust_cds", 8)
+        wh.append("cust_cds", c.filter($"c_custkey" <= 50)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            $"c_acctbal"))                                              // v2
+        def drain(): Unit = {
+          val q = wh.readChangesStream("cust_cds", startingVersion = Some(1L))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.persist()
+              try {
+                if (wh.exists("cds_feed")) wh.append("cds_feed", b)
+                else wh.atomicPublish("cds_feed", b)
+              } finally { b.unpersist(); () }
+            }
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()                                                         // v1+v2
+        wh.deleteRows("cust_cds", col("c_custkey") % 7 === 0)           // v3
+        drain()                                                         // only v3
+        wh.read("cds_feed")
+          .groupBy($"_commit_version", $"_change_type")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"))
+          .orderBy($"_commit_version", $"_change_type")
+      },
+      Some("""WITH orig AS (
+          SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer),
+        app AS (SELECT k + 1000000 AS k, bal FROM orig WHERE k <= 50),
+        v2 AS (SELECT * FROM orig UNION ALL SELECT * FROM app)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS _commit_version,
+            'insert' AS _change_type, count(*) AS n,
+            CAST(SUM(bal) AS DOUBLE) AS bal FROM orig
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'insert', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM app
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'delete', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM v2 WHERE k % 7 = 0)
+        ORDER BY _commit_version, _change_type""")),
 
     Q("s25_deletion_vectors",
       (s, dir) => {

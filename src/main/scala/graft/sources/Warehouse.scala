@@ -377,14 +377,45 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * preserve row content; `changes` skips them so a compaction never
     * floods the change feed with rewrite churn.
     */
-  def commitKind(name: String, version: Long): Option[String] = {
+  def commitKind(name: String, version: Long): Option[String] =
+    manifestHeaderMeta(name, version, "op")
+
+  /** The manifest this commit SUPERSEDED — its CAS's expectedPrev
+    * (`prev` header / `#prev` flat comment). Some("-") = genesis (no
+    * prior snapshot); None = pre-label manifest (kind unknown).
+    * Walking parents from the current manifest enumerates committed
+    * history authoritatively — retention's orphan classification and
+    * any future lineage audit key off it.
+    */
+  private[graft] def commitParent(name: String, version: Long): Option[String] =
+    manifestHeaderMeta(name, version, "prev")
+
+  /** One labeled header value from a manifest's first lines — STREAMED
+    * (first 4 KiB), never the whole file: a flat manifest at the chunk
+    * threshold is megabytes, and the labels sit in the first lines by
+    * construction (flat: `#key\tvalue` comments up top; chunked:
+    * `key\tvalue` spliced right after the format header).
+    */
+  private def manifestHeaderMeta(name: String, version: Long,
+      key: String): Option[String] = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val mf = new Path(root, s"_manifest_v$version")
     if (!fs.exists(mf)) return None
-    readSmallFile(fs, mf).split('\n').iterator.take(2).collectFirst {
-      case l if l.startsWith("#op\t") => l.stripPrefix("#op\t").trim
-      case l if l.startsWith("op\t")  => l.stripPrefix("op\t").trim
+    val head = {
+      val in = fs.open(mf)
+      try {
+        val buf = new Array[Byte](4096)
+        var off = 0
+        var n = 0
+        while (off < buf.length &&
+            { n = in.read(buf, off, buf.length - off); n > 0 }) off += n
+        new String(buf, 0, off, "UTF-8")
+      } finally in.close()
+    }
+    head.split('\n').iterator.take(4).collectFirst {
+      case l if l.startsWith(s"#$key\t") => l.stripPrefix(s"#$key\t").trim
+      case l if l.startsWith(s"$key\t")  => l.stripPrefix(s"$key\t").trim
     }
   }
 
@@ -2086,18 +2117,23 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       catch { case e: java.io.IOException =>
         deleteChunks(fs, root, built.ownChunks); releaseClaim(); throw e
       }
-    // The commit KIND rides the manifest itself (chunked: an `op` header
-    // line the parser's kind-dispatch already ignores; flat: a `#`
-    // comment line the flat reader skips) — the change feed
-    // (`changes`) needs it to tell a data-neutral rewrite (optimize /
-    // maintain: same rows, new layout) from a real write, the exact
-    // distinction Delta's CDC draws via commitInfo. No new file, no
-    // extra RPC: the label is read by the same header parse every
-    // consumer already does.
+    // The commit KIND and PARENT ride the manifest itself (chunked:
+    // `op`/`prev` header lines the parser's kind-dispatch already
+    // ignores; flat: `#` comment lines the flat reader skips). The
+    // kind lets the change feed (`changes`) tell a data-neutral
+    // rewrite (optimize / maintain: same rows, new layout) from a
+    // real write — the exact distinction Delta's CDC draws via
+    // commitInfo. The parent (= the CAS's expectedPrev, "-" for
+    // genesis) makes COMMITTED HISTORY walkable: retention classifies
+    // crashed-writer orphans by chain membership instead of marker
+    // staleness (see retainedManifests). No new file, no extra RPC:
+    // both labels are read by the same header parse every consumer
+    // already does.
+    val prevLabel = expectedPrev.getOrElse("-")
     val labeled =
       if (built.content.startsWith(ChunkedHeader))
-        built.content.replaceFirst("\n", s"\nop\t$op\n")
-      else s"#op\t$op\n" + built.content
+        built.content.replaceFirst("\n", s"\nop\t$op\nprev\t$prevLabel\n")
+      else s"#op\t$op\n#prev\t$prevLabel\n" + built.content
     try out.write(labeled.getBytes("UTF-8"))
     finally out.close()
     // We now own manifest number n exclusively (create-no-overwrite
@@ -2204,6 +2240,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // in-flight shield has done its job (ditto the rebase's claim on n)
     fs.delete(new Path(root, s"_inflight_v$own"), false)
     releaseClaim()
+    // hygiene: clear a STALE leftover marker on the manifest this
+    // commit superseded (its writer crashed between its own pointer
+    // CAS and marker delete — the snapshot is committed history, the
+    // marker is debris). Stale-only: a FRESH marker on this number may
+    // be a racing claimant's live shield (it will lose the manifest
+    // create and release it itself). The prev-chain in
+    // retainedManifests is the correctness fix; this just keeps the
+    // debris from accumulating.
+    expectedPrev.collect { case ManifestRe(pv) =>
+      val pm = new Path(root, s"_inflight_v$pv")
+      try if (fs.exists(pm) && System.currentTimeMillis() -
+          fs.getFileStatus(pm).getModificationTime >= InflightGraceMs)
+        fs.delete(pm, false)
+      catch { case _: java.io.IOException => () }
+    }
     // No post-CAS DV repair (the round-11 repair loop is gone): a
     // lineage's vector is IMMUTABLE once its manifest commits —
     // `deleteRows` is itself a commit that stages a fresh vector
@@ -2559,11 +2610,30 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * `retain_ms`), since both the removed files' bytes and each
     * version's immutable DV are needed. Outside the window this
     * throws — loudly, never a partial feed.
+    *
+    * `fromV = 0` is the synthetic EMPTY table: the pair (0, 1) replays
+    * the initial publish as inserts — how a consumer bootstraps a full
+    * replica from the feed alone.
+    *
+    * PLAN-SIZE BOUND: this batch API composes one union branch of ~4
+    * joins PER VERSION in the window, so driver-side analysis cost
+    * grows linearly with `toV − fromV` — fine for the
+    * incident-response window it serves, wrong for consuming a long
+    * history in one call. Windows past `changesMaxWindow` (default
+    * 256) are refused; the unbounded path is `readChangesStream`,
+    * which serves the same feed one commit-window per micro-batch with
+    * per-trigger cost bounded by that window's commits.
     */
   def changes(name: String, fromV: Long, toV: Long,
       collapseUnchanged: Boolean = true): DataFrame = {
     require(manifest, "the change feed requires manifest mode")
-    require(fromV <= toV, s"changes($name): fromV $fromV > toV $toV")
+    require(fromV >= 0 && fromV <= toV,
+      s"changes($name): need 0 <= fromV <= toV, got ($fromV, $toV)")
+    require(toV - fromV <= changesMaxWindow,
+      s"changes($name): window ${toV - fromV} exceeds changesMaxWindow" +
+      s"=$changesMaxWindow — the batch feed builds a per-version union " +
+      "plan (driver analysis cost grows with the window); consume wide " +
+      "histories incrementally via readChangesStream")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     def manifestOf(v: Long): Path = {
@@ -2575,10 +2645,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       p
     }
     def dvOf(v: Long): Option[DataFrame] =
-      currentDv(fs, root, s"_manifest_v$v").map(d => loadDv(fs, d))
+      if (v == 0L) None
+      else currentDv(fs, root, s"_manifest_v$v").map(d => loadDv(fs, d))
     // per-version file lists and DV frames are resolved ONCE up front;
-    // the loop below only composes plans
-    val versions = (fromV to toV).map(v => v -> readManifest(fs, manifestOf(v)).toSet)
+    // the loop below only composes plans (v0 = the synthetic empty set)
+    val versions: Seq[(Long, Set[String])] =
+      (if (fromV == 0L) Seq(0L -> Set.empty[String]) else Nil) ++
+        (math.max(1L, fromV) to toV)
+          .map(v => v -> readManifest(fs, manifestOf(v)).toSet)
     val perVersion: Seq[DataFrame] = versions.sliding(2).toSeq.flatMap {
       case Seq((pv, prev), (v, cur)) =>
         val kind = commitKind(name, v)
@@ -2619,24 +2693,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
                   .drop("_file", "_pos")
             })
           // DV delta on surviving files: rows read back BY POSITION via
-          // an inner join against the broadcast position set
+          // an inner join against the broadcast position set. Only the
+          // DISTINCT FILE LIST is collected (bounded by the version's
+          // file count — it sizes the explicit-scan plan); the
+          // positions themselves stay a distributed frame, so a commit
+          // that deleted 10⁹ rows never stages them on the driver.
           def rowsAt(positions: Option[DataFrame]): Option[DataFrame] =
-            positions.map { p =>
-              val hits = p.select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
-                .collect() // bounded: sized by the version's DELETED rows
-              val files = hits.map(_.getString(0)).distinct.toSeq.sorted
-              if (files.isEmpty) null
-              else readFiles(name, files, withPos = true)
-                .join(broadcast(spark.createDataFrame(
-                  spark.sparkContext.parallelize(hits.toSeq),
-                  org.apache.spark.sql.types.StructType(Seq(
-                    org.apache.spark.sql.types.StructField("_dfile",
-                      org.apache.spark.sql.types.StringType),
-                    org.apache.spark.sql.types.StructField("_dpos",
-                      org.apache.spark.sql.types.LongType))))),
+            positions.flatMap { p =>
+              val files = p.select(col("_file")).distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+              if (files.isEmpty) None
+              else Some(readFiles(name, files, withPos = true)
+                .join(broadcast(p.select(col("_file").as("_dfile"),
+                  col("_pos").as("_dpos"))),
                   col("_file") === col("_dfile") && col("_pos") === col("_dpos"))
-                .drop("_file", "_pos", "_dfile", "_dpos")
-            }.filter(_ != null)
+                .drop("_file", "_pos", "_dfile", "_dpos"))
+            }
           val dvNewC = dvOn(dvNew, addedFiles, keep = false)
           val dvOldC = dvOn(dvOld, removedFiles, keep = false)
           val (newlyDeleted, resurrected) = (dvNewC, dvOldC) match {
@@ -2680,6 +2752,53 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           .withColumn("_commit_version", lit(0L))
           .limit(0)
       }
+  }
+
+  /** Batch-window ceiling for `changes` (versions per call) — see the
+    * PLAN-SIZE BOUND note there. Var, not val: LayoutSpec lowers it to
+    * pin the refusal without composing a 256-commit history.
+    */
+  private[graft] var changesMaxWindow: Long = 256L
+
+  /** The current committed snapshot's version number — one pointer
+    * read. None = table absent or never committed.
+    */
+  def currentVersion(name: String): Option[Long] = {
+    val root = new Path(tablePath(name))
+    currentManifest(fileSystem(root), root)
+      .collect { case ManifestRe(v) => v.toLong }
+  }
+
+  /** The change feed's schema for `name`: the current read schema plus
+    * `_change_type` (string) and `_commit_version` (long).
+    */
+  def changesSchema(name: String): org.apache.spark.sql.types.StructType =
+    read(name).limit(0)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(0L))
+      .schema
+
+  /** The change feed as a Structured Streaming source — the
+    * incremental consumer `changes`' window bound points at. Offset =
+    * committed snapshot version; each micro-batch serves
+    * `changes(prevVersion, newVersion)`, so per-trigger cost is the
+    * commits in that window, never the table and never the full
+    * history. `startingVersion` = first version whose changes are
+    * INCLUDED (1 replays the initial publish as inserts via the
+    * synthetic empty v0); default = current+1, i.e. future commits
+    * only — on a checkpointed restart the checkpoint's offset wins and
+    * the option is ignored. The availability window is snapshot
+    * retention, same as the batch API: size `retain_snapshots` /
+    * `retain_ms` to the consumer's maximum lag.
+    */
+  def readChangesStream(name: String,
+      startingVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[graft.streaming.ChangeFeedProvider].getName)
+      .option("root", dir)
+      .option("table", name)
+    startingVersion.fold(r)(v => r.option("startingVersion", v.toString))
+      .load()
   }
 
   /** Snapshot integrity audit (fsck-lite), driver metadata only:
@@ -3399,15 +3518,49 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       case Some(c) =>
         if (!fs.exists(root)) return current.toSet
         val now = System.currentTimeMillis()
-        // COMMITTED history only: a committed manifest released its
-        // in-flight marker at CAS success, so a manifest ≤ current
-        // whose marker is still present AND stale is a crashed
-        // writer's orphan (its number lost to a racing committer, not
-        // yet vacuumed) — letting it occupy a retention slot would
-        // silently shrink real retained history below
-        // `retain_snapshots`. A FRESH marker is a live commit window
-        // and is kept: over-keeping for the grace beats reaping a
-        // just-committed snapshot whose marker delete hasn't landed.
+        // COMMITTED history, classified by the PREV-CHAIN where labels
+        // exist: every commit since the label format records the
+        // manifest its CAS superseded, so walking parents back from
+        // current enumerates committed snapshots authoritatively — a
+        // committed manifest whose writer crashed BETWEEN its pointer
+        // CAS and marker delete keeps its retention slot even though
+        // its in-flight marker is permanently stale (ADVICE r13: the
+        // marker heuristic alone reaped exactly those once
+        // superseded, silently shrinking real retained history below
+        // `retain_snapshots`). Committed versions are totally ordered
+        // by the CAS, so within the walked range chain membership IS
+        // commit status: an on-disk manifest off the chain there is a
+        // crashed writer's orphan regardless of its marker. Below the
+        // oldest walkable chain member (pre-label manifests, or a
+        // GC'd parent) the marker heuristic still applies. Cost: one
+        // ≤4 KiB header read per retained manifest, only on GC paths.
+        val chain = scala.collection.mutable.LinkedHashSet[String]()
+        var walk: Option[String] = current
+        var genesis = false
+        while (walk.isDefined) {
+          val m = walk.get
+          if (!chain.add(m)) walk = None // cycle guard (corrupt labels)
+          else walk = m match {
+            case ManifestRe(v) => commitParent(name, v.toLong) match {
+              case Some("-") => genesis = true; None
+              case Some(p) if fs.exists(new Path(root, p)) => Some(p)
+              case _ => None
+            }
+            case _ => None
+          }
+        }
+        val chainFloor: Long =
+          if (genesis) 0L
+          else chain.lastOption
+            .collect { case ManifestRe(v) => v.toLong }
+            .getOrElse(c + 1)
+        // marker heuristic, for manifests below the walkable chain: a
+        // manifest whose marker is still present AND stale is a
+        // crashed writer's orphan (its number lost to a racing
+        // committer, not yet vacuumed). A FRESH marker is a live
+        // commit window and is kept: over-keeping for the grace beats
+        // reaping a just-committed snapshot whose marker delete
+        // hasn't landed.
         def orphaned(num: Long): Boolean = {
           val marker = new Path(root, s"_inflight_v$num")
           try fs.exists(marker) && now -
@@ -3420,7 +3573,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
               Some((v.toLong, m, st.getModificationTime))
             case _ => None
           })
-          .filter { case (v, m, _) => current.contains(m) || !orphaned(v) }
+          .filter { case (v, m, _) =>
+            current.contains(m) || chain.contains(m) ||
+              (v < chainFloor && !orphaned(v))
+          }
           .sortBy(-_._1).toSeq
         // keep-set = newest `retain_snapshots` ∪ the `retain_ms`
         // wall-clock window (union composes both guarantees): the

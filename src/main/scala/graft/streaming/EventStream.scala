@@ -236,7 +236,12 @@ object EventStream {
         val re = cur.drop(pc)
           .withColumn(pc, date_format(col(timeCol), fmt))
         // data-neutral: same rows, re-derived partition grain — label
-        // it "optimize" so the change feed skips the rewrite churn
+        // it "optimize" so the change feed skips the rewrite churn.
+        // CONTRACT NOTE (documented on Warehouse.changes /
+        // readChangesStream): the p_<timeCol> value every row flips
+        // here (yyyy-MM ↔ yyyy-MM-dd) is LAYOUT metadata under the
+        // hidden-partitioning stance, not data — a CDC consumer must
+        // re-derive its own grain from timeCol, never materialize p_*
         wh.atomicPublish(table, re, Seq(pc), expectedBase = Some(base),
           op = "optimize")
         wh.setTableProp(table, key, to)

@@ -1935,4 +1935,157 @@ class LayoutSpec extends SparkSpec {
       s"victim debris rows are torn: ${victimRows.filterNot { case (k, v) =>
         k >= 400000L && k < 500000L && v >= k && v - k <= 60 }.take(3).toSeq}")
   }
+
+  // ==== change data feed (r14): commit labels, feed semantics, retention
+
+  test("commit kinds: every commit path labels its manifest; pre-label manifests lapse to None") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-cdk")
+    wh.atomicPublish("t",
+      spark.range(0, 100).toDF("k").withColumn("v", $"k" * 2))         // v1
+    wh.setSnapshotRetention("t", 10)
+    wh.append("t", spark.range(100, 120).toDF("k")
+      .withColumn("v", $"k" * 2))                                      // v2
+    wh.upsert("t", spark.range(0, 10).toDF("k").withColumn("v", lit(-1L)),
+      Seq("k"))                                                        // v3
+    wh.deleteRows("t", col("k") === 5L)                                // v4
+    wh.compact("t", numFiles = 1)                                      // v5
+    wh.rollback("t", 3)                                                // v6
+    assert(wh.commitKind("t", 1) === Some("overwrite"))
+    assert(wh.commitKind("t", 2) === Some("append"))
+    assert(wh.commitKind("t", 3) === Some("upsert"))
+    assert(wh.commitKind("t", 4) === Some("delete"))
+    assert(wh.commitKind("t", 5) === Some("optimize"))
+    assert(wh.commitKind("t", 6) === Some("restore"))
+    assert(wh.commitParent("t", 1) === Some("-"))
+    assert(wh.commitParent("t", 2) === Some("_manifest_v1"))
+    assert(wh.commitParent("t", 6) === Some("_manifest_v5"))
+
+    // mixed-version: rewrite v6's manifest the way PRE-LABEL code wrote
+    // it (metadata lines stripped) — kind/parent lapse to None and
+    // every read path still serves the old wire format
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new org.apache.hadoop.fs.Path(tmp, "t/_manifest_v6")
+    val txt = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val stripped = txt.split('\n')
+      .filterNot(l => l.startsWith("#op\t") || l.startsWith("#prev\t") ||
+        l.startsWith("op\t") || l.startsWith("prev\t"))
+      .mkString("\n")
+    fs.delete(mf, false)
+    val out = fs.create(mf, false)
+    try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    assert(wh.commitKind("t", 6) === None)
+    assert(wh.commitParent("t", 6) === None)
+    assert(wh.read("t").count() === 120) // v3 state via the stripped manifest
+  }
+
+  test("change feed: each commit emits exactly its row deltas; optimize nothing; restore reverses") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-cdf")
+    wh.atomicPublish("t",
+      spark.range(0, 100).toDF("k").withColumn("v", $"k" % 10))        // v1
+    wh.setSnapshotRetention("t", 10)
+    wh.append("t", spark.range(100, 130).toDF("k")
+      .withColumn("v", lit(1L)))                                       // v2
+    wh.upsert("t", spark.range(0, 100).filter($"id" % 10 === 0)
+      .toDF("k").withColumn("v", lit(99L)), Seq("k"))                  // v3
+    wh.deleteRows("t", col("k") % 7 === 0)                             // v4
+    wh.compact("t", numFiles = 1)                                      // v5
+    wh.rollback("t", 3)                                                // v6
+
+    val modelV1 = (0L until 100L).map(k => (k, k % 10))
+    val modelApp = (100L until 130L).map(k => (k, 1L))
+    val updKeys = (0L until 100L).filter(_ % 10 == 0)
+    val v3state = modelV1.map { case (k, v) =>
+      (k, if (k % 10 == 0) 99L else v) } ++ modelApp
+    val delRows = v3state.filter(_._1 % 7 == 0)
+
+    val feed = wh.changes("t", 0, 6)
+      .select($"_commit_version", $"_change_type", $"k", $"v")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted
+    val expect = (
+      modelV1.map { case (k, v) => (1L, "insert", k, v) } ++
+      modelApp.map { case (k, v) => (2L, "insert", k, v) } ++
+      updKeys.map(k => (3L, "delete", k, 0L)) ++
+      updKeys.map(k => (3L, "insert", k, 99L)) ++
+      delRows.map { case (k, v) => (4L, "delete", k, v) } ++
+      delRows.map { case (k, v) => (6L, "insert", k, v) }
+    ).sorted
+    assert(feed === expect)
+  }
+
+  test("change feed: empty window keeps schema; reaped window is loud; window bound enforced") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-cdw")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
+    val empty = wh.changes("t", 2, 2)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("k", "_change_type", "_commit_version"))
+
+    val saved = wh.changesMaxWindow
+    try {
+      wh.changesMaxWindow = 1
+      val eWin = intercept[IllegalArgumentException] { wh.changes("t", 0, 2) }
+      assert(eWin.getMessage.contains("readChangesStream"))
+    } finally wh.changesMaxWindow = saved
+
+    wh.append("t", spark.range(20, 30).toDF("k"))  // v3: GC reaps v1 (retention 2)
+    val eGone = intercept[IllegalArgumentException] { wh.changes("t", 1, 3) }
+    assert(eGone.getMessage.contains("retention"))
+  }
+
+  test("change feed: a 50-commit window composes correctly") {
+    import spark.implicits._
+    val (wh, _) = mk("graft-cdl")
+    wh.atomicPublish("t", Seq(0L).toDF("k"))
+    wh.setSnapshotRetention("t", 60)
+    (1L until 50L).foreach(i => wh.append("t", Seq(i).toDF("k")))
+    val feed = wh.changes("t", 0, 50)
+    assert(feed.count() === 50)
+    assert(feed.where($"_change_type" === "insert").count() === 50)
+    assert(feed.agg(sum($"k")).as[Long].head() === 1225L)
+    assert(feed.select($"_commit_version").distinct().count() === 50)
+  }
+
+  test("retention: a committed snapshot with a leftover crashed marker survives GC (prev-chain)") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-cdr")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
+    wh.append("t", spark.range(20, 30).toDF("k"))                      // v3
+    // fake v2's writer crashing BETWEEN pointer CAS and marker delete,
+    // discovered only after the grace expired: a stale marker on a
+    // COMMITTED, now-superseded snapshot
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "t/_inflight_v2")
+    fs.create(marker, false).close()
+    fs.setTimes(marker, System.currentTimeMillis() - 30L * 60 * 1000, -1)
+    wh.vacuumOrphans("t")
+    // v2 is the PREVIOUS snapshot — the retention floor (2) must hold
+    assert(wh.readVersion("t", 2).count() === 20,
+      "committed-with-leftover-marker snapshot was reaped — retention floor violated")
+    assert(wh.readVersion("t", 3).count() === 30)
+  }
+
+  test("commit CAS clears the superseded manifest's stale leftover marker") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-cdm")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tmp, "t/_inflight_v2")
+    fs.create(marker, false).close()
+    fs.setTimes(marker, System.currentTimeMillis() - 30L * 60 * 1000, -1)
+    wh.append("t", spark.range(20, 30).toDF("k"))                      // v3
+    assert(!fs.exists(marker),
+      "a successful commit must clear its superseded base's stale marker")
+  }
 }
