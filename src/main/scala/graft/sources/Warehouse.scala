@@ -2647,12 +2647,46 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     def dvOf(v: Long): Option[DataFrame] =
       if (v == 0L) None
       else currentDv(fs, root, s"_manifest_v$v").map(d => loadDv(fs, d))
+    // Enumerate the COMMITTED CHAIN from toV down to fromV via the
+    // `prev` labels, NOT by integer stepping: committed version
+    // numbers legitimately have GAPS (a crashed writer's claim burns a
+    // number; its orphan manifest is later reaped by GC), and an
+    // integer walk would refuse a perfectly consumable window at the
+    // first hole. Diffing (parent, child) pairs is also the true
+    // semantic: each commit's delta is against the snapshot its CAS
+    // superseded. Pre-label manifests (no `prev`) fall back to v−1
+    // stepping — the historical behavior, correct for every manifest
+    // old code wrote (no orphan was ever reaped from between them
+    // while unlabeled, because old code's numbers were only burned by
+    // aborts that deleted their manifests). fromV off the chain (it
+    // was an orphan's number, or below genesis) is refused loudly.
+    val chainDown: Seq[Long] = {
+      val buf = scala.collection.mutable.ListBuffer[Long](toV)
+      var cur = toV
+      while (cur > fromV) {
+        manifestOf(cur) // loud retention error before any parent read
+        val next = commitParent(name, cur) match {
+          case Some("-")            => 0L // cur is the first commit
+          case Some(ManifestRe(p))  => p.toLong
+          case _                    => cur - 1 // pre-label fallback
+        }
+        require(next >= fromV,
+          s"changes($name): fromV $fromV is not on the committed " +
+          s"chain (v$cur's parent is v$next — v$fromV was never " +
+          "committed, or is below the first commit; pick a committed " +
+          "version, e.g. from history())")
+        require(next < cur, s"changes($name): corrupt prev chain at v$cur")
+        buf += next
+        cur = next
+      }
+      buf.toSeq
+    }
     // per-version file lists and DV frames are resolved ONCE up front;
     // the loop below only composes plans (v0 = the synthetic empty set)
     val versions: Seq[(Long, Set[String])] =
-      (if (fromV == 0L) Seq(0L -> Set.empty[String]) else Nil) ++
-        (math.max(1L, fromV) to toV)
-          .map(v => v -> readManifest(fs, manifestOf(v)).toSet)
+      chainDown.reverse.map(v =>
+        v -> (if (v == 0L) Set.empty[String]
+              else readManifest(fs, manifestOf(v)).toSet))
     val perVersion: Seq[DataFrame] = versions.sliding(2).toSeq.flatMap {
       case Seq((pv, prev), (v, cur)) =>
         val kind = commitKind(name, v)

@@ -1458,6 +1458,33 @@ class LayoutSpec extends SparkSpec {
         }
         val issues = wh.fsck("t")
         assert(issues.isEmpty, s"op$i fsck: $issues")
+        // change-feed replay: the feed between two live committed
+        // versions, applied onto the older snapshot, must reproduce
+        // the newer one — across every op mix the fuzz just drew
+        // (appends, scoped upserts, DV deletes, rollbacks, WAP
+        // promotes; maintain/buildNdv must emit nothing). The chain
+        // walk must also step OVER non-committed manifest numbers
+        // (open WAP branches stage numerically-interleaved manifests).
+        val cv = liveVersions.filter(snaps.contains)
+        if (cv.size >= 2) {
+          val a = cv(rnd.nextInt(cv.size - 1))
+          val b = cv.last
+          val feed = wh.changes("t", a, b)
+            .select($"_commit_version", $"_change_type", $"k", $"v")
+            .as[(Long, String, Long, Long)].collect()
+          var state = snaps(a).toSet
+          feed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+            val del = rows.filter(_._2 == "delete").map(r => (r._3, r._4)).toSet
+            val ins = rows.filter(_._2 == "insert").map(r => (r._3, r._4)).toSet
+            assert(del.subsetOf(state),
+              s"op$i feed replay v$a->v$b: delete of absent rows ${(del -- state).take(3)}")
+            state = state -- del ++ ins
+          }
+          assert(state === snaps(b).toSet,
+            s"op$i feed replay v$a->v$b diverged: " +
+            s"extra=${(state -- snaps(b).toSet).take(3)}, " +
+            s"missing=${(snaps(b).toSet -- state).take(3)}")
+        }
       }
     }
   }
@@ -2051,6 +2078,39 @@ class LayoutSpec extends SparkSpec {
     assert(feed.where($"_change_type" === "insert").count() === 50)
     assert(feed.agg(sum($"k")).as[Long].head() === 1225L)
     assert(feed.select($"_commit_version").distinct().count() === 50)
+  }
+
+  test("change feed: the committed-chain walk steps over reaped orphan numbers") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-cdg")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.setSnapshotRetention("t", 10)
+    wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
+    // fake a crashed writer that claimed number 3 and wrote its
+    // manifest but died before its pointer CAS — an orphan occupying
+    // a version number that later GC reaps (numbers legitimately GAP)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(tmp, "t/_manifest_v3")
+    val out = fs.create(orphan, false)
+    try out.write("#op\twrite\n#prev\t_manifest_v2\n_v1/bogus.parquet\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+    val marker = new org.apache.hadoop.fs.Path(tmp, "t/_inflight_v3")
+    fs.create(marker, false).close()
+    fs.setTimes(marker, System.currentTimeMillis() - 30L * 60 * 1000, -1)
+    wh.append("t", spark.range(20, 30).toDF("k"))                      // v4 (3 burned)
+    wh.vacuumOrphans("t")
+    assert(!fs.exists(orphan), "the off-chain orphan manifest must be reaped")
+    // the feed over the gapped window walks parent links, not integers
+    val feed = wh.changes("t", 1, 4)
+      .select($"_commit_version", $"k").as[(Long, Long)].collect()
+    assert(feed.map(_._1).distinct.sorted.toSeq === Seq(2L, 4L))
+    assert(feed.map(_._2).sorted.toSeq === (10L until 30L).toSeq)
+    // a burned number is refused loudly as a feed anchor
+    val e = intercept[IllegalArgumentException] { wh.changes("t", 3, 4) }
+    assert(e.getMessage.contains("never committed") ||
+      e.getMessage.contains("committed chain"))
   }
 
   test("retention: a committed snapshot with a leftover crashed marker survives GC (prev-chain)") {
