@@ -1561,6 +1561,94 @@ object Relational {
             CAST(SUM(bal) AS DOUBLE) FROM v2 WHERE k % 7 = 0)
         ORDER BY _commit_version, _change_type""")),
 
+    // ---- incremental view maintenance OFF THE CHANGE FEED -------------
+    // The pattern the CDF exists for: a downstream AGGREGATE view
+    // (count + exact-decimal sum per group) maintained purely by
+    // applying SIGNED feed deltas — insert adds, delete subtracts —
+    // never recomputed from the base. s20's IVM diffs two snapshots
+    // (O(table) anti-joins); this is the O(changes) production form: a
+    // base-table commit costs the view one merge sized by the TOUCHED
+    // groups, so at 100 TB the view tracks a firehose of commits
+    // without ever rescanning history (partition the view by group
+    // range and the merge goes partition-scoped). Exactness across
+    // engines: the running sum stays DECIMAL end to end (the delta
+    // aggregates DECIMAL(18,2), the view accumulates DECIMAL(28,2) —
+    // signed cancellation is exact, double only at egress), so after
+    // publish+append+upsert+delete the maintained view hash-matches a
+    // from-scratch DuckDB recompute of the final state.
+    Q("s33_cdf_mv",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val wh = graft.sources.Scratch.warehouse(s, "cdm")
+        val chk = graft.sources.Scratch.dir(s, "cdmc")
+        wh.atomicPublish("cust_cdm", c)                                 // v1
+        wh.setSnapshotRetention("cust_cdm", 8)
+        def drain(): Unit = {
+          val q = wh.readChangesStream("cust_cdm", startingVersion = Some(1L))
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.persist()
+              try {
+                val signed = when($"_change_type" === "insert",
+                    Q.dec2($"c_acctbal"))
+                  .otherwise(Q.dec2($"c_acctbal" * -1))
+                val delta = b
+                  .groupBy(($"c_custkey" % 100).as("grp"))
+                  .agg(sum(when($"_change_type" === "insert", 1L)
+                      .otherwise(-1L)).as("dn"),
+                    sum(signed).as("dbal"))
+                if (!wh.exists("mv"))
+                  wh.atomicPublish("mv", delta.select($"grp",
+                    $"dn".as("n"), $"dbal".cast("decimal(28,2)").as("bal")))
+                else {
+                  val cur = wh.read("mv")
+                  val merged = cur.join(delta, Seq("grp"), "full_outer")
+                    .select($"grp",
+                      (coalesce($"n", lit(0L)) +
+                        coalesce($"dn", lit(0L))).as("n"),
+                      (coalesce($"bal", lit(0).cast("decimal(28,2)")) +
+                        coalesce($"dbal", lit(0).cast("decimal(28,2)")))
+                        .cast("decimal(28,2)").as("bal"))
+                    .filter($"n" > 0)
+                  wh.atomicPublish("mv", merged)
+                }
+              } finally { b.unpersist(); () }
+            }
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain()                                                         // v1
+        wh.append("cust_cdm", c.filter($"c_custkey" <= 50)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            $"c_acctbal"))                                              // v2
+        wh.upsert("cust_cdm",
+          c.filter($"c_custkey" % 10 === 0)
+            .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal")),
+          Seq("c_custkey"))                                             // v3
+        drain()                                                         // v2+v3
+        wh.deleteRows("cust_cdm", col("c_custkey") % 7 === 0)           // v4
+        drain()                                                         // v4
+        wh.read("mv")
+          .select($"grp", $"n", $"bal".cast("double").as("bal"))
+          .orderBy($"grp")
+      },
+      Some("""WITH orig AS (
+          SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer),
+        app AS (SELECT k + 1000000 AS k, bal FROM orig WHERE k <= 50),
+        v3 AS (
+          SELECT k, CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+          FROM orig
+          UNION ALL SELECT k, bal FROM app),
+        v4 AS (SELECT k, bal FROM v3 WHERE k % 7 <> 0)
+        SELECT CAST(k % 100 AS BIGINT) AS grp, count(*) AS n,
+          CAST(SUM(bal) AS DOUBLE) AS bal
+        FROM v4 GROUP BY 1 ORDER BY 1""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.Warehouse
@@ -47,7 +47,12 @@ import graft.sources.Warehouse
   * contract documented on `Warehouse.changes`: a re-grain is layout,
   * not data, and emits nothing.
   */
-class ChangeFeedProvider extends StreamSourceProvider {
+class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+  /** `spark.readStream.format("graft-changes")` — registered through
+    * the standard META-INF/services mechanism.
+    */
+  override def shortName(): String = "graft-changes"
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {

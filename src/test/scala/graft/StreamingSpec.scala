@@ -795,5 +795,11 @@ class StreamingSpec extends SparkSpec {
         (25L until 30L).map(k => (4L, "insert", k)).toSet,
         "a checkpointed restart must resume exactly after the last served version")
     } finally q2.stop()
+    // the short name resolves through the DataSourceRegister service
+    val viaName = spark.readStream.format("graft-changes")
+      .option("root", tmp).option("table", "t").load()
+    assert(viaName.isStreaming &&
+      viaName.schema.fieldNames.takeRight(2).toSeq ===
+        Seq("_change_type", "_commit_version"))
   }
 }
