@@ -1397,15 +1397,19 @@ object Relational {
           .filter($"_d".isNotNull && $"_n" >= E.DefaultMinRowsPerDir)
           .orderBy($"_n".desc, $"_d").limit(4)
           .select($"_d").as[java.sql.Date].collect()
-        // fail FAST on a corpus with no qualifying day: the oracle
-        // hardcodes regrained=TRUE, and without this the gate would
-        // fail as an opaque full-row hash mismatch instead of naming
-        // the precondition (ADVICE r13)
-        assert(hot.nonEmpty,
-          s"s30_regrain precondition: no day in $dir/events reaches " +
-          s"DefaultMinRowsPerDir=${E.DefaultMinRowsPerDir} rows — the " +
-          "refine streak can never qualify and regrained would be false")
-        Seq.tabulate(4)(i => hot(i % hot.length))
+        // name the precondition LOUDLY on a corpus with no qualifying
+        // day: the oracle hardcodes regrained=TRUE, so without this a
+        // gate failure reads as an opaque full-row hash mismatch
+        // (ADVICE r13). Warn-not-throw: plan-only harnesses (Explain)
+        // legitimately run the catalog at sf0.001 where no day
+        // reaches the threshold and no oracle is compared.
+        if (hot.isEmpty)
+          System.err.println("[s30_regrain] precondition unmet: no day " +
+            s"in $dir/events reaches DefaultMinRowsPerDir=" +
+            s"${E.DefaultMinRowsPerDir} rows — the refine streak cannot " +
+            "qualify, regrained will be false, and the DuckDB oracle " +
+            "(which expects TRUE) will hash-mismatch")
+        Seq.tabulate(if (hot.isEmpty) 0 else 4)(i => hot(i % hot.length))
           .foreach { d =>
             E.upsertByTime(wh, "ev_rg", ev.filter(to_date($"ts") === d),
               "ts", Seq("event_id"))
