@@ -108,7 +108,12 @@ object Bench {
     // deflated, so taking the re-run's min is safe. This makes the
     // committed artifact idle-equivalent instead of needing a
     // side-measured idle total to interpret.
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "8.0").toDouble
+    // 2.5, not the former 8.0: r14's committed artifact ran under
+    // steady ambient load 3–8 — below the old gate, so nothing
+    // requeued and the total read ~19% over the same tree's idle runs.
+    // On a 32-CPU box a 1-minute loadavg above ~2.5 already means a
+    // neighbor is stealing cores from a 32-thread local run.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "2.5").toDouble
     val requeued = results0.collect {
       case (n, v) if v >= 0 && loads.getOrElse(n, 0.0) > loadGate => n
     }.toSeq

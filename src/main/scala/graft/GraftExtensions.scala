@@ -15,15 +15,20 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * makes `graft_rolling_hash`, `graft_rolling_hash2`, `graft_vec_dot`
   * and `graft_shingles3` available to a PURE-SQL user (spark-sql,
-  * Thrift server, notebook SQL cells) with no Scala call anywhere.
-  * The lazy `NativeExprs.register` path remains for sessions built
-  * without the config — both read the same builder table, so the two
-  * paths cannot drift.
+  * Thrift server, notebook SQL cells) with no Scala call anywhere —
+  * plus the `graft_changes(root, table, fromV, toV)` TABLE function,
+  * the change feed's SQL surface (see `graft.sources.ChangesTvf`).
+  * The lazy `NativeExprs.register` / `ChangesTvf.register` paths
+  * remain for sessions built without the config — each reads the same
+  * builder as its injection, so the two paths cannot drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.NativeExprs.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    ext.injectTableFunction((FunctionIdentifier(graft.sources.ChangesTvf.name),
+      graft.sources.ChangesTvf.info, graft.sources.ChangesTvf.builder))
+  }
 }

@@ -1572,12 +1572,20 @@ object Relational {
     // never recomputed from the base. s20's IVM diffs two snapshots
     // (O(table) anti-joins); this is the O(changes) production form: a
     // base-table commit costs the view one merge sized by the TOUCHED
-    // groups, so at 100 TB the view tracks a firehose of commits
-    // without ever rescanning history (partition the view by group
-    // range and the merge goes partition-scoped). Exactness across
-    // engines: the running sum stays DECIMAL end to end (the delta
-    // aggregates DECIMAL(18,2), the view accumulates DECIMAL(28,2) —
-    // signed cancellation is exact, double only at egress), so after
+    // groups. The merge itself is PARTITION-SCOPED (round-15, was a
+    // whole-view rewrite): the view is partitioned by group range
+    // (`pb`), the current values of the touched groups come back via
+    // `readEquals` (manifest partition-path pruning — only the touched
+    // range directories are scanned), and the scoped `upsert` swaps
+    // just those directories — SCALE.md measured that primitive flat
+    // at 1M files, so at 100 TB a refresh costs O(touched groups),
+    // never O(view). A group whose count cancels to zero stays as a
+    // zero-count row (a tombstone the next `optimize` compacts away;
+    // within a refresh it keeps the merge append-free of deletes) and
+    // the egress filters n > 0. Exactness across engines: the running
+    // sum stays DECIMAL end to end (the delta aggregates
+    // DECIMAL(18,2), the view accumulates DECIMAL(28,2) — signed
+    // cancellation is exact, double only at egress), so after
     // publish+append+upsert+delete the maintained view hash-matches a
     // from-scratch DuckDB recompute of the final state.
     Q("s33_cdf_mv",
@@ -1598,26 +1606,43 @@ object Relational {
                 val signed = when($"_change_type" === "insert",
                     Q.dec2($"c_acctbal"))
                   .otherwise(Q.dec2($"c_acctbal" * -1))
+                // pb = the view's group-range partition (8 ranges of
+                // 100 groups here; at scale, enough ranges that one is
+                // a few files) — derived from grp, so keys are
+                // partition-stable by construction
                 val delta = b
                   .groupBy(($"c_custkey" % 100).as("grp"))
                   .agg(sum(when($"_change_type" === "insert", 1L)
                       .otherwise(-1L)).as("dn"),
                     sum(signed).as("dbal"))
-                if (!wh.exists("mv"))
-                  wh.atomicPublish("mv", delta.select($"grp",
-                    $"dn".as("n"), $"dbal".cast("decimal(28,2)").as("bal")))
-                else {
-                  val cur = wh.read("mv")
-                  val merged = cur.join(delta, Seq("grp"), "full_outer")
-                    .select($"grp",
-                      (coalesce($"n", lit(0L)) +
-                        coalesce($"dn", lit(0L))).as("n"),
-                      (coalesce($"bal", lit(0).cast("decimal(28,2)")) +
-                        coalesce($"dbal", lit(0).cast("decimal(28,2)")))
-                        .cast("decimal(28,2)").as("bal"))
-                    .filter($"n" > 0)
-                  wh.atomicPublish("mv", merged)
-                }
+                  .withColumn("pb", $"grp" % 8)
+                  .persist()
+                try {
+                  if (!wh.exists("mv"))
+                    wh.atomicPublish("mv", delta.select($"grp", $"pb",
+                      $"dn".as("n"),
+                      $"dbal".cast("decimal(28,2)").as("bal")), Seq("pb"))
+                  else {
+                    // bounded collect: the distinct partition ranges a
+                    // batch touches (≤ the range count), driving the
+                    // manifest-pruned read of ONLY those directories
+                    val touched = delta.select($"pb").distinct()
+                      .collect().map(_.getLong(0)).toSeq
+                    val cur = wh.readEquals("mv", "pb", touched)
+                      .select($"grp", $"n", $"bal")
+                    // delta-driven outer join: `cur` rows never leave
+                    // their groups, so a left join from the delta side
+                    // covers exactly the touched groups — untouched
+                    // groups (even in touched partitions) ride the
+                    // scoped upsert's own merge untouched
+                    val merged = delta.join(cur, Seq("grp"), "left_outer")
+                      .select($"grp", $"pb",
+                        (coalesce($"n", lit(0L)) + $"dn").as("n"),
+                        (coalesce($"bal", lit(0).cast("decimal(28,2)")) +
+                          $"dbal").cast("decimal(28,2)").as("bal"))
+                    wh.upsert("mv", merged, Seq("grp"), Seq("pb"))
+                  }
+                } finally { delta.unpersist(); () }
               } finally { b.unpersist(); () }
             }
             .option("checkpointLocation", chk)
@@ -1637,6 +1662,7 @@ object Relational {
         wh.deleteRows("cust_cdm", col("c_custkey") % 7 === 0)           // v4
         drain()                                                         // v4
         wh.read("mv")
+          .filter($"n" > 0) // zero-count tombstones are not view rows
           .select($"grp", $"n", $"bal".cast("double").as("bal"))
           .orderBy($"grp")
       },
@@ -1652,6 +1678,53 @@ object Relational {
         SELECT CAST(k % 100 AS BIGINT) AS grp, count(*) AS n,
           CAST(SUM(bal) AS DOUBLE) AS bal
         FROM v4 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- change feed at the SQL surface: the graft_changes TVF -------
+    // `SELECT ... FROM graft_changes(root, table, fromV, toV)` — the
+    // Delta-CDF `table_changes` UX with zero Scala at the call site
+    // (sources/ChangesTvf.scala; injected session-wide by
+    // GraftExtensions, registered lazily here). The TVF builder runs
+    // at ANALYSIS time and splices `Warehouse.changes`' analyzed plan
+    // into the enclosing query, so the SQL's aggregation is optimized
+    // TOGETHER with the feed's joins — one plan, not a materialize-
+    // then-query seam. fromV=0 bootstraps from the synthetic empty
+    // table, so the initial publish replays as inserts; the oracle
+    // regenerates all three commit deltas from the source table.
+    Q("s34_changes_sql",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "ctv")
+        val wh = new graft.sources.Warehouse(s, root, manifest = true)
+        wh.atomicPublish("cust_tvf", c)                                 // v1
+        wh.setSnapshotRetention("cust_tvf", 8)
+        wh.append("cust_tvf", c.filter($"c_custkey" <= 50)
+          .select(($"c_custkey" + 1000000L).as("c_custkey"),
+            $"c_acctbal"))                                              // v2
+        wh.deleteRows("cust_tvf", col("c_custkey") % 7 === 0)           // v3
+        graft.sources.ChangesTvf.register(s)
+        s.sql(s"""SELECT _commit_version, _change_type, count(*) AS n,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+          FROM graft_changes('$root', 'cust_tvf', 0, 3)
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""WITH orig AS (
+          SELECT c_custkey AS k, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer),
+        app AS (SELECT k + 1000000 AS k, bal FROM orig WHERE k <= 50),
+        v2 AS (SELECT * FROM orig UNION ALL SELECT * FROM app)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS _commit_version,
+            'insert' AS _change_type, count(*) AS n,
+            CAST(SUM(bal) AS DOUBLE) AS bal FROM orig
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'insert', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM app
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'delete', count(*),
+            CAST(SUM(bal) AS DOUBLE) FROM v2 WHERE k % 7 = 0)
+        ORDER BY _commit_version, _change_type""")),
 
     Q("s25_deletion_vectors",
       (s, dir) => {

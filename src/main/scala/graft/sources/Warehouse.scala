@@ -54,7 +54,15 @@ final case class TableHealth(files: Int, totalBytes: Long, minBytes: Long,
 
 class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     pointerStore: PointerStore = new FsPointerStore(),
-    manifestChunkSize: Int = 1024) {
+    manifestChunkSize: Int = 1024,
+    /** Batch-window ceiling for `changes` (versions per call) — see the
+      * PLAN-SIZE BOUND note there. A constructor property (NOT mutable
+      * state): every instance reading one table sees one bound, and a
+      * test pins the refusal by constructing a narrow-window instance
+      * over the same root rather than mutating a shared field under
+      * other readers.
+      */
+    val changesMaxWindow: Long = 256L) {
 
   private def tablePath(name: String) = s"$dir/$name"
 
@@ -2668,7 +2676,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         val next = commitParent(name, cur) match {
           case Some("-")            => 0L // cur is the first commit
           case Some(ManifestRe(p))  => p.toLong
-          case _                    => cur - 1 // pre-label fallback
+          // present-but-unparseable prev label = a truncated/corrupt
+          // header, NOT an old unlabeled manifest — guessing v−1 here
+          // could pair the wrong parent snapshot and emit a silently
+          // wrong delta, so refuse loudly; the v−1 fallback below is
+          // reserved for genuinely pre-label manifests (no label at all)
+          case Some(bad) => throw new IllegalStateException(
+            s"changes($name): v$cur carries an unparseable prev label " +
+            s"'$bad' — the manifest header is corrupt; refusing to " +
+            "guess the parent snapshot (restore the manifest or rebuild " +
+            "the replica from a full snapshot read)")
+          case None                 => cur - 1 // pre-label fallback
         }
         require(next >= fromV,
           s"changes($name): fromV $fromV is not on the committed " +
@@ -2787,12 +2805,6 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           .limit(0)
       }
   }
-
-  /** Batch-window ceiling for `changes` (versions per call) — see the
-    * PLAN-SIZE BOUND note there. Var, not val: LayoutSpec lowers it to
-    * pin the refusal without composing a 256-commit history.
-    */
-  private[graft] var changesMaxWindow: Long = 256L
 
   /** The current committed snapshot's version number — one pointer
     * read. None = table absent or never committed.

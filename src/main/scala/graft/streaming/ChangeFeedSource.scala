@@ -63,7 +63,7 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new ChangeFeedSource(ctx.sparkSession, parameters)
+    new ChangeFeedSource(ctx.sparkSession, metadataPath, parameters)
 }
 
 object ChangeFeedProvider {
@@ -79,19 +79,59 @@ object ChangeFeedProvider {
   }
 }
 
-class ChangeFeedSource(spark: SparkSession,
+class ChangeFeedSource(spark: SparkSession, metadataPath: String,
     parameters: Map[String, String]) extends Source {
   private val (wh, table) = ChangeFeedProvider.open(spark, parameters)
 
-  /** First version whose changes this stream serves. Resolved ONCE at
-    * source construction: "current + 1" must not drift as commits
-    * land while the stream runs.
+  /** First version whose changes this stream serves — resolved ONCE on
+    * the stream's FIRST construction and PERSISTED under
+    * `metadataPath` (the FileStreamSource/KafkaSource initial-offset
+    * pattern), then read back verbatim on every restart. Persistence
+    * is what makes the batch-0 replay deterministic: after a crash
+    * before offset 0 commits, Spark re-runs `getBatch(None, end0)` on
+    * a FRESH source — if that source re-resolved "current + 1" from
+    * the now-advanced table, every version committed during the
+    * original first trigger would be silently skipped (an
+    * exactly-once violation). With the resolved value on disk, the
+    * replayed batch covers the same window the lost one did.
+    *
+    * An EXPLICIT startingVersion beyond current + 1 is rejected at
+    * first construction (the Delta-CDF stance): serving it would
+    * require either silently clamping (versions BELOW the requested
+    * start leak into batch 0 — a contract violation) or stalling the
+    * stream until the table catches up (indistinguishable from a hang).
     */
-  private val startingVersion: Long =
-    parameters.get("startingVersion").map(_.toLong)
-      .getOrElse(wh.currentVersion(table).getOrElse(0L) + 1L)
-  require(startingVersion >= 1,
-    s"startingVersion must be >= 1, got $startingVersion")
+  private val startingVersion: Long = {
+    val initPath = new org.apache.hadoop.fs.Path(metadataPath, "graft-changes-start")
+    val fs = initPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readBack(): Long = {
+      val in = fs.open(initPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(initPath)) readBack()
+    else {
+      val current = wh.currentVersion(table).getOrElse(0L)
+      val resolved = parameters.get("startingVersion").map(_.toLong)
+        .getOrElse(current + 1L)
+      require(resolved >= 1,
+        s"startingVersion must be >= 1, got $resolved")
+      require(resolved <= current + 1L,
+        s"startingVersion $resolved is beyond the table's current " +
+        s"version $current of '$table' — the feed serves committed " +
+        "history plus future commits from current+1; a start past that " +
+        "has no defined batch-0 window (omit the option to follow new " +
+        "commits only)")
+      // temp + same-FS rename: atomic on HDFS/local, and the checkpoint
+      // dir is single-writer by Structured Streaming's own contract —
+      // a lost race (both impossible and harmless) defers to the winner
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        "graft-changes-start.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(resolved.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, initPath)) resolved else readBack()
+    }
+  }
 
   override val schema: StructType = wh.changesSchema(table)
 

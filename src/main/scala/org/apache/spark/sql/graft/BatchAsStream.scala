@@ -20,4 +20,23 @@ object BatchAsStream {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Inverse stamp — re-marks a `getBatch` result as a batch frame so
+    * it can be collected OUTSIDE a running stream. Test seam only: the
+    * crash-replay and retention-race specs drive a Source's
+    * getOffset/getBatch protocol directly (a live MicroBatchExecution
+    * cannot schedule those interleavings deterministically) and then
+    * need to assert on the served rows.
+    */
+  def unstamp(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    df.queryExecution.logical match {
+      // reuse the stamped frame's UNDERLYING RDD — re-planning via
+      // queryExecution.toRdd on the streaming-flagged frame would trip
+      // the batch UnsupportedOperationChecker it exists to bypass
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(l.rdd, df.schema, isStreaming = false)
+      case _ => df
+    }
+  }
 }

@@ -2048,23 +2048,82 @@ class LayoutSpec extends SparkSpec {
 
   test("change feed: empty window keeps schema; reaped window is loud; window bound enforced") {
     import spark.implicits._
-    val (wh, _) = mk("graft-cdw")
+    val (wh, tmp) = mk("graft-cdw")
     wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
     wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
     val empty = wh.changes("t", 2, 2)
     assert(empty.count() === 0)
     assert(empty.columns.toSeq === Seq("k", "_change_type", "_commit_version"))
 
-    val saved = wh.changesMaxWindow
-    try {
-      wh.changesMaxWindow = 1
-      val eWin = intercept[IllegalArgumentException] { wh.changes("t", 0, 2) }
-      assert(eWin.getMessage.contains("readChangesStream"))
-    } finally wh.changesMaxWindow = saved
+    // the window bound is a constructor property (round-15; the former
+    // mutable var let any caller silently widen the guard under other
+    // readers) — a narrow-window instance over the same root pins the
+    // refusal without composing a 256-commit history
+    val whNarrow = new Warehouse(spark, tmp, manifest = true,
+      changesMaxWindow = 1L)
+    val eWin = intercept[IllegalArgumentException] { whNarrow.changes("t", 0, 2) }
+    assert(eWin.getMessage.contains("readChangesStream"))
+    assert(wh.changes("t", 0, 2).count() === 20,
+      "the default-window instance over the same root must stay unaffected")
 
     wh.append("t", spark.range(20, 30).toDF("k"))  // v3: GC reaps v1 (retention 2)
     val eGone = intercept[IllegalArgumentException] { wh.changes("t", 1, 3) }
     assert(eGone.getMessage.contains("retention"))
+  }
+
+  test("change feed: a present-but-unparseable prev label refuses loudly") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-cdm")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.setSnapshotRetention("t", 10)
+    wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
+    // corrupt v2's prev label IN PLACE (a truncated header write): the
+    // walk must throw, never fall back to v−1 stepping — a guessed
+    // parent could pair the wrong base snapshot and emit a wrong delta
+    // rewrite through the Hadoop FS (not a raw file edit) so the local
+    // filesystem's .crc sidecar is regenerated with the corruption
+    val mfPath = new org.apache.hadoop.fs.Path(s"$tmp/t/_manifest_v2")
+    val fs = mfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val content = {
+      val in = fs.open(mfPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(content.contains("#prev\t_manifest_v1"), "flat-manifest label expected")
+    val out = fs.create(mfPath, true)
+    try out.write(content.replace("#prev\t_manifest_v1", "#prev\t_manifest_v")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException] { wh.changes("t", 1, 2) }
+    assert(e.getMessage.contains("unparseable prev label"))
+  }
+
+  test("graft_changes TVF: the change feed at the SQL surface") {
+    import spark.implicits._
+    val (wh, tmp) = mk("graft-tvf")
+    wh.atomicPublish("t", spark.range(0, 10).toDF("k"))                // v1
+    wh.setSnapshotRetention("t", 10)
+    wh.append("t", spark.range(10, 15).toDF("k"))                      // v2
+    wh.deleteRows("t", col("k") === 3L)                                // v3
+    graft.sources.ChangesTvf.register(spark)
+    val rows = spark.sql(
+      s"""SELECT _commit_version, _change_type, k
+          FROM graft_changes('$tmp', 't', 0, 3)""")
+      .as[(Long, String, Long)].collect().toSet
+    val expect = (0L until 10L).map(k => (1L, "insert", k)).toSet ++
+      (10L until 15L).map(k => (2L, "insert", k)) + ((3L, "delete", 3L))
+    assert(rows === expect)
+    // the feed composes with ordinary SQL on top — one optimized plan
+    val agg = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+          FROM graft_changes('$tmp', 't', 0, 3) GROUP BY 1 ORDER BY 1""")
+      .as[(String, Long)].collect().toSeq
+    assert(agg === Seq(("delete", 1L), ("insert", 15L)))
+    // argument validation is loud at analysis time
+    val eArgs = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$tmp', 't', 0)").collect()
+    }
+    assert(eArgs.getMessage.contains("4 arguments"))
   }
 
   test("change feed: a 50-commit window composes correctly") {

@@ -802,4 +802,137 @@ class StreamingSpec extends SparkSpec {
       viaName.schema.fieldNames.takeRight(2).toSeq ===
         Seq("_change_type", "_commit_version"))
   }
+
+  test("change-feed source: batch-0 replay after a crash is deterministic (initial offset persisted)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-replay").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 5).toDF("k"))                 // v1
+    wh.setSnapshotRetention("t", 10)
+    val meta = java.nio.file.Files.createTempDirectory("graft-cdc-meta").toString
+    // first construction: the default startingVersion resolves to
+    // current+1 = 2 and is PERSISTED under metadataPath
+    val s1 = new graft.streaming.ChangeFeedSource(spark, meta,
+      Map("root" -> tmp, "table" -> "t"))
+    // commits land during the (about-to-crash) first trigger
+    wh.append("t", spark.range(5, 10).toDF("k"))                       // v2
+    wh.append("t", spark.range(10, 15).toDF("k"))                      // v3
+    val end0 = s1.getOffset.get
+    // crash before offset 0 commits: Spark replays getBatch(None, end0)
+    // on a FRESH source over the same metadataPath. The restarted
+    // source must serve the window the lost batch covered (v2..v3) —
+    // re-resolving "current+1" from the now-advanced table would skip
+    // those commits silently (exactly-once violation)
+    val s2 = new graft.streaming.ChangeFeedSource(spark, meta,
+      Map("root" -> tmp, "table" -> "t"))
+    val replay = org.apache.spark.sql.graft.BatchAsStream.unstamp(
+      s2.getBatch(None, end0))
+      .select($"_commit_version", $"_change_type", $"k")
+      .as[(Long, String, Long)].collect().toSet
+    val expect = (5L until 10L).map(k => (2L, "insert", k)).toSet ++
+      (10L until 15L).map(k => (3L, "insert", k))
+    assert(replay === expect,
+      "a replayed batch 0 must cover the original first trigger's window")
+  }
+
+  test("change-feed source: an explicit startingVersion beyond current+1 is rejected") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-future").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 5).toDF("k"))                 // v1
+    val meta = java.nio.file.Files.createTempDirectory("graft-cdc-fmeta").toString
+    val e = intercept[IllegalArgumentException] {
+      new graft.streaming.ChangeFeedSource(spark, meta,
+        Map("root" -> tmp, "table" -> "t", "startingVersion" -> "7"))
+    }
+    assert(e.getMessage.contains("beyond the table's current version"))
+    // current+1 itself is the documented default and must stay legal
+    new graft.streaming.ChangeFeedSource(spark, meta,
+      Map("root" -> tmp, "table" -> "t", "startingVersion" -> "2"))
+  }
+
+  test("change-feed source: a checkpointed stream crosses a schema-evolution commit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-evo").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 5).toDF("k"))                 // v1
+    wh.setSnapshotRetention("t", 10)
+    val chk = java.nio.file.Files.createTempDirectory("graft-cdc-evochk").toString
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Option[String])]()
+    val cols = scala.collection.mutable.Set[String]()
+    def run(): Unit = {
+      val feed = wh.readChangesStream("t", startingVersion = Some(1L))
+      val q = feed.writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          cols.synchronized { cols ++= b.columns; () }
+          val rows =
+            if (b.columns.contains("v"))
+              b.select($"_commit_version", $"_change_type", $"k",
+                $"v".cast("string"))
+                .as[(Long, String, Long, Option[String])].collect().toSeq
+            else b.select($"_commit_version", $"_change_type", $"k")
+              .as[(Long, String, Long)].collect().toSeq
+              .map { case (cv, ct, k) => (cv, ct, k, None: Option[String]) }
+          got.synchronized { got ++= rows; () }
+      }.option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run() // drains v1 under the pinned pre-evolution schema (k only)
+    assert(cols.synchronized(!cols.contains("v")))
+    // the evolution commit: an append carrying a NEW column, plus one
+    // more commit behind it — both consumed by a RESTARTED stream
+    wh.append("t", Seq((100L, "x")).toDF("k", "v"))                    // v2
+    wh.deleteRows("t", col("k") === 0L)                                // v3
+    run() // fresh source pins the EVOLVED schema; offset resumes at v1
+    assert(cols.synchronized(cols.contains("v")),
+      "the restarted stream must expose the evolved column")
+    val expect = Set(
+      (1L, "insert", 0L, None), (1L, "insert", 1L, None),
+      (1L, "insert", 2L, None), (1L, "insert", 3L, None),
+      (1L, "insert", 4L, None),
+      (2L, "insert", 100L, Some("x")),
+      // v3 deletes a PRE-EVOLUTION row: its file has no `v`, so the
+      // evolved feed serves it null-filled — the documented alignment
+      (3L, "delete", 0L, None))
+    assert(got.synchronized(got.toSet) === expect)
+  }
+
+  test("change-feed source: a reap inside the pending window refuses loudly; a fresh start recovers") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cdc-reap").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 5).toDF("k"))                 // v1
+    wh.setSnapshotRetention("t", 2)
+    val meta = java.nio.file.Files.createTempDirectory("graft-cdc-rmeta").toString
+    val src = new graft.streaming.ChangeFeedSource(spark, meta,
+      Map("root" -> tmp, "table" -> "t", "startingVersion" -> "1"))
+    val off1 = src.getOffset.get                                       // v1
+    // commits land between this stream's getOffset and its getBatch;
+    // retention 2 means the commit-time GC reaps v1..v3 — part of the
+    // stream's pending window
+    (1 to 4).foreach(i =>
+      wh.append("t", spark.range(i * 5L, i * 5L + 5L).toDF("k")))      // v2..v5
+    val off2 = src.getOffset.get
+    val e = intercept[IllegalArgumentException] {
+      // the refusal fires at PLAN TIME (the chain walk touches every
+      // manifest in the window before composing anything) — a partial
+      // feed is never served
+      src.getBatch(Some(off1), off2)
+    }
+    assert(e.getMessage.contains("retention"),
+      s"expected the loud retention refusal, got: ${e.getMessage}")
+    // recovery: a FRESH checkpoint + default startingVersion follows
+    // commits from current+1 — the operator's documented path after
+    // falling behind retention
+    val meta2 = java.nio.file.Files.createTempDirectory("graft-cdc-rmeta2").toString
+    val src2 = new graft.streaming.ChangeFeedSource(spark, meta2,
+      Map("root" -> tmp, "table" -> "t"))
+    wh.append("t", spark.range(100, 103).toDF("k"))                    // v6
+    val recovered = org.apache.spark.sql.graft.BatchAsStream.unstamp(
+      src2.getBatch(None, src2.getOffset.get))
+      .select($"_commit_version", $"_change_type", $"k")
+      .as[(Long, String, Long)].collect().toSet
+    assert(recovered === (100L until 103L).map(k => (6L, "insert", k)).toSet)
+  }
 }

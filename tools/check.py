@@ -67,6 +67,15 @@ if "CHECK_ORACLE_OVERRIDE" in os.environ:
 # (named, counted), never silently dropped. Unset = no budget (the
 # driver's sf0.01 gate runs everything).
 budget = float(os.environ["CHECK_TIMEOUT_S"]) if "CHECK_TIMEOUT_S" in os.environ else None
+# Per-QUERY budget overrides ("name=secs,name=secs"): the sf1 gate's
+# d20 oracle legitimately needs ~900s while the global budget stays at
+# 180s — encoding the exception here makes the gate one-command
+# reproducible instead of requiring a manual standalone re-check.
+budget_overrides = {}
+for part in os.environ.get("CHECK_TIMEOUT_OVERRIDES", "").split(","):
+    if "=" in part:
+        k, _, v = part.partition("=")
+        budget_overrides[k.strip()] = float(v)
 n_pass = n_fail = 0
 skipped = []
 for name in sorted(os.listdir(out)):
@@ -90,14 +99,15 @@ for name in sorted(os.listdir(out)):
     import threading
     import time
     status, attempt = "ok", 0
+    budget_q = budget_overrides.get(name, budget)
     while True:
         fired = threading.Event()
         timer = None
         t0 = time.monotonic()
         try:
-            if budget:
+            if budget_q:
                 timer = threading.Timer(
-                    budget, lambda: (fired.set(), con.interrupt()))
+                    budget_q, lambda: (fired.set(), con.interrupt()))
                 timer.start()
             rel = con.sql(oracle[name])
             ocols = list(rel.columns)
@@ -112,8 +122,8 @@ for name in sorted(os.listdir(out)):
             elapsed = time.monotonic() - t0
             is_intr = isinstance(e, duckdb.InterruptException) or \
                 "INTERRUPT" in str(e).upper()
-            if is_intr and budget and elapsed >= budget * 0.9:
-                print(f"SKIP {name}: oracle exceeded {budget}s budget")
+            if is_intr and budget_q and elapsed >= budget_q * 0.9:
+                print(f"SKIP {name}: oracle exceeded {budget_q}s budget")
                 skipped.append(name)
                 status = "skip"
             elif is_intr and attempt == 0:
