@@ -1618,10 +1618,16 @@ object Relational {
                   .withColumn("pb", $"grp" % 8)
                   .persist()
                 try {
+                  // repartition BY the range column before a
+                  // partitioned write: otherwise every shuffle
+                  // partition spills a sliver into every pb dir —
+                  // files ∝ shufflePartitions × ranges instead of
+                  // ∝ ranges (at scale: one writer task per range)
                   if (!wh.exists("mv"))
                     wh.atomicPublish("mv", delta.select($"grp", $"pb",
                       $"dn".as("n"),
-                      $"dbal".cast("decimal(28,2)").as("bal")), Seq("pb"))
+                      $"dbal".cast("decimal(28,2)").as("bal"))
+                      .repartition($"pb"), Seq("pb"))
                   else {
                     // bounded collect: the distinct partition ranges a
                     // batch touches (≤ the range count), driving the
