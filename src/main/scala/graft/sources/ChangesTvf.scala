@@ -35,11 +35,15 @@ object ChangesTvf {
   /** Seq[Expression] => LogicalPlan, the TableFunctionRegistry builder
     * shape. Arguments must be foldable: the feed window is resolved
     * once at analysis, not per row — a column reference here has no
-    * meaning and is rejected loudly.
+    * meaning and is rejected loudly. The 3-argument form omits `toV`
+    * and reads "changes from `fromV` through the CURRENT version" —
+    * resolved once here at analysis, the `table_changes(tbl, from)`
+    * UX; re-running the query picks up new commits.
     */
   val builder: Seq[Expression] => LogicalPlan = exprs => {
-    require(exprs.length == 4,
-      s"$name(root, table, fromV, toV) takes 4 arguments, got ${exprs.length}")
+    require(exprs.length == 3 || exprs.length == 4,
+      s"$name(root, table, fromV[, toV]) takes 3 or 4 arguments, " +
+      s"got ${exprs.length}")
     def lit(i: Int, what: String): Any = {
       val e = exprs(i)
       require(e.foldable,
@@ -60,11 +64,13 @@ object ChangesTvf {
     val root  = String.valueOf(lit(0, "root"))
     val table = String.valueOf(lit(1, "table"))
     val fromV = asLong(lit(2, "fromV"), "fromV")
-    val toV   = asLong(lit(3, "toV"), "toV")
     val spark = SparkSession.active
-    new Warehouse(spark, root, manifest = true)
-      .changes(table, fromV, toV)
-      .queryExecution.analyzed
+    val wh = new Warehouse(spark, root, manifest = true)
+    val toV =
+      if (exprs.length == 4) asLong(lit(3, "toV"), "toV")
+      else wh.currentVersion(table).getOrElse(throw new IllegalArgumentException(
+        s"$name: table '$table' has no committed snapshot under $root"))
+    wh.changes(table, fromV, toV).queryExecution.analyzed
   }
 
   /** Idempotent lazy registration for sessions built without the

@@ -1105,6 +1105,42 @@ class EtlSpec extends SparkSpec {
     whA.append("t", Seq((2L, "A")).toDF("k", "v"))
     assert(whA.read("t").count() === 3)
   }
+
+  test("gen-fenced store + WAP branches: shields, DV pointers, promote and abandon") {
+    // the previously untested combination: branch pointers are raw
+    // last-write-wins files while the MAIN pointer (and the DV
+    // pointers GC sweeps route through PointerStore.ownedPointer) are
+    // gen-encoded — the GC shield, the promote CAS, and merge-on-read
+    // must all survive the mix
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-genbr").toString
+    val wh = new Warehouse(spark, tmp, manifest = true,
+      pointerStore = new graft.sources.GenFencedPointerStore)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k"))               // v1
+    wh.deleteRows("t", col("k") >= 90L)         // main DV via gen store
+    assert(wh.read("t").count() === 90)
+    // stage a branch, then keep committing on main: commit-time GC
+    // must shield the pointed branch manifest across main-line churn
+    wh.publishBranch("t", "audit", spark.range(1000, 1010).toDF("k"))
+    wh.append("t", spark.range(100, 120).toDF("k"))
+    wh.append("t", spark.range(120, 140).toDF("k"))
+    wh.vacuumOrphans("t")
+    assert(wh.readBranch("t", "audit").count() === 10,
+      "the branch manifest must survive main-line GC under the gen store")
+    assert(wh.read("t").count() === 130) // 90 + 20 + 20, DV still applied
+    // promote: the branch wholesale replaces main through the fenced CAS
+    wh.promoteBranch("t", "audit")
+    assert(wh.read("t").as[Long].collect().sorted.toSeq
+      === (1000L until 1010L).toSeq)
+    assert(wh.fsck("t").isEmpty, s"fsck after promote: ${wh.fsck("t")}")
+    // abandon leg: a second branch dropped without publishing
+    wh.publishBranch("t", "audit2", spark.range(2000, 2005).toDF("k"))
+    wh.abandonBranch("t", "audit2")
+    intercept[IllegalArgumentException] { wh.readBranch("t", "audit2") }
+    assert(wh.read("t").count() === 10)
+    assert(wh.fsck("t").isEmpty)
+    assert(!new java.io.File(s"$tmp/t").list().exists(_.contains(".lock")))
+  }
 }
 
 /** RawLocalFileSystem re-registered under a scheme that has NO

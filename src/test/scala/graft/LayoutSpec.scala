@@ -2119,11 +2119,17 @@ class LayoutSpec extends SparkSpec {
           FROM graft_changes('$tmp', 't', 0, 3) GROUP BY 1 ORDER BY 1""")
       .as[(String, Long)].collect().toSeq
     assert(agg === Seq(("delete", 1L), ("insert", 15L)))
+    // 3-arg form: toV defaults to the CURRENT version at analysis
+    val toNow = spark.sql(
+      s"SELECT k FROM graft_changes('$tmp', 't', 1)")
+      .as[Long].collect().toSet
+    assert(toNow === (10L until 15L).toSet + 3L,
+      "graft_changes(root, table, fromV) must read through current")
     // argument validation is loud at analysis time
     val eArgs = intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft_changes('$tmp', 't', 0)").collect()
+      spark.sql(s"SELECT * FROM graft_changes('$tmp', 't')").collect()
     }
-    assert(eArgs.getMessage.contains("4 arguments"))
+    assert(eArgs.getMessage.contains("3 or 4 arguments"))
   }
 
   test("change feed: a 50-commit window composes correctly") {
