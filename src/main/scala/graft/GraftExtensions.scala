@@ -30,5 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectTableFunction((FunctionIdentifier(graft.sources.ChangesTvf.name),
       graft.sources.ChangesTvf.info, graft.sources.ChangesTvf.builder))
+    ext.injectTableFunction((FunctionIdentifier(graft.sources.TableTvf.name),
+      graft.sources.TableTvf.info, graft.sources.TableTvf.builder))
+    // automatic data skipping: Filter-over-manifest-scan plans prune
+    // files by footer stats / blooms (graft.plans.AutoSkip). The lazy
+    // twin is AutoSkip.install, run by every manifest Warehouse
+    // constructor — same rule instance semantics, so the paths can't
+    // drift.
+    ext.injectOptimizerRule(_ => new graft.plans.MetaCountRule)
+    ext.injectOptimizerRule(_ => new graft.plans.AutoSkipRule)
   }
 }

@@ -1,0 +1,404 @@
+package graft.plans
+
+import java.util.{Collections, WeakHashMap => JWeakHashMap, LinkedHashMap => JLinkedHashMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.types._
+
+/** Automatic predicate-driven data skipping — the missing half of the
+  * warehouse's pruning story. `readSkipping`/`readEquals` prune files
+  * when the CALLER names the predicate up front; this module prunes
+  * when the predicate arrives the way real queries write it:
+  *
+  * {{{ wh.read("t").where($"k" between (10, 20)) }}}
+  * {{{ spark.sql("SELECT ... FROM t WHERE k IN (3, 7)") }}}
+  *
+  * Mechanism (the Delta/Hyperspace shape, built on public API only):
+  * every manifest read registers its scan's `FileIndex` in a weak
+  * identity map alongside a snapshot-pinned prune hook. A
+  * `Rule[LogicalPlan]` — injected via `GraftExtensions` or installed
+  * lazily through `spark.experimental.extraOptimizations` — matches
+  * `Filter` directly above a registered scan (the optimized-plan
+  * shape after Catalyst's own pushdown), extracts the supported
+  * conjuncts (range / equality / IN over plain int, float, double,
+  * string attributes — exactly the types the footer-stat sidecars
+  * cover), asks the warehouse which files can match (chunk-header
+  * skip → footer min/max → per-column bloom, all against the
+  * manifest version the read resolved), and swaps the relation's
+  * `FileIndex` for a [[PrunedFileIndex]] restricted to the
+  * survivors.
+  *
+  * Correctness boundaries, each load-bearing:
+  *  - the `Filter` stays in the plan — stats pruning is a fast path,
+  *    never the row-level truth (same residual discipline as
+  *    `readSkipping`, Warehouse.scala);
+  *  - the relation's schema/output attributes are UNTOUCHED: the
+  *    wrapper delegates `partitionSchema` to the original index, so
+  *    the hive partition type-flip trap `readSkipping` guards against
+  *    (a pruned subset inferring a different partition type than the
+  *    full table) cannot arise — inference already happened over the
+  *    full file set;
+  *  - the hook is pinned to the manifest the read resolved, so a
+  *    commit racing optimization can never pair one snapshot's file
+  *    list with another's stats;
+  *  - the DV anti-join's right side is never registered
+  *    (registration is subset-filtered to the table's own files), so
+  *    merge-on-read deletes survive pruning;
+  *  - unknown stats / unsupported types / non-conjunct predicates
+  *    extract to nothing and the rule no-ops.
+  *
+  * At 100 TB this is the difference between "the engine CAN skip"
+  * and "the engine DOES skip": a dashboard's `WHERE day = ...` over
+  * a range-clustered petabyte table plans a handful of files without
+  * the query author knowing `readSkipping` exists.
+  */
+object AutoSkip {
+
+  /** A prunable conjunct: [lower, upper] range (inclusive, either
+    * side open) or a value set. Values are Scala externals in the
+    * shapes `FileStats.mayContain` compares (`Number`, `String`).
+    */
+  sealed trait Pred { def column: String }
+  final case class RangePred(column: String, lower: Option[Any],
+      upper: Option[Any]) extends Pred
+  final case class InPred(column: String, values: Seq[Any]) extends Pred
+  final case class NullPred(column: String, isNull: Boolean) extends Pred
+
+  /** Snapshot-pinned prune callback: preds → kept ABSOLUTE
+    * normalized paths over the whole snapshot, or None when nothing
+    * was prunable (no stats, all files survive every probe).
+    * `rowCount` is the exact row total of THIS SCAN's files from the
+    * `_rows` sidecars (lazy — paid only if a metadata-count query
+    * shows up), None when any file predates them. It is the RAW scan
+    * count: on a DV table the user-visible count subtracts the
+    * anti-join above the scan, which is exactly why [[MetaCountRule]]
+    * only ever matches an Aggregate sitting DIRECTLY on the scan.
+    */
+  final case class Hook(prune: Seq[Pred] => Option[Set[String]],
+      rowCount: () => Option[Long] = () => None)
+
+  // FileIndex identity → hook. Weak keys: an index dies with its
+  // plan; the registry must not keep every read's file list alive.
+  private val registry =
+    Collections.synchronizedMap(new JWeakHashMap[FileIndex, Hook]())
+
+  // (hook identity, predicate fingerprint) → prune result, so an
+  // optimizer fixpoint batch re-running the rule doesn't re-read
+  // chunk headers / stats sidecars per iteration. Small LRU — prune
+  // results are per-query-shape, not per-row.
+  private val memo = Collections.synchronizedMap(
+    new JLinkedHashMap[(Int, String), Option[Set[String]]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), Option[Set[String]]]) =
+        size() > 256
+    })
+
+  private[graft] def norm(p: String): String = new Path(p).toUri.getPath
+
+  /** Register every file-source scan inside `df` whose files are a
+    * subset of `absFiles` (the table's own files — the subset filter
+    * is what keeps the DV anti-join's scan, or any other joined
+    * frame, out of the registry). Called by the warehouse read path.
+    */
+  def register(df: DataFrame, absFiles: Set[String], hook: Hook): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation =>
+          val fl = hfs.location.inputFiles
+          if (fl.nonEmpty && fl.forall(f => absFiles.contains(norm(f))))
+            registry.put(hfs.location, hook)
+        case _ =>
+      }
+      case _ =>
+    }
+  }
+
+  /** Idempotently install the rule on a session built without
+    * `spark.sql.extensions=graft.GraftExtensions` (the same lazy
+    * dual-path contract as `NativeExprs.register`).
+    */
+  def install(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    val add = Seq(
+      if (cur.exists(_.isInstanceOf[MetaCountRule])) None
+      else Some(new MetaCountRule),
+      if (cur.exists(_.isInstanceOf[AutoSkipRule])) None
+      else Some(new AutoSkipRule)).flatten
+    if (add.nonEmpty)
+      spark.experimental.extraOptimizations = cur ++ add
+  }
+
+  private[plans] def fingerprint(preds: Seq[Pred]): String =
+    preds.map(_.toString).sorted.mkString("|")
+
+  private[plans] def prunedSet(hook: Hook,
+      preds: Seq[Pred]): Option[Set[String]] = {
+    val key = (System.identityHashCode(hook), fingerprint(preds))
+    memo.synchronized {
+      val v = memo.get(key)
+      if (v != null) v
+      else { val r = hook.prune(preds); memo.put(key, r); r }
+    }
+  }
+
+  private[plans] def lookup(idx: FileIndex): Option[Hook] =
+    Option(registry.get(idx))
+
+  // ---- predicate extraction -----------------------------------------
+
+  private def litValue(l: Literal): Option[Any] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(java.lang.Long.valueOf(l.value.asInstanceOf[Number].longValue))
+      case FloatType =>
+        Some(java.lang.Double.valueOf(l.value.asInstanceOf[Float].toDouble))
+      case DoubleType => Some(l.value.asInstanceOf[java.lang.Double])
+      case StringType => Some(l.value.toString) // UTF8String → String
+      case _ => None // dates/decimals/timestamps: sidecars carry no
+                     // stats for them (FileStats collect), and the
+                     // partition-path compare must not see encoded
+                     // values — skip, the residual Filter is truth
+    }
+
+  private def splitConj(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConj(l) ++ splitConj(r)
+    case x         => Seq(x)
+  }
+
+  /** A disjunction that is really a value set — `k = 1 OR k IN (5, 9)`
+    * over ONE attribute — folds to that set; any other OR shape is
+    * unprunable (None).
+    */
+  private def orAsIn(e: Expression): Option[InPred] = {
+    def leaves(x: Expression): Option[Seq[(String, Any)]] = x match {
+      case Or(l, r) => for (a <- leaves(l); b <- leaves(r)) yield a ++ b
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => Seq(a.name -> v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => Seq(a.name -> v))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val ext = vs.map(v => litValue(v.asInstanceOf[Literal]))
+        if (ext.forall(_.isDefined)) Some(ext.map(v => a.name -> v.get))
+        else None
+      case _ => None
+    }
+    leaves(e).flatMap { ps =>
+      val cols = ps.map(_._1).distinct
+      if (cols.size == 1 && ps.size <= 64)
+        Some(InPred(cols.head, ps.map(_._2))) else None
+    }
+  }
+
+  /** Smallest string (in code-point order, which is UTF-8 byte order —
+    * the footer-stat compare) strictly greater than every string with
+    * this prefix: increment the last char. Restricted to chars below
+    * the surrogate range so UTF-16 char order and code-point order
+    * agree; a prefix ending in high chars returns None (no upper bound
+    * — the lower bound still prunes).
+    */
+  private def prefixSuccessor(prefix: String): Option[String] = {
+    val i = prefix.lastIndexWhere(c => c < 0xD7FF.toChar)
+    if (i < 0) None
+    else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
+  }
+
+  /** Supported conjuncts → preds. Anything else (OR trees, casts,
+    * expressions over the column, null checks) contributes nothing —
+    * conservative by construction.
+    */
+  private[plans] def extract(cond: Expression): Seq[Pred] =
+    splitConj(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => InPred(a.name, Seq(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => InPred(a.name, Seq(v)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => InPred(a.name, Seq(v)))
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => InPred(a.name, Seq(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => RangePred(a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => RangePred(a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => RangePred(a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litValue(l).map(v => RangePred(a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => RangePred(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => RangePred(a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => RangePred(a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litValue(l).map(v => RangePred(a.name, Some(v), None))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 64 &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        val ext = vs.map(v => litValue(v.asInstanceOf[Literal]))
+        if (ext.forall(_.isDefined)) Some(InPred(a.name, ext.map(_.get)))
+        else None
+      case InSet(a: AttributeReference, hset)
+          if hset.nonEmpty && hset.size <= 64 =>
+        // InSet values are INTERNAL (UTF8String for strings) — route
+        // them through a Literal of the attribute's type so the
+        // external conversion is the single litValue path
+        val ext = hset.toSeq.map(v => litValue(Literal(v, a.dataType)))
+        if (ext.forall(_.isDefined)) Some(InPred(a.name, ext.map(_.get)))
+        else None
+      case StartsWith(a: AttributeReference, l: Literal)
+          if l.dataType == StringType && l.value != null =>
+        // prefix probe as a byte range: [prefix, successor(prefix)] —
+        // successor is inclusive-conservative (at worst one boundary
+        // file survives that an exclusive bound would drop)
+        val p = l.value.toString
+        if (p.isEmpty) None
+        else Some(RangePred(a.name, Some(p), prefixSuccessor(p)))
+      // IsNull only: a zero-null file (the common case, known from
+      // the header null sums) is skipped whole. IsNotNull is NOT
+      // extracted — Catalyst infers it onto every filtered column, so
+      // it would bill every query for a sidecar sweep that only ever
+      // prunes all-null files.
+      case IsNull(a: AttributeReference) => Some(NullPred(a.name, true))
+      case o: Or => orAsIn(o)
+      case _ => None
+    }
+}
+
+/** A `FileIndex` view restricted to `keep` (normalized absolute
+  * paths). Everything else — partition schema, partition VALUES
+  * (inferred over the FULL file set at relation construction, which
+  * is what makes the type-flip guard unnecessary here), root paths —
+  * delegates to the original. `fp` is the predicate fingerprint the
+  * pruning was computed for: the rule's loop guard under a fixpoint
+  * optimizer batch.
+  */
+final class PrunedFileIndex(val orig: FileIndex, keep: Set[String],
+    private[plans] val fp: String) extends FileIndex {
+  override def rootPaths: Seq[Path] = orig.rootPaths
+  override def partitionSchema: StructType = orig.partitionSchema
+  override def refresh(): Unit = orig.refresh()
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    orig.listFiles(partitionFilters, dataFilters).flatMap { pd =>
+      val fl = pd.files.filter(f => keep(AutoSkip.norm(f.getPath.toString)))
+      if (fl.isEmpty) None else Some(PartitionDirectory(pd.values, fl))
+    }
+  override def inputFiles: Array[String] =
+    orig.inputFiles.filter(f => keep(AutoSkip.norm(f)))
+  override lazy val sizeInBytes: Long =
+    listFiles(Nil, Nil).flatMap(_.files).map(_.getLen).sum
+  override def toString: String =
+    s"PrunedFileIndex(${inputFiles.length} of ${orig.inputFiles.length} files)"
+}
+
+/** The optimizer rule. Matches the post-pushdown shape
+  * `Filter(cond, LogicalRelation(HadoopFsRelation))` for registered
+  * scans; rewrites the relation's index to the pruned view; leaves
+  * the Filter as the exact residual. Wrapping happens even when
+  * nothing was pruned (same file count) — the `fp` marker is what
+  * stops the fixpoint batch from re-running the prune.
+  */
+/** Metadata-only `count(*)`: a global Aggregate of count-over-
+  * non-null-literal expressions, sitting on a registered scan through
+  * nothing but Projects (row-preserving by construction), collapses
+  * to a LocalRelation holding the `_rows`-sidecar total — zero data
+  * files opened, the lakehouse metadata-count fast path at the
+  * automatic-plan level (`SELECT count(*) FROM graft_table(...)`).
+  *
+  * The guards carry the correctness:
+  *  - only the BARE scan shape matches — a DV table's user count has
+  *    the anti-join above the scan and an auto-skipped read has its
+  *    residual Filter, so neither can collapse;
+  *  - the scan must not be a [[PrunedFileIndex]] (a pruned subset's
+  *    sidecar total is the subset's, and the residual Filter above
+  *    would have blocked the match anyway — belt and braces);
+  *  - `rowCount` is None the moment ANY scan file predates the
+  *    sidecars — unknown never becomes zero.
+  */
+final class MetaCountRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+
+  private def bareScan(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation  => Some(lr)
+    case Project(_, child)    => bareScan(child)
+    case _                    => None
+  }
+
+  private def isCountLiteral(e: Expression): Boolean = e match {
+    case Alias(child, _) => isCountLiteral(child)
+    case ae: AggregateExpression =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) => l.value != null
+        case _                      => false
+      })
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a @ Aggregate(Nil, aggExprs, child, _)
+        if aggExprs.nonEmpty && aggExprs.forall(isCountLiteral) =>
+      bareScan(child) match {
+        case Some(lr) => lr.relation match {
+          case hfs: HadoopFsRelation
+              if !hfs.location.isInstanceOf[PrunedFileIndex] =>
+            AutoSkip.lookup(hfs.location).flatMap(_.rowCount()) match {
+              case Some(n) =>
+                LocalRelation(a.output,
+                  Seq(InternalRow(Seq.fill(a.output.size)(n): _*)))
+              case None => a
+            }
+          case _ => a
+        }
+        case None => a
+      }
+  }
+}
+
+final class AutoSkipRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, lr: LogicalRelation) =>
+      lr.relation match {
+        case hfs: HadoopFsRelation =>
+          val loc = hfs.location
+          val base = loc match {
+            case p: PrunedFileIndex => p.orig
+            case o                  => o
+          }
+          AutoSkip.lookup(base) match {
+            case None => f
+            case Some(hook) =>
+              val preds = AutoSkip.extract(cond)
+              if (preds.isEmpty) f
+              else {
+                val fp = AutoSkip.fingerprint(preds)
+                loc match {
+                  case p: PrunedFileIndex if p.fp == fp => f // converged
+                  case _ => AutoSkip.prunedSet(hook, preds) match {
+                    case None => f
+                    case Some(keptAbs) =>
+                      // intersect with the CURRENT survivors (loc, not
+                      // base): an earlier prune under different preds
+                      // must stay honored
+                      val keep = loc.inputFiles.iterator
+                        .map(AutoSkip.norm).filter(keptAbs.contains).toSet
+                      val idx = new PrunedFileIndex(base, keep, fp)
+                      val nrel = hfs.copy(location = idx)(hfs.sparkSession)
+                      Filter(cond, lr.copy(relation = nrel))
+                  }
+                }
+              }
+          }
+        case _ => f
+      }
+  }
+}

@@ -1732,6 +1732,137 @@ object Relational {
             CAST(SUM(bal) AS DOUBLE) FROM v2 WHERE k % 7 = 0)
         ORDER BY _commit_version, _change_type""")),
 
+    // ---- Automatic data skipping (graft.plans.AutoSkip) --------------
+    // The predicate arrives the way real queries write it — a WHERE on
+    // a plain read — and the optimizer rule prunes the scan's file
+    // list by footer stats against the read's own manifest resolution.
+    // The result must equal the unpruned scan (deletes included: the
+    // range filter composes with a deletion vector), and the plan
+    // itself is the witness: `files_pruned` is read off the optimized
+    // plan's PrunedFileIndex, TRUE only when kept < total. At 100 TB
+    // this is the load-bearing read path — a dashboard range probe
+    // plans a handful of files with no readSkipping call anywhere.
+    Q("s35_auto_skip",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "askip")
+        wh.atomicPublish("ord_askip",
+          o.repartitionByRange(8, $"o_orderkey")
+            .sortWithinPartitions($"o_orderkey"))
+        wh.deleteRows("ord_askip", col("o_orderkey") % 13 === 0)
+        // literal bound derived once, sf-independent: the lowest
+        // eighth of the keyspace spans ~1 of the 8 range files
+        val hi = o.agg(max($"o_orderkey")).head.getLong(0) / 8L
+        val q = wh.read("ord_askip")
+          .where($"o_orderkey" >= 1L && $"o_orderkey" <= hi)
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case p: graft.plans.PrunedFileIndex =>
+                    Some((p.inputFiles.length, p.orig.inputFiles.length))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }.flatten
+        val didPrune = pruned.nonEmpty &&
+          pruned.map(_._1).sum < pruned.map(_._2).sum
+        q.select($"n", $"revenue", lit(didPrune).as("files_pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS files_pruned
+        FROM orders
+        WHERE o_orderkey >= 1
+          AND o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+          AND o_orderkey % 13 <> 0""")),
+
+    // ---- graft_table TVF: the warehouse read path from pure SQL ------
+    // WHERE over the TVF must ride the same machinery the Scala
+    // surface gets: merge-on-read deletes applied, files pruned by
+    // footer stats (AutoSkip fires on the spliced plan's scan). The
+    // witness column pins the pruning, the hash pins the semantics.
+    Q("s36_table_tvf",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "ttvf")
+        val wh = new graft.sources.Warehouse(s, root, manifest = true)
+        wh.atomicPublish("cust_t",
+          c.repartitionByRange(8, $"c_custkey")
+            .sortWithinPartitions($"c_custkey"))
+        wh.deleteRows("cust_t", col("c_custkey") % 11 === 0)
+        val hi = c.agg(max($"c_custkey")).head.getLong(0) / 8L
+        graft.sources.TableTvf.register(s)
+        val q = s.sql(s"""SELECT count(*) AS n,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+          FROM graft_table('$root', 'cust_t')
+          WHERE c_custkey >= 1 AND c_custkey <= $hi""")
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case p: graft.plans.PrunedFileIndex =>
+                    Some((p.inputFiles.length, p.orig.inputFiles.length))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }.flatten
+        val didPrune = pruned.nonEmpty &&
+          pruned.map(_._1).sum < pruned.map(_._2).sum
+        q.select($"n", $"bal", lit(didPrune).as("files_pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          TRUE AS files_pruned
+        FROM customer
+        WHERE c_custkey >= 1
+          AND c_custkey <= (SELECT max(c_custkey) // 8 FROM customer)
+          AND c_custkey % 11 <> 0""")),
+
+    // ---- Metadata-only count(*): zero data files opened ---------------
+    // The optimizer collapses a bare count over a clean snapshot to
+    // the `_rows` sidecar total (MetaCountRule); the plan witness is
+    // the absence of any file scan in the optimized plan. The same
+    // query against the post-delete snapshot must NOT collapse (the
+    // DV anti-join is the truth) — both counts are hash-checked.
+    Q("s37_meta_count_sql",
+      (s, dir) => {
+        import s.implicits._
+        val l = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        val wh = graft.sources.Scratch.warehouse(s, "mcnt")
+        wh.atomicPublish("li_mc", l.repartition(8))
+        val clean = wh.read("li_mc").agg(count(lit(1)).as("n"))
+        val metaOnly = clean.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.isEmpty
+        wh.deleteRows("li_mc", col("l_orderkey") % 5 === 0)
+        val after = wh.read("li_mc").agg(count(lit(1)).as("m"))
+        val scanned = after.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.nonEmpty
+        clean.crossJoin(after)
+          .select($"n", $"m",
+            lit(metaOnly).as("meta_only"), lit(scanned).as("dv_scanned"))
+      },
+      Some("""SELECT
+          (SELECT count(*) FROM lineitem) AS n,
+          (SELECT count(*) FROM lineitem WHERE l_orderkey % 5 <> 0) AS m,
+          TRUE AS meta_only, TRUE AS dv_scanned""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -62,7 +62,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       * over the same root rather than mutating a shared field under
       * other readers.
       */
-    val changesMaxWindow: Long = 256L) {
+    val changesMaxWindow: Long = 256L,
+    /** Install the automatic data-skipping optimizer rule on `spark`
+      * (graft.plans.AutoSkip) so `read(t).where(...)` plans prune
+      * files by footer stats / blooms without the caller naming the
+      * predicate. Harmless when the rule never matches; off-switch
+      * exists for plan-shape tests that count scans.
+      */
+    val autoSkip: Boolean = true) {
+
+  if (autoSkip && manifest) graft.plans.AutoSkip.install(spark)
 
   private def tablePath(name: String) = s"$dir/$name"
 
@@ -475,7 +484,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       mf: Option[String]): DataFrame = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    mf.flatMap(currentDv(fs, root, _)) match {
+    val df = mf.flatMap(currentDv(fs, root, _)) match {
       case None => readFiles(name, files)
       case Some(d) =>
         val dels = loadDv(fs, d)
@@ -486,6 +495,71 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             "left_anti")
           .drop("_file", "_pos")
     }
+    // auto-skip enrollment: each per-version scan's FileIndex maps to
+    // a prune hook pinned to THIS read's manifest resolution. The
+    // subset filter (scan files ⊆ this read's table files) keeps the
+    // DV anti-join's right side — or any frame a caller later joins
+    // in — out of the registry: pruning a non-table scan with table
+    // stats would be corruption, not optimization.
+    if (autoSkip && manifest) {
+      val tp = tablePath(name)
+      val absFiles = files.iterator
+        .map(f => graft.plans.AutoSkip.norm(s"$tp/$f")).toSet
+      // the RAW row total of exactly these files, from the `_rows`
+      // sidecars — lazy (paid only if a metadata-count query arrives),
+      // None if any file predates them. MetaCountRule's guards ensure
+      // this only ever answers an Aggregate on the bare scan, where
+      // the raw total IS the answer (no DV join, no residual filter).
+      lazy val rawRows: Option[Long] = {
+        val per = files.groupBy(f =>
+            if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+          .toSeq.flatMap { case (v, fl) =>
+            if (v.isEmpty) fl.map(_ => None)
+            else {
+              val rows = FileStats.readRows(fs,
+                new Path(new Path(root, v), "_rows"))
+              fl.map(f => rows.get(f.stripPrefix(v + "/")).map(_.numRows))
+            }
+          }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      }
+      graft.plans.AutoSkip.register(df, absFiles,
+        graft.plans.AutoSkip.Hook(
+          preds => pruneForPreds(name, mf, preds).map(_.iterator
+            .map(f => graft.plans.AutoSkip.norm(s"$tp/$f")).toSet),
+          () => rawRows))
+    }
+    df
+  }
+
+  /** Intersection prune over several conjuncts — the auto-skip rule's
+    * entry point (graft.plans.AutoSkip). Each conjunct reuses the
+    * single-column prune machinery (chunk-header skip, footer stats,
+    * hive partition paths; blooms for the equality form) against the
+    * SAME manifest the read resolved. Returns kept files relative to
+    * the table root; None when no conjunct was evaluable. A conjunct
+    * over a column with no stats keeps everything for that conjunct —
+    * intersection only ever narrows on proof.
+    */
+  private[graft] def pruneForPreds(name: String, mf: Option[String],
+      preds: Seq[graft.plans.AutoSkip.Pred]): Option[Seq[String]] = {
+    if (!manifest || preds.isEmpty) return None
+    var kept: Option[Seq[String]] = None
+    preds.foreach { p =>
+      val (k, _) = p match {
+        case graft.plans.AutoSkip.RangePred(c, lo, hi) =>
+          pruneFilesFrom(name, mf, c, lo, hi)
+        case graft.plans.AutoSkip.InPred(c, vs) =>
+          pruneFilesEqualsFrom(name, mf, c, vs)
+        case graft.plans.AutoSkip.NullPred(c, isNull) =>
+          (pruneFilesIsNullFrom(name, mf, c, isNull), 0)
+      }
+      kept = Some(kept match {
+        case None       => k
+        case Some(prev) => val s = k.toSet; prev.filter(s)
+      })
+    }
+    kept
   }
 
   /** File-level data skipping (manifest mode): the current snapshot's
@@ -843,6 +917,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     // single-resolution read — see readSkipping
     val mfC = currentManifest(fs, root)
+    val kept = pruneFilesIsNullFrom(name, mfC, column, isNull)
+    val c = col(column)
+    val base =
+      if (kept.nonEmpty) readFilesMor(name, kept, mfC)
+      else readFiles(name, manifestFilesOrLegacy(fs, root, mfC))
+        .where(lit(false))
+    base.where(if (isNull) c.isNull else c.isNotNull)
+  }
+
+  /** The IS [NOT] NULL file prune against an explicit manifest — the
+    * kept-list half of `readSkippingIsNull`, factored so the auto-skip
+    * rule (graft.plans.AutoSkip, NullPred) shares the one
+    * implementation. Chunk-header null sums skip whole chunks; the
+    * `_rows` sidecars decide per file; unknown counts always keep.
+    */
+  private def pruneFilesIsNullFrom(name: String, mfC: Option[String],
+      column: String, isNull: Boolean): Seq[String] = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
     def keepFile(f: String, rs: Option[FileStats.RowStat]): Boolean =
       rs.forall { r =>
         r.nullCounts.get(column) match {
@@ -850,7 +943,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           case Some(nc) => if (isNull) nc > 0 else nc < r.numRows
         }
       }
-    val kept = mfC
+    mfC
       .flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) =>
         // chunk-level skip from the header null sums: zero nulls ⇒ no
@@ -888,12 +981,6 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             }
           }
     }
-    val c = col(column)
-    val base =
-      if (kept.nonEmpty) readFilesMor(name, kept, mfC)
-      else readFiles(name, manifestFilesOrLegacy(fs, root, mfC))
-        .where(lit(false))
-    base.where(if (isNull) c.isNull else c.isNotNull)
   }
 
   /** Range scan with data skipping: prune files by footer stats, read

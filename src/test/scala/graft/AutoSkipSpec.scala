@@ -1,0 +1,285 @@
+package graft
+
+import graft.plans.PrunedFileIndex
+import graft.sources.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Automatic predicate-driven data skipping (graft.plans.AutoSkip):
+  * `read(t).where(...)` must plan a file-pruned scan — without the
+  * caller invoking readSkipping/readEquals — and the pruned plan must
+  * return EXACTLY what the unpruned plan returns, deletes included.
+  */
+class AutoSkipSpec extends SparkSpec {
+
+  private def mk(tag: String): Warehouse = {
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    new Warehouse(spark, tmp, manifest = true)
+  }
+
+  /** 10k rows in 8 contiguous-range files on k. */
+  private def clustered() = {
+    import spark.implicits._
+    spark.range(0, 10000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k"))
+      .withColumn("d", $"k".cast("double") / 100.0)
+      .repartitionByRange(8, $"k")
+      .sortWithinPartitions($"k")
+  }
+
+  /** (keptFiles, totalFiles) summed over every pruned scan in the
+    * OPTIMIZED plan; (-1, -1) when no scan was pruned.
+    */
+  private def prunedCounts(df: DataFrame): (Int, Int) = {
+    val hits = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation => hfs.location match {
+          case p: PrunedFileIndex =>
+            Some((p.inputFiles.length, p.orig.inputFiles.length))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.flatten
+    if (hits.isEmpty) (-1, -1)
+    else (hits.map(_._1).sum, hits.map(_._2).sum)
+  }
+
+  test("auto-skip: narrow range on read().where prunes most files, result exact") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip1")
+    wh.atomicPublish("t", clustered())
+
+    val q = wh.read("t").where($"k" >= 1500L && $"k" <= 1700L)
+    val (kept, total) = prunedCounts(q)
+    assert(total === 8, s"expected 8-file scan, saw total=$total")
+    assert(kept <= 2, s"[1500,1700] spans ≤2 of 8 range files, kept $kept")
+    assert(q.orderBy("k").select("k").as[Long].collect()
+      === (1500L to 1700L).toArray)
+  }
+
+  test("auto-skip: equality and IN prune; pruned result equals unpruned") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip2")
+    wh.atomicPublish("t", clustered())
+
+    val eq = wh.read("t").where($"s" === "s02345")
+    val (ke, te) = prunedCounts(eq)
+    assert(te === 8 && ke <= 1, s"point probe kept $ke of $te")
+    assert(eq.select("k").as[Long].collect() === Array(2345L))
+
+    // IN across two distant files: both must survive, others pruned
+    val in = wh.read("t").where($"k".isin(10L, 9990L))
+    val (ki, ti) = prunedCounts(in)
+    assert(ti === 8 && ki <= 2, s"2-point IN kept $ki of $ti")
+    assert(in.orderBy("k").select("k").as[Long].collect()
+      === Array(10L, 9990L))
+  }
+
+  test("auto-skip: merge-on-read deletes survive pruning") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip3")
+    wh.atomicPublish("t", clustered())
+    wh.deleteRows("t", col("k") % 10 === 0)
+
+    val q = wh.read("t").where($"k" >= 1500L && $"k" <= 1700L)
+    val (kept, total) = prunedCounts(q)
+    assert(total === 8 && kept <= 2, s"kept $kept of $total")
+    val want = (1500L to 1700L).filter(_ % 10 != 0).toArray
+    assert(q.orderBy("k").select("k").as[Long].collect() === want,
+      "pruning must not disturb the DV anti-join")
+  }
+
+  test("auto-skip: unsupported predicates leave the plan alone") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip4")
+    wh.atomicPublish("t", clustered())
+
+    // modulo over the column — not a range/equality conjunct
+    val m = wh.read("t").where($"k" % 100 === 0)
+    assert(prunedCounts(m) === ((-1, -1)), "no extractable conjunct ⇒ no rewrite")
+    assert(m.count() === 100)
+
+    // disjunction — conservative no-op
+    val o = wh.read("t").where($"k" < 10L || $"k" > 9990L)
+    assert(prunedCounts(o) === ((-1, -1)), "OR trees must not prune")
+    assert(o.count() === 19)
+
+    // a prunable conjunct ANDed with an opaque one still prunes —
+    // the opaque part just contributes nothing
+    val mixed = wh.read("t").where($"k" <= 300L && ($"k" % 7 === 0))
+    val (km, tm) = prunedCounts(mixed)
+    assert(tm === 8 && km <= 1, s"kept $km of $tm")
+    assert(mixed.count() === 43)
+  }
+
+  test("auto-skip: reaches pure-SQL reads through a temp view") {
+    val wh = mk("graft-autoskip5")
+    wh.atomicPublish("t", clustered())
+    wh.read("t").createOrReplaceTempView("autoskip_t")
+    val q = spark.sql(
+      "SELECT count(*) AS n FROM autoskip_t WHERE k BETWEEN 4000 AND 4100")
+    val (kept, total) = prunedCounts(q)
+    assert(total === 8 && kept <= 2, s"SQL WHERE kept $kept of $total")
+    assert(q.collect().head.getLong(0) === 101L)
+  }
+
+  test("auto-skip: hive partition column probe prunes; types stay full-table") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip6")
+    // mixed-width partition values: full-table inference types pd as
+    // string ('9' vs '10'); pruning must respect that typing, and the
+    // relation schema is fixed before pruning so no type flip can occur
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("pd", when($"id" < 100, lit("9")).otherwise(lit("10")))
+      .repartition($"pd")
+    wh.atomicPublish("t", df, partitionCols = Seq("pd"))
+
+    val q = wh.read("t").where($"pd" === "9")
+    val (kept, total) = prunedCounts(q)
+    assert(kept >= 0 && kept < total, s"partition probe kept $kept of $total")
+    assert(q.count() === 100)
+    assert(q.schema("pd").dataType ===
+      wh.read("t").schema("pd").dataType, "schema must not re-infer")
+  }
+
+  test("auto-skip: off-switch keeps plans untouched") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-autoskip7").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, autoSkip = false)
+    wh.atomicPublish("t", clustered())
+    val q = wh.read("t").where($"k" <= 100L)
+    assert(prunedCounts(q) === ((-1, -1)), "autoSkip=false must not register scans")
+    assert(q.count() === 101)
+  }
+
+  test("auto-skip: prefix, OR-as-IN and IS NULL forms prune") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip9")
+    wh.atomicPublish("t", clustered())
+
+    // LIKE 'sNNN%' → byte range [prefix, successor(prefix)]
+    val pre = wh.read("t").where($"s".startsWith("s02"))
+    val (kp, tp) = prunedCounts(pre)
+    assert(tp === 8 && kp <= 2, s"prefix probe kept $kp of $tp")
+    assert(pre.count() === 1000)
+
+    // k = a OR k = b over one column folds to an IN set
+    val or = wh.read("t").where($"k" === 10L || $"k" === 9990L)
+    val (ko, to) = prunedCounts(or)
+    assert(to === 8 && ko <= 2, s"OR-as-IN kept $ko of $to")
+    assert(or.count() === 2)
+
+    // IS NULL: only the files that actually hold nulls survive
+    val withNulls = spark.range(0, 10000).toDF("k")
+      .withColumn("s", when($"k" < 1250L, lit(null).cast("string"))
+        .otherwise(format_string("s%05d", $"k")))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    wh.atomicPublish("tn", withNulls)
+    val nq = wh.read("tn").where($"s".isNull)
+    val (kn, tn) = prunedCounts(nq)
+    assert(tn === 8 && kn <= 1, s"IS NULL kept $kn of $tn")
+    assert(nq.count() === 1250)
+  }
+
+  test("meta-count: count(*) on a clean table collapses to LocalRelation") {
+    import spark.implicits._
+    val wh = mk("graft-metacount1")
+    wh.atomicPublish("t", clustered())
+
+    val q = wh.read("t").agg(count(lit(1)).as("n"))
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }
+    assert(scans.isEmpty, "count(*) must answer from the _rows sidecars, no scan")
+    assert(q.head.getLong(0) === 10000L)
+  }
+
+  test("meta-count: deletes, filters and count(col) all block the collapse") {
+    import spark.implicits._
+    val wh = mk("graft-metacount2")
+    wh.atomicPublish("t", clustered())
+
+    // count over a COLUMN (null-sensitive) must scan
+    val byCol = wh.read("t").agg(count($"k").as("n"))
+    assert(byCol.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.nonEmpty,
+      "count(col) is null-sensitive — no metadata shortcut")
+    assert(byCol.head.getLong(0) === 10000L)
+
+    // a filter above the scan must scan (the residual is the truth)
+    val filtered = wh.read("t").where($"k" <= 100L).agg(count(lit(1)).as("n"))
+    assert(filtered.head.getLong(0) === 101L)
+
+    // a DV table's count goes through the anti-join — never collapsed
+    wh.deleteRows("t", col("k") % 10 === 0)
+    val afterDel = wh.read("t").agg(count(lit(1)).as("n"))
+    assert(afterDel.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.nonEmpty,
+      "merge-on-read count must keep the anti-join plan")
+    assert(afterDel.head.getLong(0) === 9000L)
+  }
+
+  test("graft_table TVF: SQL reads, time travel, pruning and meta-count compose") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-t").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", clustered())                               // v1
+    graft.sources.TableTvf.register(spark)
+
+    // current read + WHERE prunes through pure SQL
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM graft_table('$tmp', 't') WHERE k BETWEEN 2000 AND 2100")
+    val (kept, total) = prunedCounts(q)
+    assert(total === 8 && kept <= 2, s"TVF WHERE kept $kept of $total")
+    assert(q.head.getLong(0) === 101L)
+
+    // unfiltered count(*) collapses to metadata
+    val c = spark.sql(s"SELECT count(*) AS n FROM graft_table('$tmp', 't')")
+    assert(c.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty, "TVF count must be metadata-only")
+    assert(c.head.getLong(0) === 10000L)
+
+    // time travel: v1 still reads after a delete commit
+    wh.deleteRows("t", col("k") < 5000L)                             // v2
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$tmp', 't')")
+      .head.getLong(0) === 5000L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_table('$tmp', 't', 1)")
+      .head.getLong(0) === 10000L)
+
+    // loud arity/argument validation
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table('$tmp')").collect()
+    }
+    assert(err.getMessage.contains("graft_table"))
+  }
+
+  test("auto-skip: repeated optimization is stable (fixpoint guard)") {
+    import spark.implicits._
+    val wh = mk("graft-autoskip8")
+    wh.atomicPublish("t", clustered())
+    val q = wh.read("t").where($"k" >= 9000L)
+    // optimizing twice (fresh Dataset each time) must converge to the
+    // same pruned shape, not stack wrappers
+    (1 to 2).foreach { _ =>
+      val qq = wh.read("t").where($"k" >= 9000L)
+      val depth = qq.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case hfs: HadoopFsRelation => hfs.location match {
+            case p: PrunedFileIndex =>
+              var d = 1; var cur = p.orig
+              while (cur.isInstanceOf[PrunedFileIndex]) {
+                d += 1; cur = cur.asInstanceOf[PrunedFileIndex].orig
+              }
+              Some(d)
+            case _ => None
+          }
+          case _ => None
+        }
+      }.flatten
+      assert(depth.forall(_ === 1), s"wrapper depth must stay 1, saw $depth")
+    }
+    assert(q.count() === 1000)
+  }
+}
