@@ -32,12 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.ChangesTvf.info, graft.sources.ChangesTvf.builder))
     ext.injectTableFunction((FunctionIdentifier(graft.sources.TableTvf.name),
       graft.sources.TableTvf.info, graft.sources.TableTvf.builder))
+    ext.injectTableFunction((FunctionIdentifier(graft.sources.StatsTvf.name),
+      graft.sources.StatsTvf.info, graft.sources.StatsTvf.builder))
     // automatic data skipping: Filter-over-manifest-scan plans prune
     // files by footer stats / blooms (graft.plans.AutoSkip). The lazy
     // twin is AutoSkip.install, run by every manifest Warehouse
     // constructor — same rule instance semantics, so the paths can't
     // drift.
-    ext.injectOptimizerRule(_ => new graft.plans.MetaCountRule)
+    ext.injectOptimizerRule(_ => new graft.plans.MetaAggRule)
     ext.injectOptimizerRule(_ => new graft.plans.AutoSkipRule)
   }
 }

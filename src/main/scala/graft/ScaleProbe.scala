@@ -172,6 +172,100 @@ object ScaleProbe {
     }
   }
 
+  /** Auto-skip driver-cost sweep (`runMain graft.ScaleProbe autoskip
+    * <workDir> <n1,n2,...>`): fabricate an nf-file manifest table with
+    * range-clustered footer stats (the commit-sweep scaffolding — no
+    * data is ever read, so the files stay empty), then time what the
+    * optimizer rule (graft.plans.AutoSkip) adds to a query, leg by
+    * leg:
+    *
+    *  - `prune_narrow`: pruneForPreds for a one-file range — the
+    *    rule's per-novel-predicate cost, expected O(chunks touched)
+    *    via the chunk-header skip, NOT O(files);
+    *  - `prune_wide`: a range spanning everything — the worst case,
+    *    O(files) sidecar sweep (same cost readSkipping always paid);
+    *  - `enroll`: the absolute-path set a read() registration builds —
+    *    the rule's eager per-read overhead, O(files) string work that
+    *    must stay ≪ the snapshot resolution the read already does;
+    *  - `meta_count` / `meta_minmax`: the `_rows` / `_stats` sidecar
+    *    sweeps behind MetaAggRule's collapse — O(files) driver
+    *    metadata vs a data scan.
+    */
+  def autoskipSweep(spark: SparkSession, workDir: String,
+      sizes: Seq[Int]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    sizes.foreach { nf =>
+      val dir = s"$workDir/autoskip_$nf"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      fs.delete(root, true)
+      val wh = new graft.sources.Warehouse(spark, dir, manifest = true)
+      // partitioned layout with SHARDED stats sidecars — what
+      // writeVersion produces for real partitioned tables, and the
+      // layout that keeps a narrow probe from parsing a monolithic
+      // 10⁶-entry _stats file (first sweep measured 2.7 s/1M for the
+      // single-version unsharded worst case; sharded it is the one
+      // touched shard)
+      val nParts = math.max(4, nf / 1024) // ~1 chunk per partition
+      val rel = (0 until nf).map(i => f"pt=${i / (nf / nParts)}/part-$i%07d.parquet")
+      rel.map(_.takeWhile(_ != '/')).distinct.foreach { p =>
+        new java.io.File(s"$dir/t/_v1/$p").mkdirs()
+      }
+      rel.foreach(r => new java.io.File(s"$dir/t/_v1/$r").createNewFile())
+      val vroot = new org.apache.hadoop.fs.Path(s"$dir/t/_v1")
+      // contiguous 100-key ranges per file — the clustered layout a
+      // narrow probe prunes to one file of
+      val statsMap = rel.zipWithIndex.map { case (r, i) =>
+        r -> Map("k" -> graft.sources.FileStats.ColStat("long",
+          (i * 100L).toString, (i * 100L + 99).toString))
+      }.toMap
+      val rowsMap = rel.map(r => r -> graft.sources.FileStats.RowStat(100L,
+        Map("k" -> 0L))).toMap
+      graft.sources.FileStats.write(fs,
+        new org.apache.hadoop.fs.Path(vroot, "_stats"), statsMap)
+      graft.sources.FileStats.writeRows(fs,
+        new org.apache.hadoop.fs.Path(vroot, "_rows"), rowsMap)
+      graft.sources.FileStats.writeSharded(fs, vroot, statsMap, rowsMap)
+      val files = rel.map(r => s"_v1/$r")
+      wh.commitFabricated("t", files)
+      def time[T](body: => T): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val mf = wh.currentVersion("t").map(v => s"_manifest_v$v")
+      val mid = nf / 2 * 100L
+      var kept = 0
+      val tNarrow = time {
+        kept = wh.pruneForPreds("t", mf, Seq(graft.plans.AutoSkip
+          .RangePred("k", Some(mid), Some(mid + 50L)))).map(_.size).getOrElse(-1)
+      }
+      val tWide = time {
+        wh.pruneForPreds("t", mf, Seq(graft.plans.AutoSkip
+          .RangePred("k", Some(0L), Some(nf * 100L))))
+      }
+      val tEnroll = time {
+        // the rule's ONE-TIME per-index normalization (memoized by
+        // normFiles): the O(files) Path/URI cost the first filtered
+        // query on this scan pays; registration itself is O(1) per
+        // relation (endpoint checks)
+        var i = 0
+        while (i < files.length) {
+          graft.plans.AutoSkip.norm(s"$dir/t/${files(i)}"); i += 1
+        }
+      }
+      val tCount = time(require(wh.statsRowCount("t").contains(nf * 100L)))
+      val tMinMax = time(require(
+        wh.statsMinMax("t", "k").contains((0L, nf * 100L - 1L))))
+      Seq("prune_narrow" -> tNarrow, "prune_wide" -> tWide,
+        "enroll" -> tEnroll, "meta_count" -> tCount,
+        "meta_minmax" -> tMinMax).foreach { case (op, s) =>
+        println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
+      }
+      System.err.println(f"[scaleprobe] autoskip n=$nf: narrow=$tNarrow%.4fs " +
+        f"(kept=$kept) wide=$tWide%.3fs enroll=$tEnroll%.3fs " +
+        f"count=$tCount%.4fs minmax=$tMinMax%.4fs")
+    }
+  }
+
   /** Hub-skew sweep (`runMain graft.ScaleProbe skew <workDir>
     * <d1,d2,...>`): a synthetic co-purchase corpus — 5000 ordinary
     * customers of degree 20 over a shared 2000-part vocabulary, plus
@@ -315,6 +409,14 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       skewSweep(spark, args(1), args(2).split(',').toSeq.map(_.trim.toInt))
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("autoskip")) {
+      val spark = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      autoskipSweep(spark, args(1), args(2).split(',').toSeq.map(_.trim.toInt))
       spark.stop()
       return
     }

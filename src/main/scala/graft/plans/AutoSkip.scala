@@ -47,9 +47,10 @@ import org.apache.spark.sql.types._
   *  - the hook is pinned to the manifest the read resolved, so a
   *    commit racing optimization can never pair one snapshot's file
   *    list with another's stats;
-  *  - the DV anti-join's right side is never registered
-  *    (registration is subset-filtered to the table's own files), so
-  *    merge-on-read deletes survive pruning;
+  *  - the DV anti-join's right side is never registered (its files
+  *    live under `<root>/_dv...`, which the registration's endpoint
+  *    prefix checks exclude), so merge-on-read deletes survive
+  *    pruning;
   *  - unknown stats / unsupported types / non-conjunct predicates
   *    extract to nothing and the rule no-ops.
   *
@@ -77,11 +78,17 @@ object AutoSkip {
     * `_rows` sidecars (lazy — paid only if a metadata-count query
     * shows up), None when any file predates them. It is the RAW scan
     * count: on a DV table the user-visible count subtracts the
-    * anti-join above the scan, which is exactly why [[MetaCountRule]]
+    * anti-join above the scan, which is exactly why [[MetaAggRule]]
     * only ever matches an Aggregate sitting DIRECTLY on the scan.
+    * `colMinMax` is the exact (min, max) of an INTEGRAL column over
+    * the scan's files from the footer-stat sidecars — None unless
+    * every file carries a "long"-typed stat (parquet int32/int64
+    * statistics are exact values; binary stats can truncate and
+    * double stats ignore NaN, so neither is offered here).
     */
   final case class Hook(prune: Seq[Pred] => Option[Set[String]],
-      rowCount: () => Option[Long] = () => None)
+      rowCount: () => Option[Long] = () => None,
+      colMinMax: String => Option[(Long, Long)] = _ => None)
 
   // FileIndex identity → hook. Weak keys: an index dies with its
   // plan; the registry must not keep every read's file list alive.
@@ -99,19 +106,108 @@ object AutoSkip {
         size() > 256
     })
 
-  private[graft] def norm(p: String): String = new Path(p).toUri.getPath
-
-  /** Register every file-source scan inside `df` whose files are a
-    * subset of `absFiles` (the table's own files — the subset filter
-    * is what keeps the DV anti-join's scan, or any other joined
-    * frame, out of the registry). Called by the warehouse read path.
+  /** Normalization for membership tests. The same on-disk file
+    * reaches this module in THREE string forms (all measured, all
+    * simultaneously live in one query):
+    *
+    *  - the manifest / `$root/$file` strings: the RAW disk name
+    *    (`part=p%25q` for hive-escaped value `p%q`);
+    *  - `FileIndex.inputFiles`: percent-ENCODED once more
+    *    (`part=p%2525q`) — the index was built from string paths and
+    *    Hadoop Path quoted the '%';
+    *  - `listFiles(...).files.getPath.toString`: the raw name again —
+    *    those Paths came from the filesystem listing, a different
+    *    provenance with different quoting state.
+    *
+    * Hadoop Path's string form is simply NOT canonical, so the only
+    * safe canonicalization is scheme-strip + percent-decode TO
+    * FIXPOINT: every observed form of one file converges (`p%2525q`
+    * → `p%25q` → `p%q`; `p%25q` → `p%q`; invalid escapes like the
+    * literal `%q` stay put and terminate the loop). Over-decoding
+    * can only CONFLATE two names, never separate them — a collision
+    * adds a file to `keep`, and keeping an extra file is corrected
+    * by the residual Filter; dropping one (what any single-decode
+    * scheme did on some provenance) silently empties the scan.
+    * LayoutSpec's URL-decode-trap tests and AutoSkipSpec's nasty-
+    * partition test pin every escaping class.
     */
-  def register(df: DataFrame, absFiles: Set[String], hook: Hook): Unit = {
+  private[graft] def norm(p: String): String = {
+    var s = stripScheme(p)
+    var prev: String = null
+    while (!s.equals(prev)) { prev = s; s = decodeOnce(s) }
+    s
+  }
+
+  private def decodeOnce(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == '%' && i + 2 < bytes.length &&
+          hex(bytes(i + 1).toChar) >= 0 && hex(bytes(i + 2).toChar) >= 0) {
+        out.write(hex(bytes(i + 1).toChar) * 16 + hex(bytes(i + 2).toChar))
+        i += 3
+      } else { out.write(b); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def stripScheme(p: String): String = {
+    val c = p.indexOf(':')
+    val slash = p.indexOf('/')
+    val s = if (c >= 0 && (slash < 0 || c < slash)) p.substring(c + 1) else p
+    if (s.startsWith("//")) {
+      val i = s.indexOf('/', 2)
+      if (i < 0) s else s.substring(i)
+    } else s
+  }
+
+  // FileIndex identity → its normalized inputFiles, computed once —
+  // the rule's per-file Path construction must not repeat per
+  // predicate shape or per fixpoint iteration on a 10⁶-file scan.
+  private val normCache =
+    Collections.synchronizedMap(new JWeakHashMap[FileIndex, Array[String]]())
+
+  private[plans] def normFiles(idx: FileIndex): Array[String] = {
+    val c = normCache.get(idx)
+    if (c != null) c
+    else {
+      val n = idx.inputFiles.map(norm)
+      normCache.put(idx, n)
+      n
+    }
+  }
+
+  /** Register every file-source scan inside `df` that lies under the
+    * table's own data layout — `<tableRoot>/...` but never
+    * `<tableRoot>/_dv_...` — which is exactly the set of scans
+    * `readFiles` builds, and excludes the DV anti-join's scan. The
+    * check normalizes only each relation's FIRST and LAST file:
+    * `readFilesMor` constructs every relation in `df` from one
+    * version dir's file list (or the DV dir), so the endpoints decide
+    * membership for the whole relation — O(1) per relation, never
+    * O(files), and this function is only ever handed frames built by
+    * that one constructor.
+    */
+  def register(df: DataFrame, tableRoot: String, hook: Hook): Unit = {
+    val tp = norm(tableRoot).stripSuffix("/")
+    val data = tp + "/"
+    val dv = tp + "/_dv"
+    def ours(f: String): Boolean = {
+      val n = norm(f); n.startsWith(data) && !n.startsWith(dv)
+    }
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRelation => lr.relation match {
         case hfs: HadoopFsRelation =>
           val fl = hfs.location.inputFiles
-          if (fl.nonEmpty && fl.forall(f => absFiles.contains(norm(f))))
+          if (fl.nonEmpty && ours(fl.head) && ours(fl.last))
             registry.put(hfs.location, hook)
         case _ =>
       }
@@ -126,8 +222,8 @@ object AutoSkip {
   def install(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     val add = Seq(
-      if (cur.exists(_.isInstanceOf[MetaCountRule])) None
-      else Some(new MetaCountRule),
+      if (cur.exists(_.isInstanceOf[MetaAggRule])) None
+      else Some(new MetaAggRule),
       if (cur.exists(_.isInstanceOf[AutoSkipRule])) None
       else Some(new AutoSkipRule)).flatten
     if (add.nonEmpty)
@@ -289,7 +385,8 @@ final class PrunedFileIndex(val orig: FileIndex, keep: Set[String],
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
     orig.listFiles(partitionFilters, dataFilters).flatMap { pd =>
-      val fl = pd.files.filter(f => keep(AutoSkip.norm(f.getPath.toString)))
+      val fl = pd.files.filter(f =>
+        keep(AutoSkip.norm(f.getPath.toString)))
       if (fl.isEmpty) None else Some(PartitionDirectory(pd.values, fl))
     }
   override def inputFiles: Array[String] =
@@ -307,25 +404,36 @@ final class PrunedFileIndex(val orig: FileIndex, keep: Set[String],
   * nothing was pruned (same file count) — the `fp` marker is what
   * stops the fixpoint batch from re-running the prune.
   */
-/** Metadata-only `count(*)`: a global Aggregate of count-over-
-  * non-null-literal expressions, sitting on a registered scan through
-  * nothing but Projects (row-preserving by construction), collapses
-  * to a LocalRelation holding the `_rows`-sidecar total — zero data
-  * files opened, the lakehouse metadata-count fast path at the
-  * automatic-plan level (`SELECT count(*) FROM graft_table(...)`).
+/** Metadata-only aggregates: a global Aggregate of `count(*)` /
+  * `min(intCol)` / `max(intCol)` expressions, sitting on a registered
+  * scan through nothing but Projects (row-preserving, and alias
+  * indirection is rejected because the aggregated attribute must be
+  * the relation's own output attribute), collapses to a LocalRelation
+  * holding the `_rows` / footer-stat sidecar answers — zero data
+  * files opened, the lakehouse metadata-query fast path at the
+  * automatic-plan level (`SELECT count(*), max(k) FROM
+  * graft_table(...)`).
   *
   * The guards carry the correctness:
   *  - only the BARE scan shape matches — a DV table's user count has
   *    the anti-join above the scan and an auto-skipped read has its
   *    residual Filter, so neither can collapse;
   *  - the scan must not be a [[PrunedFileIndex]] (a pruned subset's
-  *    sidecar total is the subset's, and the residual Filter above
+  *    sidecar totals are the subset's, and the residual Filter above
   *    would have blocked the match anyway — belt and braces);
-  *  - `rowCount` is None the moment ANY scan file predates the
-  *    sidecars — unknown never becomes zero.
+  *  - `rowCount`/`colMinMax` are None the moment ANY scan file
+  *    predates the sidecars — unknown never becomes a made-up value;
+  *  - min/max collapse only for INTEGRAL columns, where parquet
+  *    footer statistics are exact. Strings (truncatable binary
+  *    stats), doubles (NaN-blind stats vs Spark's NaN-is-greatest
+  *    max), dates/decimals/timestamps (encoded physical values) all
+  *    keep the scan;
+  *  - a column with an all-null file has no stat for that file ⇒
+  *    None ⇒ no collapse — so null-ignoring aggregate semantics can
+  *    never be faked from partial stats.
   */
-final class MetaCountRule extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+final class MetaAggRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
 
   private def bareScan(p: LogicalPlan): Option[LogicalRelation] = p match {
@@ -334,27 +442,50 @@ final class MetaCountRule extends Rule[LogicalPlan] {
     case _                    => None
   }
 
-  private def isCountLiteral(e: Expression): Boolean = e match {
-    case Alias(child, _) => isCountLiteral(child)
-    case ae: AggregateExpression =>
-      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case Count(Seq(l: Literal)) => l.value != null
-        case _                      => false
-      })
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
 
+  private def toTyped(v: Long, dt: DataType): Any = dt match {
+    case ByteType    => v.toByte
+    case ShortType   => v.toShort
+    case IntegerType => v.toInt
+    case _           => v
+  }
+
+  /** The metadata answer for one aggregate output, or None ⇒ the
+    * whole Aggregate keeps its scan.
+    */
+  private def answer(e: Expression, lr: LogicalRelation,
+      hook: AutoSkip.Hook): Option[Any] = e match {
+    case Alias(child, _) => answer(child, lr, hook)
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null => hook.rowCount()
+        case Min(a: AttributeReference)
+            if integral(a.dataType) && lr.output.exists(_.exprId == a.exprId) =>
+          hook.colMinMax(a.name).map(mm => toTyped(mm._1, a.dataType))
+        case Max(a: AttributeReference)
+            if integral(a.dataType) && lr.output.exists(_.exprId == a.exprId) =>
+          hook.colMinMax(a.name).map(mm => toTyped(mm._2, a.dataType))
+        case _ => None
+      }
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case a @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.nonEmpty && aggExprs.forall(isCountLiteral) =>
+    case a @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
       bareScan(child) match {
         case Some(lr) => lr.relation match {
           case hfs: HadoopFsRelation
               if !hfs.location.isInstanceOf[PrunedFileIndex] =>
-            AutoSkip.lookup(hfs.location).flatMap(_.rowCount()) match {
-              case Some(n) =>
-                LocalRelation(a.output,
-                  Seq(InternalRow(Seq.fill(a.output.size)(n): _*)))
+            AutoSkip.lookup(hfs.location) match {
+              case Some(hook) =>
+                val vals = aggExprs.map(e => answer(e, lr, hook))
+                if (vals.forall(_.isDefined))
+                  LocalRelation(a.output, Seq(InternalRow(vals.map(_.get): _*)))
+                else a
               case None => a
             }
           case _ => a
@@ -388,9 +519,10 @@ final class AutoSkipRule extends Rule[LogicalPlan] {
                     case Some(keptAbs) =>
                       // intersect with the CURRENT survivors (loc, not
                       // base): an earlier prune under different preds
-                      // must stay honored
-                      val keep = loc.inputFiles.iterator
-                        .map(AutoSkip.norm).filter(keptAbs.contains).toSet
+                      // must stay honored. normFiles memoizes the
+                      // normalization per index.
+                      val keep = AutoSkip.normFiles(loc).iterator
+                        .filter(keptAbs.contains).toSet
                       val idx = new PrunedFileIndex(base, keep, fp)
                       val nrel = hfs.copy(location = idx)(hfs.sparkSession)
                       Filter(cond, lr.copy(relation = nrel))

@@ -1845,7 +1845,9 @@ object Relational {
           .select($"l_orderkey", $"l_linenumber", $"l_quantity")
         val wh = graft.sources.Scratch.warehouse(s, "mcnt")
         wh.atomicPublish("li_mc", l.repartition(8))
-        val clean = wh.read("li_mc").agg(count(lit(1)).as("n"))
+        val clean = wh.read("li_mc")
+          .agg(count(lit(1)).as("n"),
+            min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
         val metaOnly = clean.queryExecution.optimizedPlan.collect {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
         }.isEmpty
@@ -1855,13 +1857,54 @@ object Relational {
           case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
         }.nonEmpty
         clean.crossJoin(after)
-          .select($"n", $"m",
+          .select($"n", $"lo", $"hi", $"m",
             lit(metaOnly).as("meta_only"), lit(scanned).as("dv_scanned"))
       },
       Some("""SELECT
           (SELECT count(*) FROM lineitem) AS n,
+          (SELECT min(l_orderkey) FROM lineitem) AS lo,
+          (SELECT max(l_orderkey) FROM lineitem) AS hi,
           (SELECT count(*) FROM lineitem WHERE l_orderkey % 5 <> 0) AS m,
           TRUE AS meta_only, TRUE AS dv_scanned""")),
+
+    // ---- graft_stats TVF: column statistics from metadata alone ------
+    // DESCRIBE-DETAIL UX: per-column min/max/null/row statistics
+    // answered from manifest headers and sidecars — zero data files
+    // opened — and hash-checked against DuckDB actually aggregating
+    // the data. Exactness contract on the surface: long stats are
+    // exact footer values, string min/max exact for these short
+    // values, null totals exact; the HLL ndv column is NOT on the
+    // hash surface (approximate by design).
+    Q("s38_stats_tvf",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_custkey".cast("long").as("o_custkey"),
+            $"o_orderstatus")
+        val root = graft.sources.Scratch.dir(s, "stvf")
+        val wh = new graft.sources.Warehouse(s, root, manifest = true)
+        wh.atomicPublish("ord_stats", o.repartition(8))
+        graft.sources.StatsTvf.register(s)
+        s.sql(s"""SELECT col_name, min_s, max_s, nulls, rows
+          FROM graft_stats('$root', 'ord_stats')
+          ORDER BY col_name""")
+      },
+      Some("""WITH per AS (
+          SELECT 'o_orderkey' AS col_name,
+            CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+            CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+            count(*) - count(o_orderkey) AS nulls, count(*) AS rows
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR),
+            CAST(max(o_custkey) AS VARCHAR),
+            count(*) - count(o_custkey), count(*) FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus),
+            count(*) - count(o_orderstatus), count(*) FROM orders)
+        SELECT col_name, min_s, max_s, nulls, rows FROM per
+        ORDER BY col_name""")),
 
     Q("s25_deletion_vectors",
       (s, dir) => {

@@ -503,8 +503,6 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // stats would be corruption, not optimization.
     if (autoSkip && manifest) {
       val tp = tablePath(name)
-      val absFiles = files.iterator
-        .map(f => graft.plans.AutoSkip.norm(s"$tp/$f")).toSet
       // the RAW row total of exactly these files, from the `_rows`
       // sidecars — lazy (paid only if a metadata-count query arrives),
       // None if any file predates them. MetaCountRule's guards ensure
@@ -523,11 +521,39 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           }
         if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
       }
-      graft.plans.AutoSkip.register(df, absFiles,
+      // exact integral (min, max) over these files from the footer-
+      // stat sidecars — None unless EVERY file carries a "long"-typed
+      // stat for the column. Memoized per column; the shared stats
+      // cache makes a two-column probe cost one sidecar sweep.
+      val mmCache = scala.collection.mutable.Map[String, Option[(Long, Long)]]()
+      val statsCache = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
+      def colMinMax(c: String): Option[(Long, Long)] = mmCache.synchronized {
+        mmCache.getOrElseUpdate(c, {
+          val per = files.groupBy(f =>
+              if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+            .toSeq.flatMap { case (v, fl) =>
+              if (v.isEmpty) fl.map(_ => None)
+              else {
+                val stats = footerStats(fs, root, v, fl, statsCache)
+                fl.map(f => stats.get(f.stripPrefix(v + "/")).flatMap(_.get(c)))
+              }
+            }
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else {
+            val cs = per.flatten
+            if (!cs.forall(_.typ == "long")) None
+            else
+              try Some((cs.map(_.min.toLong).min, cs.map(_.max.toLong).max))
+              catch { case _: NumberFormatException => None }
+          }
+        })
+      }
+      graft.plans.AutoSkip.register(df, tp,
         graft.plans.AutoSkip.Hook(
           preds => pruneForPreds(name, mf, preds).map(_.iterator
             .map(f => graft.plans.AutoSkip.norm(s"$tp/$f")).toSet),
-          () => rawRows))
+          () => rawRows,
+          colMinMax))
     }
     df
   }

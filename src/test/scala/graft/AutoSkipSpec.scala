@@ -179,8 +179,31 @@ class AutoSkipSpec extends SparkSpec {
     wh.atomicPublish("tn", withNulls)
     val nq = wh.read("tn").where($"s".isNull)
     val (kn, tn) = prunedCounts(nq)
-    assert(tn === 8 && kn <= 1, s"IS NULL kept $kn of $tn")
+    // range-partitioner boundaries are SAMPLED: the nulls (k < 1250)
+    // usually land in one file but can straddle the first boundary
+    assert(tn === 8 && kn <= 2, s"IS NULL kept $kn of $tn")
     assert(nq.count() === 1250)
+  }
+
+  test("auto-skip: special-character partition values never wrong-prune") {
+    import spark.implicits._
+    // the listed-vs-raw representation trap: a FileIndex renders a
+    // literal space as %20 and a literal % as %25; the manifest (and
+    // the prune hook's kept set) carries the raw disk name. A
+    // normalization mismatch EMPTIES the scan — silent wrong results,
+    // not a missed optimization — so every escaping class Spark's
+    // hive path layer produces is pinned here through the rule.
+    val nasty = Seq("a/b", "a=b", "a%b", "a+b", "a b", "a:b", "100%")
+    val df = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "part")
+    val wh = mk("graft-autoskip-esc")
+    wh.upsert("t", df, Seq("k"), Seq("part"))
+    for ((v, i) <- nasty.zipWithIndex) {
+      val got = wh.read("t").where($"part" === v)
+        .select($"k").as[Long].collect()
+      assert(got.toSeq === Seq(i.toLong),
+        s"value '$v' must survive auto-skip on its partition path")
+    }
   }
 
   test("meta-count: count(*) on a clean table collapses to LocalRelation") {
@@ -194,6 +217,42 @@ class AutoSkipSpec extends SparkSpec {
     }
     assert(scans.isEmpty, "count(*) must answer from the _rows sidecars, no scan")
     assert(q.head.getLong(0) === 10000L)
+  }
+
+  test("meta-agg: integral min/max collapse; string, double and null-file block") {
+    import spark.implicits._
+    val wh = mk("graft-metaagg1")
+    wh.atomicPublish("t", clustered())
+
+    val q = wh.read("t")
+      .agg(min($"k").as("lo"), max($"k").as("hi"), count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty,
+      "min/max of an integral column must answer from footer stats")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 9999L, 10000L)))
+
+    // string and double stats are not exact enough to be answers
+    for (c <- Seq("s", "d")) {
+      val nq = wh.read("t").agg(max(col(c)).as("m"))
+      assert(nq.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr }.nonEmpty,
+        s"max($c) must scan — only integral stats are exact answers")
+    }
+
+    // a file that is ALL null for the column has no stat ⇒ no collapse.
+    // The all-null rows are their own commit (range-partitioner
+    // boundaries are sampled, so a single clustered write can leak a
+    // few non-null rows into the "all-null" file and defeat the test)
+    wh.atomicPublish("tn", spark.range(0, 1250).toDF("k")
+      .withColumn("kn", lit(null).cast("long")).coalesce(1))
+    wh.append("tn", spark.range(1250, 10000).toDF("k")
+      .withColumn("kn", $"k").coalesce(4))
+    val nq = wh.read("tn").agg(min($"kn").as("lo"))
+    assert(nq.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.nonEmpty,
+      "an all-null file makes the column's stats unknown — must scan")
+    assert(nq.head.getLong(0) === 1250L)
   }
 
   test("meta-count: deletes, filters and count(col) all block the collapse") {
@@ -253,6 +312,26 @@ class AutoSkipSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_table('$tmp')").collect()
     }
     assert(err.getMessage.contains("graft_table"))
+  }
+
+  test("graft_stats TVF: metadata-only column statistics, no data scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-s").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", clustered())
+    graft.sources.StatsTvf.register(spark)
+
+    val q = spark.sql(
+      s"SELECT * FROM graft_stats('$tmp', 't') ORDER BY col_name")
+    // the stats frame is a LocalRelation-backed toDF — no file scan
+    assert(q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty, "stats must be metadata-only")
+    val rows = q.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getString(3), r.get(4), r.get(6))).toMap
+    assert(rows("k") === (("long", "0", "9999", 0L, 10000L)))
+    assert(rows("s") === (("string", "s00000", "s09999", 0L, 10000L)))
+    assert(rows("d")._1 === "double")
+    assert(rows.keySet === Set("k", "s", "d"))
   }
 
   test("auto-skip: repeated optimization is stable (fixpoint guard)") {
