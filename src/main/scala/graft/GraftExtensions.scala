@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.TableTvf.info, graft.sources.TableTvf.builder))
     ext.injectTableFunction((FunctionIdentifier(graft.sources.StatsTvf.name),
       graft.sources.StatsTvf.info, graft.sources.StatsTvf.builder))
+    ext.injectTableFunction((FunctionIdentifier(graft.sources.HistoryTvf.name),
+      graft.sources.HistoryTvf.info, graft.sources.HistoryTvf.builder))
     // automatic data skipping: Filter-over-manifest-scan plans prune
     // files by footer stats / blooms (graft.plans.AutoSkip). The lazy
     // twin is AutoSkip.install, run by every manifest Warehouse

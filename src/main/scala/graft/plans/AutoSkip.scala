@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.util.{Collections, WeakHashMap => JWeakHashMap, LinkedHashMap => JLinkedHashMap}
+import java.util.{Collections, WeakHashMap => JWeakHashMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -88,23 +88,22 @@ object AutoSkip {
     */
   final case class Hook(prune: Seq[Pred] => Option[Set[String]],
       rowCount: () => Option[Long] = () => None,
-      colMinMax: String => Option[(Long, Long)] = _ => None)
+      colMinMax: String => Option[(Long, Long)] = _ => None) {
+    // per-hook prune memo (predicate fingerprint → result): lives and
+    // dies with the hook, so a fixpoint optimizer batch pays each
+    // novel predicate once and — unlike a global map keyed by
+    // identityHashCode — a dead hook's entry can never be served to a
+    // NEW hook whose identity hash landed on the same value (that
+    // collision would prune with another table's kept set: silent
+    // wrong drops, the one direction membership errors must never go).
+    private[plans] val pruneMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[Set[String]]]()
+  }
 
   // FileIndex identity → hook. Weak keys: an index dies with its
   // plan; the registry must not keep every read's file list alive.
   private val registry =
     Collections.synchronizedMap(new JWeakHashMap[FileIndex, Hook]())
-
-  // (hook identity, predicate fingerprint) → prune result, so an
-  // optimizer fixpoint batch re-running the rule doesn't re-read
-  // chunk headers / stats sidecars per iteration. Small LRU — prune
-  // results are per-query-shape, not per-row.
-  private val memo = Collections.synchronizedMap(
-    new JLinkedHashMap[(Int, String), Option[Set[String]]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String), Option[Set[String]]]) =
-        size() > 256
-    })
 
   /** Normalization for membership tests. The same on-disk file
     * reaches this module in THREE string forms (all measured, all
@@ -234,14 +233,9 @@ object AutoSkip {
     preds.map(_.toString).sorted.mkString("|")
 
   private[plans] def prunedSet(hook: Hook,
-      preds: Seq[Pred]): Option[Set[String]] = {
-    val key = (System.identityHashCode(hook), fingerprint(preds))
-    memo.synchronized {
-      val v = memo.get(key)
-      if (v != null) v
-      else { val r = hook.prune(preds); memo.put(key, r); r }
-    }
-  }
+      preds: Seq[Pred]): Option[Set[String]] =
+    hook.pruneMemo.computeIfAbsent(fingerprint(preds),
+      _ => hook.prune(preds))
 
   private[plans] def lookup(idx: FileIndex): Option[Hook] =
     Option(registry.get(idx))

@@ -1906,6 +1906,43 @@ object Relational {
         SELECT col_name, min_s, max_s, nulls, rows FROM per
         ORDER BY col_name""")),
 
+    // ---- graft_history TVF: DESCRIBE HISTORY from pure SQL -----------
+    // One metadata row per retained snapshot — version, commit op
+    // label, file count, RAW row total (never DV-subtracted: the
+    // delete commit's ledger row keeps the pre-delete sum, which is
+    // exactly what the sidecars record). File counts are pinned by
+    // coalesce(1) writes; row totals come from the source table so
+    // the oracle reproduces them without seeing the warehouse.
+    Q("s39_history_tvf",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "htvf")
+        val wh = new graft.sources.Warehouse(s, root, manifest = true)
+        wh.atomicPublish("cust_h",
+          c.filter($"c_custkey" % 2 === 0).coalesce(1))            // v1
+        wh.setSnapshotRetention("cust_h", 8)
+        wh.append("cust_h",
+          c.filter($"c_custkey" % 2 === 1).coalesce(1))            // v2
+        wh.deleteRows("cust_h", col("c_custkey") % 7 === 0)        // v3
+        graft.sources.HistoryTvf.register(s)
+        s.sql(s"""SELECT version, operation, n_files, n_rows
+          FROM graft_history('$root', 'cust_h') ORDER BY version""")
+      },
+      Some("""WITH n AS (
+          SELECT count(*) FILTER (WHERE c_custkey % 2 = 0) AS even,
+                 count(*) AS total
+          FROM customer)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
+            CAST(1 AS BIGINT) AS n_files, even AS n_rows FROM n
+          UNION ALL
+          SELECT 2, 'append', 2, total FROM n
+          UNION ALL
+          SELECT 3, 'delete', 2, total FROM n)
+        ORDER BY version""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

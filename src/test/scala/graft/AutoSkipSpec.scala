@@ -334,6 +334,24 @@ class AutoSkipSpec extends SparkSpec {
     assert(rows.keySet === Set("k", "s", "d"))
   }
 
+  test("graft_history TVF: metadata ledger — version, op, files, raw rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-h").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").coalesce(1)) // v1
+    wh.setSnapshotRetention("t", 8)
+    wh.append("t", spark.range(100, 150).toDF("k").coalesce(1))      // v2
+    wh.deleteRows("t", col("k") % 2 === 0)                           // v3
+    graft.sources.HistoryTvf.register(spark)
+    val rows = spark.sql(
+      s"SELECT * FROM graft_history('$tmp', 't') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3)))
+    assert(rows.toSeq === Seq(
+      (1L, "overwrite", 1L, 100L),
+      (2L, "append", 2L, 150L),   // raw rows: the DV is not subtracted
+      (3L, "delete", 2L, 150L)))
+  }
+
   test("auto-skip: repeated optimization is stable (fixpoint guard)") {
     import spark.implicits._
     val wh = mk("graft-autoskip8")
