@@ -352,6 +352,52 @@ class AutoSkipSpec extends SparkSpec {
       (3L, "delete", 2L, 150L)))
   }
 
+  test("auto-skip fuzz: random predicates — pruned results always equal unpruned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // three layouts: flat manifest, chunked manifest, hive-partitioned;
+    // the same data published into a rule-enrolled warehouse and an
+    // autoSkip=false twin — every random predicate must agree exactly
+    val base = spark.range(0, 5000).toDF("k")
+      .withColumn("s", format_string("s%04d", $"k"))
+      .withColumn("g", ($"k" % 37).cast("long"))
+    val dataOf = Map(
+      "flat" -> base.repartitionByRange(8, $"k").sortWithinPartitions($"k"),
+      "chunked" -> base.repartitionByRange(16, $"k").sortWithinPartitions($"k"),
+      "parts" -> base.withColumn("pd", ($"k" / 1000).cast("int")))
+    val whs = for ((layout, df) <- dataOf.toSeq) yield {
+      val t1 = java.nio.file.Files.createTempDirectory(s"graft-asf-$layout").toString
+      val t2 = java.nio.file.Files.createTempDirectory(s"graft-asf2-$layout").toString
+      val on = new Warehouse(spark, t1, manifest = true,
+        manifestChunkSize = if (layout == "chunked") 4 else 1024)
+      val off = new Warehouse(spark, t2, manifest = true, autoSkip = false)
+      val pc = if (layout == "parts") Seq("pd") else Nil
+      on.atomicPublish("t", df, partitionCols = pc)
+      off.atomicPublish("t", df, partitionCols = pc)
+      // deletes on both sides: pruning must compose with the DV
+      on.deleteRows("t", col("k") % 11 === 0)
+      off.deleteRows("t", col("k") % 11 === 0)
+      (layout, on, off)
+    }
+    def randPred(): org.apache.spark.sql.Column = rnd.nextInt(5) match {
+      case 0 =>
+        val lo = rnd.nextInt(5000).toLong
+        col("k") >= lo && col("k") <= lo + rnd.nextInt(800)
+      case 1 => col("s") === f"s${rnd.nextInt(5200)}%04d" // sometimes absent
+      case 2 => col("k").isin(Seq.fill(3)(rnd.nextInt(5200).toLong): _*)
+      case 3 => col("s").startsWith(f"s${rnd.nextInt(50)}%02d")
+      case 4 => col("g") === rnd.nextInt(40).toLong // overlaps every file
+    }
+    for (_ <- 1 to 12; (layout, on, off) <- whs) {
+      val p = randPred()
+      val got = on.read("t").where(p).orderBy("k").select("k")
+        .as[Long].collect().toSeq
+      val want = off.read("t").where(p).orderBy("k").select("k")
+        .as[Long].collect().toSeq
+      assert(got === want, s"[$layout] predicate $p diverged under auto-skip")
+    }
+  }
+
   test("auto-skip: repeated optimization is stable (fixpoint guard)") {
     import spark.implicits._
     val wh = mk("graft-autoskip8")
