@@ -46,6 +46,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // int96 (the default) carries no usable footer stats; micros makes
+      // timestamp columns skippable/meta-aggregatable like dates
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

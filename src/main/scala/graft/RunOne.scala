@@ -12,6 +12,7 @@ object RunOne {
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.codegen.logging.maxLines", "-1")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to 3).foreach { i =>

@@ -395,6 +395,7 @@ object ScaleProbe {
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       genCorpus(spark, baseDir, outDir, factor.toInt)

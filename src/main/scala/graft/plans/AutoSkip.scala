@@ -70,6 +70,12 @@ object AutoSkip {
       upper: Option[Any]) extends Pred
   final case class InPred(column: String, values: Seq[Any]) extends Pred
   final case class NullPred(column: String, isNull: Boolean) extends Pred
+  /** Disjunction over ONE column (`k < 10 OR k > 90`): a file is kept
+    * when ANY branch may contain it — the prune unions branch
+    * survivors. Single-column only: a multi-column OR cannot drop a
+    * file from per-column stats without row-level reasoning.
+    */
+  final case class OrPred(column: String, parts: Seq[Pred]) extends Pred
 
   /** Snapshot-pinned prune callback: preds → kept ABSOLUTE
     * normalized paths over the whole snapshot, or None when nothing
@@ -88,7 +94,9 @@ object AutoSkip {
     */
   final case class Hook(prune: Seq[Pred] => Option[Set[String]],
       rowCount: () => Option[Long] = () => None,
-      colMinMax: String => Option[(Long, Long)] = _ => None) {
+      colMinMax: (String, String) => Option[(Long, Long)] = (_, _) => None,
+      colNulls: String => Option[Long] = _ => None,
+      partitionGroups: String => Option[Seq[(Option[String], Long)]] = _ => None) {
     // per-hook prune memo (predicate fingerprint → result): lives and
     // dies with the hook, so a fixpoint optimizer batch pays each
     // novel predicate once and — unlike a global map keyed by
@@ -96,6 +104,10 @@ object AutoSkip {
     // NEW hook whose identity hash landed on the same value (that
     // collision would prune with another table's kept set: silent
     // wrong drops, the one direction membership errors must never go).
+    // Bounded (prunedSet clears at 64 entries): a long-lived scan
+    // probed with a stream of novel literals re-pays the prune instead
+    // of accumulating a kept-path set per distinct predicate — memo
+    // misses cost time, never correctness, and never driver memory.
     private[plans] val pruneMemo =
       new java.util.concurrent.ConcurrentHashMap[String, Option[Set[String]]]()
   }
@@ -205,8 +217,13 @@ object AutoSkip {
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRelation => lr.relation match {
         case hfs: HadoopFsRelation =>
-          val fl = hfs.location.inputFiles
-          if (fl.nonEmpty && ours(fl.head) && ours(fl.last))
+          // endpoint check over rootPaths, NOT inputFiles: the scans
+          // readFilesMor builds pass their explicit file list as the
+          // index's root paths, so the already-materialized Seq[Path]
+          // answers the membership question without inputFiles'
+          // fresh O(files) string-array rebuild on every read
+          val rp = hfs.location.rootPaths
+          if (rp.nonEmpty && ours(rp.head.toString) && ours(rp.last.toString))
             registry.put(hfs.location, hook)
         case _ =>
       }
@@ -219,6 +236,13 @@ object AutoSkip {
     * dual-path contract as `NativeExprs.register`).
     */
   def install(spark: SparkSession): Unit = synchronized {
+    // a session built with spark.sql.extensions=graft.GraftExtensions
+    // already carries BOTH rules via injectOptimizerRule — appending
+    // them to extraOptimizations too would run every rule twice per
+    // optimization (idempotent thanks to the fp/shape guards, but a
+    // pure tax paid by the per-query Warehouse each TVF constructs)
+    if (spark.conf.get("spark.sql.extensions", "")
+        .contains("graft.GraftExtensions")) return
     val cur = spark.experimental.extraOptimizations
     val add = Seq(
       if (cur.exists(_.isInstanceOf[MetaAggRule])) None
@@ -233,16 +257,28 @@ object AutoSkip {
     preds.map(_.toString).sorted.mkString("|")
 
   private[plans] def prunedSet(hook: Hook,
-      preds: Seq[Pred]): Option[Set[String]] =
-    hook.pruneMemo.computeIfAbsent(fingerprint(preds),
-      _ => hook.prune(preds))
+      preds: Seq[Pred]): Option[Set[String]] = {
+    val fp = fingerprint(preds)
+    val cached = hook.pruneMemo.get(fp)
+    if (cached != null) cached
+    else {
+      val r = hook.prune(preds)
+      // bounded memo: wipe-at-cap beats unbounded growth on a
+      // long-lived scan probed with ever-novel literals (each kept
+      // set is O(files) strings); re-pruning after a wipe costs
+      // time only
+      if (hook.pruneMemo.size >= 64) hook.pruneMemo.clear()
+      hook.pruneMemo.put(fp, r)
+      r
+    }
+  }
 
   private[plans] def lookup(idx: FileIndex): Option[Hook] =
     Option(registry.get(idx))
 
   // ---- predicate extraction -----------------------------------------
 
-  private def litValue(l: Literal): Option[Any] =
+  private[plans] def litValue(l: Literal): Option[Any] =
     if (l.value == null) None
     else l.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -251,10 +287,26 @@ object AutoSkip {
         Some(java.lang.Double.valueOf(l.value.asInstanceOf[Float].toDouble))
       case DoubleType => Some(l.value.asInstanceOf[java.lang.Double])
       case StringType => Some(l.value.toString) // UTF8String → String
-      case _ => None // dates/decimals/timestamps: sidecars carry no
-                     // stats for them (FileStats collect), and the
-                     // partition-path compare must not see encoded
-                     // values — skip, the residual Filter is truth
+      // temporal/decimal bounds travel as their own wrapper types so
+      // the prune stack can never confuse epoch days / micros /
+      // unscaled decimals with plain ints (a raw-long compare against
+      // encoded physical values could WRONGLY PRUNE). The sidecars
+      // carry exact `date`/`ts`/`tsntz`/`decimal` stats for them
+      // (FileStats.footerAll); any layer that predates the wrapper
+      // keeps the file — the conservative direction.
+      case DateType =>
+        Some(graft.sources.FileStats.DateDays(
+          l.value.asInstanceOf[Number].longValue))
+      case TimestampType =>
+        Some(graft.sources.FileStats.Micros(
+          l.value.asInstanceOf[Number].longValue, utc = true))
+      case TimestampNTZType =>
+        Some(graft.sources.FileStats.Micros(
+          l.value.asInstanceOf[Number].longValue, utc = false))
+      case _: DecimalType =>
+        Some(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
+      case _ => None
     }
 
   private def splitConj(e: Expression): Seq[Expression] = e match {
@@ -262,28 +314,27 @@ object AutoSkip {
     case x         => Seq(x)
   }
 
-  /** A disjunction that is really a value set — `k = 1 OR k IN (5, 9)`
-    * over ONE attribute — folds to that set; any other OR shape is
-    * unprunable (None).
+  /** A disjunction whose every branch extracts to a supported pred
+    * over ONE shared attribute: pure-equality shapes (`k = 1 OR k IN
+    * (5, 9)`) fold to the flat IN form (single prune pass, bloom-
+    * probed); mixed shapes — notably range disjunctions like `k < 10
+    * OR k > 90` — become an [[OrPred]] whose prune unions the branch
+    * survivors. Any branch that doesn't extract, or a second column,
+    * makes the whole OR unprunable (None) — conservative as always.
     */
-  private def orAsIn(e: Expression): Option[InPred] = {
-    def leaves(x: Expression): Option[Seq[(String, Any)]] = x match {
+  private def orExtract(e: Expression): Option[Pred] = {
+    def leaves(x: Expression): Option[Seq[Pred]] = x match {
       case Or(l, r) => for (a <- leaves(l); b <- leaves(r)) yield a ++ b
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        litValue(l).map(v => Seq(a.name -> v))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        litValue(l).map(v => Seq(a.name -> v))
-      case In(a: AttributeReference, vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val ext = vs.map(v => litValue(v.asInstanceOf[Literal]))
-        if (ext.forall(_.isDefined)) Some(ext.map(v => a.name -> v.get))
-        else None
-      case _ => None
+      case other    => extractOne(other).map(Seq(_))
     }
     leaves(e).flatMap { ps =>
-      val cols = ps.map(_._1).distinct
-      if (cols.size == 1 && ps.size <= 64)
-        Some(InPred(cols.head, ps.map(_._2))) else None
+      val cols = ps.map(_.column).distinct
+      if (cols.size != 1 || ps.size > 16) None
+      else if (ps.forall(_.isInstanceOf[InPred])) {
+        val vals = ps.flatMap(_.asInstanceOf[InPred].values)
+        if (vals.size <= 64) Some(InPred(cols.head, vals)) else None
+      }
+      else Some(OrPred(cols.head, ps))
     }
   }
 
@@ -300,12 +351,21 @@ object AutoSkip {
     else Some(prefix.substring(0, i) + (prefix.charAt(i) + 1).toChar)
   }
 
-  /** Supported conjuncts → preds. Anything else (OR trees, casts,
-    * expressions over the column, null checks) contributes nothing —
+  /** Supported conjuncts → preds. Anything else (casts, expressions
+    * over the column, exotic null checks) contributes nothing —
     * conservative by construction.
     */
   private[plans] def extract(cond: Expression): Seq[Pred] =
     splitConj(cond).flatMap {
+      case o: Or => orExtract(o)
+      case e     => extractOne(e)
+    }
+
+  /** One non-OR conjunct → pred (the shared leaf extractor for
+    * `extract` and the OR-branch walk).
+    */
+  private def extractOne(cond: Expression): Option[Pred] =
+    cond match {
       case EqualTo(a: AttributeReference, l: Literal) =>
         litValue(l).map(v => InPred(a.name, Seq(v)))
       case EqualTo(l: Literal, a: AttributeReference) =>
@@ -358,7 +418,6 @@ object AutoSkip {
       // it would bill every query for a sidecar sweep that only ever
       // prunes all-null files.
       case IsNull(a: AttributeReference) => Some(NullPred(a.name, true))
-      case o: Or => orAsIn(o)
       case _ => None
     }
 }
@@ -429,6 +488,7 @@ final class PrunedFileIndex(val orig: FileIndex, keep: Set[String],
 final class MetaAggRule extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.unsafe.types.UTF8String
 
   private def bareScan(p: LogicalPlan): Option[LogicalRelation] = p match {
     case lr: LogicalRelation  => Some(lr)
@@ -436,20 +496,28 @@ final class MetaAggRule extends Rule[LogicalPlan] {
     case _                    => None
   }
 
-  private def integral(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
+  /** Spark type → the sidecar stat typ whose min/max is EXACT for it
+    * (plain ints; int32-days dates; int64-micros timestamps — never
+    * strings/doubles, see the class doc). None ⇒ no collapse.
+    */
+  private def statTyp(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case DateType         => Some("date")
+    case TimestampType    => Some("ts")
+    case TimestampNTZType => Some("tsntz")
+    case _                => None
   }
 
   private def toTyped(v: Long, dt: DataType): Any = dt match {
     case ByteType    => v.toByte
     case ShortType   => v.toShort
     case IntegerType => v.toInt
-    case _           => v
+    case DateType    => v.toInt // internal DateType value: epoch days
+    case _           => v      // Long / Timestamp[NTZ] micros
   }
 
-  /** The metadata answer for one aggregate output, or None ⇒ the
-    * whole Aggregate keeps its scan.
+  /** The metadata answer for one global-aggregate output, or None ⇒
+    * the whole Aggregate keeps its scan.
     */
   private def answer(e: Expression, lr: LogicalRelation,
       hook: AutoSkip.Hook): Option[Any] = e match {
@@ -457,29 +525,95 @@ final class MetaAggRule extends Rule[LogicalPlan] {
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(l: Literal)) if l.value != null => hook.rowCount()
+        // count(col) = rows − nulls: both exact in the `_rows`
+        // sidecars (the null totals are per-row-group footer sums,
+        // recorded only when EVERY row group knew them)
+        case Count(Seq(a: AttributeReference))
+            if lr.output.exists(_.exprId == a.exprId) =>
+          for (r <- hook.rowCount(); n <- hook.colNulls(a.name)) yield r - n
         case Min(a: AttributeReference)
-            if integral(a.dataType) && lr.output.exists(_.exprId == a.exprId) =>
-          hook.colMinMax(a.name).map(mm => toTyped(mm._1, a.dataType))
+            if lr.output.exists(_.exprId == a.exprId) =>
+          statTyp(a.dataType).flatMap(t => hook.colMinMax(a.name, t))
+            .map(mm => toTyped(mm._1, a.dataType))
         case Max(a: AttributeReference)
-            if integral(a.dataType) && lr.output.exists(_.exprId == a.exprId) =>
-          hook.colMinMax(a.name).map(mm => toTyped(mm._2, a.dataType))
+            if lr.output.exists(_.exprId == a.exprId) =>
+          statTyp(a.dataType).flatMap(t => hook.colMinMax(a.name, t))
+            .map(mm => toTyped(mm._2, a.dataType))
         case _ => None
       }
     case _ => None
   }
 
+  /** Decode a raw hive partition-path value (None = the
+    * `__HIVE_DEFAULT_PARTITION__` null group) to the group column's
+    * INTERNAL value; an undecodable value aborts the whole collapse.
+    */
+  private def groupValue(raw: Option[String], dt: DataType): Option[Any] =
+    raw match {
+      case None => Some(null)
+      case Some(s) => dt match {
+        case StringType => Some(UTF8String.fromString(s))
+        case ByteType | ShortType | IntegerType | LongType =>
+          s.toLongOption.map(toTyped(_, dt))
+        case DateType =>
+          try Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case _ => None
+      }
+    }
+
+  /** GROUP BY <partition column> with count(*)-shaped aggregates over
+    * a clean bare scan: one row per partition directory, counts from
+    * the `_rows` sidecar sums the hook groups by the column's path
+    * segment — zero data files opened. Output slots may be the group
+    * attribute itself (any alias) or count(*); anything else keeps
+    * the scan.
+    */
+  private def groupCollapse(a: Aggregate, g: AttributeReference,
+      lr: LogicalRelation, hook: AutoSkip.Hook): Option[LogicalPlan] = {
+    if (!lr.output.exists(_.exprId == g.exprId)) return None
+    val groups = hook.partitionGroups(g.name).getOrElse(return None)
+    def slot(e: Expression): Option[Long => Any] = e match {
+      case Alias(child, _) => slot(child)
+      case ar: AttributeReference if ar.exprId == g.exprId => None // group value — handled by caller
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) if l.value != null => Some(n => n)
+          case _ => return Some(null) // unsupported agg poisons (sentinel)
+        }
+      case _ => return Some(null)
+    }
+    val slots = a.aggregateExpressions.map(slot)
+    if (slots.contains(Some(null))) return None
+    val rows = groups.toSeq.sortBy(_._1).map { case (raw, n) =>
+      val gv = groupValue(raw, g.dataType).getOrElse(return None)
+      InternalRow(slots.map {
+        case None    => gv
+        case Some(f) => f(n)
+      }: _*)
+    }
+    Some(LocalRelation(a.output, rows))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case a @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+    case a @ Aggregate(groupExprs, aggExprs, child, _) if aggExprs.nonEmpty &&
+        (groupExprs.isEmpty || groupExprs.forall(_.isInstanceOf[AttributeReference])) =>
       bareScan(child) match {
         case Some(lr) => lr.relation match {
           case hfs: HadoopFsRelation
               if !hfs.location.isInstanceOf[PrunedFileIndex] =>
             AutoSkip.lookup(hfs.location) match {
-              case Some(hook) =>
+              case Some(hook) if groupExprs.isEmpty =>
                 val vals = aggExprs.map(e => answer(e, lr, hook))
                 if (vals.forall(_.isDefined))
                   LocalRelation(a.output, Seq(InternalRow(vals.map(_.get): _*)))
                 else a
+              case Some(hook) =>
+                groupExprs match {
+                  case Seq(g: AttributeReference) =>
+                    groupCollapse(a, g, lr, hook).getOrElse(a)
+                  case _ => a
+                }
               case None => a
             }
           case _ => a

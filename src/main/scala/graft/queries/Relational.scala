@@ -1943,6 +1943,89 @@ object Relational {
           SELECT 3, 'delete', 2, total FROM n)
         ORDER BY version""")),
 
+    // ---- Date-range automatic skipping ------------------------------
+    // The reference's dominant dashboard shape: a time-range WHERE over
+    // a date-ordered fact table (financial_data_repository.py:35-48,
+    // ddl.sql:186-187 order by fiscal_year_end). Dates are int32 epoch
+    // days in parquet, so the footer stats are EXACT — a 60-day probe
+    // over a date-clustered 100 TB table plans only the overlapping
+    // files, automatically, deletes included. The witness pins that
+    // pruning fired; the hash pins that it changed nothing.
+    Q("s40_date_skip",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            to_date($"o_orderdate").as("o_date"), $"o_totalprice")
+        val wh = graft.sources.Scratch.warehouse(s, "dskip")
+        wh.atomicPublish("ord_bydate",
+          o.repartitionByRange(8, $"o_date").sortWithinPartitions($"o_date"))
+        wh.deleteRows("ord_bydate", col("o_orderkey") % 13 === 0)
+        val lo = o.agg(min($"o_date")).head.getDate(0)
+        val q = wh.read("ord_bydate")
+          .where($"o_date".between(date_add(lit(lo), 30), date_add(lit(lo), 90)))
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case p: graft.plans.PrunedFileIndex =>
+                    Some((p.inputFiles.length, p.orig.inputFiles.length))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }.flatten
+        val didPrune = pruned.nonEmpty &&
+          pruned.map(_._1).sum < pruned.map(_._2).sum
+        q.select($"n", $"revenue", lit(didPrune).as("files_pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS files_pruned
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE)
+            BETWEEN (SELECT min(CAST(o_orderdate AS DATE)) + 30 FROM orders)
+            AND (SELECT min(CAST(o_orderdate AS DATE)) + 90 FROM orders)
+          AND o_orderkey % 13 <> 0""")),
+
+    // ---- Metadata-only GROUP BY partition column + count(col) --------
+    // Two more aggregate shapes that never open a data file on a clean
+    // snapshot: a GROUP BY on the partition column (per-directory
+    // `_rows` sidecar sums) and count(col) (= rows − exact null
+    // totals). Both witnesses pin the no-scan plan; the hashes pin the
+    // values against DuckDB actually aggregating the data.
+    Q("s41_meta_group",
+      (s, dir) => {
+        import s.implicits._
+        val l = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+          .withColumn("lq10",
+            when($"l_quantity" >= 10, $"l_quantity")) // real nulls
+        val wh = graft.sources.Scratch.warehouse(s, "mgrp")
+        wh.atomicPublish("li_grp", l, partitionCols = Seq("l_returnflag"))
+        val grouped = wh.read("li_grp")
+          .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+        val metaGrouped = grouped.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.isEmpty
+        val cc = wh.read("li_grp").agg(count($"lq10").as("nn"))
+        val metaCount = cc.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+        }.isEmpty
+        grouped.crossJoin(cc)
+          .select($"l_returnflag", $"n", $"nn",
+            lit(metaGrouped).as("meta_grouped"), lit(metaCount).as("meta_count"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          (SELECT count(*) FROM lineitem WHERE l_quantity >= 10) AS nn,
+          TRUE AS meta_grouped, TRUE AS meta_count
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -33,10 +33,25 @@ import scala.jdk.CollectionConverters._
   */
 object FileStats {
 
-  /** One column's footer stats for one file. `typ` ∈ long|double|string;
-    * min/max are decimal strings (numeric) or base64 UTF-8 (string).
+  /** One column's footer stats for one file. `typ` ∈
+    * long|double|string|date|ts|tsntz|decimal; min/max are decimal
+    * strings (numeric; `date` is epoch days, `ts`/`tsntz` micros,
+    * `decimal` a plain unambiguous decimal string) or base64 UTF-8
+    * (string).
     */
   final case class ColStat(typ: String, min: String, max: String)
+
+  /** Typed bound wrappers for the temporal/decimal stat families.
+    * Raw `Long` bounds keep meaning "plain integer" (the `long`
+    * typ), so a date predicate can never be confused with an int
+    * predicate anywhere in the prune stack: a layer that does not
+    * recognize the wrapper falls through to keep — the safe
+    * direction. Days/micros mirror Spark's internal Date/Timestamp
+    * representations exactly (int32 days, int64 micros), which is
+    * what makes these stats EXACT, unlike truncatable binary stats.
+    */
+  final case class DateDays(days: Long)
+  final case class Micros(us: Long, utc: Boolean)
 
   /** One file's row-level footer stats: exact row count (always present
     * in a parquet footer) and per-column null counts (present only for
@@ -99,7 +114,55 @@ object FileStats {
           val plainInt = ann == null || ann.isInstanceOf[
             org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation]
           if (st != null && st.hasNonNullValue) {
+            import org.apache.parquet.schema.LogicalTypeAnnotation.{
+              DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation,
+              TimestampLogicalTypeAnnotation, TimeUnit}
+            // decimal stats: unscaled int32/int64 (Spark's non-legacy
+            // writer for precision ≤ 18) or signed-big-endian binary
+            // (higher precision / legacy) — both exact under parquet's
+            // TYPE_DEFINED signed comparator; normalized here to a
+            // scale-free plain decimal string so mayContain compares
+            // in BigDecimal space regardless of each file's scale
+            def decStr(unscaled: java.math.BigInteger, scale: Int): String =
+              new java.math.BigDecimal(unscaled, scale).toPlainString
             val tv: Option[(String, Any, Any)] = ptn match {
+              case PrimitiveTypeName.INT32 if ann.isInstanceOf[DateLogicalTypeAnnotation] =>
+                // int32 epoch days — Spark's internal DateType value;
+                // footer stats are the exact min/max days
+                Some(("date",
+                  st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
+                  st.genericGetMax.asInstanceOf[java.lang.Integer].longValue))
+              case PrimitiveTypeName.INT64
+                  if ann.isInstanceOf[TimestampLogicalTypeAnnotation] &&
+                    ann.asInstanceOf[TimestampLogicalTypeAnnotation].getUnit != TimeUnit.NANOS =>
+                // int64 micros (or millis ×1000 — exact either way:
+                // a millis-stored value has no sub-milli component)
+                val ta = ann.asInstanceOf[TimestampLogicalTypeAnnotation]
+                val scale = if (ta.getUnit == TimeUnit.MILLIS) 1000L else 1L
+                Some((if (ta.isAdjustedToUTC) "ts" else "tsntz",
+                  st.genericGetMin.asInstanceOf[java.lang.Long].longValue * scale,
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue * scale))
+              case PrimitiveTypeName.INT32 if ann.isInstanceOf[DecimalLogicalTypeAnnotation] =>
+                val sc = ann.asInstanceOf[DecimalLogicalTypeAnnotation].getScale
+                Some(("decimal",
+                  decStr(java.math.BigInteger.valueOf(
+                    st.genericGetMin.asInstanceOf[java.lang.Integer].longValue), sc),
+                  decStr(java.math.BigInteger.valueOf(
+                    st.genericGetMax.asInstanceOf[java.lang.Integer].longValue), sc)))
+              case PrimitiveTypeName.INT64 if ann.isInstanceOf[DecimalLogicalTypeAnnotation] =>
+                val sc = ann.asInstanceOf[DecimalLogicalTypeAnnotation].getScale
+                Some(("decimal",
+                  decStr(java.math.BigInteger.valueOf(
+                    st.genericGetMin.asInstanceOf[java.lang.Long].longValue), sc),
+                  decStr(java.math.BigInteger.valueOf(
+                    st.genericGetMax.asInstanceOf[java.lang.Long].longValue), sc)))
+              case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY
+                  if ann.isInstanceOf[DecimalLogicalTypeAnnotation] =>
+                val sc = ann.asInstanceOf[DecimalLogicalTypeAnnotation].getScale
+                val bs = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+                Some(("decimal",
+                  decStr(new java.math.BigInteger(bs.genericGetMin.getBytes), sc),
+                  decStr(new java.math.BigInteger(bs.genericGetMax.getBytes), sc)))
               case PrimitiveTypeName.INT32 if plainInt =>
                 Some(("long",
                   st.genericGetMin.asInstanceOf[java.lang.Integer].longValue,
@@ -153,14 +216,22 @@ object FileStats {
         c.getStatistics.hasNonNullValue))
 
   private def minOf(typ: String, a: Any, b: Any): Any = typ match {
-    case "long"   => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "long" | "date" | "ts" | "tsntz" =>
+      math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "decimal" =>
+      if (new java.math.BigDecimal(a.asInstanceOf[String])
+        .compareTo(new java.math.BigDecimal(b.asInstanceOf[String])) <= 0) a else b
     case _ =>
       if (cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) <= 0) a else b
   }
   private def maxOf(typ: String, a: Any, b: Any): Any = typ match {
-    case "long"   => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case "long" | "date" | "ts" | "tsntz" =>
+      math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case "double" => math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "decimal" =>
+      if (new java.math.BigDecimal(a.asInstanceOf[String])
+        .compareTo(new java.math.BigDecimal(b.asInstanceOf[String])) >= 0) a else b
     case _ =>
       if (cmpBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]]) >= 0) a else b
   }
@@ -341,13 +412,40 @@ object FileStats {
 
   /** Can a file with these stats contain a value in [lower, upper]
     * (either bound open)? Errs to `true` on any type mismatch — pruning
-    * must never drop a file it can't prove empty.
+    * must never drop a file it can't prove empty. The temporal/decimal
+    * typs compare ONLY against their matching wrapper bound (DateDays /
+    * Micros with the same utc-ness / BigDecimal): a raw Long probing a
+    * `date` stat keeps the file — epoch days and plain ints live in
+    * the same value space but mean different things.
     */
   def mayContain(cs: ColStat, lower: Option[Any], upper: Option[Any]): Boolean =
     try cs.typ match {
       case "long" =>
         val mn = cs.min.toLong; val mx = cs.max.toLong
         lower.forall(l => mx >= toLong(l)) && upper.forall(u => mn <= toLong(u))
+      case "date" =>
+        val mn = cs.min.toLong; val mx = cs.max.toLong
+        def d(v: Any): Option[Long] = v match {
+          case DateDays(days) => Some(days); case _ => None
+        }
+        lower.forall(l => d(l).forall(mx >= _)) &&
+          upper.forall(u => d(u).forall(mn <= _))
+      case "ts" | "tsntz" =>
+        val mn = cs.min.toLong; val mx = cs.max.toLong
+        val wantUtc = cs.typ == "ts"
+        def m(v: Any): Option[Long] = v match {
+          case Micros(us, utc) if utc == wantUtc => Some(us); case _ => None
+        }
+        lower.forall(l => m(l).forall(mx >= _)) &&
+          upper.forall(u => m(u).forall(mn <= _))
+      case "decimal" =>
+        val mn = new java.math.BigDecimal(cs.min)
+        val mx = new java.math.BigDecimal(cs.max)
+        def bd(v: Any): Option[java.math.BigDecimal] = v match {
+          case b: java.math.BigDecimal => Some(b); case _ => None
+        }
+        lower.forall(l => bd(l).forall(mx.compareTo(_) >= 0)) &&
+          upper.forall(u => bd(u).forall(mn.compareTo(_) <= 0))
       case "double" =>
         val mn = cs.min.toDouble; val mx = cs.max.toDouble
         lower.forall(l => mx >= toDouble(l)) && upper.forall(u => mn <= toDouble(u))

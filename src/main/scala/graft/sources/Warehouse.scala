@@ -272,6 +272,11 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         FileStats.mayContain(FileStats.ColStat("double",
           cs.min.toLong.toDouble.toString, cs.max.toLong.toDouble.toString),
           lower, upper)
+      // temporal/decimal stats carry their own wrapper-typed guard
+      // inside mayContain (DateDays/Micros/BigDecimal bounds only;
+      // anything else keeps) — delegate, no second typing rule here
+      case "date" | "ts" | "tsntz" | "decimal" =>
+        FileStats.mayContain(cs, lower, upper)
       case _ => true
     }
   }
@@ -503,34 +508,72 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // stats would be corruption, not optimization.
     if (autoSkip && manifest) {
       val tp = tablePath(name)
-      // the RAW row total of exactly these files, from the `_rows`
-      // sidecars — lazy (paid only if a metadata-count query arrives),
-      // None if any file predates them. MetaCountRule's guards ensure
-      // this only ever answers an Aggregate on the bare scan, where
-      // the raw total IS the answer (no DV join, no residual filter).
-      lazy val rawRows: Option[Long] = {
-        val per = files.groupBy(f =>
-            if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
-          .toSeq.flatMap { case (v, fl) =>
-            if (v.isEmpty) fl.map(_ => None)
-            else {
-              val rows = FileStats.readRows(fs,
-                new Path(new Path(root, v), "_rows"))
-              fl.map(f => rows.get(f.stripPrefix(v + "/")).map(_.numRows))
+      def vOf(f: String): String =
+        if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else ""
+      // `_rows` sidecar maps, one read per version dir shared by every
+      // metadata answer below (row totals, null totals, partition
+      // group sums) — lazy per version, paid only when a metadata
+      // query actually arrives
+      val rowsCache = scala.collection.mutable.Map[String, Map[String, FileStats.RowStat]]()
+      def rowsOf(v: String): Map[String, FileStats.RowStat] =
+        rowsCache.synchronized {
+          rowsCache.getOrElseUpdate(v,
+            FileStats.readRows(fs, new Path(new Path(root, v), "_rows")))
+        }
+      // per-file RowStat for THIS SCAN's files, or None the moment any
+      // file predates the sidecars — unknown never becomes a made-up 0
+      def perFileRows: Option[Seq[(String, FileStats.RowStat)]] = {
+        val per = files.map { f =>
+          val v = vOf(f)
+          if (v.isEmpty) None
+          else rowsOf(v).get(f.stripPrefix(v + "/")).map(f -> _)
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten)
+      }
+      // the RAW row total of exactly these files. MetaAggRule's guards
+      // ensure this only ever answers an Aggregate on the bare scan,
+      // where the raw total IS the answer (no DV join, no residual).
+      lazy val rawRows: Option[Long] =
+        perFileRows.map(_.map(_._2.numRows).sum)
+      // exact null total for one column — None unless EVERY file
+      // recorded the column's null count (footer numNulls present in
+      // every row group)
+      def colNulls(c: String): Option[Long] =
+        perFileRows.flatMap { pf =>
+          val per = pf.map(_._2.nullCounts.get(c))
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+        }
+      // per-partition-value raw row sums for a layout-encoded column:
+      // every file must carry a decodable `c=value` path segment AND a
+      // row count; the None key is the hive null partition. Powers the
+      // GROUP-BY-partition-column collapse.
+      def partitionGroups(c: String): Option[Seq[(Option[String], Long)]] =
+        perFileRows.flatMap { pf =>
+          val per: Seq[Option[(Option[String], Long)]] = pf.map { case (f, rs) =>
+            f.split('/').collectFirst {
+              case seg if seg.startsWith(c + "=") => seg.substring(c.length + 1)
+            }.flatMap { rawEsc =>
+              if (rawEsc == "__HIVE_DEFAULT_PARTITION__")
+                Some((None, rs.numRows))
+              else unescapePathValue(rawEsc).map(v => (Some(v), rs.numRows))
             }
           }
-        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
-      }
-      // exact integral (min, max) over these files from the footer-
-      // stat sidecars — None unless EVERY file carries a "long"-typed
-      // stat for the column. Memoized per column; the shared stats
-      // cache makes a two-column probe cost one sidecar sweep.
-      val mmCache = scala.collection.mutable.Map[String, Option[(Long, Long)]]()
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else Some(per.flatten.groupBy(_._1).toSeq
+            .map { case (k, xs) => (k, xs.map(_._2).sum) })
+        }
+      // exact (min, max) over these files from the footer-stat
+      // sidecars — None unless EVERY file carries a stat of exactly
+      // the CALLER's expected typ for the column ("long" for plain
+      // ints, "date" days, "ts"/"tsntz" micros — the families whose
+      // parquet stats are exact values). Memoized per (column, typ);
+      // the shared stats cache makes a two-column probe cost one
+      // sidecar sweep.
+      val mmCache = scala.collection.mutable.Map[(String, String), Option[(Long, Long)]]()
       val statsCache = scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]]()
-      def colMinMax(c: String): Option[(Long, Long)] = mmCache.synchronized {
-        mmCache.getOrElseUpdate(c, {
-          val per = files.groupBy(f =>
-              if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
+      def colMinMax(c: String, typ: String): Option[(Long, Long)] = mmCache.synchronized {
+        mmCache.getOrElseUpdate((c, typ), {
+          val per = files.groupBy(vOf)
             .toSeq.flatMap { case (v, fl) =>
               if (v.isEmpty) fl.map(_ => None)
               else {
@@ -541,7 +584,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           if (per.isEmpty || per.exists(_.isEmpty)) None
           else {
             val cs = per.flatten
-            if (!cs.forall(_.typ == "long")) None
+            if (!cs.forall(_.typ == typ)) None
             else
               try Some((cs.map(_.min.toLong).min, cs.map(_.max.toLong).max))
               catch { case _: NumberFormatException => None }
@@ -553,7 +596,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           preds => pruneForPreds(name, mf, preds).map(_.iterator
             .map(f => graft.plans.AutoSkip.norm(s"$tp/$f")).toSet),
           () => rawRows,
-          colMinMax))
+          colMinMax,
+          colNulls,
+          partitionGroups))
     }
     df
   }
@@ -562,30 +607,41 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * entry point (graft.plans.AutoSkip). Each conjunct reuses the
     * single-column prune machinery (chunk-header skip, footer stats,
     * hive partition paths; blooms for the equality form) against the
-    * SAME manifest the read resolved. Returns kept files relative to
-    * the table root; None when no conjunct was evaluable. A conjunct
-    * over a column with no stats keeps everything for that conjunct —
-    * intersection only ever narrows on proof.
+    * SAME manifest the read resolved. An `OrPred` unions its branch
+    * prunes — a file survives if ANY branch may contain it. Returns
+    * kept files relative to the table root; None when nothing actually
+    * NARROWED (no conjunct evaluable, or every file survived every
+    * probe) so the rule no-ops instead of wrapping the scan in a
+    * full-list PrunedFileIndex and memoizing a full path set. A
+    * conjunct over a column with no stats keeps everything for that
+    * conjunct — intersection only ever narrows on proof.
     */
   private[graft] def pruneForPreds(name: String, mf: Option[String],
       preds: Seq[graft.plans.AutoSkip.Pred]): Option[Seq[String]] = {
     if (!manifest || preds.isEmpty) return None
+    def one(p: graft.plans.AutoSkip.Pred): (Seq[String], Int) = p match {
+      case graft.plans.AutoSkip.RangePred(c, lo, hi) =>
+        pruneFilesFrom(name, mf, c, lo, hi)
+      case graft.plans.AutoSkip.InPred(c, vs) =>
+        pruneFilesEqualsFrom(name, mf, c, vs)
+      case graft.plans.AutoSkip.NullPred(c, isNull) =>
+        pruneFilesIsNullFrom(name, mf, c, isNull)
+      case graft.plans.AutoSkip.OrPred(_, parts) =>
+        val rs = parts.map(one)
+        // union: dropped only when EVERY branch proves the file empty
+        (rs.flatMap(_._1).distinct, rs.map(_._2).max)
+    }
     var kept: Option[Seq[String]] = None
+    var total = 0
     preds.foreach { p =>
-      val (k, _) = p match {
-        case graft.plans.AutoSkip.RangePred(c, lo, hi) =>
-          pruneFilesFrom(name, mf, c, lo, hi)
-        case graft.plans.AutoSkip.InPred(c, vs) =>
-          pruneFilesEqualsFrom(name, mf, c, vs)
-        case graft.plans.AutoSkip.NullPred(c, isNull) =>
-          (pruneFilesIsNullFrom(name, mf, c, isNull), 0)
-      }
+      val (k, t) = one(p)
+      total = math.max(total, t)
       kept = Some(kept match {
         case None       => k
         case Some(prev) => val s = k.toSet; prev.filter(s)
       })
     }
-    kept
+    kept.filter(_.size < total)
   }
 
   /** File-level data skipping (manifest mode): the current snapshot's
@@ -776,6 +832,26 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           upper.forall(u => FileStats.cmpBytes(v,
             u.asInstanceOf[String].getBytes("UTF-8")) <= 0)
         }
+        // date bounds vs a hive date partition value: Spark writes the
+        // value as the ISO `yyyy-MM-dd` string — parse it back to epoch
+        // days and compare in day space (the same space the bound
+        // carries). Unparseable ⇒ keep, as always.
+        else if (bounds.forall(_.isInstanceOf[FileStats.DateDays])) {
+          (try Some(java.time.LocalDate.parse(raw).toEpochDay)
+          catch { case _: java.time.format.DateTimeParseException => None })
+            .forall { v =>
+              lower.forall(l => v >= l.asInstanceOf[FileStats.DateDays].days) &&
+              upper.forall(u => v <= u.asInstanceOf[FileStats.DateDays].days)
+            }
+        }
+        else if (bounds.forall(_.isInstanceOf[java.math.BigDecimal])) {
+          (try Some(new java.math.BigDecimal(raw))
+          catch { case _: NumberFormatException => None })
+            .forall { v =>
+              lower.forall(l => v.compareTo(l.asInstanceOf[java.math.BigDecimal]) >= 0) &&
+              upper.forall(u => v.compareTo(u.asInstanceOf[java.math.BigDecimal]) <= 0)
+            }
+        }
         else true
     }
 
@@ -943,7 +1019,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val fs = fileSystem(root)
     // single-resolution read — see readSkipping
     val mfC = currentManifest(fs, root)
-    val kept = pruneFilesIsNullFrom(name, mfC, column, isNull)
+    val (kept, _) = pruneFilesIsNullFrom(name, mfC, column, isNull)
     val c = col(column)
     val base =
       if (kept.nonEmpty) readFilesMor(name, kept, mfC)
@@ -959,7 +1035,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * `_rows` sidecars decide per file; unknown counts always keep.
     */
   private def pruneFilesIsNullFrom(name: String, mfC: Option[String],
-      column: String, isNull: Boolean): Seq[String] = {
+      column: String, isNull: Boolean): (Seq[String], Int) = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     def keepFile(f: String, rs: Option[FileStats.RowStat]): Boolean =
@@ -977,7 +1053,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         // rows known) ⇒ no IS NOT NULL rows — either way the chunk is
         // never opened. Unknown sums open the chunk for per-file logic.
         val rowsCache = scala.collection.mutable.Map[String, Map[String, FileStats.RowStat]]()
-        chunks.flatMap { ch =>
+        var total = 0
+        val kept = chunks.flatMap { ch =>
+          total += ch.nFiles
           val skip = ch.nulls.get(column) match {
             case Some(nc) if isNull => nc == 0L
             case Some(nc)           => ch.rowSum >= 0 && nc == ch.rowSum
@@ -994,9 +1072,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             keepFile(f, rs)
           }
         }
+        (kept, total)
       case None =>
         val files = manifestFilesOrLegacy(fs, root, mfC)
-        files.groupBy(f =>
+        val kept = files.groupBy(f =>
             if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
           .toSeq.sortBy(_._1).flatMap { case (v, fl) =>
             if (v.isEmpty) fl.filter(f => keepFile(f, None))
@@ -1006,6 +1085,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
               fl.filter(f => keepFile(f, rows.get(f.stripPrefix(v + "/"))))
             }
           }
+        (kept, files.size)
     }
   }
 
@@ -1419,8 +1499,14 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
                   case None     => true
                 }) &&
                 (blooms.get(inner) match {
-                  case Some(fb) => BloomIndex.mightContain(fb.bits, fb.k, value.toString)
-                  case None     => true
+                  // blooms were keyed from Number/String value strings
+                  // at write time — a wrapper-typed probe (DateDays/
+                  // Micros/BigDecimal) has no matching key format, so
+                  // it must KEEP, not consult the filter
+                  case Some(fb) if value.isInstanceOf[Number] ||
+                      value.isInstanceOf[String] =>
+                    BloomIndex.mightContain(fb.bits, fb.k, value.toString)
+                  case _ => true
                 })
               }
             }
@@ -1823,9 +1909,15 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
     if (a.typ != b.typ) return None
     a.typ match {
-      case t @ ("long" | "plong") => Some(FileStats.ColStat(t,
-        math.min(a.min.toLong, b.min.toLong).toString,
-        math.max(a.max.toLong, b.max.toLong).toString))
+      case t @ ("long" | "plong" | "date" | "ts" | "tsntz") =>
+        Some(FileStats.ColStat(t,
+          math.min(a.min.toLong, b.min.toLong).toString,
+          math.max(a.max.toLong, b.max.toLong).toString))
+      case "decimal" =>
+        def bd(s: String) = new java.math.BigDecimal(s)
+        Some(FileStats.ColStat("decimal",
+          (if (bd(a.min).compareTo(bd(b.min)) <= 0) a.min else b.min),
+          (if (bd(a.max).compareTo(bd(b.max)) >= 0) a.max else b.max)))
       case "double" => Some(FileStats.ColStat("double",
         math.min(a.min.toDouble, b.min.toDouble).toString,
         math.max(a.max.toDouble, b.max.toDouble).toString))

@@ -101,10 +101,18 @@ class AutoSkipSpec extends SparkSpec {
     assert(prunedCounts(m) === ((-1, -1)), "no extractable conjunct ⇒ no rewrite")
     assert(m.count() === 100)
 
-    // disjunction — conservative no-op
+    // single-column range disjunction — unions the two edge files,
+    // drops the middle six (the OrPred path)
     val o = wh.read("t").where($"k" < 10L || $"k" > 9990L)
-    assert(prunedCounts(o) === ((-1, -1)), "OR trees must not prune")
+    val (ko, to) = prunedCounts(o)
+    assert(to === 8 && ko <= 2, s"range OR kept $ko of $to")
     assert(o.count() === 19)
+
+    // multi-column OR — conservative no-op (per-column stats cannot
+    // drop a file for a cross-column disjunction)
+    val o2 = wh.read("t").where($"k" < 10L || $"s" > "s09990")
+    assert(prunedCounts(o2) === ((-1, -1)), "cross-column OR must not prune")
+    assert(o2.count() === 19)
 
     // a prunable conjunct ANDed with an opaque one still prunes —
     // the opaque part just contributes nothing
@@ -255,17 +263,27 @@ class AutoSkipSpec extends SparkSpec {
     assert(nq.head.getLong(0) === 1250L)
   }
 
-  test("meta-count: deletes, filters and count(col) all block the collapse") {
+  test("meta-count: deletes and filters block the collapse; count(col) answers from null sums") {
     import spark.implicits._
     val wh = mk("graft-metacount2")
     wh.atomicPublish("t", clustered())
 
-    // count over a COLUMN (null-sensitive) must scan
+    // count over a COLUMN = rows − nulls, both exact in the `_rows`
+    // sidecars — collapses, and the answer matches the scan's
     val byCol = wh.read("t").agg(count($"k").as("n"))
     assert(byCol.queryExecution.optimizedPlan.collect {
-      case lr: LogicalRelation => lr }.nonEmpty,
-      "count(col) is null-sensitive — no metadata shortcut")
+      case lr: LogicalRelation => lr }.isEmpty,
+      "count(col) with exact null sums collapses to metadata")
     assert(byCol.head.getLong(0) === 10000L)
+
+    // ... and with REAL nulls in play the subtraction is exercised:
+    // 10000 rows, 5000 null kn ⇒ count(kn) = 5000, zero files opened
+    wh.atomicPublish("tnul", spark.range(0, 10000).toDF("k")
+      .withColumn("kn", when($"k" % 2 === 0, $"k")).repartition(4))
+    val nn = wh.read("tnul").agg(count($"kn").as("n"))
+    assert(nn.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty, "null-count collapse")
+    assert(nn.head.getLong(0) === 5000L)
 
     // a filter above the scan must scan (the residual is the truth)
     val filtered = wh.read("t").where($"k" <= 100L).agg(count(lit(1)).as("n"))
@@ -352,6 +370,141 @@ class AutoSkipSpec extends SparkSpec {
       (3L, "delete", 2L, 150L)))
   }
 
+  test("auto-skip: date, timestamp and decimal ranges prune by exact footer stats") {
+    import spark.implicits._
+    val wh = mk("graft-askip-dt")
+    // 800 days of data, clustered into 8 contiguous date-range files —
+    // the reference's dominant access shape (a time-range WHERE over a
+    // date-ordered fact table)
+    val df = spark.range(0, 8000).toDF("k")
+      .withColumn("day", date_add(lit("2020-01-01").cast("date"),
+        ($"k" / 10).cast("int")))
+      .withColumn("at", timestamp_seconds(lit(1577836800L) + $"k" * 3600))
+      .withColumn("amt", (($"k" * 100 + 7) / 100.0).cast("decimal(12,2)"))
+      .repartitionByRange(8, $"day")
+      .sortWithinPartitions($"day")
+    wh.atomicPublish("t", df)
+
+    // one month out of ~26: ≤2 of 8 files survive
+    val d = wh.read("t").where($"day".between("2020-03-01", "2020-03-31"))
+    val (kd, td) = prunedCounts(d)
+    assert(td === 8 && kd <= 2, s"date range kept $kd of $td")
+    assert(d.count() === 310L) // 31 days × 10 rows
+    // equality form (the dashboard point probe)
+    val de = wh.read("t").where($"day" === "2021-06-15")
+    val (ke, te) = prunedCounts(de)
+    assert(te === 8 && ke <= 1, s"date point kept $ke of $te")
+    assert(de.count() === 10L)
+
+    // timestamp range rides the same files (at is k-ordered too)
+    val ts = wh.read("t").where(
+      $"at" >= "2020-02-01 00:00:00" && $"at" < "2020-02-02 00:00:00")
+    val (kt, tt) = prunedCounts(ts)
+    assert(tt === 8 && kt <= 1, s"ts range kept $kt of $tt")
+    assert(ts.count() === 24L)
+
+    // decimal bound (int64-backed decimal(12,2) stats, scale-exact).
+    // NB a DOUBLE literal would widen the compare to double (cast
+    // around the attribute ⇒ conservative no-op) — a decimal literal
+    // keeps the attribute bare, the shape real decimal queries have
+    val dc = wh.read("t").where($"amt" < lit(BigDecimal("100.00")))
+    val (kc, tc) = prunedCounts(dc)
+    assert(tc === 8 && kc <= 1, s"decimal bound kept $kc of $tc")
+    assert(dc.count() === 100L)
+
+    // all results equal the unpruned truth by construction above; now
+    // the null-safety leg: a file that is ALL null for `day` has no
+    // stat and must always survive a date probe
+    wh.atomicPublish("tn",
+      spark.range(0, 100).toDF("k")
+        .withColumn("day", lit(null).cast("date")).coalesce(1))
+    wh.append("tn", spark.range(100, 200).toDF("k")
+      .withColumn("day", lit("2022-05-05").cast("date")).coalesce(1))
+    val nq = wh.read("tn").where($"day" === "1999-01-01")
+    assert(nq.count() === 0L)
+    val nk = wh.read("tn").where($"day".isNull)
+    assert(nk.count() === 100L)
+  }
+
+  test("auto-skip: hive DATE partition values prune from the path") {
+    import spark.implicits._
+    val wh = mk("graft-askip-dpart")
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"),
+        ($"k" % 10).cast("int")))
+    wh.atomicPublish("t", df, partitionCols = Seq("day"))
+    val q = wh.read("t")
+      .where($"day" >= "2024-01-03" && $"day" <= "2024-01-04")
+    val (kept, total) = prunedCounts(q)
+    // several files per partition dir; 2 of 10 day-values survive
+    assert(total > 0 && kept <= total / 5,
+      s"date partition path kept $kept of $total")
+    assert(q.count() === 200L)
+  }
+
+  test("meta-agg: date and timestamp min/max collapse to sidecar stats") {
+    import spark.implicits._
+    val wh = mk("graft-metadt")
+    wh.atomicPublish("t", spark.range(0, 3650).toDF("k")
+      .withColumn("day", date_add(lit("2015-01-01").cast("date"),
+        $"k".cast("int")))
+      .withColumn("at", timestamp_seconds(lit(1420070400L) + $"k" * 86400))
+      .repartition(4))
+    val q = wh.read("t").agg(min($"day").as("lo"), max($"day").as("hi"),
+      max($"at").as("tmax"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty,
+      "date/ts min-max must answer from metadata alone")
+    val r = q.head
+    assert(r.getDate(0).toString === "2015-01-01")
+    assert(r.getDate(1).toString === "2024-12-28")
+    assert(r.getTimestamp(2).toInstant.getEpochSecond ===
+      1420070400L + 3649L * 86400)
+  }
+
+  test("meta-agg: GROUP BY partition column collapses to sidecar sums") {
+    import spark.implicits._
+    val wh = mk("graft-metagrp")
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("pd", ($"k" % 7).cast("long"))
+    wh.atomicPublish("t", df, partitionCols = Seq("pd"))
+    val q = wh.read("t").groupBy($"pd").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty,
+      "GROUP BY partition column must answer from per-directory sums")
+    // hive path inference types pd as int (same as an unpruned read)
+    val got = q.collect().map(r =>
+      r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(got === (0L to 6L).map(p =>
+      p -> (0L until 10000L).count(_ % 7 == p).toLong).toMap)
+
+    // grouping by a NON-partition column must scan
+    val q2 = wh.read("t").groupBy($"k").agg(count(lit(1)).as("n"))
+    assert(q2.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.nonEmpty,
+      "data-column GROUP BY has no metadata answer")
+
+    // ... and a deleted table must scan (raw sums are not the truth)
+    wh.deleteRows("t", col("k") % 10 === 0)
+    val q3 = wh.read("t").groupBy($"pd").agg(count(lit(1)).as("n"))
+    assert(q3.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.nonEmpty,
+      "merge-on-read grouping must keep the anti-join plan")
+    assert(q3.collect().map(_.getLong(1)).sum === 9000L)
+
+    // null partition: the sentinel directory groups as NULL
+    val wh2 = mk("graft-metagrp2")
+    wh2.atomicPublish("t", spark.range(0, 100).toDF("k")
+      .withColumn("pd", when($"k" < 30, $"k" % 2).cast("long")),
+      partitionCols = Seq("pd"))
+    val q4 = wh2.read("t").groupBy($"pd").agg(count(lit(1)).as("n"))
+    assert(q4.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty)
+    val m = q4.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getAs[Number](0).longValue) -> r.getLong(1)).toMap
+    assert(m === Map(-1L -> 70L, 0L -> 15L, 1L -> 15L))
+  }
+
   test("auto-skip fuzz: random predicates — pruned results always equal unpruned") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
@@ -361,6 +514,9 @@ class AutoSkipSpec extends SparkSpec {
     val base = spark.range(0, 5000).toDF("k")
       .withColumn("s", format_string("s%04d", $"k"))
       .withColumn("g", ($"k" % 37).cast("long"))
+      .withColumn("day", date_add(lit("2020-01-01").cast("date"),
+        ($"k" % 400).cast("int")))
+      .withColumn("at", timestamp_seconds(lit(1577836800L) + $"k" * 60))
     val dataOf = Map(
       "flat" -> base.repartitionByRange(8, $"k").sortWithinPartitions($"k"),
       "chunked" -> base.repartitionByRange(16, $"k").sortWithinPartitions($"k"),
@@ -379,7 +535,7 @@ class AutoSkipSpec extends SparkSpec {
       off.deleteRows("t", col("k") % 11 === 0)
       (layout, on, off)
     }
-    def randPred(): org.apache.spark.sql.Column = rnd.nextInt(5) match {
+    def randPred(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
       case 0 =>
         val lo = rnd.nextInt(5000).toLong
         col("k") >= lo && col("k") <= lo + rnd.nextInt(800)
@@ -387,8 +543,20 @@ class AutoSkipSpec extends SparkSpec {
       case 2 => col("k").isin(Seq.fill(3)(rnd.nextInt(5200).toLong): _*)
       case 3 => col("s").startsWith(f"s${rnd.nextInt(50)}%02d")
       case 4 => col("g") === rnd.nextInt(40).toLong // overlaps every file
+      case 5 => // single-column range disjunction (the OrPred path)
+        val a = rnd.nextInt(2000).toLong
+        val b = 3000L + rnd.nextInt(2200)
+        col("k") < a || col("k") > b
+      case 6 => // date range — the exact int32-days stat family
+        val d0 = java.time.LocalDate.of(2020, 1, 1)
+          .plusDays(rnd.nextInt(420))
+        col("day").between(java.sql.Date.valueOf(d0),
+          java.sql.Date.valueOf(d0.plusDays(rnd.nextInt(60))))
+      case 7 => // timestamp bound — int64-micros stats
+        col("at") >= java.sql.Timestamp.from(java.time.Instant
+          .ofEpochSecond(1577836800L + rnd.nextInt(5200) * 60L))
     }
-    for (_ <- 1 to 12; (layout, on, off) <- whs) {
+    for (_ <- 1 to 16; (layout, on, off) <- whs) {
       val p = randPred()
       val got = on.read("t").where(p).orderBy("k").select("k")
         .as[Long].collect().toSeq
