@@ -49,6 +49,7 @@ object Bench {
       // int96 (the default) carries no usable footer stats; micros makes
       // timestamp columns skippable/meta-aggregatable like dates
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drift.
     ext.injectOptimizerRule(_ => new graft.plans.MetaAggRule)
     ext.injectOptimizerRule(_ => new graft.plans.AutoSkipRule)
+    ext.injectOptimizerRule(_ => new graft.plans.JoinSkipRule)
+    // catalog reads (spark.sql.catalog.<name>=graft.sources.GraftCatalog)
+    // splice the warehouse's V1 read plan over the resolved V2 relation
+    // at analysis — the catalog half of the Delta-style pairing. No
+    // lazy twin: catalog SQL requires this extension, exactly like
+    // Delta's session extension requirement.
+    ext.injectPostHocResolutionRule(s => new graft.plans.CatalogReadRule(s))
   }
 }

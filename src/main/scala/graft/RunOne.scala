@@ -13,6 +13,7 @@ object RunOne {
       .config("spark.sql.codegen.logging.maxLines", "-1")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to 3).foreach { i =>

@@ -396,6 +396,7 @@ object ScaleProbe {
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       genCorpus(spark, baseDir, outDir, factor.toInt)

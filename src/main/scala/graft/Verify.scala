@@ -28,6 +28,7 @@ object Verify {
       // int96 (the default) carries no usable footer stats; micros makes
       // timestamp columns skippable/meta-aggregatable like dates
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -248,7 +248,9 @@ object AutoSkip {
       if (cur.exists(_.isInstanceOf[MetaAggRule])) None
       else Some(new MetaAggRule),
       if (cur.exists(_.isInstanceOf[AutoSkipRule])) None
-      else Some(new AutoSkipRule)).flatten
+      else Some(new AutoSkipRule),
+      if (cur.exists(_.isInstanceOf[JoinSkipRule])) None
+      else Some(new JoinSkipRule)).flatten
     if (add.nonEmpty)
       spark.experimental.extraOptimizations = cur ++ add
   }
@@ -426,12 +428,19 @@ object AutoSkip {
   * paths). Everything else — partition schema, partition VALUES
   * (inferred over the FULL file set at relation construction, which
   * is what makes the type-flip guard unnecessary here), root paths —
-  * delegates to the original. `fp` is the predicate fingerprint the
-  * pruning was computed for: the rule's loop guard under a fixpoint
-  * optimizer batch.
+  * delegates to the original. `fps` is the SET of predicate
+  * fingerprints already applied to this index — the loop guard under
+  * a fixpoint optimizer batch. It is a set, not a single value,
+  * because TWO independent rules prune the same scan (AutoSkipRule
+  * from literal predicates, JoinSkipRule from broadcast-side join
+  * keys): each re-wrap intersects survivors and adds its fingerprint,
+  * so every distinct pruning applies exactly once and the batch
+  * converges instead of ping-ponging between the rules.
   */
 final class PrunedFileIndex(val orig: FileIndex, keep: Set[String],
-    private[plans] val fp: String) extends FileIndex {
+    private[plans] val fps: Set[String]) extends FileIndex {
+  def this(orig: FileIndex, keep: Set[String], fp: String) =
+    this(orig, keep, Set(fp))
   override def rootPaths: Seq[Path] = orig.rootPaths
   override def partitionSchema: StructType = orig.partitionSchema
   override def refresh(): Unit = orig.refresh()
@@ -641,7 +650,7 @@ final class AutoSkipRule extends Rule[LogicalPlan] {
               else {
                 val fp = AutoSkip.fingerprint(preds)
                 loc match {
-                  case p: PrunedFileIndex if p.fp == fp => f // converged
+                  case p: PrunedFileIndex if p.fps(fp) => f // converged
                   case _ => AutoSkip.prunedSet(hook, preds) match {
                     case None => f
                     case Some(keptAbs) =>
@@ -651,7 +660,11 @@ final class AutoSkipRule extends Rule[LogicalPlan] {
                       // normalization per index.
                       val keep = AutoSkip.normFiles(loc).iterator
                         .filter(keptAbs.contains).toSet
-                      val idx = new PrunedFileIndex(base, keep, fp)
+                      val prior = loc match {
+                        case p: PrunedFileIndex => p.fps
+                        case _                  => Set.empty[String]
+                      }
+                      val idx = new PrunedFileIndex(base, keep, prior + fp)
                       val nrel = hfs.copy(location = idx)(hfs.sparkSession)
                       Filter(cond, lr.copy(relation = nrel))
                   }

@@ -2026,6 +2026,115 @@ object Relational {
           TRUE AS meta_grouped, TRUE AS meta_count
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- Join-driven automatic file skipping (DPP analogue) ----------
+    // The reference's hottest star shape — fact JOIN dim with the
+    // filter on the DIM (financial_data JOIN financial_items WHERE
+    // element_id IN (...), financial_data_repository.py:21-33) — has
+    // no fact-side literal for AutoSkip to extract. JoinSkipRule
+    // executes the broadcast-small dim's key projection at plan time
+    // and feeds the keys to the same equality prune, so the fact scan
+    // plans only the files those keys can live in: at 100 TB the
+    // difference between sweeping the fact table and reading a
+    // handful of files. Deletes compose (the DV anti-join sits under
+    // the pruned scan); the witness pins that pruning fired with no
+    // readEquals/bloom wiring anywhere.
+    Q("s42_join_skip",
+      (s, dir) => {
+        import s.implicits._
+        val l = t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_partkey", $"l_quantity")
+        val p = t(s, dir, "part")
+          .select($"p_partkey".cast("long").as("p_partkey"), $"p_brand")
+        val wh = graft.sources.Scratch.warehouse(s, "jskip")
+        wh.atomicPublish("li_fact",
+          l.repartitionByRange(8, $"l_partkey")
+            .sortWithinPartitions($"l_partkey"))
+        wh.deleteRows("li_fact", col("l_orderkey") % 7 === 0)
+        // dim: a real stored table, 40 keys at every scale factor
+        wh.atomicPublish("part_dim", p.filter($"p_partkey" <= 40).coalesce(1))
+        val q = wh.read("li_fact")
+          .join(wh.read("part_dim"), $"l_partkey" === $"p_partkey")
+          .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty"))
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case px: graft.plans.PrunedFileIndex =>
+                    Some((px.inputFiles.length, px.orig.inputFiles.length))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }.flatten
+        val didPrune = pruned.nonEmpty &&
+          pruned.map(_._1).sum < pruned.map(_._2).sum
+        q.select($"n", $"qty", lit(didPrune).as("files_pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+          TRUE AS files_pruned
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_partkey <= 40 AND l_orderkey % 7 <> 0""")),
+
+    // ---- Catalog: graft.<ns>.<table> name resolution from pure SQL ---
+    // The last UX seam: reads resolve through a Spark TableCatalog
+    // (GraftCatalog) and splice to the SAME warehouse read plan
+    // (deletes + auto-skip apply — the witness pins pruning through
+    // the catalog name), and INSERT INTO rides the V1Write fallback
+    // onto the O(delta) append commit. No root-path literal anywhere
+    // in the final SQL.
+    Q("s43_catalog",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "cat")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("cust_cat",
+          c.repartitionByRange(8, $"c_custkey")
+            .sortWithinPartitions($"c_custkey"))
+        c.filter($"c_custkey" <= 50).createOrReplaceTempView("cat_extra")
+        s.sql("""INSERT INTO graft.wh.cust_cat
+          SELECT c_custkey + 1000000, c_acctbal FROM cat_extra""")
+        val hi = c.agg(max($"c_custkey")).head.getLong(0) / 8L
+        // `m` pins the INSERT on the hash surface (orig + 50 rows) and
+        // rides the metadata-count collapse through the catalog name
+        val q = s.sql(s"""SELECT count(*) AS n,
+            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+            (SELECT count(*) FROM graft.wh.cust_cat) AS m
+          FROM graft.wh.cust_cat
+          WHERE c_custkey >= 1 AND c_custkey <= $hi""")
+        val pruned = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location match {
+                  case px: graft.plans.PrunedFileIndex =>
+                    Some((px.inputFiles.length, px.orig.inputFiles.length))
+                  case _ => None
+                }
+              case _ => None
+            }
+          case _ => None
+        }.flatten
+        val didPrune = pruned.nonEmpty &&
+          pruned.map(_._1).sum < pruned.map(_._2).sum
+        q.select($"n", $"bal", $"m", lit(didPrune).as("files_pruned"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          (SELECT count(*) +
+             (SELECT count(*) FROM customer WHERE c_custkey <= 50)
+           FROM customer) AS m,
+          TRUE AS files_pruned
+        FROM customer
+        WHERE c_custkey >= 1
+          AND c_custkey <= (SELECT max(c_custkey) // 8 FROM customer)""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -19,6 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * null when any file of that snapshot predates the row sidecars
   * (unknown, never zero). The ledger is `Warehouse.history` +
   * `commitKind` — the TVF adds no second implementation.
+  *
+  * FRESHNESS CONTRACT (same as `graft_stats`): the builder runs at
+  * ANALYSIS time and freezes the ledger into the plan — a re-executed
+  * cached plan reports history as of its analysis; every new
+  * `spark.sql(...)` re-analyzes and sees commits made since
+  * (AutoSkipSpec pins the refresh).
   */
 object HistoryTvf {
 

@@ -25,6 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * snapshot row count. The contracts are the underlying APIs'
   * (statsMinMax / statsNullCount / statsApproxNdv / statsRowCount) —
   * the TVF adds no second implementation.
+  *
+  * FRESHNESS CONTRACT: the builder runs at ANALYSIS time and freezes
+  * the answers into the plan as a local relation — a plan analyzed
+  * once and re-executed (a cached DataFrame, a prepared statement)
+  * reports the snapshot AS OF ITS ANALYSIS, not the live table.
+  * Every NEW `spark.sql(...)` call re-analyzes and therefore sees the
+  * current snapshot (AutoSkipSpec pins post-commit refresh). This is
+  * deliberate: stats answer from metadata in O(chunks) with no scan
+  * node to re-plan, and DESCRIBE-style surfaces are re-issued, not
+  * cached, by every real client.
   */
 object StatsTvf {
 

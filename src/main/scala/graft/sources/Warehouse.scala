@@ -105,6 +105,40 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * (`atomicPublish`) materializes them because its input came from
     * this very read.
     */
+  /** Catalog surface (GraftCatalog): a table exists when its directory
+    * resolves a current manifest — pointer first, else highest
+    * committed manifest (the same resolution every read uses).
+    */
+  def tableExists(name: String): Boolean = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    fs.exists(root) && (!manifest || currentManifest(fs, root).nonEmpty)
+  }
+
+  /** Table names under this warehouse root — directories that resolve
+    * a snapshot. One listing + one pointer/manifest probe per entry:
+    * driver metadata only.
+    */
+  def listTables(): Seq[String] = {
+    val base = new Path(dir)
+    val fs = fileSystem(base)
+    if (!fs.exists(base)) Nil
+    else fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      .filter(tableExists).sorted
+  }
+
+  /** DROP TABLE: recursive delete of the table directory (data,
+    * manifests, deletion vectors, pointer). Managed-table semantics,
+    * same as every lakehouse DROP: a reader holding the dropped
+    * snapshot fails loudly on its next file open, never silently.
+    */
+  def dropTable(name: String): Unit = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    if (fs.exists(root)) { fs.delete(root, true); () }
+  }
+
   def read(name: String): DataFrame =
     if (manifest) {
       val (mf, files) = resolveSnapshot(name)

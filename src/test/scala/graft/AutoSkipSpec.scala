@@ -505,6 +505,30 @@ class AutoSkipSpec extends SparkSpec {
     assert(m === Map(-1L -> 70L, 0L -> 15L, 1L -> 15L))
   }
 
+  test("stats/history TVF freshness: frozen per analysis, refreshed per sql() call") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-fresh").toString
+    val wh = new Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").coalesce(1))
+    graft.sources.StatsTvf.register(spark)
+    graft.sources.HistoryTvf.register(spark)
+    val statsSql = s"SELECT rows FROM graft_stats('$tmp', 't') WHERE col_name = 'k'"
+    val histSql = s"SELECT count(*) AS c FROM graft_history('$tmp', 't')"
+    // analyze ONCE, commit, re-execute: the frozen plan still reports
+    // the snapshot as of its analysis — the documented contract
+    val frozenStats = spark.sql(statsSql)
+    val frozenHist = spark.sql(histSql)
+    assert(frozenStats.head.getLong(0) === 100L)
+    assert(frozenHist.head.getLong(0) === 1L)
+    wh.setSnapshotRetention("t", 8)
+    wh.append("t", spark.range(100, 250).toDF("k").coalesce(1))
+    assert(frozenStats.head.getLong(0) === 100L, "cached plan = analysis-time snapshot")
+    assert(frozenHist.head.getLong(0) === 1L)
+    // a NEW sql() call re-analyzes and sees the commit
+    assert(spark.sql(statsSql).head.getLong(0) === 250L)
+    assert(spark.sql(histSql).head.getLong(0) === 2L)
+  }
+
   test("auto-skip fuzz: random predicates — pruned results always equal unpruned") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

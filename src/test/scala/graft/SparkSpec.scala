@@ -21,6 +21,7 @@ object SparkSpec {
       // int96 (the default) carries no usable footer stats; micros makes
       // timestamp columns skippable/meta-aggregatable like dates
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
