@@ -255,14 +255,28 @@ object ScaleProbe {
       val tCount = time(require(wh.statsRowCount("t").contains(nf * 100L)))
       val tMinMax = time(require(
         wh.statsMinMax("t", "k").contains((0L, nf * 100L - 1L))))
+      // the JoinSkipRule payload: a maxKeys-sized InPred over spread
+      // keys — bounds the per-query prune cost of a dim-driven star
+      // join at this file count (the dim collect itself is dim-sized,
+      // not files-sized, so it doesn't belong in this sweep)
+      var keptJ = 0
+      val joinKeys: Seq[Any] = (0 until graft.plans.JoinSkip.maxKeys)
+        .map(i => java.lang.Long.valueOf(i.toLong * (nf.toLong * 100 / graft.plans.JoinSkip.maxKeys)))
+      val tJoin = time {
+        keptJ = wh.pruneForPreds("t", mf,
+          Seq(graft.plans.AutoSkip.InPred("k", joinKeys)))
+          .map(_.size).getOrElse(-1)
+      }
       Seq("prune_narrow" -> tNarrow, "prune_wide" -> tWide,
         "enroll" -> tEnroll, "meta_count" -> tCount,
-        "meta_minmax" -> tMinMax).foreach { case (op, s) =>
-        println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
-      }
+        "meta_minmax" -> tMinMax, "prune_join128" -> tJoin)
+        .foreach { case (op, s) =>
+          println(f"""{"op":"$op","files":$nf,"sec":$s%.4f}""")
+        }
       System.err.println(f"[scaleprobe] autoskip n=$nf: narrow=$tNarrow%.4fs " +
         f"(kept=$kept) wide=$tWide%.3fs enroll=$tEnroll%.3fs " +
-        f"count=$tCount%.4fs minmax=$tMinMax%.4fs")
+        f"count=$tCount%.4fs minmax=$tMinMax%.4fs join128=$tJoin%.3fs " +
+        f"(keptJ=$keptJ)")
     }
   }
 

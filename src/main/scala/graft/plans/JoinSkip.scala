@@ -154,6 +154,10 @@ final class JoinSkipRule extends Rule[LogicalPlan] {
     val hook = AutoSkip.lookup(base).getOrElse(return None)
     if (base.rootPaths.size < minFiles) return None
     if (dim.isStreaming) return None
+    // a non-deterministic dim (rand() sampling, a UDF with state)
+    // could collect one key set at plan time and produce another at
+    // execution — pruning on it would be wrong, not just slow
+    if (dim.exists(_.expressions.exists(!_.deterministic))) return None
     val thr = conf.autoBroadcastJoinThreshold
     if (thr <= 0 || dim.stats.sizeInBytes > thr) return None
     // one equi-pair whose fact side is the relation's own attribute

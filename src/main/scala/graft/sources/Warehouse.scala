@@ -918,6 +918,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         return cs.head.typ match {
           case "long" => Some((cs.map(_.min.toLong).min, cs.map(_.max.toLong).max))
           case "double" => Some((cs.map(_.min.toDouble).min, cs.map(_.max.toDouble).max))
+          // temporal stats fold in their RAW integer space (days /
+          // micros — exact) and render once at the surface; ISO
+          // strings must not be compared (variable sub-second
+          // precision breaks lexicographic order)
+          case t @ ("date" | "ts" | "tsntz") =>
+            Some((renderTemporal(t, cs.map(_.min.toLong).min),
+              renderTemporal(t, cs.map(_.max.toLong).max)))
+          case "decimal" =>
+            Some((cs.map(s => new java.math.BigDecimal(s.min)).min.toPlainString,
+              cs.map(s => new java.math.BigDecimal(s.max)).max.toPlainString))
           case "string" =>
             val d = java.util.Base64.getDecoder
             def lt(a: String, b: String) =
@@ -931,7 +941,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       case _ => ()
     }
     val files = snapshotFiles(name)
-    val perFile: Seq[Option[(Any, Any)]] = files
+    // raw typed fold space per family: Long for the integer families
+    // (plain/days/micros — rendered at the end for temporals),
+    // BigDecimal for decimals, UTF-8 String for strings
+    val perFile: Seq[Option[(String, Any, Any)]] = files
       .groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
       .toSeq.flatMap { case (v, fl) =>
         if (v.isEmpty) fl.map(_ => None)
@@ -939,18 +952,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           val stats = FileStats.read(fs, new Path(new Path(root, v), "_stats"))
           fl.map { f =>
             stats.get(f.stripPrefix(v + "/")).flatMap(_.get(column)).map {
-              case FileStats.ColStat("long", mn, mx)   => (mn.toLong, mx.toLong)
-              case FileStats.ColStat("double", mn, mx) => (mn.toDouble, mx.toDouble)
-              case FileStats.ColStat(_, mn, mx) =>
-                (new String(java.util.Base64.getDecoder.decode(mn), "UTF-8"),
+              case FileStats.ColStat(t @ ("long" | "date" | "ts" | "tsntz"), mn, mx) =>
+                (t, mn.toLong, mx.toLong)
+              case FileStats.ColStat("double", mn, mx) =>
+                ("double", mn.toDouble, mx.toDouble)
+              case FileStats.ColStat("decimal", mn, mx) =>
+                ("decimal", new java.math.BigDecimal(mn), new java.math.BigDecimal(mx))
+              case FileStats.ColStat(t, mn, mx) =>
+                (t, new String(java.util.Base64.getDecoder.decode(mn), "UTF-8"),
                   new String(java.util.Base64.getDecoder.decode(mx), "UTF-8"))
             }
           }
         }
       }
     if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else if (perFile.flatten.map(_._1).distinct.size != 1) None
     else {
-      val vals = perFile.flatten
+      val typ = perFile.flatten.head._1
+      val vals = perFile.flatten.map(t => (t._2, t._3))
       // string branch compares UTF-8 bytes (FileStats.cmpBytes), NOT
       // Java String '<': per-file parquet stats were folded in unsigned
       // UTF-8 byte order (= code-point order, Spark's string order);
@@ -963,13 +982,34 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       def lt(a: Any, b: Any): Boolean = (a, b) match {
         case (x: Long, y: Long)     => x < y
         case (x: Double, y: Double) => x < y
+        case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+          x.compareTo(y) < 0
         case (x: String, y: String) =>
           FileStats.cmpBytes(x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
         case (x, y)                 => x.toString < y.toString
       }
-      Some((vals.map(_._1).reduce((a, b) => if (lt(a, b)) a else b),
-        vals.map(_._2).reduce((a, b) => if (lt(a, b)) b else a)))
+      def render(v: Any): Any = typ match {
+        case "date" | "ts" | "tsntz" => renderTemporal(typ, v.asInstanceOf[Long])
+        case "decimal" => v.asInstanceOf[java.math.BigDecimal].toPlainString
+        case _ => v
+      }
+      Some((render(vals.map(_._1).reduce((a, b) => if (lt(a, b)) a else b)),
+        render(vals.map(_._2).reduce((a, b) => if (lt(a, b)) b else a))))
     }
+  }
+
+  /** Surface rendering for temporal stats held in raw integer space:
+    * `date` days → ISO date, `ts` micros → ISO instant (UTC), `tsntz`
+    * micros → ISO local datetime. Strings are for DISPLAY (graft_stats
+    * and friends); ordering always happens on the raw integers.
+    */
+  private def renderTemporal(typ: String, v: Long): String = typ match {
+    case "date" => java.time.LocalDate.ofEpochDay(v).toString
+    case _ =>
+      val i = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L)
+      if (typ == "ts") i.toString
+      else java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).toString
   }
 
   /** Per-file RowStat for every snapshot file that has one — shared
@@ -1513,7 +1553,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       column: String, values: Seq[Any]): (Seq[String], Int) = {
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    def perFile(files: Seq[String],
+    def perFile(files: Seq[String], probeVals: Seq[Any],
         statsCache: scala.collection.mutable.Map[String, Map[String, Map[String, FileStats.ColStat]]],
         bloomCache: scala.collection.mutable.Map[String, Map[String, BloomIndex.FileBloom]]): Seq[String] =
       files.groupBy(f =>
@@ -1526,7 +1566,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
               BloomIndex.read(fs, new Path(new Path(root, v), s"_bloom_$column")))
             fl.filter { f =>
               val inner = f.stripPrefix(v + "/")
-              values.exists { value =>
+              probeVals.exists { value =>
                 partitionMayContain(f, column, Some(value), Some(value)) &&
                 (stats.get(inner).flatMap(_.get(column)) match {
                   case Some(cs) => FileStats.mayContain(cs, Some(value), Some(value))
@@ -1551,20 +1591,28 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     mf.flatMap(m => manifestChunks(fs, new Path(root, m))) match {
       case Some(chunks) =>
         // a chunk is skipped only when its merged stat excludes EVERY
-        // probe value — one surviving value opens it
+        // probe value — one surviving value opens it. The per-file
+        // pass inside an opened chunk then probes ONLY the values the
+        // chunk's own stat admits: on a clustered layout a wide IN
+        // list (the join-skip payload is ≤128 keys) degrades per
+        // chunk to the one or two values that can live there, keeping
+        // the sweep O(files · survivingValues), not O(files · values)
+        // (ScaleProbe's prune_join128 leg pins this at 1M files)
         var total = 0
         val kept = chunks.flatMap { ch =>
           total += ch.nFiles
           ch.stats.get(column) match {
-            case Some(cs) if !values.exists(v =>
-                chunkStatMayContain(cs, Some(v), Some(v))) => Nil
-            case _ => perFile(readChunk(fs, root, ch.name), sc, bc)
+            case Some(cs) =>
+              val vs = values.filter(v => chunkStatMayContain(cs, Some(v), Some(v)))
+              if (vs.isEmpty) Nil
+              else perFile(readChunk(fs, root, ch.name), vs, sc, bc)
+            case _ => perFile(readChunk(fs, root, ch.name), values, sc, bc)
           }
         }
         (kept, total)
       case None =>
         val files = manifestFilesOrLegacy(fs, root, mf)
-        (perFile(files, sc, bc), files.size)
+        (perFile(files, values, sc, bc), files.size)
     }
   }
 

@@ -460,6 +460,11 @@ class AutoSkipSpec extends SparkSpec {
     assert(r.getDate(1).toString === "2024-12-28")
     assert(r.getTimestamp(2).toInstant.getEpochSecond ===
       1420070400L + 3649L * 86400)
+
+    // statsMinMax / graft_stats render the same temporal stats as ISO
+    assert(wh.statsMinMax("t", "day") === Some(("2015-01-01", "2024-12-28")))
+    val ts = wh.statsMinMax("t", "at")
+    assert(ts.exists(_._1.toString.startsWith("2015-01-01T00:00:00")), s"got $ts")
   }
 
   test("meta-agg: GROUP BY partition column collapses to sidecar sums") {
