@@ -50,6 +50,9 @@ object Bench {
       // timestamp columns skippable/meta-aggregatable like dates
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // A/B attribution knob for the join-driven skipping rule
+      .config("spark.graft.joinSkip.enabled",
+        sys.env.getOrElse("GRAFT_JOINSKIP", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

@@ -54,25 +54,39 @@ import scala.jdk.CollectionConverters._
 class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
-  private var root: String = _
-  private val whCache = scala.collection.mutable.Map[String, Warehouse]()
+  private var initRoot: Option[String] = None
+  private val whCache = scala.collection.mutable.Map[(String, String), Warehouse]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
-    root = Option(options.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        s"spark.sql.catalog.$name.root must point at the warehouse base dir"))
+    initRoot = Option(options.get("root"))
   }
 
   override def name(): String = catName
 
   private def spark: SparkSession = SparkSession.active
 
+  /** The warehouse base dir, read from the LIVE session conf on every
+    * use (falling back to the initialize-time option): Spark caches
+    * the plugin instance per catalog name for the session's lifetime,
+    * so binding the root at initialize would pin the first value
+    * forever — a later `SET spark.sql.catalog.<name>.root=...` (or a
+    * test/bench re-pointing at a fresh scratch dir) would silently
+    * keep serving the old, possibly deleted, location.
+    */
+  private def root: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catName.root")
+      .orElse(initRoot).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.sql.catalog.$catName.root must point at the warehouse base dir"))
+
   private def wh(ns: Array[String]): Warehouse = {
     require(ns.length == 1, s"graft catalog namespaces are one level, got ${ns.mkString(".")}")
+    val r = root
     whCache.synchronized {
-      whCache.getOrElseUpdate(ns.head,
-        new Warehouse(spark, s"$root/${ns.head}", manifest = true))
+      if (whCache.size >= 64) whCache.clear() // bounded across re-pointed roots
+      whCache.getOrElseUpdate((r, ns.head),
+        new Warehouse(spark, s"$r/${ns.head}", manifest = true))
     }
   }
 
