@@ -581,7 +581,6 @@ final class MetaAggRule extends Rule[LogicalPlan] {
   private def groupCollapse(a: Aggregate, g: AttributeReference,
       lr: LogicalRelation, hook: AutoSkip.Hook): Option[LogicalPlan] = {
     if (!lr.output.exists(_.exprId == g.exprId)) return None
-    val groups = hook.partitionGroups(g.name).getOrElse(return None)
     def slot(e: Expression): Option[Long => Any] = e match {
       case Alias(child, _) => slot(child)
       case ar: AttributeReference if ar.exprId == g.exprId => None // group value — handled by caller
@@ -592,8 +591,12 @@ final class MetaAggRule extends Rule[LogicalPlan] {
         }
       case _ => return Some(null)
     }
+    // slots first (pure expression checks), hook second: a grouped
+    // shape with any unsupported aggregate must bail before the hook
+    // does metadata work
     val slots = a.aggregateExpressions.map(slot)
     if (slots.contains(Some(null))) return None
+    val groups = hook.partitionGroups(g.name).getOrElse(return None)
     val rows = groups.toSeq.sortBy(_._1).map { case (raw, n) =>
       val gv = groupValue(raw, g.dataType).getOrElse(return None)
       InternalRow(slots.map {

@@ -580,22 +580,31 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // per-partition-value raw row sums for a layout-encoded column:
       // every file must carry a decodable `c=value` path segment AND a
       // row count; the None key is the hive null partition. Powers the
-      // GROUP-BY-partition-column collapse.
-      def partitionGroups(c: String): Option[Seq[(Option[String], Long)]] =
-        perFileRows.flatMap { pf =>
-          val per: Seq[Option[(Option[String], Long)]] = pf.map { case (f, rs) =>
-            f.split('/').collectFirst {
-              case seg if seg.startsWith(c + "=") => seg.substring(c.length + 1)
-            }.flatMap { rawEsc =>
-              if (rawEsc == "__HIVE_DEFAULT_PARTITION__")
-                Some((None, rs.numRows))
-              else unescapePathValue(rawEsc).map(v => (Some(v), rs.numRows))
-            }
+      // GROUP-BY-partition-column collapse. The path probe runs FIRST
+      // and costs no IO: grouping by an ordinary data column (every
+      // `distinct()` over a read plans this shape) must bail before
+      // touching a single `_rows` sidecar — the r16 bench caught the
+      // IO-first ordering as a per-read tax on serve-heavy queries.
+      def partitionGroups(c: String): Option[Seq[(Option[String], Long)]] = {
+        val segs: Seq[Option[Option[String]]] = files.map { f =>
+          f.split('/').collectFirst {
+            case seg if seg.startsWith(c + "=") => seg.substring(c.length + 1)
+          }.flatMap { rawEsc =>
+            if (rawEsc == "__HIVE_DEFAULT_PARTITION__") Some(None)
+            else unescapePathValue(rawEsc).map(v => Some(v))
           }
-          if (per.isEmpty || per.exists(_.isEmpty)) None
+        }
+        if (segs.isEmpty || segs.exists(_.isEmpty)) return None
+        perFileRows.flatMap { pf =>
+          val byFile = pf.toMap
+          val per = files.zip(segs).map { case (f, seg) =>
+            byFile.get(f).map(rs => (seg.get, rs.numRows))
+          }
+          if (per.exists(_.isEmpty)) None
           else Some(per.flatten.groupBy(_._1).toSeq
             .map { case (k, xs) => (k, xs.map(_._2).sum) })
         }
+      }
       // exact (min, max) over these files from the footer-stat
       // sidecars — None unless EVERY file carries a stat of exactly
       // the CALLER's expected typ for the column ("long" for plain
