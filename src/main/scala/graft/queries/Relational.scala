@@ -2101,11 +2101,13 @@ object Relational {
         s.sql("""INSERT INTO graft.wh.cust_cat
           SELECT c_custkey + 1000000, c_acctbal FROM cat_extra""")
         val hi = c.agg(max($"c_custkey")).head.getLong(0) / 8L
-        // `m` pins the INSERT on the hash surface (orig + 50 rows) and
-        // rides the metadata-count collapse through the catalog name
+        // `m` pins the INSERT on the hash surface (orig + 51 rows) and
+        // rides the metadata-count collapse through the catalog name;
+        // `v1` pins VERSION AS OF time travel (the pre-insert snapshot)
         val q = s.sql(s"""SELECT count(*) AS n,
             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
-            (SELECT count(*) FROM graft.wh.cust_cat) AS m
+            (SELECT count(*) FROM graft.wh.cust_cat) AS m,
+            (SELECT count(*) FROM graft.wh.cust_cat VERSION AS OF 1) AS v1
           FROM graft.wh.cust_cat
           WHERE c_custkey >= 1 AND c_custkey <= $hi""")
         val pruned = q.queryExecution.optimizedPlan.collect {
@@ -2123,13 +2125,14 @@ object Relational {
         }.flatten
         val didPrune = pruned.nonEmpty &&
           pruned.map(_._1).sum < pruned.map(_._2).sum
-        q.select($"n", $"bal", $"m", lit(didPrune).as("files_pruned"))
+        q.select($"n", $"bal", $"m", $"v1", lit(didPrune).as("files_pruned"))
       },
       Some("""SELECT count(*) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
           (SELECT count(*) +
              (SELECT count(*) FROM customer WHERE c_custkey <= 50)
            FROM customer) AS m,
+          (SELECT count(*) FROM customer) AS v1,
           TRUE AS files_pruned
         FROM customer
         WHERE c_custkey >= 1

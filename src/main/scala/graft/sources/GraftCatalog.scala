@@ -138,6 +138,20 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     new GraftTable(wh(ident.namespace), ident)
   }
 
+  /** Time travel: `SELECT ... FROM graft.<ns>.<t> VERSION AS OF n` —
+    * the analyzer routes the versioned table ref here; the returned
+    * table's snapshot is `Warehouse.readVersion`, with the same
+    * retention contract (current + previous guaranteed; older
+    * versions fail loudly once GC'd).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel takes a numeric version, got '$version'"))
+    new GraftTable(wh(ident.namespace), ident, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
@@ -168,15 +182,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   * analysis — so the only live surfaces are `schema` (the snapshot's)
   * and the V1 write builder.
   */
-final class GraftTable(val wh: Warehouse, ident: Identifier)
+final class GraftTable(val wh: Warehouse, ident: Identifier,
+    version: Option[Long] = None)
     extends Table with SupportsWrite {
 
-  /** The table's current-snapshot read, built once per loadTable (=
-    * once per query analysis): schema truth AND the plan the read
-    * rule splices. Analysis-time snapshot semantics, same contract as
-    * the TVFs.
+  /** The table's snapshot read — current, or the `VERSION AS OF`
+    * manifest — built once per loadTable (= once per query analysis):
+    * schema truth AND the plan the read rule splices. Analysis-time
+    * snapshot semantics, same contract as the TVFs.
     */
-  lazy val snapshot: DataFrame = wh.read(ident.name)
+  lazy val snapshot: DataFrame =
+    version.map(wh.readVersion(ident.name, _)).getOrElse(wh.read(ident.name))
 
   override def name(): String = ident.toString
   override def schema(): StructType = snapshot.schema

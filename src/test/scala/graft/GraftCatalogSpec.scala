@@ -72,6 +72,26 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graft.whi.t").head.getLong(0) === 7L)
   }
 
+  test("catalog: VERSION AS OF time travel resolves retained snapshots") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/tt", manifest = true)
+    wh.atomicPublish("t", spark.range(0, 100).toDF("k").coalesce(1)) // v1
+    wh.setSnapshotRetention("t", 8)
+    wh.append("t", spark.range(100, 150).toDF("k").coalesce(1))      // v2
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt.t VERSION AS OF 1")
+      .head.getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt.t VERSION AS OF 2")
+      .head.getLong(0) === 150L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tt.t")
+      .head.getLong(0) === 150L)
+    // a GC'd / never-committed version fails loudly, not silently empty
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("not available") ||
+      e.getMessage.contains("99"))
+  }
+
   test("catalog: CREATE TABLE + CTAS + SHOW TABLES + DROP") {
     import spark.implicits._
     spark.sql("CREATE TABLE graft.ddl.fresh (k BIGINT, s STRING)")
