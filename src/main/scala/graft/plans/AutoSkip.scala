@@ -355,13 +355,29 @@ object AutoSkip {
 
   /** Supported conjuncts → preds. Anything else (casts, expressions
     * over the column, exotic null checks) contributes nothing —
-    * conservative by construction.
+    * conservative by construction. One-sided ranges over the same
+    * column pair up (the BETWEEN shape, `lo <= k AND k <= hi`): the
+    * intersection prune would get the same ANSWER from two half-line
+    * probes, but each half-line OPENS every chunk on its side — on a
+    * date-clustered decade that is most of the table — while the
+    * two-sided range opens only the interval's chunks.
     */
-  private[plans] def extract(cond: Expression): Seq[Pred] =
-    splitConj(cond).flatMap {
+  private[plans] def extract(cond: Expression): Seq[Pred] = {
+    val raw = splitConj(cond).flatMap {
       case o: Or => orExtract(o)
       case e     => extractOne(e)
     }
+    val (ranges, others) = raw.partition(_.isInstanceOf[RangePred])
+    val merged = ranges.map(_.asInstanceOf[RangePred])
+      .groupBy(_.column).toSeq.sortBy(_._1).flatMap { case (c, rs) =>
+        val lo = rs.filter(r => r.lower.isDefined && r.upper.isEmpty)
+        val hi = rs.filter(r => r.upper.isDefined && r.lower.isEmpty)
+        if (rs.size == 2 && lo.size == 1 && hi.size == 1)
+          Seq(RangePred(c, lo.head.lower, hi.head.upper))
+        else rs
+      }
+    others ++ merged
+  }
 
   /** One non-OR conjunct → pred (the shared leaf extractor for
     * `extract` and the OR-branch walk).

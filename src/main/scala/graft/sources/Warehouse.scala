@@ -311,6 +311,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       // anything else keeps) — delegate, no second typing rule here
       case "date" | "ts" | "tsntz" | "decimal" =>
         FileStats.mayContain(cs, lower, upper)
+      // date-valued partition segments: day-space compare for date
+      // bounds; ISO re-render for string bounds (strict-ISO strings
+      // order chronologically, and pdate only ever comes from strict
+      // ISO that round-trips byte-identically)
+      case "pdate" =>
+        if (bounds.forall(_.isInstanceOf[FileStats.DateDays]))
+          FileStats.mayContain(cs.copy(typ = "date"), lower, upper)
+        else if (stringy) {
+          val mn = java.time.LocalDate.ofEpochDay(cs.min.toLong)
+            .toString.getBytes("UTF-8")
+          val mx = java.time.LocalDate.ofEpochDay(cs.max.toLong)
+            .toString.getBytes("UTF-8")
+          lower.forall(l => FileStats.cmpBytes(mx,
+            l.asInstanceOf[String].getBytes("UTF-8")) >= 0) &&
+          upper.forall(u => FileStats.cmpBytes(mn,
+            u.asInstanceOf[String].getBytes("UTF-8")) <= 0)
+        }
+        else true
       case _ => true
     }
   }
@@ -1968,9 +1986,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           unescapePathValue(seg.substring(c.length + 1)).map { raw =>
             c -> (raw.toLongOption match {
               case Some(l) => FileStats.ColStat("plong", l.toString, l.toString)
-              case None => FileStats.ColStat("pstring",
-                java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
-                java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")))
+              case None =>
+                // a strict-ISO value gets the DATE p-type (epoch days):
+                // date bounds then skip whole chunks of a
+                // date-partitioned decade at the header. Strict ISO
+                // round-trips exactly (LocalDate.toString == raw), so
+                // string-bound probes lose nothing — chunkStatMayContain
+                // re-renders for the lexicographic compare, and ISO
+                // order IS chronological order
+                (try {
+                  val d = java.time.LocalDate.parse(raw)
+                  if (d.toString == raw)
+                    Some(FileStats.ColStat("pdate",
+                      d.toEpochDay.toString, d.toEpochDay.toString))
+                  else None
+                } catch {
+                  case _: java.time.format.DateTimeParseException => None
+                }).getOrElse(FileStats.ColStat("pstring",
+                  java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8")),
+                  java.util.Base64.getEncoder.encodeToString(raw.getBytes("UTF-8"))))
             })
           }
         case _ => None
@@ -2000,7 +2034,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private def mergeStat(a: FileStats.ColStat, b: FileStats.ColStat): Option[FileStats.ColStat] = {
     if (a.typ != b.typ) return None
     a.typ match {
-      case t @ ("long" | "plong" | "date" | "ts" | "tsntz") =>
+      case t @ ("long" | "plong" | "date" | "pdate" | "ts" | "tsntz") =>
         Some(FileStats.ColStat(t,
           math.min(a.min.toLong, b.min.toLong).toString,
           math.max(a.max.toLong, b.max.toLong).toString))

@@ -442,6 +442,34 @@ class AutoSkipSpec extends SparkSpec {
     assert(q.count() === 200L)
   }
 
+  test("auto-skip: date-partition chunk headers skip unopened chunks (pdate)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pdate").toString
+    val wh = new Warehouse(spark, tmp, manifest = true, manifestChunkSize = 4)
+    // 40 day-partitions, one file each → 10 chunks of 4; a 4-day probe
+    // must decide chunk membership from the header's pdate stats and
+    // OPEN only the 1-2 chunks those days can live in
+    val df = spark.range(0, 4000).toDF("k")
+      .withColumn("day", date_add(lit("2024-01-01").cast("date"),
+        ($"k" % 40).cast("int")))
+      .repartition($"day")
+    wh.atomicPublish("t", df, partitionCols = Seq("day"))
+    val q = wh.read("t")
+      .where($"day".between("2024-01-11", "2024-01-14"))
+    wh.chunkOpens = 0
+    val (kept, total) = prunedCounts(q)
+    assert(total > 0 && kept < total, s"kept $kept of $total")
+    assert(wh.chunkOpens <= 3,
+      s"header skip must bound chunk opens, saw ${wh.chunkOpens}")
+    assert(q.count() === 400L)
+
+    // string bounds over the same pdate stats: ISO order is
+    // chronological, so the header compare stays exact
+    val qs = wh.read("t")
+      .where($"day".cast("string") >= "2024-02-05")
+    assert(qs.count() === 500L)
+  }
+
   test("meta-agg: date and timestamp min/max collapse to sidecar stats") {
     import spark.implicits._
     val wh = mk("graft-metadt")
