@@ -177,11 +177,27 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    // steal-corrected total (round 17): the committed `value` is the
+    // honest wall-clock, but two rounds of artifacts have now shipped
+    // from a host whose neighbors inflate it by a flat band the
+    // probes measure precisely (probe_max/floor ≈ 2.4 across r15/r16,
+    // VERDICT-attributed to the environment, not code). This field
+    // bakes the calibration in: each query's time is divided by its
+    // own pre-timing probe's inflation ratio (probe/floor, clamped at
+    // ≥1 so correction can only DEflate — an idle capture passes
+    // through unchanged). The model is proportional CPU steal — exact
+    // for the CPU-bound probe, approximate for IO-light queries —
+    // so `value` stays the artifact of record and THIS is the
+    // cross-round comparison number that no longer needs same-day
+    // A/B archaeology.
+    val stealCorrected = results.collect { case (n, v) if v >= 0 =>
+      v / math.max(1.0, probes.getOrElse(n, probeFloor) / probeFloor)
+    }.sum
     def qmap(rs: Iterable[(String, Double)], fmt: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val requeuedJson = requeued.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detailLine =
-      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"load":${qmap(loads, _.toString)},"probe":${qmap(probes, _.toString)},"probe_floor":$probeFloor,"requeued":$requeuedJson,"failed":$failed,"sf":"$sfDir","runs":$runs}"""
+      s"""{"metric":"total","value":${total},"unit":"sec","queries":${qmap(results, _.toString)},"load":${qmap(loads, _.toString)},"probe":${qmap(probes, _.toString)},"probe_floor":$probeFloor,"value_steal_corrected":${stealCorrected},"requeued":$requeuedJson,"failed":$failed,"sf":"$sfDir","runs":$runs}"""
     // full detail: committed artifact in the repo root + scratch copy
     for (path <- Seq("BENCH_DETAIL.json", "target/bench_detail.json")) {
       val f = new java.io.File(path)
@@ -198,6 +214,6 @@ object Bench {
     // watched subset so the line stays ~0.5 KB regardless of catalog
     // growth — the full map lives in BENCH_DETAIL.json
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"requeued":${requeued.size},"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"probe_floor":${r3(probeFloor)},"probe_max":${r3(if (probes.isEmpty) -1.0 else probes.values.max)},"detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"requeued":${requeued.size},"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"probe_floor":${r3(probeFloor)},"probe_max":${r3(if (probes.isEmpty) -1.0 else probes.values.max)},"value_steal_corrected":${r3(stealCorrected)},"detail":"BENCH_DETAIL.json"}""")
   }
 }

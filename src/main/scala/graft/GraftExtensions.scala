@@ -50,5 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // lazy twin: catalog SQL requires this extension, exactly like
     // Delta's session extension requirement.
     ext.injectPostHocResolutionRule(s => new graft.plans.CatalogReadRule(s))
+    // SQL DML (DELETE/UPDATE/MERGE on catalog tables) onto the
+    // warehouse's row-level commit paths — must run AFTER the read
+    // rule (same batch, registration order), which leaves DML targets
+    // un-spliced for exactly this rule to consume.
+    ext.injectPostHocResolutionRule(s => new graft.plans.CatalogDmlRule(s))
+    // streaming reads through catalog names (readStream.table) splice
+    // to the graft-changes V1 source filtered to insert rows
+    ext.injectPostHocResolutionRule(s => new graft.plans.CatalogStreamRule(s))
   }
 }

@@ -613,13 +613,25 @@ final class MetaAggRule extends Rule[LogicalPlan] {
     val slots = a.aggregateExpressions.map(slot)
     if (slots.contains(Some(null))) return None
     val groups = hook.partitionGroups(g.name).getOrElse(return None)
-    val rows = groups.toSeq.sortBy(_._1).map { case (raw, n) =>
-      val gv = groupValue(raw, g.dataType).getOrElse(return None)
-      InternalRow(slots.map {
-        case None    => gv
-        case Some(f) => f(n)
-      }: _*)
+    // re-group by the DECODED internal value, not the raw path
+    // segment: two renderings that decode to one value (k=1 vs k=01
+    // or +1 in an externally authored int layout) are ONE group to a
+    // real aggregate, so their sidecar counts must merge here too.
+    // Decoded values group safely by equality (UTF8String/boxed
+    // primitives/null); order is pinned by each group's smallest raw
+    // rendering for determinism — an Aggregate's row order is
+    // unspecified anyway.
+    val decoded = groups.toSeq.map { case (raw, n) =>
+      (groupValue(raw, g.dataType).getOrElse(return None), raw, n)
     }
+    val rows = decoded.groupBy(_._1).toSeq
+      .map { case (gv, grp) => (grp.map(_._2).min, gv, grp.map(_._3).sum) }
+      .sortBy(_._1).map { case (_, gv, n) =>
+        InternalRow(slots.map {
+          case None    => gv
+          case Some(f) => f(n)
+        }: _*)
+      }
     Some(LocalRelation(a.output, rows))
   }
 

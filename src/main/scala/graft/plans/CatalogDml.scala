@@ -1,0 +1,269 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.PlanBridge
+
+import graft.sources.{GraftTable, Warehouse}
+
+/** SQL DML over catalog tables — `DELETE FROM` / `UPDATE` / `MERGE
+  * INTO graft.<ns>.<t>` resolved onto the warehouse's own row-level
+  * commit paths, the reference's S8/S9 repository surface
+  * (base_repository.py:55-61) in its native SQL spelling. The Delta
+  * pre-row-level-API shape: a post-hoc resolution rule swaps each
+  * resolved command for a RunnableCommand that drives the engine's
+  * Scala API —
+  *
+  *  - `DELETE FROM t WHERE c` → [[Warehouse.deleteRows]]: a
+  *    deletion-vector commit, O(hits) sidecar + O(header) manifest
+  *    delta, never a rewrite — any deterministic row-local predicate
+  *    works (no V1-Filter translatability ceiling);
+  *  - `UPDATE t SET ... WHERE c` → [[Warehouse.updateRows]]: ONE
+  *    atomic commit carrying both the rewritten rows and the old
+  *    positions' DV entries, cost ∝ updated rows;
+  *  - `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET
+  *    * WHEN NOT MATCHED THEN INSERT *` → [[Warehouse.upsert]] keyed
+  *    on the ON-clause equalities (partition-scoped when the table is
+  *    partitioned, with the moved-key assertion ON — the SQL surface
+  *    prefers loud over fast-but-stale); `WHEN MATCHED THEN DELETE`
+  *    (alone) → the S9 anti-join delete.
+  *
+  * Everything else — subquery conditions, conditional/partial merge
+  * actions, NOT MATCHED BY SOURCE, schema-evolving merge — fails
+  * LOUDLY at analysis with the unsupported shape named, never a
+  * silent fallback (the negative-shape specs pin this).
+  *
+  * Expressions cross plans by NAME: the analyzed condition's
+  * attribute references become `UnresolvedAttribute`s and re-resolve
+  * against the warehouse read inside the command — the same frame the
+  * engine's Scala callers filter, so SQL and Scala DML cannot drift.
+  */
+object CatalogDml {
+
+  /** The one GraftTable relation under alias/projection wrappers. */
+  def graftTarget(p: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    p match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((r, t))
+        case _             => None
+      }
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case _                       => None
+    }
+
+  /** Re-target an expression by column name: every attribute of
+    * `target` becomes an UnresolvedAttribute, so the expression
+    * resolves against the warehouse's own read plan. Subqueries and
+    * attributes from OTHER plans (correlations) are rejected loudly.
+    */
+  /** Inline `With`/CommonExpressionRef nodes (the analyzer's BETWEEN
+    * and friends): substituting unresolved attributes INSIDE a
+    * CommonExpressionDef breaks `withNewChildren` (it re-derives the
+    * def's dataType), so the shared expression is expanded first —
+    * re-evaluation is fine, these conditions run once per row in a
+    * DV/update scan, not in a tight codegen loop.
+    */
+  private def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val byId = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transformUp {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef
+            if byId.contains(r.id) => byId(r.id)
+      }
+  }
+
+  def byName(e: Expression, target: Seq[Attribute]): Expression = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft SQL DML does not support subqueries in conditions: $e")
+    val ids = target.map(_.exprId).toSet
+    inlineWith(e).transform {
+      case a: AttributeReference =>
+        require(ids.contains(a.exprId),
+          s"graft SQL DML condition references a non-target column: ${a.name}")
+        UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  def cond(e: Expression, target: Seq[Attribute]): Column =
+    PlanBridge.columnOf(byName(e, target))
+}
+
+/** DELETE FROM — a deletion-vector commit (`op=delete`). */
+final case class GraftDeleteCommand(wh: Warehouse, table: String,
+    condition: Column) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.deleteRows(table, condition)
+    Seq.empty
+  }
+}
+
+/** UPDATE — one atomic rewrite+DV commit (`op=update`). */
+final case class GraftUpdateCommand(wh: Warehouse, table: String,
+    condition: Column, assignments: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.updateRows(table, condition, assignments.toMap)
+    Seq.empty
+  }
+}
+
+/** MERGE (upsert shape) — `Warehouse.upsert` on the ON-clause keys. */
+final case class GraftMergeUpsertCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String],
+    partitionCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.upsert(table, PlanBridge.ofRows(spark, source), keyCols,
+      partitionCols = partitionCols,
+      assertPartitionStable = partitionCols.nonEmpty)
+    Seq.empty
+  }
+}
+
+/** MERGE (delete shape) — the S9 anti-join delete on the ON keys. */
+final case class GraftMergeDeleteCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.delete(table,
+      PlanBridge.ofRows(spark, source)
+        .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(), keyCols)
+    Seq.empty
+  }
+}
+
+final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import CatalogDml._
+
+  private def fail(shape: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft SQL DML: unsupported shape — $shape")
+
+  /** The ON clause as (targetKey, sourceKey) name pairs: a conjunction
+    * of target-attr = source-attr equalities, nothing else.
+    */
+  private def keyPairs(on: Expression, target: Seq[Attribute],
+      source: Seq[Attribute]): Seq[(String, String)] = {
+    val tIds = target.map(_.exprId).toSet
+    val sIds = source.map(_.exprId).toSet
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    split(on).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tIds.contains(a.exprId) && sIds.contains(b.exprId) =>
+        (a.name, b.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tIds.contains(a.exprId) && sIds.contains(b.exprId) =>
+        (a.name, b.name)
+      case other => fail(s"MERGE ON must be a conjunction of " +
+        s"target-column = source-column equalities, got: $other")
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case d @ DeleteFromTable(target, cond) if d.resolved =>
+      graftTarget(target) match {
+        case Some((rel, t)) =>
+          GraftDeleteCommand(t.wh, tableName(t), CatalogDml.cond(cond, rel.output))
+        case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) if u.resolved =>
+      graftTarget(target) match {
+        case Some((rel, t)) =>
+          val assigns = assignments.map { a =>
+            a.key match {
+              case k: AttributeReference
+                  if rel.output.exists(_.exprId == k.exprId) =>
+                k.name -> CatalogDml.cond(a.value, rel.output)
+              case other => fail(s"UPDATE SET supports top-level target " +
+                s"columns only, got: $other")
+            }
+          }
+          val c = cond.map(CatalogDml.cond(_, rel.output))
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          GraftUpdateCommand(t.wh, tableName(t), c, assigns)
+        case None => u
+      }
+
+    case m: MergeIntoTable if m.resolved =>
+      graftTarget(m.targetTable) match {
+        case Some((rel, t)) =>
+          if (m.withSchemaEvolution) fail("MERGE WITH SCHEMA EVOLUTION")
+          if (m.notMatchedBySourceActions.nonEmpty)
+            fail("MERGE ... WHEN NOT MATCHED BY SOURCE")
+          val keys = keyPairs(m.mergeCondition, rel.output,
+            m.sourceTable.output)
+          if (keys.isEmpty) fail("MERGE ON with no key equality")
+          val parts = Option(t.properties.get("partition_cols"))
+            .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          // source projected to the TARGET's column names via the ON
+          // pairing for keys and name identity for the rest — the
+          // upsert unions by position over the target schema
+          def sourceAs(cols: Seq[String]): LogicalPlan = {
+            val byTargetName = keys.toMap
+            val projections = cols.map { c =>
+              val srcName = byTargetName.getOrElse(c, c)
+              m.sourceTable.output.find(_.name.equalsIgnoreCase(srcName)).getOrElse(
+                fail(s"MERGE source has no column '$srcName' for target " +
+                  s"column '$c' (star actions pair columns by name)"))
+            }.zip(cols).map { case (attr, c) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(attr, c)()
+            }
+            Project(projections, m.sourceTable)
+          }
+          (m.matchedActions, m.notMatchedActions) match {
+            // the canonical upsert: UPDATE SET * + INSERT *
+            case (Seq(ua: UpdateAction), Seq(ia: InsertAction))
+                if ua.condition.isEmpty && ia.condition.isEmpty &&
+                  starLike(ua.assignments, rel.output, m.sourceTable.output) &&
+                  starLike(ia.assignments, rel.output, m.sourceTable.output) =>
+              GraftMergeUpsertCommand(t.wh, tableName(t),
+                sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
+            // delete-matching: WHEN MATCHED THEN DELETE, nothing else
+            case (Seq(da: DeleteAction), Seq()) if da.condition.isEmpty =>
+              GraftMergeDeleteCommand(t.wh, tableName(t),
+              {
+                val byTargetName = keys.toMap
+                Project(keys.map { case (tk, sk) =>
+                  val attr = m.sourceTable.output.find(_.name.equalsIgnoreCase(sk))
+                    .getOrElse(fail(s"MERGE source has no column '$sk'"))
+                  org.apache.spark.sql.catalyst.expressions.Alias(attr, tk)()
+                }, m.sourceTable)
+              }, keys.map(_._1))
+            case (ma, nma) => fail(
+              s"MERGE supports exactly [WHEN MATCHED THEN UPDATE SET * + " +
+              s"WHEN NOT MATCHED THEN INSERT *] or [WHEN MATCHED THEN " +
+              s"DELETE alone]; got matched=$ma notMatched=$nma")
+          }
+        case None => m
+      }
+  }
+
+  /** Star-shaped assignments: every target column assigned exactly
+    * from the source attribute of the same (or ON-paired) name — the
+    * aligned form the analyzer expands `UPDATE SET *` / `INSERT *`
+    * into.
+    */
+  private def starLike(assigns: Seq[Assignment], target: Seq[Attribute],
+      source: Seq[Attribute]): Boolean = {
+    val sIds = source.map(_.exprId).toSet
+    assigns.forall { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          target.exists(_.exprId == k.exprId) && sIds.contains(v.exprId)
+        case _ => false
+      }
+    }
+  }
+
+  private def tableName(t: GraftTable): String = t.bareName
+}

@@ -25,7 +25,21 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   */
 final class CatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val writeTargets = plan.collect { case w: V2WriteCommand => w.table }
+    val writeTargets: Seq[LogicalPlan] =
+      plan.collect { case w: V2WriteCommand => Seq(w.table) }.flatten ++
+      // row-level DML targets stay V2 relations too: CatalogDmlRule
+      // (same post-hoc batch, registered after this rule) rewrites the
+      // whole command onto the warehouse's delete/update/upsert paths —
+      // splicing the target here first would hide it. A MERGE's SOURCE
+      // is not excluded: it reads through the normal splice.
+      plan.collect {
+        case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+          d.table.collect { case r: DataSourceV2Relation => r }
+        case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+          u.table.collect { case r: DataSourceV2Relation => r }
+        case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+          m.targetTable.collect { case r: DataSourceV2Relation => r }
+      }.flatten
     plan.transformUp {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftTable] &&

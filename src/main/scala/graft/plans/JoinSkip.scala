@@ -33,9 +33,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    join is the row-level truth (same residual discipline as the
   *    Filter in AutoSkipRule);
   *  - the dim side must be estimated under the broadcast threshold,
-  *    must not be streaming, and its collected DISTINCT key count is
-  *    capped: one over the cap abandons (memoized, so the probe runs
-  *    once per dim plan instance, not once per fixpoint iteration);
+  *    must not be streaming, must be ANALYSIS-PINNED (every leaf a
+  *    LocalRelation/Range/HadoopFsRelation whose listing was captured
+  *    at analysis — a mutable relation's keys could drift between
+  *    plan and execution, and pruning on stale keys would be wrong
+  *    results), and its collected DISTINCT key count is capped: over
+  *    the cap the probe degrades to the keys' [min, max] as a range
+  *    predicate (one extra bounded agg) — a range-clustered fact
+  *    still prunes under a 10k-key dim. All outcomes are memoized per
+  *    dim plan instance, not per fixpoint iteration;
   *  - the fact scan must be registered (manifest read) and span
   *    enough files ([[JoinSkip.minFiles]]) for pruning to matter —
   *    commit-internal joins over small tables skip the machinery;
@@ -51,61 +57,100 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * dimension's keys can live in.
   */
 object JoinSkip {
-  /** Abandon pruning when the dim yields more distinct keys: the
-    * per-value prune probes (and the IN-list the residual join
-    * semantically is) stop paying past this.
+  /** Key-list cap: past this many distinct dim keys the per-value
+    * prune probes (and the IN-list the residual join semantically is)
+    * stop paying — the probe FALLS BACK to the keys' [min, max] as a
+    * range predicate (one extra bounded agg), which still prunes a
+    * range-clustered fact under a 10k-key dim.
     */
   val maxKeys = 128
 
   /** Don't bother pruning scans smaller than this many files. */
   val minFiles = 8
 
-  // dim-plan instance → collected external key values (None = probed
-  // and abandoned: over cap, un-collectible type, execution failure).
-  // Weak keys: the plan dies with its query; identity reuse across
-  // fixpoint iterations is exactly the reuse we want, and structural
-  // equality cannot alias different snapshots (each read's relation
-  // holds its own FileIndex instance).
+  /** Probe outcome for one dim plan instance. */
+  private[plans] sealed trait Probe
+  /** ≤ maxKeys distinct non-null keys, litValue-normalized. */
+  private[plans] final case class Keys(vals: Seq[Any]) extends Probe
+  /** Over-cap dim: the keys' inclusive [min, max] instead. */
+  private[plans] final case class KeyRange(lo: Any, hi: Any) extends Probe
+  /** Probed and abandoned (un-collectible type, execution failure). */
+  private[plans] case object Abandoned extends Probe
+
+  // dim-plan instance → probe outcome. Weak keys: the plan dies with
+  // its query; identity reuse across fixpoint iterations is exactly
+  // the reuse we want, and structural equality cannot alias different
+  // snapshots (each read's relation holds its own FileIndex instance).
   private val keyCache =
-    Collections.synchronizedMap(new JWeakHashMap[LogicalPlan, Option[Seq[Any]]]())
+    Collections.synchronizedMap(new JWeakHashMap[LogicalPlan, Probe]())
 
   private val depth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
   }
 
-  /** Collect the dim side's distinct, non-null join keys as prune
-    * values (litValue-normalized externals), or None when the probe
-    * abandons. Executes a bounded side query — guarded by the caller.
+  /** Probe the dim side: its distinct non-null join keys when they fit
+    * the cap, else their [min, max] range. Executes one (or, over-cap,
+    * two) bounded side queries — guarded by the caller.
     */
-  private[plans] def dimKeys(spark: SparkSession, dim: LogicalPlan,
-      key: Attribute): Option[Seq[Any]] = {
+  private[plans] def dimProbe(spark: SparkSession, dim: LogicalPlan,
+      key: Attribute): Probe = {
     val cached = keyCache.get(dim)
     if (cached != null) return cached
-    val r: Option[Seq[Any]] =
+    val r: Probe =
       try {
         // project by ATTRIBUTE (exprId), not name — dim outputs can
-        // carry duplicate names through self-joins
+        // carry duplicate names through self-joins; aliased to a fixed
+        // name so the fallback agg below needs no name-parsing
         val df = org.apache.spark.sql.graft.PlanBridge.ofRows(spark,
-          Project(Seq(key), dim))
+          Project(Seq(Alias(key, "__graft_jk")(exprId = key.exprId)), dim))
         val rows = df.distinct().limit(maxKeys + 1).collect()
-        if (rows.length > maxKeys) None
-        else {
+        if (rows.length > maxKeys) {
+          // range fallback: min/max over the SAME bounded side (the
+          // broadcast-threshold guard already bounded its size)
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+          val mm = df.agg(fmin(df("__graft_jk")), fmax(df("__graft_jk"))).head()
+          if (mm.isNullAt(0) || mm.isNullAt(1)) Keys(Nil) // all-null keys
+          else (AutoSkip.litValue(Literal(mm.get(0))),
+              AutoSkip.litValue(Literal(mm.get(1)))) match {
+            case (Some(lo), Some(hi)) => KeyRange(lo, hi)
+            case _                    => Abandoned
+          }
+        } else {
           val vals = rows.toSeq.filterNot(_.isNullAt(0)).map { row =>
             AutoSkip.litValue(Literal(row.get(0))) match {
               case Some(v) => v
-              case None    => return cache(dim, None)
+              case None    => return cache(dim, Abandoned)
             }
           }
-          Some(vals)
+          Keys(vals)
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) => Abandoned }
     cache(dim, r)
   }
 
-  private def cache(dim: LogicalPlan, v: Option[Seq[Any]]): Option[Seq[Any]] = {
+  private def cache(dim: LogicalPlan, v: Probe): Probe = {
     keyCache.put(dim, v)
     v
   }
+
+  /** The dim side is safe to EXECUTE AT PLAN TIME only when its key
+    * set cannot drift between planning and execution: every leaf must
+    * be an analysis-pinned relation — in-memory rows, a Range, or a
+    * file scan whose listing was captured at analysis
+    * (HadoopFsRelation). A mutable DSv2/JDBC-style relation re-reads
+    * its source at execution: keys collected now could miss rows that
+    * exist then, and pruning on them would drop MATCHING fact files —
+    * wrong results, not just a slow plan. (Same reasoning as the
+    * non-deterministic-expression guard in the caller.)
+    */
+  private[plans] def pinnedDim(p: LogicalPlan): Boolean =
+    p.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Range => true
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case _ => false
+    }
 
   /** The single LogicalRelation under Project/Filter wrappers — and
     * under a LeftAnti join's LEFT side (the merge-on-read deletion-
@@ -158,6 +203,9 @@ final class JoinSkipRule extends Rule[LogicalPlan] {
     // could collect one key set at plan time and produce another at
     // execution — pruning on it would be wrong, not just slow
     if (dim.exists(_.expressions.exists(!_.deterministic))) return None
+    // plan-time execution demands an analysis-pinned dim: a mutable
+    // relation's keys could differ at execution time (see pinnedDim)
+    if (!pinnedDim(dim)) return None
     val thr = conf.autoBroadcastJoinThreshold
     if (thr <= 0 || dim.stats.sizeInBytes > thr) return None
     // one equi-pair whose fact side is the relation's own attribute
@@ -171,17 +219,27 @@ final class JoinSkipRule extends Rule[LogicalPlan] {
     }.getOrElse(return None)
     val (factKey, dimKey) = pair
     withDepth {
-      dimKeys(SparkSession.active, dim, dimKey)
-    }.flatMap { keys =>
-      val fp = "join:" + factKey.name + ":" +
-        AutoSkip.fingerprint(Seq(AutoSkip.InPred(factKey.name, keys)))
+      dimProbe(SparkSession.active, dim, dimKey) match {
+        case Abandoned => None
+        case probe    => Some(probe)
+      }
+    }.flatMap { probe =>
+      val preds = probe match {
+        case Keys(keys)       => Seq(AutoSkip.InPred(factKey.name, keys))
+        case KeyRange(lo, hi) =>
+          Seq(AutoSkip.RangePred(factKey.name, Some(lo), Some(hi)))
+        case Abandoned        => return None
+      }
+      val fp = "join:" + factKey.name + ":" + AutoSkip.fingerprint(preds)
       loc match {
         case p: PrunedFileIndex if p.fps(fp) => None // converged
         case _ =>
-          val keptAbs: Set[String] =
-            if (keys.isEmpty) Set.empty // empty dim ⇒ provably empty join
-            else AutoSkip.prunedSet(hook,
-              Seq(AutoSkip.InPred(factKey.name, keys))).getOrElse(return None)
+          val keptAbs: Set[String] = probe match {
+            case Keys(keys) if keys.isEmpty =>
+              Set.empty // empty dim ⇒ provably empty join
+            case _ =>
+              AutoSkip.prunedSet(hook, preds).getOrElse(return None)
+          }
           val keep = AutoSkip.normFiles(loc).iterator
             .filter(keptAbs.contains).toSet
           val prior = loc match {

@@ -2138,6 +2138,124 @@ object Relational {
         WHERE c_custkey >= 1
           AND c_custkey <= (SELECT max(c_custkey) // 8 FROM customer)""")),
 
+    // ---- Streaming read through the catalog name ----------------------
+    // `spark.readStream.table("graft.ns.t")` — the Delta-CDF UX
+    // completed: the SAME name batch SQL selects from is a streaming
+    // source (CatalogStreamRule splices the graft-changes change-feed
+    // source, offset = committed snapshot version, per-trigger cost
+    // bounded by the commits in the window — the reference's "daily
+    // incremental fetch", import_financial_data.py:36-38, as a
+    // restartable stream). The query drains the retained history, then
+    // a NEW commit lands and a SECOND stream run resumes from the SAME
+    // checkpoint: the exactly-once witness (no row served twice, none
+    // skipped) is pinned on the hash surface — count == distinct keys
+    // AND the totals equal the batch answer over all three commits.
+    Q("s44_stream_catalog",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "scat")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("cust_s",
+          c.filter($"c_custkey" % 3 === 0).repartition(2))           // v1
+        wh.setSnapshotRetention("cust_s", 16)
+        wh.append("cust_s", c.filter($"c_custkey" % 3 === 1).repartition(2)) // v2
+        val out = graft.sources.Scratch.dir(s, "scatout")
+        val chk = graft.sources.Scratch.dir(s, "scatchk")
+        def drain(): Unit = {
+          val q = s.readStream.option("startingVersion", "1")
+            .table("graft.wh.cust_s")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // serves v1 + v2
+        wh.append("cust_s", c.filter($"c_custkey" % 3 === 2).repartition(2)) // v3
+        drain() // checkpoint resume: serves ONLY v3
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"),
+            countDistinct($"c_custkey").as("uniq"))
+          .select($"n", $"bal", ($"n" === $"uniq").as("exactly_once"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          TRUE AS exactly_once
+        FROM customer""")),
+
+    // ---- SQL DML: DELETE / UPDATE / MERGE on catalog tables -----------
+    // The reference's S8/S9 repository surface (base_repository.py:
+    // 55-61) in its native SQL spelling (CatalogDmlRule): DELETE is a
+    // deletion-vector commit (witness: file count unchanged, commit
+    // kind `delete`), UPDATE is ONE atomic rewrite+DV commit sized by
+    // the updated rows (witness: commit kind `update`), MERGE resolves
+    // onto Warehouse.upsert keyed on the ON clause. The final hash
+    // pins all three mutations' row-level effect against DuckDB
+    // replaying them relationally.
+    Q("s45_sql_dml",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_totalprice".cast("double").as("o_totalprice"),
+            $"o_orderstatus")
+        val root = graft.sources.Scratch.dir(s, "dmlq")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("ord_dml", o.repartition(4))
+        val filesBefore = wh.history("ord_dml").last._2
+        s.sql("DELETE FROM graft.wh.ord_dml WHERE o_orderkey % 5 = 0")
+        val hDel = wh.history("ord_dml").last
+        val deleteDv = hDel._2 == filesBefore &&
+          wh.commitKind("ord_dml", hDel._1).contains("delete")
+        s.sql("""UPDATE graft.wh.ord_dml SET o_totalprice = o_totalprice * 2.0
+          WHERE o_orderstatus = 'P'""")
+        val hUpd = wh.history("ord_dml").last
+        val updateCommit = wh.commitKind("ord_dml", hUpd._1).contains("update")
+        o.filter($"o_orderkey" <= 100)
+          .select($"o_orderkey", lit(1.0).as("o_totalprice"),
+            lit("M").as("o_orderstatus"))
+          .createOrReplaceTempView("s45_src")
+        s.sql("""MERGE INTO graft.wh.ord_dml t USING s45_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""SELECT count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS revenue
+          FROM graft.wh.ord_dml""")
+          .select($"n", $"revenue", lit(deleteDv).as("delete_dv"),
+            lit(updateCommit).as("update_commit"))
+      },
+      Some("""WITH typed AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                 o_orderstatus
+          FROM orders
+        ), base AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM typed WHERE o_orderkey % 5 <> 0
+        ), src AS (
+          SELECT o_orderkey, 1.0 AS o_totalprice
+          FROM typed WHERE o_orderkey <= 100
+        ), merged AS (
+          SELECT o_orderkey, o_totalprice FROM base
+          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          UNION ALL SELECT o_orderkey, o_totalprice FROM src
+        )
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS delete_dv, TRUE AS update_commit
+        FROM merged""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

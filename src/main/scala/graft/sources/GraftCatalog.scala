@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
@@ -47,15 +48,30 @@ import scala.jdk.CollectionConverters._
   * `CREATE TABLE` publishes an empty snapshot of the declared schema
   * (schema lives in parquet footers + manifest, no extra metadata
   * file), which is exactly what makes CTAS = create + append
-  * compose. `DROP TABLE` delegates to the warehouse's `dropTable`
-  * (manifest pointer removal + GC eligibility), never a recursive
-  * delete of files a concurrent reader may hold.
+  * compose. `DROP TABLE` delegates to the warehouse's `dropTable` —
+  * MANAGED-table semantics (recursive delete of the table directory:
+  * data, manifests, deletion vectors, pointer), the standard
+  * lakehouse DROP: a reader holding the dropped snapshot fails
+  * loudly on its next file open, never silently.
+  *
+  * Every namespace/table path resolves through Hadoop `FileSystem`
+  * (same as the warehouse itself), so the catalog root may live on
+  * any Hadoop scheme — HDFS, S3A, local — not just `file:`.
   */
 class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
   private var initRoot: Option[String] = None
-  private val whCache = scala.collection.mutable.Map[(String, String), Warehouse]()
+  // access-order LinkedHashMap = true LRU: at capacity the ELDEST
+  // entry alone is evicted (a Warehouse is just cached metadata —
+  // re-construction is cheap), instead of dropping every live
+  // warehouse at once
+  private val whCache =
+    new java.util.LinkedHashMap[(String, String), Warehouse](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), Warehouse]): Boolean =
+        size() > 64
+    }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
@@ -84,18 +100,31 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     require(ns.length == 1, s"graft catalog namespaces are one level, got ${ns.mkString(".")}")
     val r = root
     whCache.synchronized {
-      if (whCache.size >= 64) whCache.clear() // bounded across re-pointed roots
-      whCache.getOrElseUpdate((r, ns.head),
-        new Warehouse(spark, s"$r/${ns.head}", manifest = true))
+      val key = (r, ns.head)
+      Option(whCache.get(key)).getOrElse {
+        val w = new Warehouse(spark, s"$r/${ns.head}", manifest = true)
+        whCache.put(key, w)
+        w
+      }
     }
   }
 
   // ---- namespaces ---------------------------------------------------
+  // All through Hadoop FileSystem (resolved per-path, like Warehouse):
+  // a java.io.File layer here would silently report an empty catalog
+  // the moment the root points at HDFS/S3 — the only home a 100 TB
+  // warehouse has.
+
+  private def hadoopFs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def listNamespaces(): Array[Array[String]] = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Array.empty
-    else d.listFiles().filter(_.isDirectory).map(f => Array(f.getName)).sortBy(_.head)
+    val base = new Path(root)
+    val fs = hadoopFs(base)
+    if (!fs.exists(base)) Array.empty
+    else fs.listStatus(base).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+      .filterNot(_.head.startsWith("_")).sortBy(_.head)
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -104,7 +133,11 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && new java.io.File(s"$root/${namespace.head}").isDirectory
+    namespace.length == 1 && {
+      val p = new Path(s"$root/${namespace.head}")
+      val fs = hadoopFs(p)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) util.Collections.emptyMap()
@@ -113,15 +146,23 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1, "one namespace level")
-    new java.io.File(s"$root/${namespace.head}").mkdirs()
+    val p = new Path(s"$root/${namespace.head}")
+    hadoopFs(p).mkdirs(p); ()
   }
 
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("dropNamespace")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    val p = new Path(s"$root/${namespace.head}")
+    whCache.synchronized { whCache.remove((root, namespace.head)); () }
+    hadoopFs(p).delete(p, true)
+  }
 
   // ---- tables -------------------------------------------------------
 
@@ -152,28 +193,113 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     new GraftTable(wh(ident.namespace), ident, Some(v))
   }
 
+  /** `TIMESTAMP AS OF` time travel: Spark hands the instant in
+    * MICROseconds; the warehouse resolves it against manifest commit
+    * times (immutable-file mtimes, the Delta/Iceberg convention).
+    * Failing loudly when every retained commit is newer keeps the
+    * contract predictable — same stance as a GC'd `VERSION AS OF`.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val w = wh(ident.namespace)
+    val v = w.versionAtTimestamp(ident.name, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel: no retained snapshot of ${ident.name} at or " +
+        s"before timestamp ${timestamp}us — history may have been GC'd " +
+        "(raise retain_snapshots/retain_ms) or the instant predates the table"))
+    new GraftTable(w, ident, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog DDL does not declare partitioning; use atomicPublish(partitionCols) or write-side layout")
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog supports identity partitioning only, got $other")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     val w = wh(ident.namespace)
     // empty snapshot of the declared schema: the schema's home is the
     // parquet footer + manifest, so CREATE = publish(empty) and CTAS
-    // (create + append) composes with zero extra metadata machinery
+    // (create + append) composes with zero extra metadata machinery.
+    // The empty snapshot is published FLAT even for a partitioned
+    // table (zero rows write no hive dirs — an empty partitioned write
+    // would record NO schema-bearing file at all); the declared layout
+    // lives in the `partition_cols` prop, and every INSERT writes
+    // under it (appendEvolved — the flat zero-row vintage is vacuous).
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).coalesce(1)
     w.atomicPublish(ident.name, empty)
+    if (partCols.nonEmpty)
+      w.setTableProp(ident.name, "partition_cols", partCols.mkString(","))
+    properties.asScala.foreach { case (k, v) =>
+      if (!k.startsWith("option.") && k != "owner" && k != "provider")
+        w.setTableProp(ident.name, k, v)
+    }
     new GraftTable(w, ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable")
+  /** ALTER TABLE. Supported changes, each O(metadata):
+    *  - ADD COLUMN (top-level, nullable, appended last): recorded in
+    *    the `added_cols` prop — the Delta model: adding a column is a
+    *    metadata action; reads null-fill until a write materializes
+    *    it (GraftTable.snapshot does the fill, so catalog SQL and the
+    *    write path agree on the schema from the next analysis on).
+    *  - SET/UNSET TBLPROPERTIES: straight to table props — this is
+    *    the SQL control surface for the GC horizon (`retain_snapshots`
+    *    / `retain_ms`), making `VERSION AS OF` availability a declared
+    *    policy instead of a discovered accident.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val w = wh(ident.namespace)
+    val cur = new GraftTable(w, ident).schema()
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft ALTER TABLE adds top-level columns only")
+        require(add.isNullable,
+          "added columns must be nullable (existing rows null-fill)")
+        require(add.position() == null,
+          "graft ALTER TABLE appends columns at the end only")
+        require(add.defaultValue() == null,
+          "added columns take no DEFAULT (existing rows null-fill)")
+        val name = add.fieldNames.head
+        require(!cur.fieldNames.contains(name), s"column $name already exists")
+        val prev = w.tableProp(ident.name, "added_cols")
+          .map(StructType.fromDDL).getOrElse(new StructType())
+        val next = prev.add(name, add.dataType(), nullable = true)
+        w.setTableProp(ident.name, "added_cols", next.toDDL)
+      case set: TableChange.SetProperty =>
+        w.setTableProp(ident.name, set.property, set.value)
+      case rm: TableChange.RemoveProperty =>
+        w.setTableProp(ident.name, rm.property, "")
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE does not support $other")
+    }
+    new GraftTable(w, ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && { wh(ident.namespace).dropTable(ident.name); true }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameTable")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    // `RENAME TO` identifiers arrive verbatim: accept the bare table
+    // name, the same namespace, or the fully-qualified spelling with
+    // this catalog's own name prefixed (`ALTER TABLE graft.ns.a RENAME
+    // TO graft.ns.b`) — anything else would cross warehouse roots
+    val ns = newIdent.namespace
+    val sameNs = ns.isEmpty || ns.sameElements(oldIdent.namespace) ||
+      (ns.length == oldIdent.namespace.length + 1 && ns.head == catName &&
+        ns.drop(1).sameElements(oldIdent.namespace))
+    require(sameNs,
+      "graft RENAME stays within one namespace (one warehouse root); got " +
+      s"${oldIdent} -> ${newIdent}")
+    wh(oldIdent.namespace).renameTable(oldIdent.name, newIdent.name)
+  }
 }
 
 /** One warehouse table as a DSv2 `Table`. The read path never executes
@@ -186,16 +312,56 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
     version: Option[Long] = None)
     extends Table with SupportsWrite {
 
+  /** Declared hive layout (partitioned CREATE TABLE), if any. */
+  private def partCols: Seq[String] =
+    wh.tableProp(ident.name, "partition_cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   /** The table's snapshot read — current, or the `VERSION AS OF`
     * manifest — built once per loadTable (= once per query analysis):
     * schema truth AND the plan the read rule splices. Analysis-time
-    * snapshot semantics, same contract as the TVFs.
+    * snapshot semantics, same contract as the TVFs. Columns added by
+    * `ALTER TABLE ADD COLUMN` (the `added_cols` prop — a metadata
+    * action, Delta-style) are null-filled here until some write
+    * materializes them, so schema() and the spliced read plan agree
+    * by construction. The fill applies to versioned reads too: a
+    * pre-ALTER snapshot shows the column as all-null rather than
+    * re-deriving a per-version schema — documented, not accidental.
     */
-  lazy val snapshot: DataFrame =
-    version.map(wh.readVersion(ident.name, _)).getOrElse(wh.read(ident.name))
+  lazy val snapshot: DataFrame = {
+    val base =
+      version.map(wh.readVersion(ident.name, _)).getOrElse(wh.read(ident.name))
+    wh.tableProp(ident.name, "added_cols")
+      .map(StructType.fromDDL).map { st =>
+        st.fields.filterNot(f => base.columns.contains(f.name))
+          .foldLeft(base)((d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      }.getOrElse(base)
+  }
 
   override def name(): String = ident.toString
+  /** The bare warehouse table name (the namespace IS the warehouse). */
+  private[graft] def bareName: String = ident.name()
   override def schema(): StructType = snapshot.schema
+  override def partitioning(): Array[Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
+  /** Reported properties: the declared layout plus the snapshot-GC
+    * horizon — `retain_snapshots`/`retain_ms` surface here (and via
+    * SHOW TBLPROPERTIES) so `VERSION AS OF` availability is a policy
+    * a user can READ, not an accident discovered at failure time.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (partCols.nonEmpty) m.put("partition_cols", partCols.mkString(","))
+    Seq("retain_snapshots", "retain_ms", "added_cols").foreach(k =>
+      wh.tableProp(ident.name, k).foreach(v => m.put(k, v)))
+    wh.currentVersion(ident.name).foreach(v =>
+      m.put("current_version", v.toString))
+    m
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.BATCH_READ)
@@ -207,9 +373,16 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, ow: Boolean): Unit =
-              if (overwrite || ow) wh.atomicPublish(ident.name, data)
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              val parts = partCols
+              if (overwrite || ow) wh.atomicPublish(ident.name, data, parts)
+              // declared-layout tables write hive dirs EXPLICITLY
+              // (appendEvolved): plain append is layout-preserving
+              // from the head file, and the CREATE-time empty
+              // snapshot's head is flat
+              else if (parts.nonEmpty) wh.appendEvolved(ident.name, data, parts)
               else wh.append(ident.name, data)
+            }
           }
       }
     }

@@ -73,6 +73,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
 
   if (autoSkip && manifest) graft.plans.AutoSkip.install(spark)
 
+  /** The warehouse base dir (catalog/streaming splice plumbing). */
+  private[graft] def rootDir: String = dir
+
   private def tablePath(name: String) = s"$dir/$name"
 
   /** Table names present in the warehouse root — one directory per
@@ -137,6 +140,26 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     if (fs.exists(root)) { fs.delete(root, true); () }
+    // props live OUTSIDE the table dir (see propPath) — drop them too,
+    // or a re-created table of the same name would inherit the old
+    // table's layout/retention choices
+    val props = new Path(dir, s"_PROPS/$name")
+    if (fs.exists(props)) { fs.delete(props, true); () }
+  }
+
+  /** Rename a table: one directory rename (manifest tables are fully
+    * self-contained under their root) plus the props dir. Same-FS
+    * atomic on rename-atomic stores, same caveat as every publish.
+    */
+  def renameTable(oldName: String, newName: String): Unit = {
+    val from = new Path(tablePath(oldName))
+    val to = new Path(tablePath(newName))
+    val fs = fileSystem(from)
+    require(fs.exists(from), s"no such table: $oldName")
+    require(!fs.exists(to), s"table already exists: $newName")
+    require(fs.rename(from, to), s"rename $oldName -> $newName failed")
+    val pFrom = new Path(dir, s"_PROPS/$oldName")
+    if (fs.exists(pFrom)) fs.rename(pFrom, new Path(dir, s"_PROPS/$newName"))
   }
 
   def read(name: String): DataFrame =
@@ -1600,11 +1623,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
                   case None     => true
                 }) &&
                 (blooms.get(inner) match {
-                  // blooms were keyed from Number/String value strings
-                  // at write time — a wrapper-typed probe (DateDays/
-                  // Micros/BigDecimal) has no matching key format, so
-                  // it must KEEP, not consult the filter
-                  case Some(fb) if value.isInstanceOf[Number] ||
+                  // blooms were keyed from Spark's cast-to-string at
+                  // write time — only probe types whose toString is
+                  // guaranteed to match that rendering (Long/Integer/
+                  // Double/String; litValue normalizes all integrals
+                  // to Long and floats to Double). Wrapper-typed
+                  // probes (DateDays/Micros) have no matching key
+                  // format, and java.math.BigDecimal — though a
+                  // Number — renders scale/exponent differently from
+                  // the write-side cast, so they must KEEP, never
+                  // consult the filter.
+                  case Some(fb) if value.isInstanceOf[java.lang.Long] ||
+                      value.isInstanceOf[java.lang.Integer] ||
+                      value.isInstanceOf[java.lang.Double] ||
                       value.isInstanceOf[String] =>
                     BloomIndex.mightContain(fb.bits, fb.k, value.toString)
                   case _ => true
@@ -3805,6 +3836,68 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       .map(d => loadDv(fs, d).count()).getOrElse(0L)
   }
 
+  /** Row-level UPDATE as ONE atomic commit (the SQL `UPDATE ... SET
+    * ... WHERE ...` surface): the live rows matching `cond` are
+    * rewritten with `assignments` applied into a NEW version dir,
+    * while their OLD physical positions join the deletion vector —
+    * both staged under a single manifest made current by the same
+    * pointer CAS as every commit. Cost ∝ one scan for the hits plus a
+    * write sized by the UPDATED rows, never the table: updating 100
+    * rows of a 100 TB table writes one small file and an O(header)
+    * manifest delta. A reader sees the pre-update or post-update
+    * snapshot, never a mix (contrast a delete-then-append pair, whose
+    * middle state loses the rows). Returns the number of rows
+    * updated. Assignments may reference any data column (including
+    * moving a row across partitions — the manifest lists files
+    * explicitly, so the new file's layout placement is free to
+    * differ).
+    */
+  def updateRows(name: String, cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(manifest, "row-level update requires manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val (mfCap, filesCap) = resolveSnapshot(name)
+    val mf = mfCap.getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot for $name"))
+    val expected = pointerStore.read(fs, root, dvPtrName(mf))
+    val raw = readFiles(name, filesCap, withPos = true)
+    val dv = expected.map(d => loadDv(fs, new Path(root, d)))
+    // live hits only: a row already in the deletion vector must NOT be
+    // resurrected as an updated copy — subtract the vector before the
+    // rewrite, exactly the merge-on-read discipline
+    val hits = (dv match {
+      case None => raw.filter(cond)
+      case Some(d) =>
+        val dels = d.select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
+        raw.filter(cond)
+          .join(broadcast(dels),
+            col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
+            "left_anti")
+    }).persist()
+    try {
+      val nHits = hits.count()
+      if (nHits == 0) return 0L // nothing to update — no commit
+      val dataCols = raw.columns.filterNot(Set("_file", "_pos"))
+      assignments.keys.foreach(k => require(dataCols.contains(k),
+        s"updateRows($name): no such column '$k'"))
+      val rewritten = hits.select(dataCols.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }.toSeq: _*)
+      val parts = partitionColsFrom(snapshotHeadFile(name))
+      val positions = hits.select(col("_file"), col("_pos"))
+      val merged = dv match {
+        case Some(d) => d.select(col("_file"), col("_pos"))
+          .unionByName(positions).distinct()
+        case None => positions.distinct()
+      }
+      val (n, added) = writeVersion(name, rewritten, parts)
+      commitSnapshot(name, n, Delta(Some(mf), Set.empty, Set.empty, added),
+        Some(mf), dvReplace = Some(merged), op = "update")
+      nHits
+    } finally { hits.unpersist(); () }
+  }
+
   /** Merge-on-read scan. Since round 11 `read` itself IS merge-on-read
     * (the DV anti-join lives in `readFilesMor`, shared by every read
     * surface); this alias survives for callers written against the
@@ -3863,6 +3956,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
           (v, files.size.toLong, rows)
       }
     }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the latest COMMITTED, still-retained
+    * version whose manifest file was written at or before `tsMillis` —
+    * the Delta/Iceberg convention (commit-file modification time IS
+    * the commit time; manifests are immutable after creation, so the
+    * mtime is stable). None = every retained commit is newer than the
+    * asked instant; the caller fails loudly, same contract as a GC'd
+    * `VERSION AS OF`. O(retained versions) driver metadata.
+    */
+  def versionAtTimestamp(name: String, tsMillis: Long): Option[Long] = {
+    require(manifest, "time travel requires manifest mode")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    history(name).map(_._1).filter { v =>
+      val mf = new Path(root, s"_manifest_v$v")
+      fs.exists(mf) && fs.getFileStatus(mf).getModificationTime <= tsMillis
+    }.maxOption
   }
 
   // ---- Write-audit-publish branches (manifest mode) ------------------

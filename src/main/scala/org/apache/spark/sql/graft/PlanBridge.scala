@@ -15,4 +15,14 @@ object PlanBridge {
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst `Expression` → user-facing `Column` (`ExpressionUtils
+    * .column` is `private[sql]`): the SQL-DML rules carry an analyzed
+    * condition/assignment out of one plan and re-resolve it by NAME
+    * against the warehouse's own read — the caller has already
+    * swapped attribute references for `UnresolvedAttribute`s.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -538,6 +538,50 @@ class AutoSkipSpec extends SparkSpec {
     assert(m === Map(-1L -> 70L, 0L -> 15L, 1L -> 15L))
   }
 
+  test("bloom probes never consult decimal keys (conservative keep)") {
+    import spark.implicits._
+    // write-side blooms key on Spark's cast-to-string of the column
+    // ("2.50" for decimal(10,2)); a java.math.BigDecimal probe can
+    // render the SAME value differently ("2.5") — consulting the
+    // bloom with that string wrong-prunes the file (ADVICE r16). The
+    // guard must skip the bloom for decimal probes: footer stats
+    // still prune (typed-wrapper compare), the bloom never vetoes.
+    val wh = mk("graft-bloomdec")
+    wh.atomicPublish("t",
+      spark.range(0, 8000).toDF("k")
+        .withColumn("d", (($"k" % 40) / lit(4.0)).cast("decimal(10,2)"))
+        .repartitionByRange(8, $"k"))
+    wh.buildBloom("t", "d")
+    val probe = new java.math.BigDecimal("2.5") // stored rendering: 2.50
+    val (kept, total) = wh.pruneFilesEquals("t", "d", Seq(probe))
+    assert(total === 8 && kept.nonEmpty,
+      s"decimal probe must keep candidate files, kept ${kept.size} of $total")
+    // end-to-end: the point lookup still finds every matching row
+    assert(wh.readEquals("t", "d", Seq(probe)).count() ===
+      (0L until 8000L).count(k => k % 40 == 10).toLong)
+  }
+
+  test("meta-agg: non-canonical partition renderings merge by decoded value") {
+    import spark.implicits._
+    // two RAW path renderings (`pd=1`, `pd=01`) that hive inference
+    // decodes to ONE int value: a real aggregate sees one group, so
+    // the sidecar collapse must merge their counts too (ADVICE r16 —
+    // keying groups by the raw segment produced duplicate rows here)
+    val wh = mk("graft-metagrp3")
+    wh.atomicPublish("t",
+      spark.range(0, 60).toDF("k").withColumn("pd", lit("1")).unionByName(
+        spark.range(0, 40).toDF("k").withColumn("pd", lit("01"))),
+      partitionCols = Seq("pd"))
+    val q = wh.read("t").groupBy($"pd").agg(count(lit(1)).as("n"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty,
+      "collapse must still fire on the mixed-rendering layout")
+    val rows = q.collect().map(r =>
+      r.getAs[Number](0).longValue -> r.getLong(1)).toSeq
+    assert(rows === Seq(1L -> 100L),
+      s"decoded-equal renderings must merge into one group, got ${rows.toList}")
+  }
+
   test("stats/history TVF freshness: frozen per analysis, refreshed per sql() call") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-tvf-fresh").toString

@@ -76,15 +76,29 @@ class JoinSkipSpec extends SparkSpec {
     assert(semi.count() === 5)
   }
 
-  test("join-skip: abandons on wide dims; empty dim prunes everything") {
+  test("join-skip: over-cap dims fall back to a key range; empty dim prunes everything") {
     import spark.implicits._
     val wh = mk("graft-joinskip3")
     wh.atomicPublish("fact", fact())
-    // > maxKeys distinct keys: the probe abandons, plan untouched
+    // > maxKeys distinct keys SCATTERED across the whole domain: the
+    // range fallback [0, 9998] overlaps every file — nothing dropped,
+    // nothing wrong
     val wide = spark.range(0, 10000, 2).toDF("dk")
     val qw = wh.read("fact").join(wide, $"fk" === $"dk")
-    assert(prunedCounts(qw) === ((-1, -1)), "wide dim must not prune")
+    val (kw, tw) = prunedCounts(qw)
+    assert(kw === tw, s"scattered over-cap dim must drop nothing, kept $kw of $tw")
     assert(qw.count() === 5000)
+
+    // > maxKeys distinct keys CLUSTERED in one file's range: the
+    // min/max fallback still prunes the range-clustered fact — the
+    // leg the flat key-cap abandon used to give up on
+    val clustered = spark.range(1300, 1600).toDF("dk") // 300 keys > cap
+    val qc = wh.read("fact").join(clustered, $"fk" === $"dk")
+    val (kc, tc) = prunedCounts(qc)
+    // range-partition boundaries are sample-approximate: the 300-key
+    // window can straddle one boundary, never more
+    assert(tc === 8 && kc <= 2, s"clustered over-cap dim kept $kc of $tc")
+    assert(qc.count() === 300)
 
     // empty dim: the join output is provably empty — zero files planned
     val empty = spark.range(0, 500).toDF("dk").where($"dk" < 0)
@@ -92,6 +106,46 @@ class JoinSkipSpec extends SparkSpec {
     val (ke, te) = prunedCounts(qe)
     assert(te === 8 && ke === 0, s"empty dim kept $ke of $te")
     assert(qe.count() === 0)
+  }
+
+  test("join-skip: non-pinned dim leaves (RDD-backed) are not probed") {
+    import spark.implicits._
+    val wh = mk("graft-joinskip5")
+    wh.atomicPublish("fact", fact())
+    // an RDD-backed dim is opaque to the pinned-leaf allowlist: the
+    // conservative guard must leave the plan untouched (probing a
+    // relation whose contents the planner cannot prove stable between
+    // plan- and execution-time is the wrong-results shape ADVICE r16
+    // flagged for mutable sources)
+    val rdd = sc.parallelize(Seq(100L, 101L, 102L)).map(org.apache.spark.sql.Row(_))
+    val dim = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dk",
+          org.apache.spark.sql.types.LongType))))
+    val q = wh.read("fact").join(dim, $"fk" === $"dk")
+    assert(prunedCounts(q) === ((-1, -1)), "RDD dim must not prune")
+    assert(q.count() === 3)
+  }
+
+  test("join-skip fuzz: pruned results always equal unpruned (seeded sweep)") {
+    import spark.implicits._
+    val wh = mk("graft-joinskip6")
+    wh.atomicPublish("fact", fact())
+    val rnd = new scala.util.Random(17)
+    (1 to 8).foreach { _ =>
+      val lo = rnd.nextInt(10000)
+      val width = 1 + rnd.nextInt(400) // spans the key cap both ways
+      val dim = spark.range(lo.toLong, (lo + width).toLong).toDF("dk")
+      val on = wh.read("fact").join(dim, $"fk" === $"dk")
+        .agg(count(lit(1)), sum($"v")).head()
+      val off = {
+        spark.conf.set("spark.graft.joinSkip.enabled", "false")
+        try wh.read("fact").join(dim, $"fk" === $"dk")
+          .agg(count(lit(1)), sum($"v")).head()
+        finally spark.conf.set("spark.graft.joinSkip.enabled", "true")
+      }
+      assert(on === off, s"window [$lo, ${lo + width}) diverged: $on vs $off")
+    }
   }
 
   test("join-skip: literal WHERE on the fact composes with the dim prune") {
