@@ -2256,6 +2256,48 @@ object Relational {
           TRUE AS delete_dv, TRUE AS update_commit
         FROM merged""")),
 
+    // ---- SQL ops surface: CALL graft.system.* -------------------------
+    // The warehouse maintenance verbs from pure SQL (Spark 4.1
+    // ProcedureCatalog; the Iceberg CALL catalog.system.* convention):
+    // retention policy, compaction, bloom sidecars and the fsck audit
+    // all run where a deployment's ops cron actually lives. Witnesses:
+    // compact(1) leaves one file (a genuine rewrite commit), fsck
+    // reports healthy; the hash pins that none of it changed a row.
+    Q("s46_sql_ops",
+      (s, dir) => {
+        import s.implicits._
+        val p = t(s, dir, "part")
+          .select($"p_partkey".cast("long").as("p_partkey"),
+            $"p_brand", $"p_retailprice")
+        val root = graft.sources.Scratch.dir(s, "opsq")
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", root)
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("part_ops",
+          p.filter($"p_partkey" % 2 === 0).repartition(4))
+        s.sql("CALL graft.system.set_retention(ns => 'wh', tbl => 'part_ops', snapshots => 8)")
+        wh.append("part_ops", p.filter($"p_partkey" % 2 === 1).repartition(4))
+        s.sql("CALL graft.system.compact(ns => 'wh', tbl => 'part_ops', files => 1)")
+        val compacted = wh.history("part_ops").last._2 == 1L
+        s.sql("CALL graft.system.build_bloom(ns => 'wh', tbl => 'part_ops', col => 'p_brand')")
+        val healthy = s.sql(
+          "CALL graft.system.fsck(ns => 'wh', tbl => 'part_ops')")
+          .collect().map(_.getString(0)).sameElements(Array("healthy"))
+        s.sql("""SELECT count(*) AS n,
+            CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS retail,
+            count(CASE WHEN p_brand = 'Brand#13' THEN 1 END) AS nb
+          FROM graft.wh.part_ops""")
+          .select($"n", $"retail", $"nb",
+            lit(compacted).as("compacted"), lit(healthy).as("healthy"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS retail,
+          count(CASE WHEN p_brand = 'Brand#13' THEN 1 END) AS nb,
+          TRUE AS compacted, TRUE AS healthy
+        FROM part""")),
+
     Q("s25_deletion_vectors",
       (s, dir) => {
         import s.implicits._

@@ -58,7 +58,8 @@ import scala.jdk.CollectionConverters._
   * (same as the warehouse itself), so the catalog root may live on
   * any Hadoop scheme — HDFS, S3A, local — not just `file:`.
   */
-class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces {
+class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var initRoot: Option[String] = None
@@ -284,6 +285,17 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && { wh(ident.namespace).dropTable(ident.name); true }
+
+  // ---- procedures (CALL graft.system.<proc>) -------------------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, ns => wh(Array(ns)))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

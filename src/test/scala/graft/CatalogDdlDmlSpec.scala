@@ -222,6 +222,41 @@ class CatalogDdlDmlSpec extends SparkSpec {
     assert(n2 === 0L, s"default stream must serve future commits only, got $n2")
   }
 
+  test("CALL graft.system.*: maintenance verbs from pure SQL") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/proc", manifest = true)
+    wh.atomicPublish("t", spark.range(0, 5000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k")).repartition(8))
+    wh.append("t", spark.range(5000, 6000).toDF("k")
+      .withColumn("s", format_string("s%05d", $"k")).repartition(8))
+
+    // retention from SQL, then compact rewrites to one file
+    spark.sql(
+      "CALL graft.system.set_retention(ns => 'proc', tbl => 't', snapshots => 8)")
+    spark.sql("CALL graft.system.compact(ns => 'proc', tbl => 't', files => 1)")
+    assert(wh.history("t").last._2 === 1L, "compact(1) must leave one file")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.proc.t")
+      .head.getLong(0) === 6000L)
+
+    // bloom + ndv sidecars from SQL — the point-lookup prune uses them
+    spark.sql("CALL graft.system.build_bloom(ns => 'proc', tbl => 't', col => 's')")
+    spark.sql("CALL graft.system.build_ndv(ns => 'proc', tbl => 't', col => 'k')")
+    assert(wh.statsApproxNdv("t", "k").exists(n => n > 5000 && n < 7000))
+
+    // fsck reports healthy; vacuum returns a count row
+    val f = spark.sql("CALL graft.system.fsck(ns => 'proc', tbl => 't')").collect()
+    assert(f.map(_.getString(0)).sameElements(Array("healthy")), f.mkString(","))
+    val v = spark.sql("CALL graft.system.vacuum(ns => 'proc', tbl => 't')").head()
+    assert(v.getInt(0) >= 0)
+
+    // unknown procedure fails loudly with the available names
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.nope(ns => 'proc', tbl => 't')").collect()
+    }
+    assert(e.getMessage.contains("no such graft procedure") ||
+      e.getMessage.toLowerCase.contains("nope"))
+  }
+
   test("DELETE FROM: deletion-vector commit, no rewrite; arbitrary predicate") {
     import spark.implicits._
     val wh = new Warehouse(spark, s"$base/dml", manifest = true)
