@@ -171,8 +171,28 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case d @ DeleteFromTable(target, cond) if d.resolved =>
       graftTarget(target) match {
-        case Some((rel, t)) =>
-          GraftDeleteCommand(t.wh, tableName(t), CatalogDml.cond(cond, rel.output))
+        // `DELETE FROM t WHERE k IN (<uncorrelated subquery>)` — the
+        // reference's N+1 anti-join family (J5) in SQL: the subquery
+        // becomes the key frame of the S9 anti-join delete (a rewrite,
+        // not a DV commit — the key set is unbounded, so the rewrite's
+        // cost model is the right one). Null subquery keys never match
+        // the anti-join, exactly IN's null semantics for deletes.
+        case Some((rel, t)) => cond match {
+          case in: org.apache.spark.sql.catalyst.expressions.InSubquery
+              if in.values.length == 1 &&
+                in.values.head.isInstanceOf[AttributeReference] &&
+                rel.output.exists(_.exprId ==
+                  in.values.head.asInstanceOf[AttributeReference].exprId) &&
+                in.query.outerAttrs.isEmpty =>
+            val a = in.values.head.asInstanceOf[AttributeReference]
+            val sub = in.query.plan
+            GraftMergeDeleteCommand(t.wh, tableName(t),
+              Project(Seq(org.apache.spark.sql.catalyst.expressions
+                .Alias(sub.output.head, a.name)()), sub), Seq(a.name))
+          case _ =>
+            GraftDeleteCommand(t.wh, tableName(t),
+              CatalogDml.cond(cond, rel.output))
+        }
         case None => d
       }
 

@@ -322,7 +322,16 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   */
 final class GraftTable(val wh: Warehouse, ident: Identifier,
     version: Option[Long] = None)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with TruncatableTable {
+
+  /** `TRUNCATE TABLE graft.ns.t`: publish an empty snapshot of the
+    * current schema — a normal commit (time travel to the pre-truncate
+    * version still works within retention), not a file purge.
+    */
+  override def truncateTable(): Boolean = {
+    wh.atomicPublish(ident.name, snapshot.limit(0))
+    true
+  }
 
   /** Declared hive layout (partitioned CREATE TABLE), if any. */
   private def partCols: Seq[String] =

@@ -271,13 +271,36 @@ class CatalogDdlDmlSpec extends SparkSpec {
     val expect = (0L until 1000L).count(k => k % 10 != 0 && k * 2.0 <= 1900.0)
     assert(spark.sql("SELECT count(*) AS n FROM graft.dml.d")
       .head.getLong(0) === expect.toLong)
-    // unsupported: subquery condition fails loudly, nothing commits
+    // uncorrelated IN-subquery delete = the S9 anti-join (self-
+    // referential subqueries work: the key frame is computed from the
+    // captured snapshot before the rewrite publishes)
+    val before = spark.sql("SELECT count(*) FROM graft.dml.d").head.getLong(0)
+    spark.sql("""DELETE FROM graft.dml.d
+      WHERE k IN (SELECT k FROM graft.dml.d WHERE v < 10)""")
+    // v = 2k, survivors of the first delete with v<10: k in {1,2,3,4}
+    assert(spark.sql("SELECT count(*) FROM graft.dml.d").head.getLong(0)
+      === before - 4)
+    // unsupported: CORRELATED subquery fails loudly, nothing commits
     val vBefore = wh.currentVersion("d")
     intercept[Exception] {
       spark.sql("""DELETE FROM graft.dml.d
-        WHERE k IN (SELECT k FROM graft.dml.d WHERE v < 10)""").collect()
+        WHERE EXISTS (SELECT 1 FROM graft.dml.d d2 WHERE d2.k = graft.dml.d.k + 1)""").collect()
     }
     assert(wh.currentVersion("d") === vBefore)
+  }
+
+  test("TRUNCATE TABLE: empty-snapshot commit, time travel survives") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/tr", manifest = true)
+    wh.atomicPublish("t", spark.range(0, 500).toDF("k").coalesce(1)) // v1
+    wh.setSnapshotRetention("t", 8)
+    spark.sql("TRUNCATE TABLE graft.tr.t")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tr.t").head.getLong(0) === 0L)
+    // a commit, not a purge: the pre-truncate snapshot is still readable
+    assert(spark.sql("SELECT count(*) AS n FROM graft.tr.t VERSION AS OF 1")
+      .head.getLong(0) === 500L)
+    spark.sql("INSERT INTO graft.tr.t VALUES (7)")
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.tr.t").head.getLong(0) === 7L)
   }
 
   test("UPDATE: one atomic commit, cost ∝ updated rows") {
