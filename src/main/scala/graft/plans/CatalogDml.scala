@@ -56,11 +56,6 @@ object CatalogDml {
       case _                       => None
     }
 
-  /** Re-target an expression by column name: every attribute of
-    * `target` becomes an UnresolvedAttribute, so the expression
-    * resolves against the warehouse's own read plan. Subqueries and
-    * attributes from OTHER plans (correlations) are rejected loudly.
-    */
   /** Inline `With`/CommonExpressionRef nodes (the analyzer's BETWEEN
     * and friends): substituting unresolved attributes INSIDE a
     * CommonExpressionDef breaks `withNewChildren` (it re-derives the
@@ -77,6 +72,11 @@ object CatalogDml {
       }
   }
 
+  /** Re-target an expression by column name: every attribute of
+    * `target` becomes an UnresolvedAttribute, so the expression
+    * resolves against the warehouse's own read plan. Subqueries and
+    * attributes from OTHER plans (correlations) are rejected loudly.
+    */
   def byName(e: Expression, target: Seq[Attribute]): Expression = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"graft SQL DML does not support subqueries in conditions: $e")
@@ -120,6 +120,44 @@ final case class GraftMergeUpsertCommand(wh: Warehouse, table: String,
     wh.upsert(table, PlanBridge.ofRows(spark, source), keyCols,
       partitionCols = partitionCols,
       assertPartitionStable = partitionCols.nonEmpty)
+    Seq.empty
+  }
+}
+
+/** MERGE (matched-update-only shape): source restricted to rows whose
+  * keys EXIST in the target (one semi-join against the table's key
+  * projection), then the keyed upsert — not-matched source rows are
+  * dropped, exactly `WHEN MATCHED THEN UPDATE SET *` alone.
+  */
+final case class GraftMergeUpdateOnlyCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String],
+    partitionCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = PlanBridge.ofRows(spark, source)
+    val existing = wh.read(table)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    wh.upsert(table, src.join(existing, keyCols, "left_semi"), keyCols,
+      partitionCols = partitionCols,
+      assertPartitionStable = partitionCols.nonEmpty)
+    Seq.empty
+  }
+}
+
+/** MERGE (not-matched-insert-only shape): source anti-joined against
+  * the target's keys, appended — `WHEN NOT MATCHED THEN INSERT *`
+  * alone, the idempotent-ingest spelling (re-running the same MERGE
+  * inserts nothing new).
+  */
+final case class GraftMergeInsertOnlyCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String],
+    partitionCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = PlanBridge.ofRows(spark, source)
+    val existing = wh.read(table)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()
+    val fresh = src.join(existing, keyCols, "left_anti")
+    if (partitionCols.nonEmpty) wh.appendEvolved(table, fresh, partitionCols)
+    else wh.append(table, fresh)
     Seq.empty
   }
 }
@@ -247,6 +285,18 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   starLike(ua.assignments, rel.output, m.sourceTable.output) &&
                   starLike(ia.assignments, rel.output, m.sourceTable.output) =>
               GraftMergeUpsertCommand(t.wh, tableName(t),
+                sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
+            // matched-update only: not-matched source rows dropped
+            case (Seq(ua: UpdateAction), Seq())
+                if ua.condition.isEmpty &&
+                  starLike(ua.assignments, rel.output, m.sourceTable.output) =>
+              GraftMergeUpdateOnlyCommand(t.wh, tableName(t),
+                sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
+            // not-matched-insert only: the idempotent ingest shape
+            case (Seq(), Seq(ia: InsertAction))
+                if ia.condition.isEmpty &&
+                  starLike(ia.assignments, rel.output, m.sourceTable.output) =>
+              GraftMergeInsertOnlyCommand(t.wh, tableName(t),
                 sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
             // delete-matching: WHEN MATCHED THEN DELETE, nothing else
             case (Seq(da: DeleteAction), Seq()) if da.condition.isEmpty =>

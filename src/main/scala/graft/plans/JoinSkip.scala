@@ -77,12 +77,14 @@ object JoinSkip {
   /** Probed and abandoned (un-collectible type, execution failure). */
   private[plans] case object Abandoned extends Probe
 
-  // dim-plan instance → probe outcome. Weak keys: the plan dies with
-  // its query; identity reuse across fixpoint iterations is exactly
-  // the reuse we want, and structural equality cannot alias different
-  // snapshots (each read's relation holds its own FileIndex instance).
-  private val keyCache =
-    Collections.synchronizedMap(new JWeakHashMap[LogicalPlan, Probe]())
+  // dim-plan instance → (key exprId → probe outcome): one dim may be
+  // probed on several join keys (composite-key stars). Weak keys: the
+  // plan dies with its query; identity reuse across fixpoint
+  // iterations is exactly the reuse we want, and structural equality
+  // cannot alias different snapshots (each read's relation holds its
+  // own FileIndex instance).
+  private val keyCache = Collections.synchronizedMap(
+    new JWeakHashMap[LogicalPlan, scala.collection.concurrent.TrieMap[Long, Probe]]())
 
   private val depth = new ThreadLocal[Integer] {
     override def initialValue(): Integer = 0
@@ -94,8 +96,17 @@ object JoinSkip {
     */
   private[plans] def dimProbe(spark: SparkSession, dim: LogicalPlan,
       key: Attribute): Probe = {
-    val cached = keyCache.get(dim)
-    if (cached != null) return cached
+    val perKey = {
+      val m = keyCache.get(dim)
+      if (m != null) m
+      else {
+        val fresh = scala.collection.concurrent.TrieMap[Long, Probe]()
+        keyCache.put(dim, fresh)
+        fresh
+      }
+    }
+    val hit = perKey.get(key.exprId.id)
+    if (hit.isDefined) return hit.get
     val r: Probe =
       try {
         // project by ATTRIBUTE (exprId), not name — dim outputs can
@@ -119,17 +130,18 @@ object JoinSkip {
           val vals = rows.toSeq.filterNot(_.isNullAt(0)).map { row =>
             AutoSkip.litValue(Literal(row.get(0))) match {
               case Some(v) => v
-              case None    => return cache(dim, Abandoned)
+              case None    => return cache(dim, key, Abandoned)
             }
           }
           Keys(vals)
         }
       } catch { case scala.util.control.NonFatal(_) => Abandoned }
-    cache(dim, r)
+    cache(dim, key, r)
   }
 
-  private def cache(dim: LogicalPlan, v: Probe): Probe = {
-    keyCache.put(dim, v)
+  private def cache(dim: LogicalPlan, key: Attribute, v: Probe): Probe = {
+    val m = keyCache.get(dim)
+    if (m != null) m.put(key.exprId.id, v)
     v
   }
 
@@ -208,38 +220,43 @@ final class JoinSkipRule extends Rule[LogicalPlan] {
     if (!pinnedDim(dim)) return None
     val thr = conf.autoBroadcastJoinThreshold
     if (thr <= 0 || dim.stats.sizeInBytes > thr) return None
-    // one equi-pair whose fact side is the relation's own attribute
-    val pair = cond.collectFirst {
+    // every equi-pair whose fact side is the relation's own attribute;
+    // a composite-key star contributes one prunable predicate per pair
+    // (conjunction — a file must admit EVERY join key's value set).
+    // Probe cost is bounded: ≤2 pairs probed, each ≤2 small dim jobs.
+    val pairs = cond.collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if lr.output.exists(_.exprId == a.exprId) &&
             dim.output.exists(_.exprId == b.exprId) => (a, b)
       case EqualTo(b: AttributeReference, a: AttributeReference)
           if lr.output.exists(_.exprId == a.exprId) &&
             dim.output.exists(_.exprId == b.exprId) => (a, b)
-    }.getOrElse(return None)
-    val (factKey, dimKey) = pair
+    }.take(2)
+    if (pairs.isEmpty) return None
     withDepth {
-      dimProbe(SparkSession.active, dim, dimKey) match {
-        case Abandoned => None
-        case probe    => Some(probe)
+      val probes = pairs.map { case (factKey, dimKey) =>
+        factKey -> dimProbe(SparkSession.active, dim, dimKey)
+      }.filterNot(_._2 == Abandoned)
+      if (probes.isEmpty) None else Some(probes)
+    }.flatMap { probes =>
+      val emptyJoin = probes.exists {
+        case (_, Keys(keys)) => keys.isEmpty // any empty key set ⇒ no matches
+        case _               => false
       }
-    }.flatMap { probe =>
-      val preds = probe match {
-        case Keys(keys)       => Seq(AutoSkip.InPred(factKey.name, keys))
-        case KeyRange(lo, hi) =>
-          Seq(AutoSkip.RangePred(factKey.name, Some(lo), Some(hi)))
-        case Abandoned        => return None
+      val preds = probes.map {
+        case (factKey, Keys(keys))       => AutoSkip.InPred(factKey.name, keys)
+        case (factKey, KeyRange(lo, hi)) =>
+          AutoSkip.RangePred(factKey.name, Some(lo), Some(hi))
+        case (_, Abandoned)              => return None
       }
-      val fp = "join:" + factKey.name + ":" + AutoSkip.fingerprint(preds)
+      val fp = "join:" + preds.map(_.column).mkString(",") + ":" +
+        AutoSkip.fingerprint(preds)
       loc match {
         case p: PrunedFileIndex if p.fps(fp) => None // converged
         case _ =>
-          val keptAbs: Set[String] = probe match {
-            case Keys(keys) if keys.isEmpty =>
-              Set.empty // empty dim ⇒ provably empty join
-            case _ =>
-              AutoSkip.prunedSet(hook, preds).getOrElse(return None)
-          }
+          val keptAbs: Set[String] =
+            if (emptyJoin) Set.empty // empty dim ⇒ provably empty join
+            else AutoSkip.prunedSet(hook, preds).getOrElse(return None)
           val keep = AutoSkip.normFiles(loc).iterator
             .filter(keptAbs.contains).toSet
           val prior = loc match {

@@ -269,6 +269,10 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
           "added columns take no DEFAULT (existing rows null-fill)")
         val name = add.fieldNames.head
         require(!cur.fieldNames.contains(name), s"column $name already exists")
+        require(!w.tableProp(ident.name, "dropped_cols").exists(
+            _.split(',').contains(name)),
+          s"column $name was dropped; re-adding it would resurrect old " +
+          "values from pre-drop files — pick a new name or rewrite the table")
         val prev = w.tableProp(ident.name, "added_cols")
           .map(StructType.fromDDL).getOrElse(new StructType())
         val next = prev.add(name, add.dataType(), nullable = true)
@@ -277,6 +281,31 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
         w.setTableProp(ident.name, set.property, set.value)
       case rm: TableChange.RemoveProperty =>
         w.setTableProp(ident.name, rm.property, "")
+      // DROP COLUMN is a metadata action too (the `dropped_cols`
+      // prop): reads project the column away; files keep their bytes
+      // (storage is reclaimed by the next full rewrite, same as
+      // Delta without column mapping). Partition columns are layout,
+      // not data — refuse. Re-ADDing a dropped name is refused as
+      // well: old files still hold the physical values, and a re-add
+      // would silently resurrect them instead of reading null.
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft ALTER TABLE drops top-level columns only")
+        val name = del.fieldNames.head
+        require(cur.fieldNames.contains(name), s"no such column: $name")
+        val parts = w.tableProp(ident.name, "partition_cols")
+          .map(_.split(',').toSeq).getOrElse(Nil)
+        require(!parts.contains(name),
+          s"cannot drop partition column $name")
+        val added = w.tableProp(ident.name, "added_cols")
+          .map(StructType.fromDDL).getOrElse(new StructType())
+        if (added.fieldNames.contains(name))
+          w.setTableProp(ident.name, "added_cols",
+            StructType(added.fields.filterNot(_.name == name)).toDDL)
+        val dropped = w.tableProp(ident.name, "dropped_cols")
+          .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+        w.setTableProp(ident.name, "dropped_cols",
+          (dropped :+ name).distinct.mkString(","))
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
     }
@@ -352,12 +381,17 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
   lazy val snapshot: DataFrame = {
     val base =
       version.map(wh.readVersion(ident.name, _)).getOrElse(wh.read(ident.name))
-    wh.tableProp(ident.name, "added_cols")
+    val withAdded = wh.tableProp(ident.name, "added_cols")
       .map(StructType.fromDDL).map { st =>
         st.fields.filterNot(f => base.columns.contains(f.name))
           .foldLeft(base)((d, f) => d.withColumn(f.name,
             org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
       }.getOrElse(base)
+    // DROP COLUMN projection (metadata drop): files keep the bytes,
+    // every read path through the catalog projects them away
+    wh.tableProp(ident.name, "dropped_cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+      .map(ds => withAdded.drop(ds: _*)).getOrElse(withAdded)
   }
 
   override def name(): String = ident.toString
@@ -376,7 +410,7 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
     if (partCols.nonEmpty) m.put("partition_cols", partCols.mkString(","))
-    Seq("retain_snapshots", "retain_ms", "added_cols").foreach(k =>
+    Seq("retain_snapshots", "retain_ms", "added_cols", "dropped_cols").foreach(k =>
       wh.tableProp(ident.name, k).foreach(v => m.put(k, v)))
     wh.currentVersion(ident.name).foreach(v =>
       m.put("current_version", v.toString))

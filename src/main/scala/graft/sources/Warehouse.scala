@@ -3852,12 +3852,20 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * explicitly, so the new file's layout placement is free to
     * differ).
     */
+  /** Test seam: fires after `updateRows` captures its base snapshot,
+    * before it scans — the read-modify-write window whose strictness
+    * the captured-base CAS enforces (the spec injects a commit here
+    * and pins the loud abort).
+    */
+  private[graft] var updateTestHook: String => Unit = _ => ()
+
   def updateRows(name: String, cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     require(manifest, "row-level update requires manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val (mfCap, filesCap) = resolveSnapshot(name)
+    updateTestHook(name)
     val mf = mfCap.getOrElse(
       throw new IllegalArgumentException(s"no current snapshot for $name"))
     val expected = pointerStore.read(fs, root, dvPtrName(mf))

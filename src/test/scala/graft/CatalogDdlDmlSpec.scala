@@ -289,6 +289,58 @@ class CatalogDdlDmlSpec extends SparkSpec {
     assert(wh.currentVersion("d") === vBefore)
   }
 
+  test("ALTER TABLE DROP COLUMN: metadata-only; inserts continue; re-add refused") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ddl2.dc (k BIGINT, v DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.ddl2.dc VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val wh = new Warehouse(spark, s"$base/ddl2", manifest = true)
+    val before = wh.history("dc").size
+    spark.sql("ALTER TABLE graft.ddl2.dc DROP COLUMN tag")
+    assert(wh.history("dc").size === before, "drop is a metadata action")
+    assert(spark.table("graft.ddl2.dc").columns.toSeq === Seq("k", "v"))
+    // inserts against the narrowed schema work; totals unaffected
+    spark.sql("INSERT INTO graft.ddl2.dc VALUES (3, 3.5)")
+    assert(spark.sql("SELECT sum(k) AS s FROM graft.ddl2.dc").head.getLong(0) === 6L)
+    // re-adding the dropped name would resurrect pre-drop values
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl2.dc ADD COLUMN tag STRING")
+    }
+    assert(e.getMessage.contains("dropped"))
+    // a fresh name is fine, and an added-then-dropped column vanishes
+    spark.sql("ALTER TABLE graft.ddl2.dc ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE graft.ddl2.dc DROP COLUMN note")
+    assert(spark.table("graft.ddl2.dc").columns.toSeq === Seq("k", "v"))
+    // partition columns are layout, not droppable
+    spark.sql("CREATE TABLE graft.ddl2.dcp (k BIGINT, p STRING) PARTITIONED BY (p)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl2.dcp DROP COLUMN p")
+    }
+  }
+
+  test("UPDATE racing a concurrent commit aborts loudly, nothing torn") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/race", manifest = true)
+    wh.atomicPublish("u", spark.range(0, 1000).toDF("k")
+      .withColumn("v", $"k".cast("double")).repartition(4))
+    val wh2 = new Warehouse(spark, s"$base/race", manifest = true)
+    wh.updateTestHook = { _ =>
+      wh2.append("u", spark.range(1000, 1100).toDF("k")
+        .withColumn("v", $"k".cast("double")).coalesce(1))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        wh.updateRows("u", col("k") < 10, Map("v" -> lit(-1.0)))
+      }
+    } finally wh.updateTestHook = _ => ()
+    // the racer's append won; the update left no partial state
+    assert(wh.read("u").count() === 1100L)
+    assert(wh.read("u").where($"v" === -1.0).count() === 0L)
+    assert(wh.fsck("u").isEmpty, wh.fsck("u").mkString("; "))
+    // retry on the fresh snapshot succeeds
+    assert(wh.updateRows("u", col("k") < 10, Map("v" -> lit(-1.0))) === 10L)
+    assert(wh.read("u").where($"v" === -1.0).count() === 10L)
+  }
+
   test("TRUNCATE TABLE: empty-snapshot commit, time travel survives") {
     import spark.implicits._
     val wh = new Warehouse(spark, s"$base/tr", manifest = true)
@@ -355,6 +407,26 @@ class CatalogDdlDmlSpec extends SparkSpec {
       WHEN MATCHED THEN DELETE""")
     assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m")
       .head.getLong(0) === 110L)
+    // matched-update-only: not-matched source rows are dropped
+    spark.range(100, 200).toDF("k").withColumn("v", lit(9.9))
+      .createOrReplaceTempView("m_upd")
+    spark.sql("""MERGE INTO graft.dml.m t USING m_upd s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m")
+      .head.getLong(0) === 110L, "update-only must not insert")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m WHERE v = 9.9")
+      .head.getLong(0) === 20L) // keys 100..119 exist
+    // not-matched-insert-only: idempotent ingest
+    spark.range(115, 130).toDF("k").withColumn("v", lit(7.7))
+      .createOrReplaceTempView("m_ins")
+    spark.sql("""MERGE INTO graft.dml.m t USING m_ins s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m")
+      .head.getLong(0) === 120L)
+    spark.sql("""MERGE INTO graft.dml.m t USING m_ins s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""") // re-run inserts nothing
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m")
+      .head.getLong(0) === 120L)
     // negative: conditional matched action
     intercept[Exception] {
       spark.sql("""MERGE INTO graft.dml.m t USING m_src s ON t.k = s.k

@@ -108,6 +108,29 @@ class JoinSkipSpec extends SparkSpec {
     assert(qe.count() === 0)
   }
 
+  test("join-skip: composite-key joins prune on the conjunction of pairs") {
+    import spark.implicits._
+    val wh = mk("graft-joinskip7")
+    // g tracks the file: repartitionByRange on fk puts g = fk/1250
+    // whole into one file each
+    wh.atomicPublish("fact",
+      spark.range(0, 10000).toDF("fk")
+        .withColumn("g", ($"fk" / 1250).cast("long"))
+        .withColumn("v", ($"fk" * 3).cast("double"))
+        .repartitionByRange(8, $"fk").sortWithinPartitions($"fk"))
+    // first key OVER-CAP and spanning everything (range fallback keeps
+    // all); second key a single value — only the conjunction prunes
+    val dim = spark.range(0, 200).toDF("j")
+      .select(($"j" * 50).as("dk"), lit(2L).as("dg"))
+    val q = wh.read("fact").join(dim, $"fk" === $"dk" && $"g" === $"dg")
+    val (kept, total) = prunedCounts(q)
+    assert(total === 8 && kept <= 2,
+      s"second-pair prune must carry the composite join, kept $kept of $total")
+    // truth: fk multiple of 50 AND fk/1250 == 2 → fk in [2500, 3750)
+    assert(q.orderBy("fk").select("fk").as[Long].collect() ===
+      (2500L until 3750L by 50).toArray)
+  }
+
   test("join-skip: non-pinned dim leaves (RDD-backed) are not probed") {
     import spark.implicits._
     val wh = mk("graft-joinskip5")
