@@ -112,6 +112,21 @@ final case class GraftUpdateCommand(wh: Warehouse, table: String,
   }
 }
 
+/** UPDATE keyed by a subquery (`WHERE k IN (SELECT ...)`): the
+  * subquery becomes the key frame of `Warehouse.updateRowsKeyed` —
+  * same one-commit atomicity, hits found by semi-join instead of a
+  * predicate.
+  */
+final case class GraftUpdateKeyedCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String],
+    assignments: Seq[(String, Column)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.updateRowsKeyed(table, PlanBridge.ofRows(spark, source), keyCols,
+      assignments.toMap)
+    Seq.empty
+  }
+}
+
 /** MERGE (upsert shape) — `Warehouse.upsert` on the ON-clause keys. */
 final case class GraftMergeUpsertCommand(wh: Warehouse, table: String,
     @transient source: LogicalPlan, keyCols: Seq[String],
@@ -246,9 +261,26 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 s"columns only, got: $other")
             }
           }
-          val c = cond.map(CatalogDml.cond(_, rel.output))
-            .getOrElse(org.apache.spark.sql.functions.lit(true))
-          GraftUpdateCommand(t.wh, tableName(t), c, assigns)
+          cond match {
+            // WHERE k IN (<uncorrelated subquery>): the DELETE-shape
+            // key-frame route, one atomic keyed-update commit
+            case Some(in: org.apache.spark.sql.catalyst.expressions.InSubquery)
+                if in.values.length == 1 &&
+                  in.values.head.isInstanceOf[AttributeReference] &&
+                  rel.output.exists(_.exprId ==
+                    in.values.head.asInstanceOf[AttributeReference].exprId) &&
+                  in.query.outerAttrs.isEmpty =>
+              val a = in.values.head.asInstanceOf[AttributeReference]
+              val sub = in.query.plan
+              GraftUpdateKeyedCommand(t.wh, tableName(t),
+                Project(Seq(org.apache.spark.sql.catalyst.expressions
+                  .Alias(sub.output.head, a.name)()), sub),
+                Seq(a.name), assigns)
+            case _ =>
+              val c = cond.map(CatalogDml.cond(_, rel.output))
+                .getOrElse(org.apache.spark.sql.functions.lit(true))
+              GraftUpdateCommand(t.wh, tableName(t), c, assigns)
+          }
         case None => u
       }
 

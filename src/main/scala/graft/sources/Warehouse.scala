@@ -3860,6 +3860,22 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   private[graft] var updateTestHook: String => Unit = _ => ()
 
   def updateRows(name: String, cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    updateRowsCore(name, _.filter(cond), assignments)
+
+  /** `updateRows` with the hit set given as a KEY FRAME instead of a
+    * predicate — the `UPDATE ... WHERE k IN (<subquery>)` shape: hits
+    * are the raw scan semi-joined to `keys` on `keyCols`. Same one-
+    * commit atomicity and cost model (∝ matching rows).
+    */
+  def updateRowsKeyed(name: String, keys: DataFrame, keyCols: Seq[String],
+      assignments: Map[String, org.apache.spark.sql.Column]): Long =
+    updateRowsCore(name,
+      _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"),
+      assignments)
+
+  private def updateRowsCore(name: String,
+      hitFilter: DataFrame => DataFrame,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     require(manifest, "row-level update requires manifest mode")
     val root = new Path(tablePath(name))
@@ -3875,10 +3891,10 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // resurrected as an updated copy — subtract the vector before the
     // rewrite, exactly the merge-on-read discipline
     val hits = (dv match {
-      case None => raw.filter(cond)
+      case None => hitFilter(raw)
       case Some(d) =>
         val dels = d.select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
-        raw.filter(cond)
+        hitFilter(raw)
           .join(broadcast(dels),
             col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
             "left_anti")

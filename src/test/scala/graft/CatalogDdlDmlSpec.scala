@@ -385,6 +385,15 @@ class CatalogDdlDmlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) AS n FROM graft.dml.u WHERE v = -1.0")
       .head.getLong(0) === 50L)
+    // keyed shape: WHERE k IN (<uncorrelated subquery>) — one atomic
+    // keyed-update commit, self-referential subquery included
+    spark.sql("""UPDATE graft.dml.u SET s = 'keyed'
+      WHERE k IN (SELECT k FROM graft.dml.u WHERE k >= 990)""")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.dml.u WHERE s = 'keyed'")
+      .head.getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dml.u")
+      .head.getLong(0) === 900L)
   }
 
   test("MERGE INTO: upsert shape onto Warehouse.upsert; delete shape; negatives") {
