@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -31,12 +31,21 @@ import graft.sources.{GraftTable, Warehouse}
   *    on the ON-clause equalities (partition-scoped when the table is
   *    partitioned, with the moved-key assertion ON — the SQL surface
   *    prefers loud over fast-but-stale); `WHEN MATCHED THEN DELETE`
-  *    (alone) → the S9 anti-join delete.
+  *    (alone) → the S9 anti-join delete; EVERY other legal MERGE shape
+  *    — conditional `WHEN MATCHED AND <cond>`, partial `UPDATE SET col
+  *    = expr`, multiple WHEN branches, `WHEN NOT MATCHED BY SOURCE
+  *    [UPDATE|DELETE]`, `WITH SCHEMA EVOLUTION` (the analyzer ALTERs
+  *    through the catalog's metadata-only AddColumn path, enabled by
+  *    the table's AUTOMATIC_SCHEMA_EVOLUTION capability) →
+  *    [[Warehouse.mergeRows]], one atomic merge-on-read commit, cost ∝
+  *    touched rows.
   *
-  * Everything else — subquery conditions, conditional/partial merge
-  * actions, NOT MATCHED BY SOURCE, schema-evolving merge — fails
-  * LOUDLY at analysis with the unsupported shape named, never a
-  * silent fallback (the negative-shape specs pin this).
+  * What remains out: correlated subqueries INSIDE merge clauses and
+  * non-equi ON conditions — those fail LOUDLY at analysis with the
+  * unsupported shape named, never a silent fallback (the
+  * negative-shape specs pin this). DELETE/UPDATE subquery conditions
+  * (IN / EXISTS, correlated on equalities) decorrelate onto the keyed
+  * paths below.
   *
   * Expressions cross plans by NAME: the analyzed condition's
   * attribute references become `UnresolvedAttribute`s and re-resolve
@@ -91,6 +100,96 @@ object CatalogDml {
 
   def cond(e: Expression, target: Seq[Attribute]): Column =
     PlanBridge.columnOf(byName(e, target))
+
+  /** Re-target a MERGE clause expression for the
+    * [[Warehouse.mergeRows]] join frame: target attributes by bare
+    * name, source attributes under the `_src_` prefix. Anything else
+    * (a third plan's attribute, a subquery) is rejected loudly.
+    */
+  def mergeCond(e: Expression, target: Seq[Attribute],
+      source: Seq[Attribute]): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"graft SQL MERGE does not support subqueries in clauses: $e")
+    val tIds = target.map(_.exprId).toSet
+    val sById = source.map(a => a.exprId -> a.name).toMap
+    PlanBridge.columnOf(inlineWith(e).transform {
+      case a: AttributeReference =>
+        if (tIds.contains(a.exprId)) UnresolvedAttribute.quoted(a.name)
+        else sById.get(a.exprId) match {
+          case Some(n) => UnresolvedAttribute.quoted(s"_src_$n")
+          case None => throw new UnsupportedOperationException(
+            s"graft SQL MERGE clause references a column from neither " +
+            s"target nor source: ${a.name}")
+        }
+    })
+  }
+
+  /** Decorrelate an analyzed correlated subquery whose correlation is
+    * a conjunction of bare `targetCol = <inner expr>` equalities in a
+    * top-level Filter — the `EXISTS (SELECT ... WHERE s.k = t.k AND
+    * <inner preds>)` / correlated-`IN` family. Returns the subquery
+    * plan with the correlated conjuncts STRIPPED plus the
+    * (targetName, innerExpr) pairs; the caller semi-joins the target
+    * on those pairs — exactly the relational meaning of the EXISTS.
+    * None = a correlation shape this equality-decorrelation can't
+    * express (non-equi, correlated under an Aggregate, an outer ref
+    * inside a computed expression) — the caller fails loudly, never
+    * silently approximates.
+    */
+  def decorrelateEq(plan: LogicalPlan, target: Seq[Attribute])
+      : Option[(LogicalPlan, Seq[NamedExpression], Seq[(String, Expression)])] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, OuterReference}
+    val tIds = target.map(_.exprId).toSet
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => peel(c)
+      case other               => other
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x         => Seq(x)
+    }
+    val (projList, filt) = peel(plan) match {
+      case Project(pl, f: Filter)              => (pl, Some(f))
+      case Project(pl, SubqueryAlias(_, f: Filter)) => (pl, Some(f))
+      case f: Filter                           => (f.output, Some(f))
+      case _                                   => (Nil, None)
+    }
+    filt.flatMap { case Filter(cond, child) =>
+      val (corr, rest) = split(cond)
+        .partition(_.exists(_.isInstanceOf[OuterReference]))
+      val pairs = corr.map {
+        case EqualTo(OuterReference(a: AttributeReference), inner)
+            if tIds.contains(a.exprId) &&
+              !inner.exists(_.isInstanceOf[OuterReference]) =>
+          Some(a.name -> inner)
+        case EqualTo(inner, OuterReference(a: AttributeReference))
+            if tIds.contains(a.exprId) &&
+              !inner.exists(_.isInstanceOf[OuterReference]) =>
+          Some(a.name -> inner)
+        case _ => None
+      }
+      val names = pairs.flatten.map(_._1)
+      if (corr.isEmpty || pairs.exists(_.isEmpty) ||
+          names.distinct.length != names.length) None
+      else {
+        val inner = rest.reduceOption(And).map(Filter(_, child)).getOrElse(child)
+        Some((inner, projList.toSeq, pairs.flatten))
+      }
+    }
+  }
+
+  /** Analyzed assignments → (target column name, re-targeted value). */
+  def mergeAssigns(assigns: Seq[Assignment], target: Seq[Attribute],
+      source: Seq[Attribute]): Map[String, Column] =
+    assigns.map { a =>
+      a.key match {
+        case k: AttributeReference if target.exists(_.exprId == k.exprId) =>
+          k.name -> mergeCond(a.value, target, source)
+        case other => throw new UnsupportedOperationException(
+          s"graft SQL MERGE assigns top-level target columns only, " +
+          s"got: $other")
+      }
+    }.toMap
 }
 
 /** DELETE FROM — a deletion-vector commit (`op=delete`). */
@@ -123,6 +222,23 @@ final case class GraftUpdateKeyedCommand(wh: Warehouse, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     wh.updateRowsKeyed(table, PlanBridge.ofRows(spark, source), keyCols,
       assignments.toMap)
+    Seq.empty
+  }
+}
+
+/** DELETE keyed by a subquery-derived key frame (correlated `EXISTS`
+  * / correlated `IN` after equality-decorrelation): the frame drives
+  * `Warehouse.deleteRowsKeyed` — a DV commit (O(hits) sidecar, never
+  * a rewrite), the right cost model for the selective hit sets these
+  * correlated shapes express. (The uncorrelated `IN` delete keeps the
+  * S9 anti-join REWRITE: its key set is unbounded, so the rewrite's
+  * cost model is the right one there.)
+  */
+final case class GraftDeleteKeyedCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan, keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.deleteRowsKeyed(table, PlanBridge.ofRows(spark, source), keyCols)
     Seq.empty
   }
 }
@@ -174,6 +290,35 @@ final case class GraftMergeInsertOnlyCommand(wh: Warehouse, table: String,
     if (partitionCols.nonEmpty) wh.appendEvolved(table, fresh, partitionCols)
     else wh.append(table, fresh)
     Seq.empty
+  }
+}
+
+/** MERGE (general form) — [[Warehouse.mergeRows]]: conditional and
+  * partial-assignment matched/not-matched actions plus `WHEN NOT
+  * MATCHED BY SOURCE`, executed as ONE atomic merge-on-read commit
+  * (rewritten/inserted rows in a new version dir + old positions'
+  * deletion-vector entries), cost ∝ touched rows. The shapes the star
+  * fast-paths above can't express land here instead of failing.
+  */
+final case class GraftMergeGenericCommand(wh: Warehouse, table: String,
+    @transient source: LogicalPlan,
+    keyPairs: Seq[(String, String)],
+    matched: Seq[Warehouse.MergeClause],
+    notMatched: Seq[Warehouse.MergeInsertClause],
+    notMatchedBySource: Seq[Warehouse.MergeClause])
+    extends LeafRunnableCommand {
+  // the Delta MERGE metrics convention: one row of affected counts
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_updated_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_deleted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (u, d, i) = wh.mergeRows(table, PlanBridge.ofRows(spark, source),
+      keyPairs, matched, notMatched, notMatchedBySource)
+    Seq(Row(u, d, i))
   }
 }
 
@@ -242,6 +387,49 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             GraftMergeDeleteCommand(t.wh, tableName(t),
               Project(Seq(org.apache.spark.sql.catalyst.expressions
                 .Alias(sub.output.head, a.name)()), sub), Seq(a.name))
+          // correlated EXISTS: equality-decorrelated onto the keyed
+          // DV-delete (`deleteRowsKeyed`) — the semi-join on the
+          // correlated pairs IS the EXISTS
+          case ex: org.apache.spark.sql.catalyst.expressions.Exists
+              if ex.outerAttrs.nonEmpty =>
+            CatalogDml.decorrelateEq(ex.plan, rel.output) match {
+              case Some((inner, _, pairs)) =>
+                GraftDeleteKeyedCommand(t.wh, tableName(t),
+                  Project(pairs.map { case (n, e) =>
+                    org.apache.spark.sql.catalyst.expressions.Alias(e, n)()
+                  }, inner), pairs.map(_._1))
+              case None => fail("DELETE WHERE EXISTS: correlation must " +
+                "be a conjunction of targetCol = <inner expr> equalities " +
+                "in the subquery's Filter")
+            }
+          // correlated IN: the IN value pairs with the subquery output,
+          // the correlated equalities join alongside it
+          case in: org.apache.spark.sql.catalyst.expressions.InSubquery
+              if in.values.length == 1 &&
+                in.values.head.isInstanceOf[AttributeReference] &&
+                rel.output.exists(_.exprId ==
+                  in.values.head.asInstanceOf[AttributeReference].exprId) &&
+                in.query.outerAttrs.nonEmpty =>
+            val a = in.values.head.asInstanceOf[AttributeReference]
+            CatalogDml.decorrelateEq(in.query.plan, rel.output) match {
+              case Some((inner, projList, pairs))
+                  if projList.nonEmpty && !pairs.exists(_._1 == a.name) =>
+                val valueExpr = projList.head match {
+                  case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                    al.child
+                  case ne => ne
+                }
+                GraftDeleteKeyedCommand(t.wh, tableName(t),
+                  Project(org.apache.spark.sql.catalyst.expressions
+                      .Alias(valueExpr, a.name)() +:
+                    pairs.map { case (n, e) =>
+                      org.apache.spark.sql.catalyst.expressions.Alias(e, n)()
+                    }, inner), a.name +: pairs.map(_._1))
+              case _ => fail("DELETE WHERE <col> IN (correlated subquery): " +
+                "correlation must be a conjunction of targetCol = <inner " +
+                "expr> equalities in the subquery's Filter, with key names " +
+                "distinct from the IN column")
+            }
           case _ =>
             GraftDeleteCommand(t.wh, tableName(t),
               CatalogDml.cond(cond, rel.output))
@@ -276,6 +464,46 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 Project(Seq(org.apache.spark.sql.catalyst.expressions
                   .Alias(sub.output.head, a.name)()), sub),
                 Seq(a.name), assigns)
+            // correlated EXISTS / IN: same equality-decorrelation as
+            // DELETE, onto the one-commit keyed-update path
+            case Some(ex: org.apache.spark.sql.catalyst.expressions.Exists)
+                if ex.outerAttrs.nonEmpty =>
+              CatalogDml.decorrelateEq(ex.plan, rel.output) match {
+                case Some((inner, _, pairs)) =>
+                  GraftUpdateKeyedCommand(t.wh, tableName(t),
+                    Project(pairs.map { case (n, e) =>
+                      org.apache.spark.sql.catalyst.expressions.Alias(e, n)()
+                    }, inner), pairs.map(_._1), assigns)
+                case None => fail("UPDATE WHERE EXISTS: correlation must " +
+                  "be a conjunction of targetCol = <inner expr> equalities " +
+                  "in the subquery's Filter")
+              }
+            case Some(in: org.apache.spark.sql.catalyst.expressions.InSubquery)
+                if in.values.length == 1 &&
+                  in.values.head.isInstanceOf[AttributeReference] &&
+                  rel.output.exists(_.exprId ==
+                    in.values.head.asInstanceOf[AttributeReference].exprId) &&
+                  in.query.outerAttrs.nonEmpty =>
+              val a = in.values.head.asInstanceOf[AttributeReference]
+              CatalogDml.decorrelateEq(in.query.plan, rel.output) match {
+                case Some((inner, projList, pairs))
+                    if projList.nonEmpty && !pairs.exists(_._1 == a.name) =>
+                  val valueExpr = projList.head match {
+                    case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+                      al.child
+                    case ne => ne
+                  }
+                  GraftUpdateKeyedCommand(t.wh, tableName(t),
+                    Project(org.apache.spark.sql.catalyst.expressions
+                        .Alias(valueExpr, a.name)() +:
+                      pairs.map { case (n, e) =>
+                        org.apache.spark.sql.catalyst.expressions.Alias(e, n)()
+                      }, inner), a.name +: pairs.map(_._1), assigns)
+                case _ => fail("UPDATE WHERE <col> IN (correlated " +
+                  "subquery): correlation must be a conjunction of " +
+                  "targetCol = <inner expr> equalities in the subquery's " +
+                  "Filter, with key names distinct from the IN column")
+              }
             case _ =>
               val c = cond.map(CatalogDml.cond(_, rel.output))
                 .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -287,12 +515,40 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable) match {
         case Some((rel, t)) =>
-          if (m.withSchemaEvolution) fail("MERGE WITH SCHEMA EVOLUTION")
-          if (m.notMatchedBySourceActions.nonEmpty)
-            fail("MERGE ... WHEN NOT MATCHED BY SOURCE")
           val keys = keyPairs(m.mergeCondition, rel.output,
             m.sourceTable.output)
           if (keys.isEmpty) fail("MERGE ON with no key equality")
+          // the general form: every clause translated for the
+          // mergeRows join frame (target bare / source `_src_`-
+          // prefixed), first-match-wins order preserved. Schema
+          // evolution needs no handling here — the analyzer's
+          // ResolveMergeIntoSchemaEvolution already ALTERed the table
+          // (our metadata-only AddColumn path) and re-expanded the
+          // stars against the widened schema, and mergeRows null-fills
+          // prop-added columns before any write materializes them.
+          def generic(): LogicalPlan = {
+            def clause(a: MergeAction): Warehouse.MergeClause = a match {
+              case UpdateAction(c, assigns, _) =>
+                Warehouse.MergeUpdateClause(
+                  c.map(CatalogDml.mergeCond(_, rel.output, m.sourceTable.output)),
+                  CatalogDml.mergeAssigns(assigns, rel.output, m.sourceTable.output))
+              case DeleteAction(c) =>
+                Warehouse.MergeDeleteClause(
+                  c.map(CatalogDml.mergeCond(_, rel.output, m.sourceTable.output)))
+              case other => fail(s"MERGE action not supported: $other")
+            }
+            def insClause(a: MergeAction): Warehouse.MergeInsertClause = a match {
+              case InsertAction(c, assigns) =>
+                Warehouse.MergeInsertClause(
+                  c.map(CatalogDml.mergeCond(_, rel.output, m.sourceTable.output)),
+                  CatalogDml.mergeAssigns(assigns, rel.output, m.sourceTable.output))
+              case other => fail(s"MERGE NOT MATCHED action not supported: $other")
+            }
+            GraftMergeGenericCommand(t.wh, tableName(t), m.sourceTable,
+              keys, m.matchedActions.map(clause),
+              m.notMatchedActions.map(insClause),
+              m.notMatchedBySourceActions.map(clause))
+          }
           val parts = Option(t.properties.get("partition_cols"))
             .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           // source projected to the TARGET's column names via the ON
@@ -310,24 +566,26 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             Project(projections, m.sourceTable)
           }
-          (m.matchedActions, m.notMatchedActions) match {
+          if (m.withSchemaEvolution || m.notMatchedBySourceActions.nonEmpty)
+            generic()
+          else (m.matchedActions, m.notMatchedActions) match {
             // the canonical upsert: UPDATE SET * + INSERT *
             case (Seq(ua: UpdateAction), Seq(ia: InsertAction))
                 if ua.condition.isEmpty && ia.condition.isEmpty &&
-                  starLike(ua.assignments, rel.output, m.sourceTable.output) &&
-                  starLike(ia.assignments, rel.output, m.sourceTable.output) =>
+                  starLike(ua.assignments, rel.output, m.sourceTable.output, keys) &&
+                  starLike(ia.assignments, rel.output, m.sourceTable.output, keys) =>
               GraftMergeUpsertCommand(t.wh, tableName(t),
                 sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
             // matched-update only: not-matched source rows dropped
             case (Seq(ua: UpdateAction), Seq())
                 if ua.condition.isEmpty &&
-                  starLike(ua.assignments, rel.output, m.sourceTable.output) =>
+                  starLike(ua.assignments, rel.output, m.sourceTable.output, keys) =>
               GraftMergeUpdateOnlyCommand(t.wh, tableName(t),
                 sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
             // not-matched-insert only: the idempotent ingest shape
             case (Seq(), Seq(ia: InsertAction))
                 if ia.condition.isEmpty &&
-                  starLike(ia.assignments, rel.output, m.sourceTable.output) =>
+                  starLike(ia.assignments, rel.output, m.sourceTable.output, keys) =>
               GraftMergeInsertOnlyCommand(t.wh, tableName(t),
                 sourceAs(rel.output.map(_.name)), keys.map(_._1), parts)
             // delete-matching: WHEN MATCHED THEN DELETE, nothing else
@@ -341,10 +599,10 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   org.apache.spark.sql.catalyst.expressions.Alias(attr, tk)()
                 }, m.sourceTable)
               }, keys.map(_._1))
-            case (ma, nma) => fail(
-              s"MERGE supports exactly [WHEN MATCHED THEN UPDATE SET * + " +
-              s"WHEN NOT MATCHED THEN INSERT *] or [WHEN MATCHED THEN " +
-              s"DELETE alone]; got matched=$ma notMatched=$nma")
+            // every other legal shape — conditional actions, partial
+            // assignments, multiple WHEN branches — takes the general
+            // merge-on-read path
+            case _ => generic()
           }
         case None => m
       }
@@ -353,15 +611,23 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   /** Star-shaped assignments: every target column assigned exactly
     * from the source attribute of the same (or ON-paired) name — the
     * aligned form the analyzer expands `UPDATE SET *` / `INSERT *`
-    * into.
+    * into. The NAME check is load-bearing (r17 advice): `sourceAs`
+    * projects the source BY NAME, so an explicit non-star assignment
+    * like `SET v = s.other_v` where the source also has a column `v`
+    * must NOT pass — it would silently execute as `SET *`. Key columns
+    * pair through the ON clause; everything else pairs by identical
+    * name. Shapes that fail this route to the generic merge path, not
+    * the star fast-path.
     */
   private def starLike(assigns: Seq[Assignment], target: Seq[Attribute],
-      source: Seq[Attribute]): Boolean = {
+      source: Seq[Attribute], keys: Seq[(String, String)]): Boolean = {
     val sIds = source.map(_.exprId).toSet
+    val srcNameFor = keys.toMap // target key name -> ON-paired source name
     assigns.forall { a =>
       (a.key, a.value) match {
         case (k: AttributeReference, v: AttributeReference) =>
-          target.exists(_.exprId == k.exprId) && sIds.contains(v.exprId)
+          target.exists(_.exprId == k.exprId) && sIds.contains(v.exprId) &&
+            v.name.equalsIgnoreCase(srcNameFor.getOrElse(k.name, k.name))
         case _ => false
       }
     }

@@ -36,18 +36,32 @@ import graft.sources.GraftTable
   * future commits only, the change feed's "latest" stance. Columns
   * added by `ALTER TABLE ADD COLUMN` but not yet materialized by any
   * write null-fill, same as the batch read.
+  *
+  * `readChangeFeed=true` (the Delta CDF option, round 18): serve ALL
+  * row kinds — inserts, the rows a DV commit deleted, an update as
+  * its delete(old) + insert(new) pair — with the feed's `_change_type` and
+  * `_commit_version` columns appended to the table schema, instead of
+  * the insert-only filtered/projected view. Subscribers that need
+  * update/delete visibility no longer drop to the `graft_changes`
+  * TVF; the same checkpoint/offset machinery applies (offsets =
+  * committed snapshot versions), so exactly-once restart holds for
+  * CDF streams too.
   */
 final class CatalogStreamRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case s: StreamingRelationV2 if s.table.isInstanceOf[GraftTable] =>
       val t = s.table.asInstanceOf[GraftTable]
       import scala.jdk.CollectionConverters._
+      val passthrough = s.extraOptions.asCaseSensitiveMap().asScala
       val opts = Map(
         "root" -> t.wh.rootDir,
         "table" -> t.bareName) ++
-        s.extraOptions.asCaseSensitiveMap().asScala
+        passthrough
           .filter { case (k, _) => k.equalsIgnoreCase("startingVersion") }
           .map { case (_, v) => "startingVersion" -> v }
+      val cdf = passthrough
+        .find { case (k, _) => k.equalsIgnoreCase("readChangeFeed") }
+        .exists { case (_, v) => v.equalsIgnoreCase("true") }
       val ds = DataSource(spark,
         className = classOf[graft.streaming.ChangeFeedProvider].getName,
         options = opts)
@@ -55,14 +69,23 @@ final class CatalogStreamRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val changeType = v1.output.find(_.name == "_change_type").getOrElse(
         throw new IllegalStateException(
           "graft-changes schema lost its _change_type column"))
-      val inserts = Filter(EqualTo(changeType, Literal("insert")), v1)
       // rebind to the V2 relation's attribute ids; a prop-added column
       // the feed doesn't carry yet null-fills with its declared type
-      Project(s.output.map { o =>
+      def rebound = s.output.map { o =>
         v1.output.find(_.name == o.name) match {
           case Some(inner) => Alias(inner, o.name)(exprId = o.exprId)
           case None => Alias(Literal(null, o.dataType), o.name)(exprId = o.exprId)
         }
-      }, inserts)
+      }
+      if (cdf) {
+        // unfiltered: every change row, CDF meta columns appended.
+        // This node is the plan ROOT at `.table()` analysis, so the
+        // widened output IS the stream's schema (the Delta
+        // readChangeFeed contract).
+        val meta = v1.output.filter(a =>
+          a.name == "_change_type" || a.name == "_commit_version")
+        Project(rebound ++ meta, v1)
+      } else
+        Project(rebound, Filter(EqualTo(changeType, Literal("insert")), v1))
   }
 }

@@ -2091,8 +2091,7 @@ object Relational {
         val c = t(s, dir, "customer")
           .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
         val root = graft.sources.Scratch.dir(s, "cat")
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.root", root)
+        graft.sources.Scratch.withGraftCatalog(s, root) {
         val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
         wh.atomicPublish("cust_cat",
           c.repartitionByRange(8, $"c_custkey")
@@ -2126,6 +2125,7 @@ object Relational {
         val didPrune = pruned.nonEmpty &&
           pruned.map(_._1).sum < pruned.map(_._2).sum
         q.select($"n", $"bal", $"m", $"v1", lit(didPrune).as("files_pruned"))
+        }
       },
       Some("""SELECT count(*) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
@@ -2156,8 +2156,7 @@ object Relational {
         val c = t(s, dir, "customer")
           .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
         val root = graft.sources.Scratch.dir(s, "scat")
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.root", root)
+        graft.sources.Scratch.withGraftCatalog(s, root) {
         val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
         wh.atomicPublish("cust_s",
           c.filter($"c_custkey" % 3 === 0).repartition(2))           // v1
@@ -2181,6 +2180,7 @@ object Relational {
           .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"),
             countDistinct($"c_custkey").as("uniq"))
           .select($"n", $"bal", ($"n" === $"uniq").as("exactly_once"))
+        }
       },
       Some("""SELECT count(*) AS n,
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
@@ -2204,8 +2204,7 @@ object Relational {
             $"o_totalprice".cast("double").as("o_totalprice"),
             $"o_orderstatus")
         val root = graft.sources.Scratch.dir(s, "dmlq")
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.root", root)
+        graft.sources.Scratch.withGraftCatalog(s, root) {
         val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
         wh.atomicPublish("ord_dml", o.repartition(4))
         val filesBefore = wh.history("ord_dml").last._2
@@ -2231,6 +2230,7 @@ object Relational {
           FROM graft.wh.ord_dml""")
           .select($"n", $"revenue", lit(deleteDv).as("delete_dv"),
             lit(updateCommit).as("update_commit"))
+        }
       },
       Some("""WITH typed AS (
           SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -2270,8 +2270,7 @@ object Relational {
           .select($"p_partkey".cast("long").as("p_partkey"),
             $"p_brand", $"p_retailprice")
         val root = graft.sources.Scratch.dir(s, "opsq")
-        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft.root", root)
+        graft.sources.Scratch.withGraftCatalog(s, root) {
         val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
         wh.atomicPublish("part_ops",
           p.filter($"p_partkey" % 2 === 0).repartition(4))
@@ -2290,6 +2289,7 @@ object Relational {
           FROM graft.wh.part_ops""")
           .select($"n", $"retail", $"nb",
             lit(compacted).as("compacted"), lit(healthy).as("healthy"))
+        }
       },
       Some("""SELECT count(*) AS n,
           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2297,6 +2297,239 @@ object Relational {
           count(CASE WHEN p_brand = 'Brand#13' THEN 1 END) AS nb,
           TRUE AS compacted, TRUE AS healthy
         FROM part""")),
+
+    // ---- Correlated-subquery DML (round 18) ---------------------------
+    // `DELETE/UPDATE ... WHERE EXISTS (SELECT ... WHERE c.k = t.k AND
+    // <pred>)` equality-decorrelated onto the keyed commit paths: the
+    // correlated conjuncts become semi-join keys (deleteRowsKeyed — a
+    // DV commit, files untouched; updateRowsKeyed — one atomic
+    // rewrite+DV commit), the residual predicates stay inside the
+    // subquery frame. DuckDB replays both statements with its own
+    // native EXISTS, so the decorrelation is pinned against the
+    // un-decorrelated semantics.
+    Q("s48_sql_dml_corr",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_custkey".cast("long").as("o_custkey"),
+            $"o_totalprice".cast("double").as("o_totalprice"))
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "corrq")
+        graft.sources.Scratch.withGraftCatalog(s, root) {
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("ord_c", o.repartition(4))
+        c.createOrReplaceTempView("s48_cust")
+        val filesBefore = wh.history("ord_c").last._2
+        s.sql("""DELETE FROM graft.wh.ord_c t WHERE EXISTS (
+          SELECT 1 FROM s48_cust c
+          WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)""")
+        val hDel = wh.history("ord_c").last
+        val deleteDv = hDel._2 == filesBefore &&
+          wh.commitKind("ord_c", hDel._1).contains("delete")
+        s.sql("""UPDATE graft.wh.ord_c t
+          SET o_totalprice = t.o_totalprice + 1.0
+          WHERE EXISTS (
+            SELECT 1 FROM s48_cust c
+            WHERE c.c_custkey = t.o_custkey AND c.c_acctbal > 9000.0)""")
+        val updateCommit = wh.commitKind("ord_c",
+          wh.history("ord_c").last._1).contains("update")
+        s.sql("""SELECT count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS revenue
+          FROM graft.wh.ord_c""")
+          .select($"n", $"revenue", lit(deleteDv).as("delete_dv"),
+            lit(updateCommit).as("update_commit"))
+        }
+      },
+      Some("""WITH typed AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_custkey AS BIGINT) AS o_custkey,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          FROM orders
+        ), cust AS (
+          SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_acctbal
+          FROM customer
+        ), kept AS (
+          SELECT t.o_orderkey, t.o_custkey,
+                 CASE WHEN EXISTS (
+                     SELECT 1 FROM cust c
+                     WHERE c.c_custkey = t.o_custkey
+                       AND c.c_acctbal > 9000.0)
+                   THEN t.o_totalprice + 1.0 ELSE t.o_totalprice END
+                   AS o_totalprice
+          FROM typed t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM cust c
+            WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0)
+        )
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          TRUE AS delete_dv, TRUE AS update_commit
+        FROM kept""")),
+
+    // ---- Streaming CDF through the catalog name (round 18) ------------
+    // `spark.readStream.option("readChangeFeed","true").table(...)` —
+    // the Delta CDF contract on the spliced change-feed source: ALL
+    // row kinds stream (a DV delete's rows, an update as delete(old)+
+    // insert(new) under one version) with `_change_type` /
+    // `_commit_version` appended, same snapshot-version offsets. The
+    // run drains a publish + DV-delete + keyed update, then a SECOND
+    // drain from the same checkpoint picks up exactly one more
+    // commit — the exactly-once witness rides the hash (n == distinct)
+    // and DuckDB reconstructs the full change log relationally.
+    Q("s49_stream_cdf",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "cdfq")
+        graft.sources.Scratch.withGraftCatalog(s, root) {
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("cust_cdf", c.repartition(2))               // v1
+        wh.setSnapshotRetention("cust_cdf", 16)
+        wh.deleteRows("cust_cdf", $"c_custkey" % 10 === 0)           // v2
+        wh.updateRows("cust_cdf", $"c_custkey" % 7 === 0,
+          Map("c_acctbal" -> ($"c_acctbal" + 1.0)))                  // v3
+        val out = graft.sources.Scratch.dir(s, "cdfqout")
+        val chk = graft.sources.Scratch.dir(s, "cdfqchk")
+        def drain(): Unit = {
+          val q = s.readStream
+            .option("startingVersion", "1").option("readChangeFeed", "true")
+            .table("graft.wh.cust_cdf")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // v1 inserts + v2 deletes + v3 delete/insert pairs
+        wh.append("cust_cdf", c.filter($"c_custkey" <= 100)
+          .select(($"c_custkey" + 2000000L).as("c_custkey"), $"c_acctbal")
+          .repartition(1))                                           // v4
+        drain() // checkpoint resume: exactly v4's inserts
+        val served = s.read.parquet(out)
+        served.agg(count(lit(1)).as("n"),
+            count(when($"_change_type" === "insert", 1)).as("n_ins"),
+            dsum($"c_acctbal").as("bal"),
+            countDistinct($"c_custkey", $"_change_type",
+              $"_commit_version").as("uniq"))
+          .select($"n", $"n_ins", $"bal", ($"n" === $"uniq").as("exactly_once"))
+        }
+      },
+      Some("""WITH c AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k,
+                 CAST(c_acctbal AS DOUBLE) AS b
+          FROM customer
+        ), feed AS (
+          SELECT k, b, 'insert' AS ct FROM c
+          UNION ALL SELECT k, b, 'delete' FROM c WHERE k % 10 = 0
+          UNION ALL SELECT k, b, 'delete' FROM c
+            WHERE k % 7 = 0 AND k % 10 <> 0
+          UNION ALL SELECT k, b + 1.0, 'insert' FROM c
+            WHERE k % 7 = 0 AND k % 10 <> 0
+          UNION ALL SELECT k + 2000000, b, 'insert' FROM c WHERE k <= 100
+        )
+        SELECT count(*) AS n,
+          count(CASE WHEN ct = 'insert' THEN 1 END) AS n_ins,
+          CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          TRUE AS exactly_once
+        FROM feed""")),
+
+    // ---- SQL MERGE, general form (round 18) ---------------------------
+    // The full Delta-grade MERGE surface in one statement: conditional
+    // matched actions (first-match-wins), partial-assignment UPDATE,
+    // conditional INSERT with an explicit column list, and WHEN NOT
+    // MATCHED BY SOURCE — executed by Warehouse.mergeRows as ONE atomic
+    // merge-on-read commit (rewritten/inserted rows in a new version
+    // dir + old positions' DV entries), cost ∝ touched rows, never a
+    // table rewrite. Witnesses: exactly one commit of kind `merge`;
+    // matched rows where NO clause applies stay untouched (pinned by
+    // the hash). DuckDB replays the clause algebra relationally.
+    Q("s47_sql_merge_full",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_totalprice".cast("double").as("o_totalprice"),
+            $"o_orderstatus")
+        val root = graft.sources.Scratch.dir(s, "mrgq")
+        graft.sources.Scratch.withGraftCatalog(s, root) {
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("ord_mrg", o.repartition(4))
+        o.filter($"o_orderkey" <= 2000)
+          .select($"o_orderkey",
+            (($"o_orderkey" % 7).cast("double") + 1.0).as("adj"))
+          .unionByName(o.filter($"o_orderkey" <= 500)
+            .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+              (($"o_orderkey" % 7).cast("double") + 1.0).as("adj")))
+          .createOrReplaceTempView("s47_src")
+        val before = wh.history("ord_mrg").size
+        s.sql("""MERGE INTO graft.wh.ord_mrg t USING s47_src s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND t.o_orderstatus = 'F'
+            THEN UPDATE SET o_totalprice = t.o_totalprice + s.adj
+          WHEN MATCHED AND s.adj > 4.0 THEN DELETE
+          WHEN NOT MATCHED AND s.o_orderkey % 2 = 0
+            THEN INSERT (o_orderkey, o_totalprice, o_orderstatus)
+            VALUES (s.o_orderkey, s.adj, 'N')
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P'
+            THEN UPDATE SET o_totalprice = t.o_totalprice * 2.0""")
+        val h = wh.history("ord_mrg").last
+        val oneMerge = wh.history("ord_mrg").size == before + 1 &&
+          wh.commitKind("ord_mrg", h._1).contains("merge")
+        s.sql("""SELECT count(*) AS n,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS revenue,
+            count(CASE WHEN o_orderstatus = 'N' THEN 1 END) AS inserted
+          FROM graft.wh.ord_mrg""")
+          .select($"n", $"revenue", $"inserted",
+            lit(oneMerge).as("one_merge_commit"))
+        }
+      },
+      Some("""WITH typed AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                 o_orderstatus
+          FROM orders
+        ), src AS (
+          SELECT o_orderkey, CAST(o_orderkey % 7 AS DOUBLE) + 1.0 AS adj
+          FROM typed WHERE o_orderkey <= 2000
+          UNION ALL
+          SELECT o_orderkey + 100000000,
+                 CAST(o_orderkey % 7 AS DOUBLE) + 1.0
+          FROM typed WHERE o_orderkey <= 500
+        ), merged AS (
+          SELECT t.o_orderkey,
+                 CASE WHEN t.o_orderstatus = 'F'
+                      THEN t.o_totalprice + s.adj
+                      ELSE t.o_totalprice END AS o_totalprice,
+                 t.o_orderstatus,
+                 CASE WHEN t.o_orderstatus <> 'F' AND s.adj > 4.0
+                      THEN 1 ELSE 0 END AS deleted
+          FROM typed t JOIN src s ON t.o_orderkey = s.o_orderkey
+          UNION ALL
+          SELECT t.o_orderkey,
+                 CASE WHEN t.o_orderstatus = 'P'
+                      THEN t.o_totalprice * 2.0
+                      ELSE t.o_totalprice END,
+                 t.o_orderstatus, 0
+          FROM typed t
+          WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+          UNION ALL
+          SELECT s.o_orderkey, s.adj, 'N', 0
+          FROM src s
+          WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM typed)
+            AND s.o_orderkey % 2 = 0
+        )
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue,
+          count(CASE WHEN o_orderstatus = 'N' THEN 1 END) AS inserted,
+          TRUE AS one_merge_commit
+        FROM merged WHERE deleted = 0""")),
 
     Q("s25_deletion_vectors",
       (s, dir) => {

@@ -147,6 +147,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     require(namespace.length == 1, "one namespace level")
+    // '_'/'.'-prefixed names collide with warehouse metadata dirs
+    // (the Warehouse.tableNames convention) AND would be invisible to
+    // listNamespaces' metadata filter — a namespace that exists but
+    // never lists. Refuse at create, loudly (r17 advice).
+    require(!namespace.head.startsWith("_") && !namespace.head.startsWith("."),
+      s"graft namespace names must not start with '_' or '.': " +
+      s"'${namespace.head}' collides with warehouse metadata entries")
     val p = new Path(s"$root/${namespace.head}")
     hadoopFs(p).mkdirs(p); ()
   }
@@ -236,10 +243,31 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     if (partCols.nonEmpty)
       w.setTableProp(ident.name, "partition_cols", partCols.mkString(","))
     properties.asScala.foreach { case (k, v) =>
-      if (!k.startsWith("option.") && k != "owner" && k != "provider")
+      if (!k.startsWith("option.") && k != "owner" && k != "provider") {
+        requireUserProp(k)
         w.setTableProp(ident.name, k, v)
+      }
     }
     new GraftTable(w, ident)
+  }
+
+  /** Internal schema/layout bookkeeping keys are NOT a SQL property
+    * surface (r17 advice): `UNSET TBLPROPERTIES ('dropped_cols')`
+    * would silently resurrect dropped-column values from old files —
+    * the exact hazard the re-ADD guard refuses — and SET on
+    * `added_cols`/`partition_cols`/`renamed_cols` corrupts the
+    * metadata-only schema-evolution and layout accounting. Retention
+    * props (`retain_snapshots`/`retain_ms`) stay the supported SQL
+    * control surface.
+    */
+  private def requireUserProp(key: String): Unit = {
+    val reserved = Set("partition_cols", "added_cols", "dropped_cols",
+      "renamed_cols", "current_version")
+    if (reserved.contains(key))
+      throw new UnsupportedOperationException(
+        s"graft table property '$key' is internal schema/layout " +
+        "bookkeeping — it cannot be SET or UNSET via TBLPROPERTIES " +
+        "(use ALTER TABLE ADD/DROP/RENAME COLUMN and PARTITIONED BY)")
   }
 
   /** ALTER TABLE. Supported changes, each O(metadata):
@@ -248,10 +276,14 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     *    metadata action; reads null-fill until a write materializes
     *    it (GraftTable.snapshot does the fill, so catalog SQL and the
     *    write path agree on the schema from the next analysis on).
-    *  - SET/UNSET TBLPROPERTIES: straight to table props — this is
+    *  - SET/UNSET TBLPROPERTIES: user props only (internal
+    *    schema/layout bookkeeping keys are refused loudly) — this is
     *    the SQL control surface for the GC horizon (`retain_snapshots`
     *    / `retain_ms`), making `VERSION AS OF` availability a declared
     *    policy instead of a discovered accident.
+    *  - RENAME COLUMN: the `renamed_cols` mapping prop (old files read
+    *    through it, new writes use the new name) — no rewrite.
+    *  - DROP COLUMN: the `dropped_cols` projection prop (below).
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -273,13 +305,19 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
             _.split(',').contains(name)),
           s"column $name was dropped; re-adding it would resurrect old " +
           "values from pre-drop files — pick a new name or rewrite the table")
+        require(!w.renameMap(ident.name).exists(_._1 == name),
+          s"column $name is the pre-rename physical name of an existing " +
+          "column; re-adding it would make old files' bytes ambiguous — " +
+          "pick a new name or rewrite the table")
         val prev = w.tableProp(ident.name, "added_cols")
           .map(StructType.fromDDL).getOrElse(new StructType())
         val next = prev.add(name, add.dataType(), nullable = true)
         w.setTableProp(ident.name, "added_cols", next.toDDL)
       case set: TableChange.SetProperty =>
+        requireUserProp(set.property)
         w.setTableProp(ident.name, set.property, set.value)
       case rm: TableChange.RemoveProperty =>
+        requireUserProp(rm.property)
         w.setTableProp(ident.name, rm.property, "")
       // DROP COLUMN is a metadata action too (the `dropped_cols`
       // prop): reads project the column away; files keep their bytes
@@ -306,6 +344,50 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
           .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
         w.setTableProp(ident.name, "dropped_cols",
           (dropped :+ name).distinct.mkString(","))
+      // RENAME COLUMN is a metadata action too (the `renamed_cols`
+      // prop, Delta column-mapping lite): old files keep the physical
+      // name, every per-version scan maps old→new at read
+      // (Warehouse.readFiles), new writes carry the new name
+      // natively. Chains compose here (a→b then b→c stores a:c;
+      // renaming back to the original drops the identity pair).
+      // Partition columns are layout — refuse; a new name colliding
+      // with a dropped column's physical bytes — refuse.
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft ALTER TABLE renames top-level columns only")
+        val from = rn.fieldNames.head
+        val to = rn.newName()
+        require(cur.fieldNames.contains(from), s"no such column: $from")
+        require(!cur.fieldNames.contains(to), s"column $to already exists")
+        val parts = w.tableProp(ident.name, "partition_cols")
+          .map(_.split(',').toSeq).getOrElse(Nil)
+        require(!parts.contains(from),
+          s"cannot rename partition column $from (layout, not data)")
+        require(!w.tableProp(ident.name, "dropped_cols").exists(
+            _.split(',').contains(to)),
+          s"column $to was dropped; renaming onto it would collide with " +
+          "pre-drop files' physical bytes — pick another name")
+        // prop-added column: rename its declared entry so the
+        // null-fill uses the new name (the mapping still covers any
+        // files that materialized it under the old name)
+        val added = w.tableProp(ident.name, "added_cols")
+          .map(StructType.fromDDL).getOrElse(new StructType())
+        if (added.fieldNames.contains(from))
+          w.setTableProp(ident.name, "added_cols",
+            StructType(added.fields.map(f =>
+              if (f.name == from) f.copy(name = to) else f)).toDDL)
+        // EVERY historical physical name must map to the current one:
+        // files written during an intermediate epoch carry that
+        // epoch's name, so a→b→c keeps BOTH a:c and b:c (collapsing
+        // to a:c alone would orphan the b-named files' bytes).
+        // Renaming back to a historical name drops its identity pair.
+        val prev = w.renameMap(ident.name)
+        val composed =
+          prev.map { case (o, n) => if (n == from) (o, to) else (o, n) } :+
+            (from -> to)
+        w.setTableProp(ident.name, "renamed_cols",
+          composed.filter { case (o, n) => o != n }.distinct
+            .map { case (o, n) => s"$o:$n" }.mkString(","))
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
     }
@@ -417,9 +499,18 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
     m
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION: opts into the analyzer's
+    * `ResolveMergeIntoSchemaEvolution` for `MERGE ... WITH SCHEMA
+    * EVOLUTION` — Spark computes the schema diff and drives it through
+    * [[GraftCatalog.alterTable]]'s metadata-only AddColumn path (so
+    * the re-ADD-of-a-dropped-column refusal and the top-level/nullable
+    * guards apply to evolution too), then re-expands the star
+    * assignments against the widened schema.
+    */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.BATCH_READ,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

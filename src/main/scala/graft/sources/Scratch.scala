@@ -104,6 +104,27 @@ object Scratch {
   def warehouse(spark: SparkSession, key: String): Warehouse =
     new Warehouse(spark, dir(spark, key), manifest = true)
 
+  /** Scope the `graft` catalog binding to `body`: bind catalog+root,
+    * run, restore the previous binding (or unset). Safe because the
+    * catalog resolves its root from the LIVE conf at each analysis and
+    * every statement in a query body analyzes EAGERLY (`spark.sql`
+    * splices the concrete read plan at call time) — restoring the conf
+    * cannot un-resolve a returned DataFrame. Removes the
+    * leaked-session-binding ordering hazard across catalog queries
+    * (r17 verdict nit).
+    */
+  def withGraftCatalog[T](spark: SparkSession, root: String)(body: => T): T = {
+    val keys = Seq("spark.sql.catalog.graft", "spark.sql.catalog.graft.root")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.root", root)
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Per-invocation catalog table name for `base`; drops the previous
     * invocation's entry (external-table metadata only).
     */

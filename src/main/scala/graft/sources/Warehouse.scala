@@ -510,7 +510,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         new String(buf, 0, off, "UTF-8")
       } finally in.close()
     }
-    head.split('\n').iterator.take(4).collectFirst {
+    head.split('\n').iterator.take(5).collectFirst {
       case l if l.startsWith(s"#$key\t") => l.stripPrefix(s"#$key\t").trim
       case l if l.startsWith(s"$key\t")  => l.stripPrefix(s"$key\t").trim
     }
@@ -537,11 +537,26 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // `_metadata` struct resolves against a single file-source
     // relation, not through the union.
     val prefix = new Path(root).toUri.getPath + "/"
+    // metadata column renames (`renamed_cols` prop — ALTER TABLE
+    // RENAME COLUMN without rewrite): files written before the rename
+    // keep the old physical name; each per-version scan maps old→new
+    // HERE, before the by-name union, so every read surface — and the
+    // union itself — sees one consistent current-name schema. Applied
+    // per frame and only when the frame still carries the old name
+    // (post-rename files already have the new one); the rename is a
+    // Project alias, so parquet pushdown still reaches the old files'
+    // physical column.
+    val renames = renameMap(name)
     files.groupBy(f => if (f.matches("^_v\\d+/.*")) f.takeWhile(_ != '/') else "")
       .toSeq.sortBy(_._1)
       .map { case (v, fs) =>
         val base = if (v.isEmpty) root else s"$root/$v"
-        val scan = spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+        val scan0 = spark.read.option("basePath", base).parquet(fs.map(f => s"$root/$f"): _*)
+        val scan = renames.foldLeft(scan0) { case (d, (o, n)) =>
+          if (d.columns.contains(o) && !d.columns.contains(n))
+            d.withColumnRenamed(o, n)
+          else d
+        }
         if (!withPos) scan
         else scan
           .withColumn("_file",
@@ -551,6 +566,19 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** The `renamed_cols` prop parsed: (oldPhysicalName, currentName)
+    * pairs, `old:new` comma-joined on disk. Chains compose at ALTER
+    * time (a→b then b→c stores a:c), so application is one pass.
+    */
+  private[graft] def renameMap(name: String): Seq[(String, String)] =
+    tableProp(name, "renamed_cols").map(_.split(',').toSeq.filter(_.nonEmpty)
+      .flatMap { s =>
+        s.split(':') match {
+          case Array(o, n) if o != n => Some((o, n))
+          case _                     => None
+        }
+      }).getOrElse(Nil)
 
   /** Scan an explicit file list MINUS the deletion vector of manifest
     * `mf` (merge-on-read — the single DV-aware read every public read
@@ -2499,10 +2527,26 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // both labels are read by the same header parse every consumer
     // already does.
     val prevLabel = expectedPrev.getOrElse("-")
+    // `ts` = commit wall-clock millis, recorded IN the manifest so
+    // `TIMESTAMP AS OF` is self-contained: file mtimes are perturbed
+    // silently by rsync/copy restores and object-store migrations,
+    // the header survives them byte-for-byte (r17 advice / stretch).
+    // Pre-label manifests fall back to mtime with a monotonicity
+    // guard in versionAtTimestamp. Clamped to the predecessor's label
+    // (one header read): writer clock skew must never publish a chain
+    // whose commit times run backwards — that would trip the restore
+    // guard forever after (the Delta in-commit-timestamp clamp).
+    val tsLabel = {
+      val prevTs = expectedPrev.collect { case ManifestRe(v) =>
+        manifestHeaderMeta(name, v.toLong, "ts").flatMap(_.toLongOption)
+      }.flatten
+      math.max(System.currentTimeMillis(), prevTs.getOrElse(0L))
+    }
     val labeled =
       if (built.content.startsWith(ChunkedHeader))
-        built.content.replaceFirst("\n", s"\nop\t$op\nprev\t$prevLabel\n")
-      else s"#op\t$op\n#prev\t$prevLabel\n" + built.content
+        built.content.replaceFirst("\n",
+          s"\nop\t$op\nprev\t$prevLabel\nts\t$tsLabel\n")
+      else s"#op\t$op\n#prev\t$prevLabel\n#ts\t$tsLabel\n" + built.content
     try out.write(labeled.getBytes("UTF-8"))
     finally out.close()
     // We now own manifest number n exclusively (create-no-overwrite
@@ -3794,7 +3838,24 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     */
   private[graft] var upsertTestHook: String => Unit = _ => ()
 
-  def deleteRows(name: String, cond: org.apache.spark.sql.Column): Long = {
+  def deleteRows(name: String, cond: org.apache.spark.sql.Column): Long =
+    deleteRowsCore(name, _.filter(cond))
+
+  /** `deleteRows` with the hit set given as a KEY FRAME instead of a
+    * predicate — the `DELETE ... WHERE k IN (<subquery>)` / correlated
+    * `EXISTS` shape after decorrelation: hits are the raw scan
+    * semi-joined to `keys` on `keyCols`. Same DV-as-commit cost model
+    * (O(hits) sidecar + O(header) manifest delta, never a rewrite) —
+    * deleting 100 keys from a 100 TB table stays a metadata-sized
+    * commit, where the anti-join rewrite would copy the table.
+    */
+  def deleteRowsKeyed(name: String, keys: DataFrame,
+      keyCols: Seq[String]): Long =
+    deleteRowsCore(name,
+      _.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi"))
+
+  private def deleteRowsCore(name: String,
+      hitFilter: DataFrame => DataFrame): Long = {
     require(manifest, "deletion vectors require manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
@@ -3818,7 +3879,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     dvTestHook(name)
     // RAW scan (no DV subtraction) over the CAPTURED file list: hits
     // on already-deleted rows are harmless — they dedup in the union.
-    val hits = readFiles(name, filesCap, withPos = true).filter(cond)
+    val hits = hitFilter(readFiles(name, filesCap, withPos = true))
       .select(col("_file"), col("_pos"))
     val merged = expected match {
       case Some(d) =>
@@ -3922,6 +3983,232 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     } finally { hits.unpersist(); () }
   }
 
+  /** Test seam: fires after `mergeRows` captures its base snapshot,
+    * before it scans — same contract as `updateTestHook`.
+    */
+  private[graft] var mergeTestHook: String => Unit = _ => ()
+
+  /** Full-fidelity MERGE as ONE atomic merge-on-read commit — the
+    * general form behind the SQL `MERGE INTO` surface (conditional
+    * matched/not-matched actions, partial-assignment `UPDATE SET col =
+    * expr`, `WHEN NOT MATCHED BY SOURCE`), Delta's row-level-operation
+    * model re-expressed on the warehouse's own primitives: touched
+    * target rows' OLD physical positions join the deletion vector
+    * while their rewritten copies (plus the applied inserts) land in a
+    * NEW version dir, both staged under a single manifest made current
+    * by the same pointer CAS as every commit. Cost ∝ TOUCHED rows —
+    * matched pairs found by one equi-join on the ON keys (shuffle
+    * keyed, broadcast-able when the source is small), untouched rows
+    * never rewritten — so merging 100 rows into a 100 TB table writes
+    * one small file and an O(header) manifest delta.
+    *
+    * Contract with clause expressions: TARGET columns by bare name,
+    * SOURCE columns under the `_src_` prefix (the joined frame names
+    * them so; [[graft.plans.CatalogDmlRule]] rewrites the analyzed SQL
+    * expressions accordingly). Per SQL semantics: clauses apply
+    * first-match-wins in declaration order; a matched pair where no
+    * clause condition holds leaves the row untouched; a target row
+    * matched by MORE than one source row fails loudly (the standard's
+    * cardinality violation — silent nondeterminism otherwise); ON-key
+    * nulls never match (insert path for null-keyed source rows).
+    * Assignment values cast to the target column's type (store-
+    * assignment policy); insert clauses null-fill unassigned columns.
+    *
+    * `evolveCols` (MERGE WITH SCHEMA EVOLUTION): extra columns
+    * appended to the written schema — new files carry them, pre-merge
+    * files null-fill through the by-name snapshot union, no metadata
+    * action needed (the read schema widens with the commit, exactly
+    * `appendEvolved`'s rule).
+    *
+    * Returns (updated, deleted, inserted) row counts.
+    */
+  def mergeRows(name: String, source: DataFrame,
+      keyPairs: Seq[(String, String)],
+      matched: Seq[Warehouse.MergeClause],
+      notMatched: Seq[Warehouse.MergeInsertClause],
+      notMatchedBySource: Seq[Warehouse.MergeClause],
+      evolveCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : (Long, Long, Long) = {
+    import Warehouse.{MergeClause, MergeDeleteClause, MergeInsertClause, MergeUpdateClause}
+    require(manifest, "mergeRows requires manifest mode")
+    require(keyPairs.nonEmpty, "mergeRows needs at least one ON key pair")
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val (mfCap, filesCap) = resolveSnapshot(name)
+    mergeTestHook(name)
+    val mf = mfCap.getOrElse(
+      throw new IllegalArgumentException(s"no current snapshot for $name"))
+    val expected = pointerStore.read(fs, root, dvPtrName(mf))
+    val raw = readFiles(name, filesCap, withPos = true)
+    val dv = expected.map(d => loadDv(fs, new Path(root, d)))
+    val live0 = dv match {
+      case None => raw
+      case Some(d) =>
+        val dels = d.select(col("_file").as("_dfile"), col("_pos").as("_dpos"))
+        raw.join(broadcast(dels),
+          col("_file") === col("_dfile") && col("_pos") === col("_dpos"),
+          "left_anti")
+    }
+    // honor the catalog's METADATA schema, same as GraftTable.snapshot:
+    // dropped columns projected away (their bytes must not be carried
+    // into rewritten rows), prop-added columns null-filled so clause
+    // conditions/assignments can reference them before any write
+    // materialized them — this is what makes the SQL analyzer's
+    // schema-evolution ALTER (a metadata action during analysis)
+    // visible to the merge that triggered it
+    val dropped = tableProp(name, "dropped_cols")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val propAdded = tableProp(name, "added_cols")
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .map(_.fields.toSeq).getOrElse(Nil)
+      .filterNot(f => raw.columns.contains(f.name))
+    val live = propAdded.foldLeft(
+        if (dropped.nonEmpty) live0.drop(dropped: _*) else live0)(
+      (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val dataCols = live.columns.filterNot(Set("_file", "_pos")).toSeq
+    require(dataCols.forall(!_.startsWith("_src_")),
+      s"mergeRows($name): target columns must not start with '_src_'")
+    evolveCols.foreach(f => require(!dataCols.contains(f.name),
+      s"mergeRows($name): evolve column '${f.name}' already exists"))
+    val outCols = dataCols ++ evolveCols.map(_.name)
+    val outType: Map[String, org.apache.spark.sql.types.DataType] =
+      (raw.schema.fields.map(f => f.name -> f.dataType) ++
+        propAdded.map(f => f.name -> f.dataType) ++
+        evolveCols.map(f => f.name -> f.dataType)).toMap
+    val src = source.columns.foldLeft(source)((d, c) =>
+      d.withColumnRenamed(c, s"_src_$c"))
+    val joinCond = keyPairs.map { case (tk, sk) =>
+      col(tk) === col(s"_src_$sk") }.reduce(_ && _)
+    // first-match-wins CASE chain over the clause conditions; null
+    // (no clause applies) = row untouched, exactly SQL's stance
+    def actionIdx(conds: Seq[Option[org.apache.spark.sql.Column]])
+        : org.apache.spark.sql.Column =
+      conds.zipWithIndex.foldRight(
+          lit(null).cast(org.apache.spark.sql.types.IntegerType)
+            : org.apache.spark.sql.Column) {
+        case ((c, i), els) => when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    def clauseCond(c: MergeClause) = c match {
+      case MergeUpdateClause(cond, _) => cond
+      case MergeDeleteClause(cond)    => cond
+    }
+    // a rewritten/inserted row, projected to the OUT schema in target
+    // column order, assignment values cast to the target type
+    def project(df: DataFrame, assigns: Map[String, org.apache.spark.sql.Column],
+        default: String => org.apache.spark.sql.Column): DataFrame =
+      df.select(outCols.map { c =>
+        assigns.get(c).map(_.cast(outType(c))).getOrElse(default(c)).as(c)
+      }: _*)
+    val nullDefault: String => org.apache.spark.sql.Column =
+      c => lit(null).cast(outType(c))
+    val keepDefault: String => org.apache.spark.sql.Column =
+      c => (if (dataCols.contains(c)) col(c) else lit(null)).cast(outType(c))
+
+    // ---- matched pairs ------------------------------------------------
+    val (matchedPos, matchedRows, nUpd0, nDelM) = if (matched.isEmpty)
+      (None, Nil, 0L, 0L)
+    else {
+      val pairs = live.join(src, joinCond, "inner")
+        .withColumn("_act", actionIdx(matched.map(clauseCond)))
+        .filter(col("_act").isNotNull).persist()
+      // SQL cardinality rule: >1 source row per target row is loud
+      val dup = pairs.groupBy(col("_file"), col("_pos")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty) {
+        pairs.unpersist()
+        throw new IllegalStateException(
+          s"mergeRows($name): a target row matched more than one source " +
+          "row — MERGE cardinality violation; dedup the source on the ON " +
+          "keys or tighten the ON condition")
+      }
+      val rows = matched.zipWithIndex.collect {
+        case (MergeUpdateClause(_, assigns), i) =>
+          project(pairs.filter(col("_act") === i), assigns, keepDefault)
+      }
+      val updIdx = matched.zipWithIndex.collect {
+        case (_: MergeUpdateClause, i) => i }.toSet
+      val nU = if (updIdx.isEmpty) 0L
+        else pairs.filter(col("_act").isin(updIdx.toSeq: _*)).count()
+      val nD = pairs.count() - nU
+      (Some(pairs), rows, nU, nD)
+    }
+
+    // ---- target rows not matched by source ---------------------------
+    val (nmbsPos, nmbsRows, nUpd1, nDelS) = if (notMatchedBySource.isEmpty)
+      (None, Nil, 0L, 0L)
+    else {
+      val srcKeys = src.select(keyPairs.map(p => col(s"_src_${p._2}")): _*)
+        .distinct()
+      val rows0 = live.join(srcKeys, joinCond, "left_anti")
+        .withColumn("_act", actionIdx(notMatchedBySource.map(clauseCond)))
+        .filter(col("_act").isNotNull).persist()
+      val rows = notMatchedBySource.zipWithIndex.collect {
+        case (MergeUpdateClause(_, assigns), i) =>
+          project(rows0.filter(col("_act") === i), assigns, keepDefault)
+      }
+      val updIdx = notMatchedBySource.zipWithIndex.collect {
+        case (_: MergeUpdateClause, i) => i }.toSet
+      val nU = if (updIdx.isEmpty) 0L
+        else rows0.filter(col("_act").isin(updIdx.toSeq: _*)).count()
+      val nD = rows0.count() - nU
+      (Some(rows0), rows, nU, nD)
+    }
+
+    // ---- source rows not matched (inserts) ---------------------------
+    val (insFrame, insRows, nIns) = if (notMatched.isEmpty) (None, Nil, 0L)
+    else {
+      val liveKeys = live.select(keyPairs.map(p => col(p._1)): _*).distinct()
+      val fresh = src.join(liveKeys, joinCond, "left_anti")
+        .withColumn("_act", actionIdx(notMatched.map(_.condition)))
+        .filter(col("_act").isNotNull).persist()
+      val rows = notMatched.zipWithIndex.map { case (cl, i) =>
+        project(fresh.filter(col("_act") === i), cl.assigns, nullDefault)
+      }
+      (Some(fresh), rows, fresh.count())
+    }
+
+    try {
+      val positions = (matchedPos.toSeq ++ nmbsPos.toSeq)
+        .map(_.select(col("_file"), col("_pos")))
+        .reduceOption(_.unionByName(_)).map(_.distinct())
+      val newRows = (matchedRows ++ nmbsRows ++ insRows)
+        .reduceOption(_.unionByName(_))
+      val touched = nUpd0 + nDelM + nUpd1 + nDelS
+      if (touched == 0 && nIns == 0) return (0L, 0L, 0L) // no-op, no commit
+      val parts = partitionColsFrom(snapshotHeadFile(name))
+        .filter(outCols.contains)
+      // DV replacement only when target positions were touched; an
+      // insert-only outcome passes None and the commit's carry-forward
+      // keeps the base lineage's vector (no empty-vector debris)
+      val dvRep = if (touched > 0) Some {
+        val pos = positions.getOrElse(
+          spark.emptyDataFrame.select(lit("").as("_file"), lit(0L).as("_pos"))
+            .limit(0))
+        dv match {
+          case Some(d) => d.select(col("_file"), col("_pos"))
+            .unionByName(pos).distinct()
+          case None => pos.distinct()
+        }
+      } else None
+      newRows match {
+        case Some(rows) if nUpd0 + nUpd1 + nIns > 0 =>
+          val (n, added) = writeVersion(name, rows, parts)
+          commitSnapshot(name, n, Delta(Some(mf), Set.empty, Set.empty, added),
+            Some(mf), dvReplace = dvRep, op = "merge")
+        case _ =>
+          // delete-only outcome: a DV commit, no data files written
+          val n = claimVersion(fs, root)
+          commitSnapshot(name, n, Delta(Some(mf), Set.empty, Set.empty, Nil),
+            Some(mf), dvReplace = dvRep, op = "merge")
+      }
+      (nUpd0 + nUpd1, nDelM + nDelS, nIns)
+    } finally {
+      matchedPos.foreach(_.unpersist())
+      nmbsPos.foreach(_.unpersist())
+      insFrame.foreach(_.unpersist())
+    }
+  }
+
   /** Merge-on-read scan. Since round 11 `read` itself IS merge-on-read
     * (the DV anti-join lives in `readFilesMor`, shared by every read
     * surface); this alias survives for callers written against the
@@ -3983,21 +4270,41 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest COMMITTED, still-retained
-    * version whose manifest file was written at or before `tsMillis` —
-    * the Delta/Iceberg convention (commit-file modification time IS
-    * the commit time; manifests are immutable after creation, so the
-    * mtime is stable). None = every retained commit is newer than the
-    * asked instant; the caller fails loudly, same contract as a GC'd
-    * `VERSION AS OF`. O(retained versions) driver metadata.
+    * version whose commit time is at or before `tsMillis`. Commit time
+    * is SELF-CONTAINED where available — the `ts` header label every
+    * commit since round 18 writes into its manifest — so a warehouse
+    * restored by rsync/copy or migrated between object stores resolves
+    * identically (mtimes are rewritten by such moves; the header
+    * survives byte-for-byte). Pre-label manifests fall back to the
+    * Delta/Iceberg mtime convention, GUARDED: if the per-version
+    * commit times are non-monotonic in version order — the signature
+    * of a perturbed restore — resolution fails loudly instead of
+    * silently picking a wrong version (the caller can still use
+    * `VERSION AS OF`, which never consults clocks). None = every
+    * retained commit is newer than the asked instant; the caller fails
+    * loudly, same contract as a GC'd `VERSION AS OF`. O(retained
+    * versions) driver metadata.
     */
   def versionAtTimestamp(name: String, tsMillis: Long): Option[Long] = {
     require(manifest, "time travel requires manifest mode")
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
-    history(name).map(_._1).filter { v =>
+    val times = history(name).map(_._1).sorted.flatMap { v =>
       val mf = new Path(root, s"_manifest_v$v")
-      fs.exists(mf) && fs.getFileStatus(mf).getModificationTime <= tsMillis
-    }.maxOption
+      if (!fs.exists(mf)) None
+      else Some(v -> manifestHeaderMeta(name, v, "ts").flatMap(_.toLongOption)
+        .getOrElse(fs.getFileStatus(mf).getModificationTime))
+    }
+    times.sliding(2).foreach {
+      case Seq((v1, t1), (v2, t2)) if t2 < t1 =>
+        throw new IllegalStateException(
+          s"TIMESTAMP AS OF on $name: commit times are not monotonic in " +
+          s"version order (v$v1 at $t1 > v$v2 at $t2) — the warehouse was " +
+          "likely restored by a copy that rewrote file mtimes; use " +
+          "VERSION AS OF, or rewrite history under ts-labeled commits")
+      case _ => ()
+    }
+    times.filter(_._2 <= tsMillis).map(_._1).maxOption
   }
 
   // ---- Write-audit-publish branches (manifest mode) ------------------
@@ -4822,6 +5129,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
 }
 
 object Warehouse {
+
+  /** One WHEN clause of [[Warehouse.mergeRows]]. Expressions reference
+    * target columns by bare name and source columns as `_src_<name>`
+    * (the merge join frame's naming). `condition` None = always
+    * applies (subject to first-match-wins order).
+    */
+  sealed trait MergeClause
+  final case class MergeUpdateClause(
+      condition: Option[org.apache.spark.sql.Column],
+      assigns: Map[String, org.apache.spark.sql.Column]) extends MergeClause
+  final case class MergeDeleteClause(
+      condition: Option[org.apache.spark.sql.Column]) extends MergeClause
+  /** WHEN NOT MATCHED THEN INSERT: `assigns` maps target column →
+    * source-side expression; unassigned columns null-fill.
+    */
+  final case class MergeInsertClause(
+      condition: Option[org.apache.spark.sql.Column],
+      assigns: Map[String, org.apache.spark.sql.Column])
+
   /** Cost-attribution seam (`SPARK_GRAFT_SINK_PROF=1`): per-phase
     * stderr timing of the write/commit path, so a streaming-sink cost
     * trend decomposes into NAMED line items instead of a guess (the

@@ -14,10 +14,14 @@ class MockHadoopFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
 
-/** Round-17 catalog surface: Hadoop-FS routing, DDL completion (ALTER
-  * ADD COLUMN / TBLPROPERTIES, partitioned CREATE, TIMESTAMP AS OF,
-  * RENAME, DROP NAMESPACE) and SQL DML (DELETE/UPDATE/MERGE) onto the
-  * warehouse's row-level commit paths.
+/** Catalog surface: Hadoop-FS routing, DDL completion (ALTER
+  * ADD/DROP/RENAME COLUMN, TBLPROPERTIES with reserved-key guards,
+  * partitioned CREATE, TIMESTAMP AS OF on self-contained commit
+  * times, RENAME, DROP NAMESPACE) and SQL DML onto the warehouse's
+  * row-level commit paths — including the round-18 full MERGE surface
+  * (conditional/partial/NOT MATCHED BY SOURCE/schema evolution via
+  * Warehouse.mergeRows), correlated-subquery DELETE/UPDATE
+  * decorrelation, and the readChangeFeed streaming option.
   */
 class CatalogDdlDmlSpec extends SparkSpec {
 
@@ -220,6 +224,51 @@ class CatalogDdlDmlSpec extends SparkSpec {
     val n2 = try spark.read.parquet(out2).count()
       catch { case _: Exception => 0L } // empty dir: nothing served
     assert(n2 === 0L, s"default stream must serve future commits only, got $n2")
+  }
+
+  test("readStream.table with readChangeFeed=true: all row kinds + CDF columns, checkpoint restart") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/cdf", manifest = true)
+    wh.atomicPublish("t",
+      spark.range(0, 10).toDF("k").withColumn("v", $"k".cast("double"))
+        .coalesce(1))                                   // v1
+    wh.setSnapshotRetention("t", 16)
+    wh.deleteRows("t", $"k" < 3)                        // v2: 3 deletes
+    wh.updateRows("t", $"k" === 5, Map("v" -> lit(50.0))) // v3: del+ins
+    val out = java.nio.file.Files.createTempDirectory("graft-cdfout").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-cdfchk").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startingVersion", "1").option("readChangeFeed", "true")
+        .table("graft.cdf.t")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val served = spark.read.parquet(out)
+    assert(served.columns.toSet ===
+      Set("k", "v", "_change_type", "_commit_version"))
+    val byKind = served.groupBy($"_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind === Map("insert" -> 11L, "delete" -> 4L),
+      s"10 v1 inserts + v3 postimage; 3 v2 deletes + v3 preimage: $byKind")
+    // the update pair carries old and new values under one version
+    val upd = served.filter($"k" === 5).orderBy($"_commit_version",
+      $"_change_type").collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getDouble(1)))
+    assert(upd.toSeq === Seq(("insert", 1L, 5.0), ("delete", 3L, 5.0),
+      ("insert", 3L, 50.0)))
+    // checkpoint restart: a new commit streams exactly once
+    wh.deleteRows("t", $"k" === 9)                      // v4
+    drain()
+    val again = spark.read.parquet(out)
+    assert(again.count() === 16L)
+    assert(again.distinct().count() === 16L, "no row served twice")
+    assert(again.filter($"_commit_version" === 4L).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq === Seq((9L, "delete")))
   }
 
   test("CALL graft.system.*: maintenance verbs from pure SQL") {
@@ -436,16 +485,347 @@ class CatalogDdlDmlSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT *""") // re-run inserts nothing
     assert(spark.sql("SELECT count(*) AS n FROM graft.dml.m")
       .head.getLong(0) === 120L)
-    // negative: conditional matched action
-    intercept[Exception] {
-      spark.sql("""MERGE INTO graft.dml.m t USING m_src s ON t.k = s.k
-        WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *""")
-    }
     // negative: non-equi ON
     intercept[Exception] {
       spark.sql("""MERGE INTO graft.dml.m t USING m_src s ON t.k < s.k
         WHEN MATCHED THEN DELETE""")
     }
+  }
+
+  test("MERGE generic form: conditional actions, partial SET, multi-branch — one atomic commit") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
+    wh.atomicPublish("g",
+      spark.range(0, 100).toDF("k").withColumn("v", $"k".cast("double"))
+        .withColumn("w", lit("x")))
+    spark.range(50, 150).toDF("k").withColumn("delta", lit(1000.0))
+      .createOrReplaceTempView("g_src")
+    val before = wh.history("g").size
+    spark.sql("""MERGE INTO graft.dmlg.g t USING g_src s ON t.k = s.k
+      WHEN MATCHED AND t.v < 70 THEN UPDATE SET v = t.v + s.delta
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED AND s.k < 130 THEN INSERT (k, v) VALUES (s.k, s.delta)""")
+    // one commit, not one per clause
+    assert(wh.history("g").size === before + 1)
+    val rows = spark.sql(
+      "SELECT k, v, w FROM graft.dmlg.g ORDER BY k").collect()
+    assert(rows.length === 100) // 50 untouched + 20 updated + 30 inserted
+    // first-match-wins: 50..69 updated (v = k + 1000), 70..99 deleted
+    assert(rows.count(r => r.getDouble(1) >= 1050 && r.getDouble(1) < 1100) === 20)
+    assert(!rows.exists(r => r.getLong(0) >= 70 && r.getLong(0) < 100))
+    // inserts: 100..129, unassigned w null-fills
+    val ins = rows.filter(r => r.getLong(0) >= 100)
+    assert(ins.length === 30 && ins.forall(r =>
+      r.getDouble(1) === 1000.0 && r.isNullAt(2)))
+    // untouched rows keep their values
+    assert(rows.filter(_.getLong(0) < 50).forall(r =>
+      r.getDouble(1) === r.getLong(0).toDouble && r.getString(2) == "x"))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: update and delete branches") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
+    wh.atomicPublish("nb",
+      spark.range(0, 40).toDF("k").withColumn("v", $"k".cast("double")))
+    spark.range(20, 50).toDF("k").withColumn("v", lit(-1.0))
+      .createOrReplaceTempView("nb_src")
+    spark.sql("""MERGE INTO graft.dmlg.nb t USING nb_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -2.0""")
+    val rows = spark.sql("SELECT k, v FROM graft.dmlg.nb ORDER BY k").collect()
+    // 0..4 deleted; 5..19 set to -2; 20..39 matched (−1); 40..49 inserted (−1)
+    assert(rows.length === 45)
+    assert(!rows.exists(_.getLong(0) < 5))
+    assert(rows.filter(r => r.getLong(0) >= 5 && r.getLong(0) < 20)
+      .forall(_.getDouble(1) === -2.0))
+    assert(rows.filter(_.getLong(0) >= 20).forall(_.getDouble(1) === -1.0))
+  }
+
+  test("MERGE explicit non-star assignment SET v = s.other_v executes correctly (r17 advice)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
+    wh.atomicPublish("sv",
+      spark.range(0, 10).toDF("k").withColumn("v", lit(0.0)))
+    // source carries BOTH a same-named `v` (decoy) and `other_v`
+    spark.range(0, 10).toDF("k").withColumn("v", lit(-99.0))
+      .withColumn("other_v", lit(7.0)).createOrReplaceTempView("sv_src")
+    spark.sql("""MERGE INTO graft.dmlg.sv t USING sv_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.other_v""")
+    val vs = spark.sql("SELECT v FROM graft.dmlg.sv").collect().map(_.getDouble(0))
+    assert(vs.length === 10 && vs.forall(_ === 7.0),
+      "SET v = s.other_v must use other_v, not the same-named decoy")
+  }
+
+  test("MERGE cardinality violation (duplicate source keys) fails loudly") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
+    wh.atomicPublish("cv",
+      spark.range(0, 5).toDF("k").withColumn("v", lit(1.0)))
+    Seq((2L, 5.0), (2L, 6.0)).toDF("k", "v").createOrReplaceTempView("cv_src")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.dmlg.cv t USING cv_src s ON t.k = s.k
+        WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("cardinality") ||
+      Option(e.getCause).exists(_.getMessage.contains("cardinality")))
+    // table unchanged — the violation aborted before any commit
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.dmlg.cv")
+      .head.getDouble(0) === 5.0)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table via the metadata AddColumn path") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
+    wh.atomicPublish("ev",
+      spark.range(0, 10).toDF("k").withColumn("v", $"k".cast("double")))
+    spark.range(5, 15).toDF("k").withColumn("v", lit(0.5))
+      .withColumn("tag", concat(lit("t"), $"k"))
+      .createOrReplaceTempView("ev_src")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.dmlg.ev t
+      USING ev_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.sql(
+      "SELECT k, v, tag FROM graft.dmlg.ev ORDER BY k").collect()
+    assert(rows.length === 15)
+    // pre-merge rows: tag null; matched + inserted: tag from source
+    assert(rows.filter(_.getLong(0) < 5).forall(_.isNullAt(2)))
+    assert(rows.filter(_.getLong(0) >= 5).forall(r =>
+      r.getString(2) == s"t${r.getLong(0)}" && r.getDouble(1) === 0.5))
+    // the widening is the guarded metadata path: re-adding a dropped
+    // column via evolution is refused
+    spark.sql("ALTER TABLE graft.dmlg.ev DROP COLUMN tag")
+    spark.range(0, 2).toDF("k").withColumn("v", lit(1.0))
+      .withColumn("tag", lit("zombie")).createOrReplaceTempView("ev_src2")
+    intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.dmlg.ev t
+        USING ev_src2 s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *""")
+    }
+  }
+
+  test("correlated subquery DML: EXISTS / IN decorrelate onto the keyed commit paths") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, s"$base/dmlc", manifest = true)
+    wh.atomicPublish("t1",
+      spark.range(0, 100).toDF("k").withColumn("grp", $"k" % 10)
+        .withColumn("v", $"k".cast("double")).repartition(4))
+    wh.atomicPublish("dim",
+      Seq((3L, "del"), (5L, "del"), (7L, "keep")).toDF("g", "action"))
+    val filesBefore = wh.history("t1").last._2
+    // DELETE WHERE EXISTS (correlated on grp) → keyed DV delete
+    spark.sql("""DELETE FROM graft.dmlc.t1 t WHERE EXISTS (
+      SELECT 1 FROM graft.dmlc.dim d WHERE d.g = t.grp AND d.action = 'del')""")
+    val hDel = wh.history("t1").last
+    assert(hDel._2 === filesBefore, "correlated delete must be a DV commit")
+    assert(wh.commitKind("t1", hDel._1) === Some("delete"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dmlc.t1")
+      .head.getLong(0) === 80L) // grp 3 and 5 gone
+    // UPDATE WHERE EXISTS → one keyed-update commit
+    spark.sql("""UPDATE graft.dmlc.t1 t SET v = -1.0 WHERE EXISTS (
+      SELECT 1 FROM graft.dmlc.dim d WHERE d.g = t.grp AND d.action = 'keep')""")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dmlc.t1 WHERE v = -1.0")
+      .head.getLong(0) === 10L) // grp 7
+    assert(wh.commitKind("t1", wh.history("t1").last._1) === Some("update"))
+    // correlated IN: value column + correlated equality both join keys
+    spark.sql("""DELETE FROM graft.dmlc.t1 t WHERE k IN (
+      SELECT d.g + 10 FROM graft.dmlc.dim d WHERE d.g = t.grp)""")
+    // k = grp + 10 with grp in dim ⇒ k ∈ {13,15,17}, 13/15 already gone
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dmlc.t1")
+      .head.getLong(0) === 79L)
+    assert(!spark.sql("SELECT k FROM graft.dmlc.t1").collect()
+      .exists(_.getLong(0) == 17L))
+    // non-equi correlation still fails loudly, nothing commits
+    val vBefore = wh.currentVersion("t1")
+    intercept[Exception] {
+      spark.sql("""DELETE FROM graft.dmlc.t1 t WHERE EXISTS (
+        SELECT 1 FROM graft.dmlc.dim d WHERE d.g = t.grp + 1)""").collect()
+    }
+    assert(wh.currentVersion("t1") === vBefore)
+  }
+
+  test("ALTER TABLE RENAME COLUMN: metadata-only; old files read through the mapping") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ddl2.rc (k BIGINT, val DOUBLE, tag STRING)")
+    spark.sql("INSERT INTO graft.ddl2.rc VALUES (1, 1.5, 'a'), (2, 2.5, 'b')")
+    val wh = new Warehouse(spark, s"$base/ddl2", manifest = true)
+    val before = wh.history("rc").size
+    spark.sql("ALTER TABLE graft.ddl2.rc RENAME COLUMN val TO amount")
+    assert(wh.history("rc").size === before, "rename is a metadata action")
+    assert(spark.table("graft.ddl2.rc").columns.toSeq ===
+      Seq("k", "amount", "tag"))
+    // pre-rename files' values read through the mapping
+    assert(spark.sql(
+      "SELECT sum(amount) AS s FROM graft.ddl2.rc").head.getDouble(0) === 4.0)
+    // new writes carry the new name; mixed-era reads stay consistent
+    spark.sql("INSERT INTO graft.ddl2.rc VALUES (3, 3.0, 'c')")
+    assert(spark.sql(
+      "SELECT sum(amount) AS s FROM graft.ddl2.rc").head.getDouble(0) === 7.0)
+    // filters on the renamed column hit old AND new files
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.ddl2.rc WHERE amount > 2.0")
+      .head.getLong(0) === 2L)
+    // chain: amount -> total composes to one mapping hop
+    spark.sql("ALTER TABLE graft.ddl2.rc RENAME COLUMN amount TO total")
+    assert(spark.sql(
+      "SELECT sum(total) AS s FROM graft.ddl2.rc").head.getDouble(0) === 7.0)
+    assert(wh.tableProp("rc", "renamed_cols") ===
+      Some("val:total,amount:total"),
+      "every historical physical name maps to the current one")
+    // DML through the renamed name reaches pre-rename rows
+    spark.sql("UPDATE graft.ddl2.rc SET total = 10.0 WHERE k = 1")
+    assert(spark.sql(
+      "SELECT sum(total) AS s FROM graft.ddl2.rc").head.getDouble(0) === 15.5)
+    // guards: re-adding the physical source name; renaming onto an
+    // existing column; renaming a partition column
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl2.rc ADD COLUMN val DOUBLE")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddl2.rc RENAME COLUMN tag TO total")
+    }
+    // rename back to the original physical name drops its identity
+    // pair but keeps the intermediate epoch's files mapped
+    spark.sql("ALTER TABLE graft.ddl2.rc RENAME COLUMN total TO val")
+    assert(wh.tableProp("rc", "renamed_cols") ===
+      Some("amount:val,total:val"),
+      "the update rewrote a file during the total epoch — its bytes map too")
+    assert(spark.sql(
+      "SELECT sum(val) AS s FROM graft.ddl2.rc").head.getDouble(0) === 15.5)
+  }
+
+  test("mergeRows racing a concurrent commit aborts loudly, nothing torn; Scala evolveCols") {
+    import spark.implicits._
+    import graft.sources.Warehouse.{MergeInsertClause, MergeUpdateClause}
+    val wh = new Warehouse(spark, s"$base/race", manifest = true)
+    wh.atomicPublish("m", spark.range(0, 1000).toDF("k")
+      .withColumn("v", $"k".cast("double")).repartition(4))
+    val src = spark.range(500, 1200).toDF("k").withColumn("nv", lit(-7.0))
+    val wh2 = new Warehouse(spark, s"$base/race", manifest = true)
+    wh.mergeTestHook = { _ =>
+      wh2.append("m", spark.range(5000, 5100).toDF("k")
+        .withColumn("v", $"k".cast("double")).coalesce(1))
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        wh.mergeRows("m", src, Seq("k" -> "k"),
+          matched = Seq(MergeUpdateClause(None,
+            Map("v" -> org.apache.spark.sql.functions.col("_src_nv")))),
+          notMatched = Seq(MergeInsertClause(None,
+            Map("k" -> org.apache.spark.sql.functions.col("_src_k"),
+              "v" -> org.apache.spark.sql.functions.col("_src_nv")))),
+          notMatchedBySource = Nil)
+      }
+    } finally wh.mergeTestHook = _ => ()
+    assert(wh.read("m").count() === 1100L)
+    assert(wh.read("m").where($"v" === -7.0).count() === 0L,
+      "the aborted merge must leave no partial state")
+    assert(wh.fsck("m").isEmpty, wh.fsck("m").mkString("; "))
+    // retry on the fresh snapshot succeeds, counts returned
+    val (u, d, i) = wh.mergeRows("m", src, Seq("k" -> "k"),
+      matched = Seq(MergeUpdateClause(None,
+        Map("v" -> org.apache.spark.sql.functions.col("_src_nv")))),
+      notMatched = Seq(MergeInsertClause(None,
+        Map("k" -> org.apache.spark.sql.functions.col("_src_k"),
+          "v" -> org.apache.spark.sql.functions.col("_src_nv")))),
+      notMatchedBySource = Nil)
+    assert((u, d, i) === (500L, 0L, 200L))
+    assert(wh.read("m").where($"v" === -7.0).count() === 700L)
+    // Scala-API schema evolution: a brand-new column via evolveCols
+    val (u2, _, _) = wh.mergeRows("m",
+      spark.range(0, 10).toDF("k").withColumn("tag", lit("t")),
+      Seq("k" -> "k"),
+      matched = Seq(MergeUpdateClause(None,
+        Map("tag" -> org.apache.spark.sql.functions.col("_src_tag")))),
+      notMatched = Nil, notMatchedBySource = Nil,
+      evolveCols = Seq(org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    assert(u2 === 10L)
+    assert(wh.read("m").where($"tag" === "t").count() === 10L)
+    assert(wh.read("m").where($"tag".isNull).count() === 1290L)
+  }
+
+  test("internal bookkeeping TBLPROPERTIES are not a SQL surface") {
+    spark.sql("CREATE TABLE graft.ddl2.rp (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ddl2.rp VALUES (1, 1.0)")
+    spark.sql("ALTER TABLE graft.ddl2.rp ADD COLUMN tag STRING")
+    spark.sql("ALTER TABLE graft.ddl2.rp DROP COLUMN v")
+    // UNSET dropped_cols would resurrect v's old bytes; SET added_cols /
+    // partition_cols corrupts schema/layout accounting — all loud
+    for (sql <- Seq(
+        "ALTER TABLE graft.ddl2.rp UNSET TBLPROPERTIES ('dropped_cols')",
+        "ALTER TABLE graft.ddl2.rp SET TBLPROPERTIES ('added_cols' = 'x INT')",
+        "ALTER TABLE graft.ddl2.rp SET TBLPROPERTIES ('partition_cols' = 'k')",
+        "ALTER TABLE graft.ddl2.rp SET TBLPROPERTIES ('current_version' = '0')"))
+      {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.getMessage.contains("internal schema/layout"), sql)
+      }
+    // CREATE TABLE TBLPROPERTIES refuses them too
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ddl2.rp2 (k BIGINT) " +
+        "TBLPROPERTIES ('dropped_cols' = 'k')")
+    }
+    // the supported control surface still works
+    spark.sql(
+      "ALTER TABLE graft.ddl2.rp SET TBLPROPERTIES ('retain_snapshots' = '4')")
+    assert(spark.sql("SHOW TBLPROPERTIES graft.ddl2.rp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("retain_snapshots") === Some("4"))
+  }
+
+  test("metadata-colliding namespace names are refused at create") {
+    for (ns <- Seq("_sys", ".hidden")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE NAMESPACE graft.`$ns`")
+      }
+      assert(e.getMessage.contains("must not start"), ns)
+    }
+  }
+
+  test("TIMESTAMP AS OF is self-contained: perturbed mtimes don't move resolution; pre-label non-monotonic mtimes fail loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt18").toString
+    val wh = new Warehouse(spark, dir, manifest = true)
+    wh.setSnapshotRetention("tt", 8)
+    wh.atomicPublish("tt", spark.range(0, 10).toDF("k"))
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    wh.append("tt", spark.range(10, 30).toDF("k"))
+    val atMid = wh.versionAtTimestamp("tt", mid)
+    assert(atMid.isDefined)
+    assert(wh.readVersion("tt", atMid.get).count() === 10L)
+    // rsync-restore simulation: rewrite BOTH manifests' mtimes to now,
+    // in version-reversed order — the `ts` header, not the mtime, is
+    // the commit time, so resolution must not move
+    val mfs = new java.io.File(s"$dir/tt").listFiles()
+      .filter(_.getName.matches("_manifest_v\\d+"))
+      .sortBy(_.getName.stripPrefix("_manifest_v").toLong)
+    assert(mfs.length >= 2)
+    mfs.reverse.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(System.currentTimeMillis() + 60000 + i * 2000)
+    }
+    assert(wh.versionAtTimestamp("tt", mid) === atMid)
+    // pre-label manifests (ts header stripped): the mtime fallback must
+    // detect the non-monotonic restore signature and fail loudly
+    mfs.foreach { f =>
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val stripped = txt.split('\n').filterNot(l =>
+        l.startsWith("#ts\t") || l.startsWith("ts\t")).mkString("\n")
+      java.nio.file.Files.write(f.toPath, stripped.getBytes("UTF-8"))
+      // drop the local-FS checksum sidecar invalidated by the rewrite
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    mfs.reverse.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(System.currentTimeMillis() + 120000 + i * 2000)
+    }
+    val e = intercept[IllegalStateException] {
+      wh.versionAtTimestamp("tt", mid)
+    }
+    assert(e.getMessage.contains("not monotonic"))
   }
 }
