@@ -39,8 +39,10 @@ import graft.sources.GraftTable
   *
   * `readChangeFeed=true` (the Delta CDF option, round 18): serve ALL
   * row kinds — inserts, the rows a DV commit deleted, an update as
-  * its delete(old) + insert(new) pair — with the feed's `_change_type` and
-  * `_commit_version` columns appended to the table schema, instead of
+  * its delete(old) + insert(new) pair — with the feed's `_change_type`,
+  * `_commit_version` and `_commit_timestamp` (the manifest's
+  * self-contained commit wall-clock; null for pre-label commits)
+  * columns appended to the table schema, instead of
   * the insert-only filtered/projected view. Subscribers that need
   * update/delete visibility no longer drop to the `graft_changes`
   * TVF; the same checkpoint/offset machinery applies (offsets =
@@ -83,7 +85,8 @@ final class CatalogStreamRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // widened output IS the stream's schema (the Delta
         // readChangeFeed contract).
         val meta = v1.output.filter(a =>
-          a.name == "_change_type" || a.name == "_commit_version")
+          a.name == "_change_type" || a.name == "_commit_version" ||
+            a.name == "_commit_timestamp")
         Project(rebound ++ meta, v1)
       } else
         Project(rebound, Filter(EqualTo(changeType, Literal("insert")), v1))

@@ -3196,7 +3196,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             ins.map(_.withColumn("_change_type", lit("insert"))),
             del.map(_.withColumn("_change_type", lit("delete")))).flatten
           tagged.reduceOption(_.unionByName(_, allowMissingColumns = true))
-            .map(_.withColumn("_commit_version", lit(v)))
+            .map(_.withColumn("_commit_version", lit(v))
+              .withColumn("_commit_timestamp", commitTsCol(name, v)))
         }
       case _ => None
     }
@@ -3207,9 +3208,25 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         read(name).limit(0)
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
+          .withColumn("_commit_timestamp",
+            lit(null).cast(org.apache.spark.sql.types.TimestampType))
           .limit(0)
       }
   }
+
+  /** `_commit_timestamp` for one version: the manifest's `ts` header
+    * (commit wall-clock, self-contained across restores) as a
+    * timestamp literal — null for pre-label manifests, never an mtime
+    * guess (a wrong commit time in a CDC feed silently corrupts
+    * downstream bitemporal logic; null is inspectable). One 4 KiB
+    * header read per version in the window, driver-side.
+    */
+  private def commitTsCol(name: String, v: Long): org.apache.spark.sql.Column =
+    manifestHeaderMeta(name, v, "ts").flatMap(_.toLongOption) match {
+      case Some(ms) => lit(new java.sql.Timestamp(ms))
+      case None =>
+        lit(null).cast(org.apache.spark.sql.types.TimestampType)
+    }
 
   /** The current committed snapshot's version number — one pointer
     * read. None = table absent or never committed.
@@ -3227,6 +3244,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     read(name).limit(0)
       .withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(0L))
+      .withColumn("_commit_timestamp",
+        lit(null).cast(org.apache.spark.sql.types.TimestampType))
       .schema
 
   /** The change feed as a Structured Streaming source — the

@@ -250,7 +250,17 @@ class CatalogDdlDmlSpec extends SparkSpec {
     drain()
     val served = spark.read.parquet(out)
     assert(served.columns.toSet ===
-      Set("k", "v", "_change_type", "_commit_version"))
+      Set("k", "v", "_change_type", "_commit_version", "_commit_timestamp"))
+    // commit timestamps ride the manifest ts header: non-null and
+    // non-decreasing in version order
+    val vts = served.select($"_commit_version", $"_commit_timestamp")
+      .distinct().orderBy($"_commit_version").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(vts.forall(_._2 != null))
+    assert(vts.sliding(2).forall {
+      case Array((_, t1), (_, t2)) => !t2.before(t1)
+      case _ => true
+    })
     val byKind = served.groupBy($"_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byKind === Map("insert" -> 11L, "delete" -> 4L),

@@ -2053,7 +2053,8 @@ class LayoutSpec extends SparkSpec {
     wh.append("t", spark.range(10, 20).toDF("k"))                      // v2
     val empty = wh.changes("t", 2, 2)
     assert(empty.count() === 0)
-    assert(empty.columns.toSeq === Seq("k", "_change_type", "_commit_version"))
+    assert(empty.columns.toSeq ===
+      Seq("k", "_change_type", "_commit_version", "_commit_timestamp"))
 
     // the window bound is a constructor property (round-15; the former
     // mutable var let any caller silently widen the guard under other

@@ -799,8 +799,8 @@ class StreamingSpec extends SparkSpec {
     val viaName = spark.readStream.format("graft-changes")
       .option("root", tmp).option("table", "t").load()
     assert(viaName.isStreaming &&
-      viaName.schema.fieldNames.takeRight(2).toSeq ===
-        Seq("_change_type", "_commit_version"))
+      viaName.schema.fieldNames.takeRight(3).toSeq ===
+        Seq("_change_type", "_commit_version", "_commit_timestamp"))
   }
 
   test("change-feed source: batch-0 replay after a crash is deterministic (initial offset persisted)") {
