@@ -4194,7 +4194,13 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         .reduceOption(_.unionByName(_))
       val touched = nUpd0 + nDelM + nUpd1 + nDelS
       if (touched == 0 && nIns == 0) return (0L, 0L, 0L) // no-op, no commit
-      val parts = partitionColsFrom(snapshotHeadFile(name))
+      // declared layout (catalog `partition_cols` prop) wins over the
+      // head file's physical inference: a merge into a still-empty
+      // partitioned table must establish the declared hive layout,
+      // not perpetuate the CREATE-time flat zero-row vintage
+      val parts = tableProp(name, "partition_cols")
+        .map(_.split(',').toSeq.filter(_.nonEmpty))
+        .getOrElse(partitionColsFrom(snapshotHeadFile(name)))
         .filter(outCols.contains)
       // DV replacement only when target positions were touched; an
       // insert-only outcome passes None and the commit's carry-forward

@@ -532,6 +532,34 @@ class CatalogDdlDmlSpec extends SparkSpec {
       r.getDouble(1) === r.getLong(0).toDouble && r.getString(2) == "x"))
   }
 
+  test("MERGE generic into a declared-layout table establishes the hive layout") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.dmlg.pl (k BIGINT, grp STRING, v DOUBLE) " +
+      "PARTITIONED BY (grp)")
+    spark.range(0, 100).toDF("k")
+      .withColumn("grp", when($"k" % 2 === 0, "even").otherwise("odd"))
+      .withColumn("v", $"k".cast("double"))
+      .createOrReplaceTempView("pl_src")
+    // generic path (conditional insert) into the still-empty table:
+    // the declared layout must be established, not the CREATE-time
+    // flat zero-row vintage
+    spark.sql("""MERGE INTO graft.dmlg.pl t USING pl_src s ON t.k = s.k
+      WHEN NOT MATCHED AND s.v >= 10.0 THEN INSERT *""")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dmlg.pl")
+      .head.getLong(0) === 90L)
+    val vdirs = new java.io.File(s"$base/dmlg/pl").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_v"))
+      .sortBy(_.getName.stripPrefix("_v").toLong)
+    val hive = vdirs.last.listFiles().filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")) // stats/rows sidecar dirs
+    assert(hive.toSet === Set("grp=even", "grp=odd"),
+      s"merge must write the declared hive layout, got ${hive.mkString(",")}")
+    // partition pruning applies to the merged data
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.dmlg.pl WHERE grp = 'even'")
+      .head.getLong(0) === 45L)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE: update and delete branches") {
     import spark.implicits._
     val wh = new Warehouse(spark, s"$base/dmlg", manifest = true)
