@@ -2438,6 +2438,133 @@ object Relational {
           TRUE AS exactly_once
         FROM feed""")),
 
+    // ---- Streaming SINK into the warehouse (round 18) -----------------
+    // The write-side twin of s44: `writeStream.format("graft-table")`
+    // lands each micro-batch as one atomic manifest commit tagged with
+    // (txnAppId, epoch) in the manifest HEADER — the Delta txn
+    // protocol — so a crash-replayed epoch is SKIPPED, not duplicated.
+    // The query drives a file-source stream through two AvailableNow
+    // drains (create, then checkpoint-resumed delta append), then
+    // REPLAYS an already-committed epoch through a direct sink handle
+    // with poison rows; the final hash (count + balance sum + the
+    // n==distinct witness) proves the replay landed nothing. DuckDB
+    // replays the two legitimate batches relationally.
+    Q("s50_stream_sink",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "snkq")
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        val src = graft.sources.Scratch.dir(s, "snkqsrc")
+        val chk = graft.sources.Scratch.dir(s, "snkqchk")
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema("c_custkey BIGINT, c_acctbal DOUBLE").parquet(src)
+            .writeStream.format("graft-table")
+            .option("root", s"$root/wh").option("table", "cust_sink")
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        c.filter($"c_custkey" % 3 === 0)
+          .coalesce(1).write.mode("append").parquet(src)
+        drain()                                 // epoch 0: creates the table
+        c.filter($"c_custkey" % 3 === 1)
+          .coalesce(1).write.mode("append").parquet(src)
+        drain()                                 // epoch 1: delta append only
+        // crash replay of epoch 1 (same appId = the checkpoint path):
+        // poison rows that would shift every aggregate if they landed
+        val sink = new graft.streaming.GraftTableSink(s.sqlContext,
+          Map("root" -> s"$root/wh", "table" -> "cust_sink",
+            "txnAppId" -> chk), Nil,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        sink.addBatch(1, c.limit(500)
+          .select(($"c_custkey" - 9000000L).as("c_custkey"), $"c_acctbal"))
+        wh.read("cust_sink")
+          .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"),
+            countDistinct($"c_custkey").as("uniq"))
+          .select($"n", $"bal", ($"n" === $"uniq").as("exactly_once"))
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          TRUE AS exactly_once
+        FROM customer
+        WHERE CAST(c_custkey AS BIGINT) % 3 IN (0, 1)""")),
+
+    // ---- CDC replication: change feed → cdc sink (round 18) -----------
+    // s49's reader and s50's writer composed into the full pipeline:
+    // a mutating upstream table (publish, DV delete, update pair,
+    // append) streams its change feed (readChangeFeed shape, all row
+    // kinds) into a REPLICA via the sink's `cdc` mode — each
+    // micro-batch collapses to last-change-per-key and lands as ONE
+    // atomic mergeRows commit (matched delete → DELETE, matched insert
+    // → UPDATE, unmatched insert → INSERT). Exactly-once end to end:
+    // source offsets are snapshot versions in the checkpoint, the
+    // apply is epoch-tagged in the replica's manifest header. The hash
+    // pins replica == upstream final state, which DuckDB replays
+    // relationally.
+    Q("s51_cdc_replicate",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "repq")
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("cust_src", c.repartition(2))               // v1
+        wh.setSnapshotRetention("cust_src", 16)
+        wh.deleteRows("cust_src", $"c_custkey" % 10 === 0)           // v2
+        wh.updateRows("cust_src", $"c_custkey" % 7 === 0,
+          Map("c_acctbal" -> ($"c_acctbal" + 1.0)))                  // v3
+        val chk = graft.sources.Scratch.dir(s, "repqchk")
+        def drain(): Unit = {
+          val q = s.readStream.format("graft-changes")
+            .option("root", s"$root/wh").option("table", "cust_src")
+            .option("startingVersion", "1").load()
+            .writeStream.format("graft-table")
+            .option("root", s"$root/wh").option("table", "cust_rep")
+            .option("mode", "cdc").option("keys", "c_custkey")
+            .option("checkpointLocation", chk)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // batch 0 spans v1..v3: bootstrap from net inserts
+        wh.append("cust_src", c.filter($"c_custkey" <= 100)
+          .select(($"c_custkey" + 2000000L).as("c_custkey"), $"c_acctbal")
+          .repartition(1))                                           // v4
+        wh.deleteRows("cust_src", $"c_custkey" % 13 === 0)           // v5
+        drain() // batch 1: one merge commit applying v4+v5
+        val rep = wh.read("cust_rep")
+        val src = wh.read("cust_src")
+          .select($"c_custkey".as("s_k"), $"c_acctbal".as("s_b"))
+        // hash surface: replica aggregate + a zero drift witness vs the
+        // upstream (full outer anti count — 0 iff replica == source)
+        val drift = rep.join(src,
+            $"c_custkey" === $"s_k" && $"c_acctbal" <=> $"s_b", "full_outer")
+          .where($"c_custkey".isNull || $"s_k".isNull).count()
+        rep.agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"))
+          .select($"n", $"bal", lit(drift == 0L).as("in_sync"))
+      },
+      Some("""WITH c AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k,
+                 CAST(c_acctbal AS DOUBLE) AS b
+          FROM customer
+        ), after_upd AS (
+          SELECT k, CASE WHEN k % 7 = 0 THEN b + 1.0 ELSE b END AS b
+          FROM c WHERE k % 10 <> 0
+        ), with_app AS (
+          SELECT k, b FROM after_upd
+          UNION ALL SELECT k + 2000000, b FROM c WHERE k <= 100
+        ), final AS (
+          SELECT k, b FROM with_app WHERE k % 13 <> 0
+        )
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+          TRUE AS in_sync
+        FROM final""")),
+
     // ---- SQL MERGE, general form (round 18) ---------------------------
     // The full Delta-grade MERGE surface in one statement: conditional
     // matched actions (first-match-wins), partial-assignment UPDATE,

@@ -510,7 +510,7 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
         new String(buf, 0, off, "UTF-8")
       } finally in.close()
     }
-    head.split('\n').iterator.take(5).collectFirst {
+    head.split('\n').iterator.take(6).collectFirst {
       case l if l.startsWith(s"#$key\t") => l.stripPrefix(s"#$key\t").trim
       case l if l.startsWith(s"$key\t")  => l.stripPrefix(s"$key\t").trim
     }
@@ -2542,11 +2542,17 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
       }.flatten
       math.max(System.currentTimeMillis(), prevTs.getOrElse(0L))
     }
+    // `txn` = streaming-sink transaction label ("{epoch}:{appId}") —
+    // stamped ATOMICALLY with the commit (it IS the commit's dedup
+    // record; a separate marker write would open a replay window).
+    // See withTxn / lastTxnEpoch for the exactly-once protocol.
+    val txnChunked = pendingTxn.map(t => s"txn\t$t\n").getOrElse("")
+    val txnFlat = pendingTxn.map(t => s"#txn\t$t\n").getOrElse("")
     val labeled =
       if (built.content.startsWith(ChunkedHeader))
         built.content.replaceFirst("\n",
-          s"\nop\t$op\nprev\t$prevLabel\nts\t$tsLabel\n")
-      else s"#op\t$op\n#prev\t$prevLabel\n#ts\t$tsLabel\n" + built.content
+          s"\nop\t$op\nprev\t$prevLabel\nts\t$tsLabel\n$txnChunked")
+      else s"#op\t$op\n#prev\t$prevLabel\n#ts\t$tsLabel\n$txnFlat" + built.content
     try out.write(labeled.getBytes("UTF-8"))
     finally out.close()
     // We now own manifest number n exclusively (create-no-overwrite
@@ -3657,6 +3663,111 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     val n = claimVersion(fs, root)
     commitSnapshot(name, n, Delta(Some(src.getName), Set.empty, Set.empty, Nil),
       expected, op = "restore")
+  }
+
+  // ---- Idempotent (transactional) writes: streaming-sink epochs ------
+  //
+  // The Delta `txnAppId`/`txnVersion` protocol, manifest-native: a
+  // writer that may REPLAY a batch (Structured Streaming re-offers the
+  // in-flight micro-batch after a crash, before its own commit log
+  // records it) tags the commit with ("appId", epoch). The tag rides
+  // the MANIFEST HEADER, so it is atomic with the data — there is no
+  // ordering in which the data is visible without its dedup record.
+  // A fast-path marker file (`_txn_<sha1(appId)>`, written best-effort
+  // AFTER the commit) answers the common restart probe in one small
+  // read; the authoritative check walks the retained prev-chain's
+  // headers, which covers the marker's crash window (a commit whose
+  // marker write was lost is by construction RECENT — within
+  // retention). Residual caveat, documented not hidden: if a crash
+  // loses the marker write AND `retain_snapshots` foreign commits land
+  // before the stream restarts, the label can age out with its
+  // manifest; on tables with concurrent foreign writers raise
+  // `retain_snapshots` above the plausible downtime commit count.
+
+  /** Pending transaction label ("{epoch}:{appId}") consumed by
+    * commitSnapshot — scoped strictly by [[withTxn]]. An instance
+    * field rather than a parameter threaded through every commit
+    * path: the label is cross-cutting (append, upsert, full publish
+    * all take it) and a Warehouse handle is not shared across
+    * concurrently-committing streams (each sink constructs its own).
+    */
+  @volatile private var pendingTxn: Option[String] = None
+
+  private[graft] def withTxn[T](appId: String, epoch: Long)(body: => T): T = {
+    require(appId.nonEmpty && !appId.contains('\n'),
+      "txn appId must be a non-empty single-line string")
+    pendingTxn = Some(s"$epoch:$appId")
+    try body finally pendingTxn = None
+  }
+
+  private def txnMarkerPath(root: Path, appId: String): Path = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(appId.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new Path(root, s"_txn_${d.take(16)}")
+  }
+
+  /** The last epoch committed under `appId`, from the fast-path marker
+    * and the retained chain headers (max of both — the marker may lag
+    * by exactly one commit after a crash in its write window). None =
+    * no commit under this appId is discoverable. O(1) + O(retained
+    * manifests) small-file reads, driver-side.
+    */
+  def lastTxnEpoch(name: String, appId: String): Option[Long] = {
+    val root = new Path(tablePath(name))
+    val fs = fileSystem(root)
+    val marker: Option[Long] = {
+      val p = txnMarkerPath(root, appId)
+      if (!fs.exists(p)) None
+      else readSmallFile(fs, p).split('\t').headOption.flatMap(_.toLongOption)
+    }
+    // walk committed history newest-first along the prev-chain; the
+    // FIRST label for this appId is the latest (versions are totally
+    // ordered by the CAS). Stops at genesis, a GC'd parent, or a
+    // pre-label manifest.
+    var chain: Option[Long] = None
+    var walk = currentManifest(fs, root)
+    val seen = scala.collection.mutable.Set[String]()
+    while (chain.isEmpty && walk.isDefined && seen.add(walk.get)) {
+      val v = walk.get match { case ManifestRe(n) => Some(n.toLong); case _ => None }
+      chain = v.flatMap(manifestHeaderMeta(name, _, "txn")).flatMap { t =>
+        val i = t.indexOf(':')
+        if (i > 0 && t.substring(i + 1) == appId) t.take(i).toLongOption
+        else None
+      }
+      walk =
+        if (chain.isDefined) None
+        else v.flatMap(commitParent(name, _)).filter(p =>
+          p != "-" && fs.exists(new Path(root, p)))
+    }
+    (marker.toSeq ++ chain.toSeq).maxOption
+  }
+
+  /** Run `write` (which must commit through this Warehouse handle)
+    * exactly once for (`appId`, `epoch`): a replay of an
+    * already-committed epoch returns false without touching the
+    * table. The epoch must be monotonic per appId (Structured
+    * Streaming's batchId contract). Returns true when the write ran.
+    */
+  def commitIfNewEpoch(name: String, appId: String, epoch: Long)
+      (write: => Unit): Boolean = {
+    val last = lastTxnEpoch(name, appId)
+    if (last.exists(_ >= epoch)) false
+    else {
+      withTxn(appId, epoch)(write)
+      // fast-path marker, best-effort AFTER the commit (temp + rename,
+      // same discipline as the change-feed source's initial offset); a
+      // crash here is healed by the chain-header check above
+      val root = new Path(tablePath(name))
+      val fs = fileSystem(root)
+      val p = txnMarkerPath(root, appId)
+      val tmp = new Path(root, p.getName + ".tmp")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(s"$epoch\t$appId".getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+      } catch { case _: java.io.IOException => () }
+      true
+    }
   }
 
   /** Constraint-gated publish (the Delta CHECK-constraint shape on

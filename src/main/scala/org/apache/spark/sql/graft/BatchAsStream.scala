@@ -21,6 +21,20 @@ object BatchAsStream {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Inverse bridge for the v1 streaming `Sink` contract: the
+    * DataFrame handed to `addBatch` is planned by the running
+    * stream's IncrementalExecution and still carries the streaming
+    * flag, so handing it to a batch write path would trip the
+    * UnsupportedOperationChecker. Re-wrap its ALREADY-PLANNED RDD as
+    * a batch frame — the micro-batch plan executes exactly once, when
+    * the sink's own write runs (the DeltaSink/ForeachBatchSink shape).
+    */
+  def rebatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Inverse stamp — re-marks a `getBatch` result as a batch frame so
     * it can be collected OUTSIDE a running stream. Test seam only: the
     * crash-replay and retention-race specs drive a Source's

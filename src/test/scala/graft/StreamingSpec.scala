@@ -935,4 +935,166 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(recovered === (100L until 103L).map(k => (6L, "insert", k)).toSet)
   }
+
+  // ---- graft-table sink: exactly-once writeStream into the warehouse --
+
+  test("graft-table sink: append stream lands exactly-once across checkpoint restarts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-a").toString
+    val src = java.nio.file.Files.createTempDirectory("graft-sink-asrc").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-achk").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    spark.range(0, 50).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("k BIGINT").parquet(src)
+        .writeStream.format("graft-table")
+        .option("root", tmp).option("table", "t")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(wh.read("t").count() === 50L)
+    // no new files: the restart has nothing to serve, no commit happens
+    val v1 = wh.currentVersion("t")
+    drain()
+    assert(wh.currentVersion("t") === v1, "an empty restart must not commit")
+    assert(wh.read("t").count() === 50L)
+    // new file: only the delta lands, exactly once
+    spark.range(50, 80).toDF("k").coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert(wh.read("t").as[Long].collect().toSet === (0L until 80L).toSet)
+  }
+
+  test("graft-table sink: a replayed epoch is skipped (header txn label), marker crash heals") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-r").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    val sink = new graft.streaming.GraftTableSink(spark.sqlContext,
+      Map("root" -> tmp, "table" -> "t", "txnAppId" -> "app-1"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, spark.range(0, 10).toDF("k"))
+    sink.addBatch(0, spark.range(0, 10).toDF("k"))   // crash replay
+    assert(wh.read("t").count() === 10L)
+    sink.addBatch(1, spark.range(10, 20).toDF("k"))
+    // crash window: the fast-path marker write was lost — the header
+    // label on the retained chain must still dedup the replay
+    val markers = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.startsWith("_txn_"))
+    assert(markers.nonEmpty)
+    markers.foreach(_.delete())
+    assert(wh.lastTxnEpoch("t", "app-1") === Some(1L))
+    sink.addBatch(1, spark.range(10, 20).toDF("k"))  // replay, no marker
+    assert(wh.read("t").count() === 20L)
+    // distinct appId is an independent lineage: same epoch number runs
+    val sink2 = new graft.streaming.GraftTableSink(spark.sqlContext,
+      Map("root" -> tmp, "table" -> "t", "txnAppId" -> "app-2"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink2.addBatch(1, spark.range(20, 25).toDF("k"))
+    assert(wh.read("t").count() === 25L)
+  }
+
+  test("graft-table sink: upsert mode merges each micro-batch by key, exactly-once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-u").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    val sink = new graft.streaming.GraftTableSink(spark.sqlContext,
+      Map("root" -> tmp, "table" -> "t", "txnAppId" -> "cdc",
+        "mode" -> "upsert", "keys" -> "k"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    sink.addBatch(0, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    sink.addBatch(1, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    sink.addBatch(1, Seq((2L, "XX"), (3L, "XX")).toDF("k", "v")) // replay: skipped
+    assert(wh.read("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("graft-table sink: complete mode replaces the snapshot per trigger (streaming agg)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-c").toString
+    val src = java.nio.file.Files.createTempDirectory("graft-sink-csrc").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-cchk").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    spark.range(0, 40).select(($"id" % 4).as("g"))
+      .coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema("g BIGINT").parquet(src)
+        .groupBy($"g").agg(count(lit(1)).as("n"))
+        .writeStream.format("graft-table").outputMode("complete")
+        .option("root", tmp).option("table", "agg")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(wh.read("agg").as[(Long, Long)].collect().toSet ===
+      (0L until 4L).map((_, 10L)).toSet)
+    spark.range(0, 8).select(($"id" % 4).as("g"))
+      .coalesce(1).write.mode("append").parquet(src)
+    drain()
+    // the FULL refreshed aggregate replaced the snapshot, not appended
+    assert(wh.read("agg").as[(Long, Long)].collect().toSet ===
+      (0L until 4L).map((_, 12L)).toSet)
+  }
+
+  test("graft-table sink: cdc mode replicates a table through the change feed, exactly-once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink-cdc").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-sink-cdchk").toString
+    val wh = new graft.sources.Warehouse(spark, tmp, manifest = true)
+    wh.atomicPublish("a",
+      spark.range(0, 100).toDF("k").withColumn("v", $"k" * 2))       // v1
+    wh.setSnapshotRetention("a", 16)
+    wh.deleteRows("a", $"k" % 10 === 0)                              // v2
+    wh.updateRows("a", $"k" % 7 === 0, Map("v" -> ($"v" + 1L)))      // v3
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("root", tmp).option("table", "a")
+        .option("startingVersion", "1").load()
+        .writeStream.format("graft-table")
+        .option("root", tmp).option("table", "b")
+        .option("mode", "cdc").option("keys", "k")
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain() // one batch spanning v1..v3: bootstrap from net inserts
+    def rows(t: String) = wh.read(t).as[(Long, Long)].collect().toSet
+    assert(rows("b") === rows("a"))
+    assert(rows("b").nonEmpty)
+    // live mutations, second drain applies as ONE merge commit
+    wh.append("a", Seq((1000L, 1L), (1001L, 2L)).toDF("k", "v"))     // v4
+    wh.deleteRows("a", $"k" === 3L)                                  // v5
+    wh.updateRows("a", $"k" === 5L, Map("v" -> lit(-5L)))            // v6
+    drain()
+    assert(rows("b") === rows("a"))
+    // replay of the last epoch (same appId = checkpoint path) with
+    // poison rows: skipped, replica unchanged
+    val sink = new graft.streaming.GraftTableSink(spark.sqlContext,
+      Map("root" -> tmp, "table" -> "b", "txnAppId" -> chk,
+        "mode" -> "cdc", "keys" -> "k"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(1, Seq((-1L, -1L, "insert", 99L)).toDF(
+      "k", "v", "_change_type", "_commit_version"))
+    assert(rows("b") === rows("a"))
+  }
+
+  test("graft-table sink: refusal shapes are loud") {
+    val p = new graft.streaming.GraftTableSinkProvider
+    def mk(opts: Map[String, String]) = intercept[IllegalArgumentException] {
+      p.createSink(spark.sqlContext, opts, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(mk(Map("table" -> "t")).getMessage.contains("'root'"))
+    assert(mk(Map("root" -> "/x")).getMessage.contains("'table'"))
+    // no checkpointLocation and no txnAppId: identity cannot default
+    assert(mk(Map("root" -> "/x", "table" -> "t"))
+      .getMessage.contains("txnAppId"))
+    assertThrows[IllegalArgumentException] { // upsert without keys
+      p.createSink(spark.sqlContext,
+        Map("root" -> "/x", "table" -> "t", "txnAppId" -> "a",
+          "mode" -> "upsert"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+  }
 }
