@@ -58,5 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // streaming reads through catalog names (readStream.table) splice
     // to the graft-changes V1 source filtered to insert rows
     ext.injectPostHocResolutionRule(s => new graft.plans.CatalogStreamRule(s))
+    // SQL views on the graft catalog: OSS Spark ships the ViewCatalog
+    // API with no analyzer/DDL wiring — the parser rewrite routes view
+    // DDL onto GraftCatalog's ViewCatalog surface before the session-
+    // catalog refusal can fire, and the resolution rule expands stored
+    // views at read (see plans/CatalogViews.scala)
+    ext.injectParser((s, delegate) => new graft.plans.GraftViewParser(s, delegate))
+    ext.injectResolutionRule(s => new graft.plans.CatalogViewReadRule(s))
   }
 }

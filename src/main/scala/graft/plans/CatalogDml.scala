@@ -192,6 +192,22 @@ object CatalogDml {
     }.toMap
 }
 
+/** ALTER TABLE ADD CONSTRAINT ... CHECK — Spark plans this as
+  * `AddCheckConstraint` (a validation scan over the target plus the
+  * catalog alter), whose physical strategy expects a V2 scan relation
+  * the graft splice replaces; this command runs the SAME contract
+  * through the warehouse instead: `addCheckConstraint` validates every
+  * existing row (one column-pruned scan) and refuses loudly with
+  * examples before recording the constraint.
+  */
+final case class GraftAddConstraintCommand(wh: Warehouse, table: String,
+    cname: String, predicateSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    wh.addCheckConstraint(table, cname, predicateSql)
+    Seq.empty
+  }
+}
+
 /** DELETE FROM — a deletion-vector commit (`op=delete`). */
 final case class GraftDeleteCommand(wh: Warehouse, table: String,
     condition: Column) extends LeafRunnableCommand {
@@ -367,6 +383,21 @@ final class CatalogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      val t = a.child.collect {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      }
+      t.headOption match {
+        case Some(g) =>
+          val ck = a.checkConstraint
+          if (ck.userProvidedCharacteristic.enforced.contains(false))
+            fail("NOT ENFORCED CHECK constraints: graft enforces every " +
+              "declared CHECK — drop the NOT ENFORCED clause")
+          GraftAddConstraintCommand(g.wh, tableName(g),
+            ck.userProvidedName, ck.condition)
+        case None => a
+      }
     case d @ DeleteFromTable(target, cond) if d.resolved =>
       graftTarget(target) match {
         // `DELETE FROM t WHERE k IN (<uncorrelated subquery>)` — the

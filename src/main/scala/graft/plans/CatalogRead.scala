@@ -39,6 +39,12 @@ final class CatalogReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
           u.table.collect { case r: DataSourceV2Relation => r }
         case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
           m.targetTable.collect { case r: DataSourceV2Relation => r }
+        // ADD CONSTRAINT's validation scan: CatalogDmlRule rewrites the
+        // whole command onto Warehouse.addCheckConstraint (which runs
+        // its own validation); splicing here would leave an
+        // AddCheckConstraint no physical strategy can plan
+        case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+          a.child.collect { case r: DataSourceV2Relation => r }
       }.flatten
     plan.transformUp {
       case r: DataSourceV2Relation

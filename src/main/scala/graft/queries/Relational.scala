@@ -2565,6 +2565,88 @@ object Relational {
           TRUE AS in_sync
         FROM final""")),
 
+    // ---- SQL views on the catalog (round 18) ---------------------------
+    // Spark 4.1 ships the ViewCatalog API with no OSS analyzer/DDL
+    // wiring; graft brings its own (parser rewrite for the DDL, a
+    // marker-table + post-hoc expansion for reads — see
+    // plans/CatalogViews.scala). The query stores a filtered view,
+    // stacks an aliased view ON the view (nested expansion), and
+    // aggregates through the stack; DuckDB replays the composed
+    // predicate relationally. The expansion is ordinary analysis, so
+    // pushdown/skipping apply to the expanded plan — the explain gate
+    // sees one composed scan, not a materialization.
+    Q("s53_catalog_views",
+      (s, dir) => {
+        import s.implicits._
+        val c = t(s, dir, "customer")
+          .select($"c_custkey".cast("long").as("c_custkey"), $"c_acctbal")
+        val root = graft.sources.Scratch.dir(s, "vwq")
+        graft.sources.Scratch.withGraftCatalog(s, root) {
+        val wh = new graft.sources.Warehouse(s, s"$root/wh", manifest = true)
+        wh.atomicPublish("cust_v", c.repartition(2))
+        s.sql("CREATE VIEW graft.wh.rich AS SELECT c_custkey, c_acctbal " +
+          "FROM graft.wh.cust_v WHERE c_acctbal > 1000.0")
+        s.sql("CREATE VIEW graft.wh.rich_even (k, bal) AS " +
+          "SELECT c_custkey, c_acctbal FROM graft.wh.rich " +
+          "WHERE c_custkey % 2 = 0")
+        s.sql("SELECT count(*) AS n, " +
+          "CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal, " +
+          "count(DISTINCT k) AS uniq FROM graft.wh.rich_even")
+        }
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(18,2)))
+            AS DOUBLE) AS bal,
+          count(DISTINCT CAST(c_custkey AS BIGINT)) AS uniq
+        FROM customer
+        WHERE CAST(c_acctbal AS DOUBLE) > 1000.0
+          AND CAST(c_custkey AS BIGINT) % 2 = 0""")),
+
+    // ---- CHECK constraints (round 18) ----------------------------------
+    // The Delta CHECK-constraint surface: ALTER TABLE ADD CONSTRAINT
+    // validates every EXISTING row (one scan, loud refusal with
+    // examples), then every write path — INSERT, UPDATE, MERGE, the
+    // Scala API, the streaming sink — enforces per-row INSIDE its own
+    // write pass (a CheckInvariant filter planned into the job: no
+    // second scan), failing before the version commits. The query
+    // declares a constraint, lands a valid batch, then proves three
+    // refusals (violating INSERT, violating UPDATE, contradicted ADD)
+    // left the table byte-identical: the final hash pins content ==
+    // the valid batch alone, plus the three refusal witnesses.
+    Q("s52_check_constraints",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+          .select($"o_orderkey".cast("long").as("o_orderkey"),
+            $"o_totalprice".cast("double").as("o_totalprice"))
+        val root = graft.sources.Scratch.dir(s, "ckq")
+        graft.sources.Scratch.withGraftCatalog(s, root) {
+        s.sql("CREATE TABLE graft.wh.ck (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        s.sql("ALTER TABLE graft.wh.ck ADD CONSTRAINT price_pos " +
+          "CHECK (o_totalprice > 0)")
+        o.createOrReplaceTempView("s52_src")
+        s.sql("INSERT INTO graft.wh.ck SELECT * FROM s52_src " +
+          "WHERE o_orderkey % 2 = 0")
+        def refused(sql: String): Boolean =
+          try { s.sql(sql); false } catch { case _: Exception => true }
+        val rIns = refused("INSERT INTO graft.wh.ck " +
+          "SELECT o_orderkey, -o_totalprice FROM s52_src WHERE o_orderkey % 2 = 1")
+        val rUpd = refused(
+          "UPDATE graft.wh.ck SET o_totalprice = -1.0 WHERE o_orderkey % 1000 = 0")
+        val rAdd = refused("ALTER TABLE graft.wh.ck ADD CONSTRAINT price_big " +
+          "CHECK (o_totalprice > 1000000)")
+        s.table("graft.wh.ck")
+          .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+          .select($"n", $"total", lit(rIns && rUpd && rAdd).as("refusals_loud"))
+        }
+      },
+      Some("""SELECT count(*) AS n,
+          CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2)))
+            AS DOUBLE) AS total,
+          TRUE AS refusals_loud
+        FROM orders
+        WHERE CAST(o_orderkey AS BIGINT) % 2 = 0""")),
+
     // ---- SQL MERGE, general form (round 18) ---------------------------
     // The full Delta-grade MERGE surface in one statement: conditional
     // matched actions (first-match-wins), partial-assignment UPDATE,

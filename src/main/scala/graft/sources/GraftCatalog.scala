@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -59,7 +60,7 @@ import scala.jdk.CollectionConverters._
   * any Hadoop scheme — HDFS, S3A, local — not just `file:`.
   */
 class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catName: String = _
   private var initRoot: Option[String] = None
@@ -183,7 +184,21 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     namespaceExists(ident.namespace) && wh(ident.namespace).tableExists(ident.name)
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident)) {
+      // a VIEW resolves through the table path on purpose: OSS
+      // Spark's relation resolution consults loadTable only (nothing
+      // calls ViewCatalog.loadView), so the stored view surfaces as a
+      // schema-bearing marker table here and the post-hoc
+      // CatalogViewReadRule splices the expanded definition over the
+      // resolved relation — the exact mechanism CatalogReadRule uses
+      // for real tables.
+      val v = wh(ident.namespace).getView(ident.name)
+        .map(GraftView.decode(ident, _))
+      v match {
+        case Some(view) => return new GraftViewTable(this, name(), ident, view)
+        case None       => throw new NoSuchTableException(ident)
+      }
+    }
     new GraftTable(wh(ident.namespace), ident)
   }
 
@@ -229,6 +244,8 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c not in schema"))
     val w = wh(ident.namespace)
+    require(w.getView(ident.name).isEmpty,
+      s"cannot CREATE TABLE ${ident.name}: a view with that name exists")
     // empty snapshot of the declared schema: the schema's home is the
     // parquet footer + manifest, so CREATE = publish(empty) and CTAS
     // (create + append) composes with zero extra metadata machinery.
@@ -268,6 +285,37 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
         s"graft table property '$key' is internal schema/layout " +
         "bookkeeping — it cannot be SET or UNSET via TBLPROPERTIES " +
         "(use ALTER TABLE ADD/DROP/RENAME COLUMN and PARTITIONED BY)")
+    if (key.startsWith("constraint_"))
+      throw new UnsupportedOperationException(
+        s"graft table property '$key' records a CHECK constraint — " +
+        "use ALTER TABLE ADD/DROP CONSTRAINT, the surface that also " +
+        "validates existing rows")
+  }
+
+  /** Catalog-level capability: CHECK constraints are a first-class
+    * DDL surface (`ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)`),
+    * enforced per-row inside every write's own pass (see
+    * Warehouse.addCheckConstraint / constraintGuard).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** Route a DSv2 constraint onto the warehouse's CHECK store. Only
+    * CHECK is accepted: PRIMARY KEY / UNIQUE / FOREIGN KEY are
+    * informational in Spark (never enforced), and a constraint this
+    * engine would silently not enforce is a lie — refuse loudly.
+    */
+  private def addConstraint(w: Warehouse, ident: Identifier,
+      c: Constraint): Unit = c match {
+    case ck: Check =>
+      val sql = Option(ck.predicateSql()).filter(_.nonEmpty).getOrElse(
+        throw new UnsupportedOperationException(
+          s"CHECK constraint ${ck.name} carries no predicate SQL"))
+      w.addCheckConstraint(ident.name, ck.name, sql)
+    case other => throw new UnsupportedOperationException(
+      s"graft enforces CHECK constraints only; ${other.toDDL} is " +
+      "informational in Spark and would not be enforced — refusing " +
+      "rather than recording a guarantee nothing checks")
   }
 
   /** ALTER TABLE. Supported changes, each O(metadata):
@@ -388,14 +436,113 @@ class GraftCatalog extends CatalogPlugin with TableCatalog with SupportsNamespac
         w.setTableProp(ident.name, "renamed_cols",
           composed.filter { case (o, n) => o != n }.distinct
             .map { case (o, n) => s"$o:$n" }.mkString(","))
+      case ac: TableChange.AddConstraint =>
+        addConstraint(w, ident, ac.constraint())
+      case dc: TableChange.DropConstraint =>
+        val have = w.checkConstraints(ident.name).exists(_._1 == dc.name)
+        if (!have && !dc.ifExists)
+          throw new IllegalArgumentException(
+            s"no such constraint on ${ident.name}: ${dc.name}")
+        w.dropCheckConstraint(ident.name, dc.name)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE does not support $other")
     }
     new GraftTable(w, ident)
   }
 
+  /** CREATE TABLE with inline constraints (the TableInfo entry point —
+    * the 4-arg default would silently DROP them): create through the
+    * ordinary path, then register each constraint against the
+    * still-empty table (validation is vacuous; non-CHECK kinds refuse
+    * loudly before any metadata lands).
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    info.constraints().foreach {
+      case _: Check => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft enforces CHECK constraints only; ${other.toDDL} is " +
+        "informational in Spark and would not be enforced")
+    }
+    val t = createTable(ident,
+      StructType(info.columns().map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      info.partitions(), info.properties())
+    val w = wh(ident.namespace)
+    info.constraints().foreach(addConstraint(w, ident, _))
+    t
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && { wh(ident.namespace).dropTable(ident.name); true }
+
+  // ---- views (Spark 4.1 ViewCatalog) ---------------------------------
+  //
+  // `CREATE VIEW graft.ns.v AS SELECT ...` / SELECT through it / SHOW
+  // VIEWS / ALTER VIEW SET TBLPROPERTIES / RENAME / DROP. A view is
+  // pure METADATA — the SQL text plus the name-resolution context it
+  // was authored in (catalog + namespace, so `FROM orders` inside the
+  // text keeps meaning the same table wherever the view is read from)
+  // plus the authored-time schema for Spark's schema-binding checks.
+  // Stored one small file per view in the namespace's `_VIEWS/` dir
+  // (Warehouse.putView — create-no-overwrite, the commit discipline
+  // at view scale); expansion is Spark's own view resolution, so every
+  // graft read optimization applies to the expanded plan unchanged.
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    wh(ns).listViews().map(v => Identifier.of(ns, v)).toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val content = wh(ident.namespace).getView(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    GraftView.decode(ident, content)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    namespaceExists(ident.namespace) &&
+      wh(ident.namespace).getView(ident.name).isDefined
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(!tableExists(ident),
+      s"cannot CREATE VIEW ${ident.name}: a table with that name exists")
+    if (!wh(ident.namespace).putView(ident.name, GraftView.encode(info),
+        replace = false))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident).asInstanceOf[GraftView]
+    val props = changes.foldLeft(v.props) {
+      case (p, s: ViewChange.SetProperty)    => p + (s.property -> s.value)
+      case (p, r: ViewChange.RemoveProperty) => p - r.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft ALTER VIEW does not support $other")
+    }
+    wh(ident.namespace).putView(ident.name,
+      GraftView.encode(v.copy(props = props)), replace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    namespaceExists(ident.namespace) && wh(ident.namespace).dropView(ident.name)
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    require(from.namespace.sameElements(to.namespace),
+      "graft RENAME VIEW stays within one namespace")
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (viewExists(to) || tableExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    wh(from.namespace).renameView(from.name, to.name)
+  }
 
   // ---- procedures (CALL graft.system.<proc>) -------------------------
 
@@ -443,6 +590,16 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
     wh.atomicPublish(ident.name, snapshot.limit(0))
     true
   }
+
+  /** Declared CHECK constraints, surfaced to the analyzer (DESCRIBE,
+    * and Spark's own DSv2 write-side CheckInvariant planning — the
+    * warehouse's writeVersion guard stays the single enforcement
+    * authority either way).
+    */
+  override def constraints(): Array[Constraint] =
+    wh.checkConstraints(ident.name).map { case (cn, sql) =>
+      Constraint.check(cn).predicateSql(sql).build(): Constraint
+    }.toArray
 
   /** Declared hive layout (partitioned CREATE TABLE), if any. */
   private def partCols: Seq[String] =
@@ -532,4 +689,103 @@ final class GraftTable(val wh: Warehouse, ident: Identifier,
           }
       }
     }
+}
+
+/** A stored view definition (Spark 4.1 [[ViewCatalog]] `View`). The
+  * wire format is one `key<TAB>base64(value)` line per field — base64
+  * because the SQL text and schema JSON carry arbitrary characters;
+  * lists join on U+0001 with U+0000 as the null sentinel (column
+  * comments may be null per position).
+  */
+final case class GraftView(viewName: String, sql: String, cat: String,
+    ns: Array[String], viewSchema: StructType, queryCols: Array[String],
+    aliases: Array[String], comments: Array[String],
+    props: Map[String, String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = sql
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] = ns
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): util.Map[String, String] = props.asJava
+}
+
+object GraftView {
+  private val Sep = "\u0001"
+  private val Nul = "\u0000"
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+  private def packList(a: Array[String]): String =
+    b64(Option(a).getOrElse(Array.empty[String])
+      .map(x => if (x == null) Nul else x).mkString(Sep))
+  private def unpackList(s: String): Array[String] = {
+    val raw = unb64(s)
+    if (raw.isEmpty) Array.empty
+    else raw.split(Sep, -1).map(x => if (x == Nul) null else x)
+  }
+
+  private def encodeFields(sql: String, cat: String, ns: Array[String],
+      schema: StructType, queryCols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Seq[(String, String)]): String = Seq(
+    "sql" -> b64(sql),
+    "catalog" -> b64(Option(cat).getOrElse("")),
+    "namespace" -> packList(ns),
+    "schema" -> b64(schema.json),
+    "query_cols" -> packList(queryCols),
+    "aliases" -> packList(aliases),
+    "comments" -> packList(comments),
+    "props" -> packList(props.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(k, v) }.toArray)
+  ).map { case (k, v) => s"$k\t$v" }.mkString("\n")
+
+  def encode(info: ViewInfo): String =
+    encodeFields(info.sql, info.currentCatalog, info.currentNamespace,
+      info.schema, info.queryColumnNames, info.columnAliases,
+      info.columnComments, info.properties.asScala.toSeq)
+
+  def encode(v: GraftView): String =
+    encodeFields(v.sql, v.cat, v.ns, v.viewSchema, v.queryCols, v.aliases,
+      v.comments, v.props.toSeq)
+
+  def decode(ident: Identifier, content: String): GraftView = {
+    val kv = content.split('\n').filter(_.contains('\t')).map { l =>
+      val i = l.indexOf('\t'); l.take(i) -> l.drop(i + 1)
+    }.toMap
+    def req(k: String): String = kv.getOrElse(k,
+      throw new IllegalStateException(
+        s"corrupt view definition for ${ident.name}: missing '$k'"))
+    GraftView(
+      viewName = ident.name,
+      sql = unb64(req("sql")),
+      cat = unb64(req("catalog")),
+      ns = unpackList(req("namespace")),
+      viewSchema = org.apache.spark.sql.types.DataType.fromJson(
+        unb64(req("schema"))).asInstanceOf[StructType],
+      queryCols = unpackList(req("query_cols")),
+      aliases = unpackList(req("aliases")),
+      comments = unpackList(req("comments")),
+      props = unpackList(req("props")).grouped(2).collect {
+        case Array(k, v) => k -> v
+      }.toMap)
+  }
+}
+
+/** Marker `Table` a stored VIEW resolves to (see GraftCatalog
+  * .loadTable): schema = the authored view schema, no read/write
+  * capability of its own — `plans.CatalogViewReadRule` replaces the
+  * resolved relation with the expanded definition before any physical
+  * planning, and a write aimed at it fails on the missing capability,
+  * which is the correct loud answer for INSERT-into-view.
+  */
+final class GraftViewTable(val catalog: GraftCatalog, val catalogName: String,
+    val ident: Identifier, val view: GraftView) extends Table {
+  override def name(): String = s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}"
+  override def schema(): StructType = view.viewSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+  override def properties(): util.Map[String, String] = view.properties()
 }

@@ -2390,6 +2390,64 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     try out.write(value.getBytes("UTF-8")) finally out.close()
   }
 
+  // ---- View store (SQL view definitions, ViewCatalog backing) --------
+  //
+  // One small file per view under `_VIEWS/` (the underscore keeps the
+  // dir out of table discovery, same convention as `_PROPS`): the
+  // definition is METADATA — view text plus the name-resolution
+  // context it was authored in — so the store is a driver-side
+  // small-file surface, never a Spark job. Create is
+  // create-no-overwrite (two concurrent CREATE VIEWs: one wins, one
+  // fails loudly — the manifest-commit discipline at view scale).
+
+  private def viewPath(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_.-]+") && !name.startsWith("_") &&
+      !name.startsWith("."), s"unsafe view name: $name")
+    new Path(dir, s"_VIEWS/$name")
+  }
+
+  /** Write a view definition. `replace = false` is create-no-overwrite:
+    * returns false when the view already exists (the caller raises its
+    * catalog-appropriate error).
+    */
+  def putView(name: String, content: String, replace: Boolean): Boolean = {
+    val p = viewPath(name)
+    val fs = fileSystem(p)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, replace)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException if !replace => false }
+  }
+
+  def getView(name: String): Option[String] = {
+    val p = viewPath(name)
+    val fs = fileSystem(p)
+    if (fs.exists(p)) Some(readSmallFile(fs, p)) else None
+  }
+
+  def listViews(): Seq[String] = {
+    val d = new Path(dir, "_VIEWS")
+    val fs = fileSystem(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName).sorted
+  }
+
+  def dropView(name: String): Boolean = {
+    val p = viewPath(name)
+    fileSystem(p).delete(p, false)
+  }
+
+  def renameView(from: String, to: String): Unit = {
+    val src = viewPath(from)
+    val dst = viewPath(to)
+    val fs = fileSystem(src)
+    require(fs.exists(src), s"no such view: $from")
+    require(!fs.exists(dst), s"view $to already exists")
+    require(fs.rename(src, dst), s"rename $from -> $to failed")
+  }
+
   /** Probe/test seams: drive the commit protocol with FABRICATED file
     * lists (no Spark job behind them) — ScaleProbe's commit-path
     * scaling sweep builds synthetic 10³..10⁵-file snapshots with
@@ -3770,6 +3828,65 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     }
   }
 
+  // ---- Declarative CHECK constraints (the Delta CHECK shape) ---------
+
+  /** Register a named CHECK constraint: `predicateSql` must hold — or
+    * be NULL, the SQL standard's unknown-passes stance — on every row
+    * of every future write. EXISTING rows are validated now (one
+    * column-pruned scan) and the add refuses loudly with example rows
+    * if any violate, the Delta ADD CONSTRAINT contract: a declared
+    * constraint is a guarantee about the whole table, not just the
+    * rows written after it. The predicate parses at declaration, so a
+    * typo fails here, not at the first write.
+    */
+  def addCheckConstraint(name: String, cname: String,
+      predicateSql: String): Unit = {
+    require(cname.matches("[A-Za-z0-9_-]+"),
+      s"constraint name '$cname' must match [A-Za-z0-9_-]+")
+    val pred = org.apache.spark.sql.functions.expr(predicateSql)
+    if (exists(name)) {
+      val bad = read(name).where(!coalesce(pred, lit(true))).limit(3).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"ADD CONSTRAINT $cname CHECK ($predicateSql) on $name refused: " +
+        s"existing rows violate it, e.g. ${bad.mkString("; ")}")
+    }
+    setTableProp(name, s"constraint_$cname", predicateSql)
+  }
+
+  def dropCheckConstraint(name: String, cname: String): Unit =
+    setTableProp(name, s"constraint_$cname", "")
+
+  /** The table's declared CHECK constraints, (name, predicateSql),
+    * stable order. One props-dir listing — driver metadata.
+    */
+  def checkConstraints(name: String): Seq[(String, String)] = {
+    val d = new Path(dir, s"_PROPS/$name")
+    val fs = fileSystem(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("constraint_")).sorted
+      .flatMap(k => tableProp(name, k).map(k.stripPrefix("constraint_") -> _))
+  }
+
+  /** Per-row enforcement, planned INTO the write's own pass: each
+    * constraint wraps the batch in a `Filter(CheckInvariant)` — the
+    * expression Spark's own DSv2 constraint enforcement plans, which
+    * THROWS on a violating row (null passes) instead of filtering it,
+    * and which the optimizer will not prune or fold away. No second
+    * scan, no extra job: a violating batch fails its write job before
+    * the version commits, so the table never holds a row that broke a
+    * declared constraint. Applied in [[writeVersion]] — the single
+    * funnel every row-adding path (append, publish, upsert rewrite,
+    * update, merge, streaming sink) already goes through; DV-only
+    * deletes add no rows and carry no check.
+    */
+  private def constraintGuard(name: String, df: DataFrame): DataFrame =
+    checkConstraints(name).foldLeft(df) { case (d, (cn, sql)) =>
+      d.filter(org.apache.spark.sql.graft.PlanBridge.columnOf(
+        org.apache.spark.sql.catalyst.expressions.CheckInvariant(
+          spark.sessionState.sqlParser.parseExpression(sql), Nil, cn, sql)))
+    }
+
   /** Constraint-gated publish (the Delta CHECK-constraint shape on
     * the write side): every named predicate must hold on EVERY row of
     * the batch or the publish is refused loudly — nothing lands, the
@@ -4692,8 +4809,9 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     fs.delete(branchPtrPath(root, branch), false)
   }
 
-  private def writeVersion(name: String, df: DataFrame,
+  private def writeVersion(name: String, df0: DataFrame,
       partitionCols: Seq[String]): (Long, Seq[String]) = {
+    val df = constraintGuard(name, df0)
     val root = new Path(tablePath(name))
     val fs = fileSystem(root)
     val n = claimVersion(fs, root)

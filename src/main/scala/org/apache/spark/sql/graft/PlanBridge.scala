@@ -25,4 +25,24 @@ object PlanBridge {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** CatalogManager access (`sessionState.catalogManager` is
+    * `private[sql]`): the view DDL/read wiring needs to ask "is this
+    * name a registered graft catalog" and "what is the current
+    * catalog/namespace" at parse/resolution time.
+    */
+  def catalogOf(spark: org.apache.spark.sql.SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    try Some(s.sessionState.catalogManager.catalog(name))
+    catch { case _: Exception => None }
+  }
+
+  def currentCatalogName(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.currentCatalog.name()
+
+  def currentNamespace(spark: org.apache.spark.sql.SparkSession): Array[String] =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.currentNamespace
 }

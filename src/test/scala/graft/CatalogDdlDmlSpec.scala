@@ -866,4 +866,136 @@ class CatalogDdlDmlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not monotonic"))
   }
+
+  // ---- views (round 18) ----------------------------------------------
+
+  test("views: CREATE / SELECT / SHOW / REPLACE / ALTER / RENAME / DROP") {
+    spark.sql("CREATE TABLE graft.vw.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.vw.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql(
+      "CREATE VIEW graft.vw.big AS SELECT k, v FROM graft.vw.t WHERE v >= 2.0")
+    def n(q: String): Long = spark.sql(q).head.getLong(0)
+    assert(n("SELECT count(*) FROM graft.vw.big") === 2L)
+    // a view is a stored QUERY: later inserts are visible through it
+    spark.sql("INSERT INTO graft.vw.t VALUES (4, 4.0)")
+    assert(n("SELECT count(*) FROM graft.vw.big") === 3L)
+    // the expanded plan rides the graft read path (filter composition)
+    assert(n("SELECT count(*) FROM graft.vw.big WHERE k >= 4") === 1L)
+    assert(spark.sql("SHOW VIEWS IN graft.vw").collect()
+      .map(_.getString(1)).contains("big"))
+    // CREATE OR REPLACE swaps the definition
+    spark.sql("CREATE OR REPLACE VIEW graft.vw.big AS " +
+      "SELECT k FROM graft.vw.t WHERE v >= 4.0")
+    assert(spark.sql("SELECT * FROM graft.vw.big").columns.toSeq === Seq("k"))
+    assert(n("SELECT count(*) FROM graft.vw.big") === 1L)
+    spark.sql("ALTER VIEW graft.vw.big SET TBLPROPERTIES ('note' = 'x')")
+    spark.sql("ALTER VIEW graft.vw.big UNSET TBLPROPERTIES ('note')")
+    spark.sql("ALTER VIEW graft.vw.big RENAME TO graft.vw.big2")
+    assert(n("SELECT count(*) FROM graft.vw.big2") === 1L)
+    spark.sql("DROP VIEW graft.vw.big2")
+    intercept[Exception] { spark.sql("SELECT * FROM graft.vw.big2") }
+    // collision guards, all three directions
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.t AS SELECT 1 AS one")
+    }
+    spark.sql("CREATE VIEW graft.vw.v2 AS SELECT 1 AS one")
+    intercept[Exception] { spark.sql("CREATE TABLE graft.vw.v2 (k BIGINT)") }
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.v2 AS SELECT 2 AS two")
+    }
+    // a fresh catalog instance (new session handle, its own catalog
+    // object) still resolves it: the definition lives in the
+    // warehouse, not the session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", base)
+    assert(s2.sql("SELECT one FROM graft.vw.v2").head.getInt(0) === 1)
+  }
+
+  // ---- CHECK constraints (round 18) ----------------------------------
+
+  test("CHECK constraints: SQL DDL declares, every write path enforces") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ck.t (k BIGINT, v DOUBLE)")
+    spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    spark.sql("INSERT INTO graft.ck.t VALUES (1, 1.0), (2, 2.0)")
+    def n(): Long = spark.sql("SELECT count(*) FROM graft.ck.t").head.getLong(0)
+    assert(n() === 2L)
+    // violating SQL INSERT fails loudly; nothing lands
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.ck.t VALUES (3, -1.0)")
+    }
+    assert(e1.toString.contains("v_pos") ||
+      Option(e1.getCause).exists(_.toString.contains("v_pos")), e1.toString)
+    assert(n() === 2L)
+    // NULL passes (the SQL standard's unknown-passes stance)
+    spark.sql("INSERT INTO graft.ck.t VALUES (4, NULL)")
+    assert(n() === 3L)
+    // the Scala write paths enforce the same declaration
+    val wh = new Warehouse(spark, s"$base/ck", manifest = true)
+    intercept[Exception] { wh.append("t", Seq((9L, -3.0)).toDF("k", "v")) }
+    intercept[Exception] {
+      wh.upsert("t", Seq((1L, -9.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(n() === 3L)
+    // UPDATE rewriting rows into violation fails before any commit
+    intercept[Exception] {
+      spark.sql("UPDATE graft.ck.t SET v = -5.0 WHERE k = 1")
+    }
+    assert(spark.sql("SELECT v FROM graft.ck.t WHERE k = 1").head.getDouble(0)
+      === 1.0)
+    // ADD CONSTRAINT on a table with violating rows is refused
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT v_small CHECK (v < 1.5)")
+    }
+    assert(e2.toString.contains("existing rows violate") ||
+      Option(e2.getCause).exists(_.toString.contains("existing rows violate")),
+      e2.toString)
+    // DROP CONSTRAINT re-opens the gate
+    spark.sql("ALTER TABLE graft.ck.t DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft.ck.t VALUES (5, -1.0)")
+    assert(n() === 4L)
+    // constraint bookkeeping is not a TBLPROPERTIES surface
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.ck.t SET TBLPROPERTIES ('constraint_x' = 'v > 0')")
+    }
+    // informational kinds are refused, not silently recorded
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ck.t ADD CONSTRAINT pk PRIMARY KEY (k)")
+    }
+    assert(e3.toString.toLowerCase.contains("check") ||
+      Option(e3.getCause).exists(_.toString.toLowerCase.contains("check")),
+      e3.toString)
+  }
+
+  test("CHECK constraints: inline at CREATE TABLE, enforced from the first insert") {
+    spark.sql(
+      "CREATE TABLE graft.ck.t2 (k BIGINT, v DOUBLE, CONSTRAINT pos CHECK (v > 0))")
+    intercept[Exception] { spark.sql("INSERT INTO graft.ck.t2 VALUES (1, -1.0)") }
+    spark.sql("INSERT INTO graft.ck.t2 VALUES (1, 1.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.ck.t2").head.getLong(0) === 1L)
+  }
+
+  test("CHECK constraints: MERGE and the streaming sink enforce too") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft.ck.t3 (k BIGINT, v DOUBLE)")
+    spark.sql("ALTER TABLE graft.ck.t3 ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    spark.sql("INSERT INTO graft.ck.t3 VALUES (1, 1.0)")
+    Seq((1L, -2.0), (2L, 2.0)).toDF("k", "v").createOrReplaceTempView("ck_src")
+    intercept[Exception] {
+      spark.sql("""MERGE INTO graft.ck.t3 t USING ck_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.ck.t3").head.getLong(0) === 1L)
+    // streaming sink rides the same writeVersion guard
+    val sink = new graft.streaming.GraftTableSink(spark.sqlContext,
+      Map("root" -> s"$base/ck", "table" -> "t3", "txnAppId" -> "ck-app"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    intercept[Exception] { sink.addBatch(0, Seq((7L, -1.0)).toDF("k", "v")) }
+    assert(spark.sql("SELECT count(*) FROM graft.ck.t3").head.getLong(0) === 1L)
+    // the failed epoch did NOT record a txn label: the valid retry runs
+    sink.addBatch(0, Seq((7L, 1.0)).toDF("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM graft.ck.t3").head.getLong(0) === 2L)
+  }
 }
