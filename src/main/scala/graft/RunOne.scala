@@ -5,9 +5,13 @@ import org.apache.spark.sql.SparkSession
 object RunOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
+    // debug-harness knobs: mirror the bench's core/shuffle geometry
+    // (SPARK_GRAFT_CPUS=32) or sweep it, without touching Bench
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_RUNONE_CPUS", "8")
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_RUNONE_SHUF", cpus)
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.codegen.fallback", "false")
       .config("spark.sql.codegen.logging.maxLines", "-1")

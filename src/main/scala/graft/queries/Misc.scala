@@ -1260,12 +1260,17 @@ object Misc {
         // choice r10 measured by hand after the day-grained first cut
         // tripled these queries' bench cost on small-file write
         // amplification.
-        val q = graft.streaming.EventStream.sinkToWarehouse(
-          graft.streaming.EventStream.windowedCounts(
-              graft.streaming.EventStream.read(s, land)),
-          wh, "ev_win", Seq("w_start", "event_type"), chk,
-          timeCol = Some("w_start"))
-        q.awaitTermination()
+        // state/shuffle partitions derived from the landing size
+        // (StreamTune: AQE is off inside streaming, so the state-store
+        // count must be sized by data, not the session constant)
+        graft.streaming.StreamTune.scopedForDir(s, land) {
+          val q = graft.streaming.EventStream.sinkToWarehouse(
+            graft.streaming.EventStream.windowedCounts(
+                graft.streaming.EventStream.read(s, land)),
+            wh, "ev_win", Seq("w_start", "event_type"), chk,
+            timeCol = Some("w_start"))
+          q.awaitTermination()
+        }
         wh.read("ev_win")
           .select(unix_micros($"w_start").as("w_us"), $"event_type", $"n", $"total")
           .orderBy($"w_us", $"event_type")
@@ -1334,18 +1339,23 @@ object Misc {
         // micro-batch carries pairs for the freshly-watermark-complete
         // clicks, so the partition-scoped merge touches the stream
         // head's partitions only — never re-merging the whole sink
-        val q = graft.streaming.EventStream.clicksWithPriorView(
-            graft.streaming.EventStream.read(s, land))
-          .writeStream
-          .option("checkpointLocation", chk)
-          .outputMode("append")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            graft.streaming.EventStream.upsertByTime(wh, "cv", b, "c_ts",
-              Seq("click_id", "view_id"))
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // state partitions sized from the landing bytes (StreamTune):
+        // the interval join holds FOUR state stores per partition, the
+        // family's measured dominant cost at the session constant
+        graft.streaming.StreamTune.scopedForDir(s, land) {
+          val q = graft.streaming.EventStream.clicksWithPriorView(
+              graft.streaming.EventStream.read(s, land))
+            .writeStream
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.streaming.EventStream.upsertByTime(wh, "cv", b, "c_ts",
+                Seq("click_id", "view_id"))
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         wh.read("cv")
           .groupBy($"user_id")
           .agg(count(lit(1)).as("n_pairs"),
@@ -1386,17 +1396,20 @@ object Misc {
         ev.repartition(4).write.mode("overwrite").parquet(land)
         val wh = graft.sources.Scratch.warehouse(s, "ssw")
         val chk = graft.sources.Scratch.dir(s, "ssc")
-        val q = graft.streaming.EventStream.sessions(
-            graft.streaming.EventStream.read(s, land))
-          .writeStream
-          .option("checkpointLocation", chk)
-          .outputMode("complete")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            wh.atomicPublish("sess", b)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // state partitions sized from the landing bytes (StreamTune)
+        graft.streaming.StreamTune.scopedForDir(s, land) {
+          val q = graft.streaming.EventStream.sessions(
+              graft.streaming.EventStream.read(s, land))
+            .writeStream
+            .option("checkpointLocation", chk)
+            .outputMode("complete")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              wh.atomicPublish("sess", b)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         wh.read("sess")
           .select($"user_id", unix_micros($"s_start").as("s_us"),
             unix_micros($"s_end").as("e_us"), $"n_events", $"session_value")
@@ -1445,18 +1458,21 @@ object Misc {
         // — prunes through the manifest's typed partition-path
         // compare; see m31's granularity note): each batch merges into
         // the partitions it carries, not the whole sink table
-        val q = graft.streaming.EventStream.deduplicated(
-            graft.streaming.EventStream.read(s, land))
-          .writeStream
-          .option("checkpointLocation", chk)
-          .outputMode("append")
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            graft.streaming.EventStream.upsertByTime(wh, "dedup", b, "ts",
-              Seq("event_id"))
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        // state partitions sized from the landing bytes (StreamTune)
+        graft.streaming.StreamTune.scopedForDir(s, land) {
+          val q = graft.streaming.EventStream.deduplicated(
+              graft.streaming.EventStream.read(s, land))
+            .writeStream
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              graft.streaming.EventStream.upsertByTime(wh, "dedup", b, "ts",
+                Seq("event_id"))
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         wh.read("dedup")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), dsum($"value").as("total"))

@@ -528,8 +528,9 @@ object Sim {
         val e = withNorm(s, dir)
         val (cents, assigned) = trainedCodebook(s, e)
         val wh = graft.sources.Scratch.warehouse(s, "ivfidx")
-        wh.atomicPublish("ivf_centroids", cents)
-        wh.atomicPublish("ivf_postings", assigned)
+        // independent tables: overlap the two publish jobs (guide 2.6)
+        wh.atomicPublishAll(Seq(
+          "ivf_centroids" -> cents, "ivf_postings" -> assigned))
         val queries = e.filter($"vec_id" < 10)
           .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
         graft.operators.IvfCodebook.topk(e, queries,
@@ -555,8 +556,9 @@ object Sim {
         val e = withNorm(s, dir)
         val (cents, assigned) = trainedCodebook(s, e)
         val wh = graft.sources.Scratch.warehouse(s, "ivfdel")
-        wh.atomicPublish("ivf_centroids", cents)
-        wh.atomicPublish("ivf_postings", assigned)
+        // independent tables: overlap the two publish jobs (guide 2.6)
+        wh.atomicPublishAll(Seq(
+          "ivf_centroids" -> cents, "ivf_postings" -> assigned))
         // doomed: deterministic ~1/7 of the corpus, disjoint from the
         // query ids (deleting a query is a different op — the queries
         // here are external probes, not corpus members)
@@ -589,8 +591,9 @@ object Sim {
         val e = withNorm(s, dir)
         val (cents, assigned) = trainedCodebook(s, e)
         val wh = graft.sources.Scratch.warehouse(s, "ivfts")
-        wh.atomicPublish("ivf_centroids", cents)
-        wh.atomicPublish("ivf_postings", assigned)
+        // independent tables: overlap the two publish jobs (guide 2.6)
+        wh.atomicPublishAll(Seq(
+          "ivf_centroids" -> cents, "ivf_postings" -> assigned))
         val doomed = wh.read("ivf_postings")
           .filter($"vec_id" % 7 === 0 && $"vec_id" >= 10)
           .select($"vec_id")

@@ -2010,12 +2010,23 @@ object Text {
   }
 
   private[graft] def publishBm25(wh: graft.sources.Warehouse,
-      d: org.apache.spark.sql.DataFrame): Unit = {
-    val (postings, dict, dls, tots) = bm25Tables(d)
-    wh.atomicPublish("bm25_postings", postings)
-    wh.atomicPublish("bm25_dict", dict)
-    wh.atomicPublish("bm25_doclen", dls)
-    wh.atomicPublish("bm25_totals", tots)
+      d0: org.apache.spark.sql.DataFrame): Unit = {
+    // tokenize ONCE: all four index tables derive from the same
+    // (doc_id, toks) pass, which un-persisted re-ran the tokenizer
+    // + explode per table (3 full corpus passes, guide §1.2 "don't
+    // compute things you throw away")
+    val d = d0.persist()
+    try {
+      val (postings, dict, dls, tots) = bm25Tables(d)
+      // postings first: its write materializes the shared cache; the
+      // three remaining tables are independent of each other, so their
+      // publish jobs OVERLAP from a small driver pool (guide §2.6 —
+      // each is a tiny job whose commit latency would otherwise
+      // serialize; different tables never contend on a commit CAS)
+      wh.atomicPublish("bm25_postings", postings)
+      wh.atomicPublishAll(Seq("bm25_dict" -> dict, "bm25_doclen" -> dls,
+        "bm25_totals" -> tots))
+    } finally { d.unpersist(); () }
   }
 
   /** Build + publish the full-corpus BM25 index into a Scratch
