@@ -36,7 +36,7 @@ object Tables {
       // columns).
       if (!spark.conf.getOption(NanosKey).contains("true"))
         spark.conf.set(NanosKey, "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = readOne(spark, s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -46,7 +46,21 @@ object Tables {
         case _ => df
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      readOne(spark, s"$sfDir/$name.parquet")
     }
   }
+
+  /** `spark.read.parquet(path)` minus the one-task schema-inference
+    * JOB: the footer is read driver-side (ParquetSchema.infer — the
+    * same conversion inference performs, honoring the live session
+    * conf) and passed explicitly. Sound for the single-schema testdata
+    * shapes (one file / one uniformly-written directory); falls back
+    * to ordinary inference when no footer is readable. Saves one job +
+    * scheduling gap per load call, hundreds of times per bench run.
+    */
+  private[graft] def readOne(spark: SparkSession, path: String): DataFrame =
+    org.apache.spark.sql.graft.ParquetSchema.infer(spark, path) match {
+      case Some(st) => spark.read.schema(st).parquet(path)
+      case None     => spark.read.parquet(path)
+    }
 }

@@ -1525,7 +1525,10 @@ object Relational {
         wh.append("cust_cds", c.filter($"c_custkey" <= 50)
           .select(($"c_custkey" + 1000000L).as("c_custkey"),
             $"c_acctbal"))                                              // v2
-        def drain(): Unit = {
+        def drain(): Unit =
+          graft.streaming.StreamTune.scoped(s,
+            graft.streaming.StreamTune.statePartitions(
+              s, wh.dataBytes("cust_cds"))) {
           val q = wh.readChangesStream("cust_cds", startingVersion = Some(1L))
             .writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -1597,7 +1600,10 @@ object Relational {
         val chk = graft.sources.Scratch.dir(s, "cdmc")
         wh.atomicPublish("cust_cdm", c)                                 // v1
         wh.setSnapshotRetention("cust_cdm", 8)
-        def drain(): Unit = {
+        def drain(): Unit =
+          graft.streaming.StreamTune.scoped(s,
+            graft.streaming.StreamTune.statePartitions(
+              s, wh.dataBytes("cust_cdm"))) {
           val q = wh.readChangesStream("cust_cdm", startingVersion = Some(1L))
             .writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2164,7 +2170,10 @@ object Relational {
         wh.append("cust_s", c.filter($"c_custkey" % 3 === 1).repartition(2)) // v2
         val out = graft.sources.Scratch.dir(s, "scatout")
         val chk = graft.sources.Scratch.dir(s, "scatchk")
-        def drain(): Unit = {
+        def drain(): Unit =
+          graft.streaming.StreamTune.scoped(s,
+            graft.streaming.StreamTune.statePartitions(
+              s, wh.dataBytes("cust_s"))) {
           val q = s.readStream.option("startingVersion", "1")
             .table("graft.wh.cust_s")
             .writeStream.format("parquet")
@@ -2176,7 +2185,7 @@ object Relational {
         drain() // serves v1 + v2
         wh.append("cust_s", c.filter($"c_custkey" % 3 === 2).repartition(2)) // v3
         drain() // checkpoint resume: serves ONLY v3
-        s.read.parquet(out)
+        Tables.readOne(s, out)
           .agg(count(lit(1)).as("n"), dsum($"c_acctbal").as("bal"),
             countDistinct($"c_custkey").as("uniq"))
           .select($"n", $"bal", ($"n" === $"uniq").as("exactly_once"))
@@ -2395,7 +2404,10 @@ object Relational {
           Map("c_acctbal" -> ($"c_acctbal" + 1.0)))                  // v3
         val out = graft.sources.Scratch.dir(s, "cdfqout")
         val chk = graft.sources.Scratch.dir(s, "cdfqchk")
-        def drain(): Unit = {
+        def drain(): Unit =
+          graft.streaming.StreamTune.scoped(s,
+            graft.streaming.StreamTune.statePartitions(
+              s, wh.dataBytes("cust_cdf"))) {
           val q = s.readStream
             .option("startingVersion", "1").option("readChangeFeed", "true")
             .table("graft.wh.cust_cdf")
@@ -2410,7 +2422,7 @@ object Relational {
           .select(($"c_custkey" + 2000000L).as("c_custkey"), $"c_acctbal")
           .repartition(1))                                           // v4
         drain() // checkpoint resume: exactly v4's inserts
-        val served = s.read.parquet(out)
+        val served = Tables.readOne(s, out)
         served.agg(count(lit(1)).as("n"),
             count(when($"_change_type" === "insert", 1)).as("n_ins"),
             dsum($"c_acctbal").as("bal"),
@@ -2518,7 +2530,10 @@ object Relational {
         wh.updateRows("cust_src", $"c_custkey" % 7 === 0,
           Map("c_acctbal" -> ($"c_acctbal" + 1.0)))                  // v3
         val chk = graft.sources.Scratch.dir(s, "repqchk")
-        def drain(): Unit = {
+        def drain(): Unit =
+          graft.streaming.StreamTune.scoped(s,
+            graft.streaming.StreamTune.statePartitions(
+              s, wh.dataBytes("cust_src"))) {
           val q = s.readStream.format("graft-changes")
             .option("root", s"$root/wh").option("table", "cust_src")
             .option("startingVersion", "1").load()

@@ -5380,6 +5380,16 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     fs.delete(old, true)
   }
 
+  /** Approximate on-disk volume of `name` (all retained versions'
+    * bytes, one FS content-summary call) — a SIZING input for
+    * StreamTune's adaptive state partitioning, not a statistic.
+    */
+  def dataBytes(name: String): Long = {
+    val p = new Path(tablePath(name))
+    try fileSystem(p).getContentSummary(p).getLength
+    catch { case _: java.io.FileNotFoundException => 0L }
+  }
+
   /** Publish several tables, their write+commit jobs overlapped from a
     * small driver pool (guide-§2.6 job overlap: each publish is a
     * short job whose write/commit latency would otherwise serialize;
