@@ -1102,7 +1102,11 @@ object Text {
               i => struct(element_at($"toks", i).as("w1"),
                 element_at($"toks", i + 1).as("w2")))).as("p"))
           .select($"doc_id", $"p.w1", $"p.w2")
-        val train = d.filter($"doc_id" < 250)
+        // tokenize the training slice ONCE (all four model tables
+        // derive from it), publish lm_cb first (materializes the
+        // cache), then overlap the three remaining independent
+        // publishes — the publishBm25 pattern (guide §1.2 + §2.6)
+        val train = d.filter($"doc_id" < 250).persist()
         val cb = bigrams(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
         val cw = cb.groupBy($"w1").agg(sum($"cb").as("cw"))
         val uni = train.select(explode($"toks").as("w2"))
@@ -1110,9 +1114,8 @@ object Text {
         val tot = uni.agg(sum($"cu").as("n"))
         val wh = graft.sources.Scratch.warehouse(s, "lmidx")
         wh.atomicPublish("lm_cb", cb)
-        wh.atomicPublish("lm_cw", cw)
-        wh.atomicPublish("lm_uni", uni)
-        wh.atomicPublish("lm_tot", tot)
+        wh.atomicPublishAll(Seq("lm_cw" -> cw, "lm_uni" -> uni, "lm_tot" -> tot))
+        train.unpersist()
         bigrams(d.filter($"doc_id" >= 250))
           .join(wh.read("lm_cb"), Seq("w1", "w2"))
           .join(wh.read("lm_cw"), Seq("w1"))
@@ -2050,22 +2053,36 @@ object Text {
     * comparisons both pin exactly that.
     */
   private[graft] def incrementBm25(wh: graft.sources.Warehouse,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
-    val (np, _, nl, _) = bm25Tables(batch)
-    val inc = np.groupBy(col("term")).agg(count(lit(1)).as("dfinc"))
-    val dictNew = wh.read("bm25_dict")
-      .join(inc, Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("dfinc"), lit(0L))).as("df"))
-    val bstats = nl.agg(count(lit(1)).as("bnd"),
-      coalesce(sum(col("dl")), lit(0L)).as("blsum"))
-    val totNew = wh.read("bm25_totals").crossJoin(broadcast(bstats))
-      .select((col("nd") + col("bnd")).as("nd"),
-        (col("lsum") + col("blsum")).as("lsum"))
-    wh.append("bm25_postings", np)
-    wh.append("bm25_doclen", nl)
-    wh.atomicPublish("bm25_dict", dictNew)
-    wh.atomicPublish("bm25_totals", totNew)
+      batch0: org.apache.spark.sql.DataFrame): Unit = {
+    // tokenize the batch ONCE (postings feed both the df-increment and
+    // the append; lengths feed both the totals and the append)
+    val batch = batch0.persist()
+    try {
+      val (np, _, nl, _) = bm25Tables(batch)
+      val inc = np.groupBy(col("term")).agg(count(lit(1)).as("dfinc"))
+      val dictNew = wh.read("bm25_dict")
+        .join(inc, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("dfinc"), lit(0L))).as("df"))
+      val bstats = nl.agg(count(lit(1)).as("bnd"),
+        coalesce(sum(col("dl")), lit(0L)).as("blsum"))
+      val totNew = wh.read("bm25_totals").crossJoin(broadcast(bstats))
+        .select((col("nd") + col("bnd")).as("nd"),
+          (col("lsum") + col("blsum")).as("lsum"))
+      // four INDEPENDENT tables (dict/totals derivations resolved their
+      // base snapshots above): overlap the commit jobs — guide §2.6
+      val ops: Seq[() => Unit] = Seq(
+        () => wh.append("bm25_postings", np),
+        () => wh.append("bm25_doclen", nl),
+        () => wh.atomicPublish("bm25_dict", dictNew),
+        () => wh.atomicPublish("bm25_totals", totNew))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ops.size)
+      try {
+        ops.map(op => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = op()
+        })).foreach(_.get())
+      } finally pool.shutdown()
+    } finally { batch.unpersist(); () }
   }
 
   /** Decrement the derived BM25 aggregates for a deleted-doc set: one
@@ -2094,8 +2111,8 @@ object Text {
     val totNew = wh.read("bm25_totals").crossJoin(broadcast(delStats))
       .select((col("nd") - col("dnd")).as("nd"),
         (col("lsum") - col("dlsum")).as("lsum"))
-    wh.atomicPublish("bm25_dict", dictNew)
-    wh.atomicPublish("bm25_totals", totNew)
+    // independent tables, base snapshots already resolved: overlap
+    wh.atomicPublishAll(Seq("bm25_dict" -> dictNew, "bm25_totals" -> totNew))
   }
 
   /** Serve-side per-term scores from a published BM25 index: postings
