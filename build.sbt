@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the forked main's FINAL stdout line as
+// JSON. sbt's default LoggedOutput re-emits every subprocess line
+// through its logger with an "[info] " prefix — which is why the
+// driver's `parsed` field has been null in every BENCH_rNN since round
+// 1 (the line itself was valid JSON). StdoutOutput passes the forked
+// process's stdout/stderr through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // The bench/verify driver keeps only the tail of the run's output;
 // sbt's "[success] Total time" trailer would displace the tail end of
 // the one-line bench JSON.

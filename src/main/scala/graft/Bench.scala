@@ -213,7 +213,20 @@ object Bench {
     // between this line and end-of-output; "queries" carries the
     // watched subset so the line stays ~0.5 KB regardless of catalog
     // growth — the full map lives in BENCH_DETAIL.json
-    println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"requeued":${requeued.size},"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"probe_floor":${r3(probeFloor)},"probe_max":${r3(if (probes.isEmpty) -1.0 else probes.values.max)},"value_steal_corrected":${r3(stealCorrected)},"detail":"BENCH_DETAIL.json"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":${qmap(watchedRs, r3)},"failed":$failed,"sf":"$sfDir","runs":$runs,"requeued":${requeued.size},"load_start":${r3(loadStart)},"load_end":${r3(loadEnd)},"load_max":${r3(loadMax)},"probe_floor":${r3(probeFloor)},"probe_max":${r3(if (probes.isEmpty) -1.0 else probes.values.max)},"value_steal_corrected":${r3(stealCorrected)},"detail":"BENCH_DETAIL.json"}"""
+    // the compact line is ALSO persisted verbatim (round 19): the
+    // driver's stdout parse had been defeated for 18 rounds by sbt's
+    // "[info] " logger prefix — build.sbt now forwards forked stdout
+    // raw (run / outputStrategy := StdoutOutput), and this file is the
+    // belt-and-suspenders copy a reader can diff against the captured
+    // tail without re-running anything
+    for (path <- Seq("BENCH_LINE.json", "target/bench_line.json")) {
+      val f = new java.io.File(path)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try w.println(line) finally w.close()
+    }
+    println(line)
   }
 }
