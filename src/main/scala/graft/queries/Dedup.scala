@@ -1108,11 +1108,29 @@ object Dedup {
     // larger than either suffix), so candidate generation is
     // LOSSLESS — and the oracle, which states the naive all-pairs
     // semantics, proves that empirically. Candidates then confirm by
-    // exact intersection. No global rank table (the (df, token) pair
-    // IS the sort key — no single-partition row_number), the length
-    // filter τ·max ≤ min prunes before dedup, and the join shuffles
-    // prefix tokens only: rare tokens by construction, so bucket
-    // lists stay short where d2's cap would drop hot shingles.
+    // exact intersection.
+    //
+    // Round-19 refinements (guide §2 skew / §8 lightweight-proxy):
+    //  1. TOKEN-SET collapse before candidate generation: docs whose
+    //     distinct-token SETS are identical are mutually J=1 matches
+    //     and are indistinguishable from each other to every other
+    //     doc, so one representative per set enters the join and
+    //     matches expand back over set members afterwards — the same
+    //     move collapseExact makes for identical TEXTS, applied at the
+    //     granularity the join actually keys on. A boilerplate-heavy
+    //     corpus (the skew case: m docs sharing one template set fan
+    //     out m× in every bucket) turns into ONE prefix row per set.
+    //  2. PPJoin POSITIONAL filter: each prefix token carries its
+    //      1-based rank in the df-sorted order; a shared token at
+    //     ranks (pa, pb) bounds the overlap by min(pa,pb)−1 shared
+    //     tokens before it, itself, and min(na−pa, nb−pb) after —
+    //     pairs whose bound cannot reach ⌈τ/(1+τ)·(na+nb)⌉ are pruned
+    //     BEFORE the distinct/confirm (lossless: the bound is an upper
+    //     bound on the true overlap, so every true match survives; the
+    //     −1e-9 slack only ever ADMITS borderline candidates).
+    // No global rank table (the (df, token) pair IS the sort key — no
+    // single-partition row_number), the length filter τ·max ≤ min
+    // prunes before dedup, and the join shuffles prefix tokens only.
     Q("d20_prefix_filter_join",
       (s, dir) => {
         import s.implicits._
@@ -1125,35 +1143,99 @@ object Dedup {
         val tk = Dedup.collapseExact(Tables.load(s, dir, "documents"))
           .select($"doc_id", array_distinct(TextOps.tokens($"text")).as("tk"))
           .filter(size($"tk") > 0)
+        // set signature = the sorted distinct-token array (exact — no
+        // hash whose collision could fabricate a J=1 pair); sid = the
+        // set's min doc_id, via a window so no self-join re-derives it
+        val mem = tk
+          .select($"doc_id", array_sort($"tk").as("sig"))
+          .withColumn("sid", min($"doc_id").over(
+            Window.partitionBy($"sig")))
           .persist()
-        val toks = tk.select($"doc_id", size($"tk").cast("long").as("n"),
-          explode($"tk").as("tok"))
+        val reps = mem.filter($"doc_id" === $"sid")
+          .select($"sid", $"sig", size($"sig").cast("long").as("n"))
+        val toks = reps.select($"sid", $"n", explode($"sig").as("tok"))
         val df = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
         val prefix = toks.join(df, "tok")
-          .groupBy($"doc_id", $"n")
+          .groupBy($"sid", $"n")
           .agg(array_sort(collect_list(struct($"df", $"tok"))).as("sorted"))
-          .select($"doc_id", $"n",
-            explode(expr(s"slice(sorted, 1, " +
-              s"cast(n - ceil($tau * n) + 1 as int))")).as("p"))
-          .select($"doc_id", $"n", $"p.tok".as("tok"))
-        val cand = prefix.select($"doc_id".as("a_id"), $"n".as("na"), $"tok")
-          .join(prefix.select($"doc_id".as("b_id"), $"n".as("nb"), $"tok"),
+          .select($"sid", $"n", posexplode(expr(s"slice(sorted, 1, " +
+            s"cast(n - ceil($tau * n) + 1 as int))")))
+          .select($"sid", $"n", ($"pos" + 1).cast("long").as("rnk"),
+            $"col.tok".as("tok"))
+        val cand = prefix
+          .select($"sid".as("a_sid"), $"n".as("na"), $"rnk".as("pa"), $"tok")
+          .join(prefix
+            .select($"sid".as("b_sid"), $"n".as("nb"), $"rnk".as("pb"), $"tok"),
             "tok")
-          .filter($"a_id" < $"b_id" &&
-            greatest($"na", $"nb") * tau <= least($"na", $"nb"))
-          .select($"a_id", $"b_id").distinct()
-        cand
-          .join(tk.select($"doc_id".as("a_id"), $"tk".as("a_tk")), "a_id")
-          .join(tk.select($"doc_id".as("b_id"), $"tk".as("b_tk")), "b_id")
-          .select($"a_id", $"b_id",
-            size(array_intersect($"a_tk", $"b_tk")).cast("long").as("inter"),
-            size($"a_tk").cast("long").as("na"),
-            size($"b_tk").cast("long").as("nb"))
-          .select($"a_id", $"b_id", $"inter",
+          .filter($"a_sid" < $"b_sid" &&
+            greatest($"na", $"nb") * tau <= least($"na", $"nb") &&
+            (least($"pa", $"pb") + least($"na" - $"pa", $"nb" - $"pb"))
+              .cast("double") * (1.0 + tau) >= ($"na" + $"nb") * tau - 1e-9 &&
+            // DISTINCT sets can share at most min(na,nb) tokens, and
+            // at most min−1 when na = nb (equal-size distinct sets are
+            // never equal as sets) — post set-collapse every candidate
+            // pair is between distinct sets, so requiring that maximum
+            // to reach ⌈τ/(1+τ)·(na+nb)⌉ is lossless and kills the
+            // equal-length near-miss bulk at high τ (measured 3.15M →
+            // 1.06M pre-distinct rows at sf0.1)
+            (least($"na", $"nb") - when($"na" === $"nb", 1L).otherwise(0L))
+              .cast("double") * (1.0 + tau) >= ($"na" + $"nb") * tau - 1e-9)
+          .select($"a_sid", $"b_sid").distinct()
+        // HASHED pre-confirm (exact, two-phase): each set's token-hash
+        // array (xxhash64, sorted) intersects ~3× cheaper than the
+        // string arrays. With no intra-set collision (hsafe: the
+        // hashed set kept its cardinality), cross-set collisions can
+        // only INFLATE the hash intersection, so |h(A)∩h(B)| is an
+        // upper bound on |A∩B| — pairs whose bound can't reach
+        // ⌈τ/(1+τ)·(na+nb)⌉ are pruned losslessly, and the exact
+        // string intersect below runs only on survivors (~matches +
+        // collisions). A set with an internal collision skips the
+        // pre-filter entirely and goes straight to the exact confirm.
+        val repsH = reps.select($"sid",
+            expr("array_sort(transform(sig, t -> xxhash64(t)))").as("hsig"),
+            $"n")
+          .select($"sid", $"hsig", $"n",
+            (size(array_distinct($"hsig")) === $"n").as("hsafe"))
+        val candH = cand
+          .join(repsH.select($"sid".as("a_sid"), $"hsig".as("a_h"),
+            $"n".as("na"), $"hsafe".as("a_safe")), "a_sid")
+          .join(repsH.select($"sid".as("b_sid"), $"hsig".as("b_h"),
+            $"n".as("nb"), $"hsafe".as("b_safe")), "b_sid")
+          .filter(!$"a_safe" || !$"b_safe" ||
+            size(array_intersect($"a_h", $"b_h")).cast("double") * (1.0 + tau)
+              >= ($"na" + $"nb") * tau - 1e-9)
+          .select($"a_sid", $"b_sid")
+        val setPairs = candH
+          .join(reps.select($"sid".as("a_sid"), $"sig".as("a_sig")), "a_sid")
+          .join(reps.select($"sid".as("b_sid"), $"sig".as("b_sig")), "b_sid")
+          .select($"a_sid", $"b_sid",
+            size(array_intersect($"a_sig", $"b_sig")).cast("long").as("inter"),
+            size($"a_sig").cast("long").as("na"),
+            size($"b_sig").cast("long").as("nb"))
+          .select($"a_sid", $"b_sid", $"inter",
             ($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
               .as("jaccard"))
           .filter($"jaccard" >= tau)
-          .orderBy($"a_id", $"b_id")
+        // matched set pairs expand over both sets' members; pair
+        // canonicalization (least/greatest) keeps a_id < b_id, and
+        // inter/jaccard are symmetric so the expanded rows carry the
+        // representative pair's exact values
+        val cross = setPairs
+          .join(mem.select($"sid".as("a_sid"), $"doc_id".as("xa")), "a_sid")
+          .join(mem.select($"sid".as("b_sid"), $"doc_id".as("xb")), "b_sid")
+          .select(least($"xa", $"xb").as("a_id"),
+            greatest($"xa", $"xb").as("b_id"), $"inter", $"jaccard")
+        // within-set pairs: identical sets, inter = n and jaccard =
+        // n/(n+n−n) = n/n — exactly 1.0 in IEEE for any finite n > 0,
+        // so the literal is bit-identical to the division the confirm
+        // would have computed
+        val within = mem
+          .select($"sid", $"doc_id".as("a_id"),
+            size($"sig").cast("long").as("inter"))
+          .join(mem.select($"sid", $"doc_id".as("b_id")), "sid")
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id", $"inter", lit(1.0).as("jaccard"))
+        within.unionByName(cross).orderBy($"a_id", $"b_id")
       },
       Some(s"""WITH reps AS (
           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
