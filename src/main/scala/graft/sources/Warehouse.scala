@@ -3127,7 +3127,8 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     * per-trigger cost bounded by that window's commits.
     */
   def changes(name: String, fromV: Long, toV: Long,
-      collapseUnchanged: Boolean = true): DataFrame = {
+      collapseUnchanged: Boolean = true,
+      parallelCompose: Boolean = false): DataFrame = {
     require(manifest, "the change feed requires manifest mode")
     require(fromV >= 0 && fromV <= toV,
       s"changes($name): need 0 <= fromV <= toV, got ($fromV, $toV)")
@@ -3196,11 +3197,21 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
     // per-version file lists and DV frames are resolved ONCE up front;
     // the loop below only composes plans (v0 = the synthetic empty set)
     val versions: Seq[(Long, Set[String])] =
-      chainDown.reverse.map(v =>
-        v -> (if (v == 0L) Set.empty[String]
-              else readManifest(fs, manifestOf(v)).toSet))
-    val perVersion: Seq[DataFrame] = versions.sliding(2).toSeq.flatMap {
-      case Seq((pv, prev), (v, cur)) =>
+      Warehouse.prof(s"cdf: manifests v$fromV..v$toV")(
+        chainDown.reverse.map(v =>
+          v -> (if (v == 0L) Set.empty[String]
+                else readManifest(fs, manifestOf(v)).toSet)))
+    // per-version deltas are independent of each other: compose them
+    // from a small driver pool (guide §2.6 — each compose mixes
+    // driver-side Catalyst analysis with one or two tiny DV-pruning
+    // jobs, so overlapping them hides both the analysis CPU and the
+    // job-launch latency; results reassemble in version order, so the
+    // emitted union is byte-identical to the sequential build)
+    val versionPairs = versions.sliding(2).toSeq
+      .collect { case Seq(a, b) => (a, b) }
+    def composeOne(pv: Long, prev: Set[String], v: Long,
+        cur: Set[String]): Option[DataFrame] =
+      Warehouse.prof(s"cdf: compose v$v") {
         val kind = commitKind(name, v)
         if (kind.exists(k => k == "optimize" || k == "maintain")) None
         else {
@@ -3288,8 +3299,31 @@ class Warehouse(spark: SparkSession, dir: String, val manifest: Boolean = false,
             .map(_.withColumn("_commit_version", lit(v))
               .withColumn("_commit_timestamp", commitTsCol(name, v)))
         }
-      case _ => None
-    }
+      }
+    // `parallelCompose` is OPT-IN (the streaming source's getBatch
+    // turns it on): the SQL `changes(...)` table function reaches this
+    // method from inside SessionCatalog.lookupFunction — the calling
+    // thread HOLDS the catalog monitor, and pool threads need that
+    // same monitor for their own plan analysis, a guaranteed deadlock
+    // (observed: main parked on the pool future, pool thread BLOCKED
+    // on the catalog). Callers that own no analyzer locks may overlap.
+    val perVersion: Seq[DataFrame] =
+      if (versionPairs.size <= 1 || !parallelCompose)
+        versionPairs.flatMap { case ((pv, prev), (v, cur)) =>
+          composeOne(pv, prev, v, cur) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, versionPairs.size))
+        try versionPairs.map { case ((pv, prev), (v, cur)) =>
+          pool.submit(new java.util.concurrent.Callable[Option[DataFrame]] {
+            def call(): Option[DataFrame] = composeOne(pv, prev, v, cur)
+          })
+        }.flatMap(f => try f.get() catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        })
+        finally pool.shutdown()
+      }
     perVersion.reduceOption(_.unionByName(_, allowMissingColumns = true))
       .getOrElse {
         // empty feed, correct schema: the current snapshot's columns

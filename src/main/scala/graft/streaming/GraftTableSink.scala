@@ -102,7 +102,10 @@ class GraftTableSink(ctx: SQLContext, parameters: Map[String, String],
 
   private val wh = new Warehouse(ctx.sparkSession, root, manifest = true)
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+  override def addBatch(batchId: Long, data: DataFrame): Unit =
+    Warehouse.prof(s"sink: addBatch($mode)")(addBatch0(batchId, data))
+
+  private def addBatch0(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.BatchAsStream.rebatch(data)
     val ran = wh.commitIfNewEpoch(table, appId, batchId) {
       mode match {
@@ -143,24 +146,38 @@ class GraftTableSink(ctx: SQLContext, parameters: Map[String, String],
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_commit_version").desc,
         when(col("_change_type") === "insert", 1).otherwise(0).desc)
+    // PERSIST the collapsed per-key state (round 19): the merge
+    // consumes its source TWICE (matched pairs, then the not-matched
+    // anti-join+count), and this source's lineage is the whole CDC
+    // feed — per-version manifest scans, DV joins and exceptAll churn
+    // cancellation. Unpersisted, that feed executed once per consumer
+    // (the measured bulk of a drain); cached, it runs once and both
+    // merge passes read KB of collapsed rows. Cost ∝ batch, guide §5's
+    // "reused AND expensive to recompute" case exactly.
     val last = batch.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
       .select(dataCols.map(col) :+ col("_change_type"): _*)
-    if (!wh.exists(table)) {
-      // first batch bootstraps the replica from the feed's net inserts
-      wh.atomicPublish(table,
-        last.where(col("_change_type") === "insert").drop("_change_type"),
-        partitionColumns)
-    } else {
-      val assigns = dataCols.map(c => c -> col(s"_src_$c")).toMap
-      wh.mergeRows(table, last, keys.map(k => k -> k),
-        matched = Seq(
-          Warehouse.MergeDeleteClause(
-            Some(col("_src__change_type") === "delete")),
-          Warehouse.MergeUpdateClause(None, assigns)),
-        notMatched = Seq(Warehouse.MergeInsertClause(
-          Some(col("_src__change_type") === "insert"), assigns)),
-        notMatchedBySource = Nil)
+      .persist()
+    try {
+      if (!wh.exists(table)) {
+        // first batch bootstraps the replica from the feed's net inserts
+        wh.atomicPublish(table,
+          last.where(col("_change_type") === "insert").drop("_change_type"),
+          partitionColumns)
+      } else {
+        val assigns = dataCols.map(c => c -> col(s"_src_$c")).toMap
+        wh.mergeRows(table, last, keys.map(k => k -> k),
+          matched = Seq(
+            Warehouse.MergeDeleteClause(
+              Some(col("_src__change_type") === "delete")),
+            Warehouse.MergeUpdateClause(None, assigns)),
+          notMatched = Seq(Warehouse.MergeInsertClause(
+            Some(col("_src__change_type") === "insert"), assigns)),
+          notMatchedBySource = Nil)
+      }
+    } finally {
+      last.unpersist()
+      ()
     }
   }
 

@@ -67,12 +67,29 @@ object StreamTune {
     */
   def scoped[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // At n == 1 every shuffle in the drain has a single partition, so
+    // AQE has nothing to coalesce or skew-split — but it still splits
+    // each batch action into one Spark job per query stage, and a
+    // micro-batch drain is exactly the death-by-tiny-jobs regime where
+    // the per-job driver latency (plan + schedule, measured 15-170 ms
+    // per job on s51's drains) dominates the work itself. Disable it
+    // for the drain's scope in that degenerate case only; any derived
+    // n > 1 (a real per-trigger volume) keeps the session's AQE.
+    val aqeKey = "spark.sql.adaptive.enabled"
     val old = spark.conf.getOption(key)
+    val oldAqe = if (n == 1) spark.conf.getOption(aqeKey) else None
     spark.conf.set(key, n.toString)
+    if (n == 1) spark.conf.set(aqeKey, "false")
     try body
-    finally old match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      if (n == 1) oldAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
     }
   }
 
