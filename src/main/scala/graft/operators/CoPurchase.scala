@@ -39,10 +39,40 @@ object CoPurchase {
     val nCol = "n_" + groupCol
     val paired = maxDegree match {
       case None =>
-        incidences.select(g, col(itemCol).as("p1"))
-          .join(incidences.select(g, col(itemCol).as("p2")), Seq(groupCol))
+        // Exact/uncapped — but SKEW-SAFE (guide §2.5): a plain
+        // self-join on the group key funnels a hot group's whole
+        // C(deg,2) fanout through ONE shuffle key/task. Groups are
+        // split by measured degree: normal groups (deg ≤ B) keep the
+        // plain equi-join; a hot group's right side is SALTED by
+        // pmod(xxhash64(item), k) with k = ⌈deg/B⌉ and its left side
+        // replicated across the k salts, so the join key (group, salt)
+        // spreads the same pair volume over k tasks with ≤ B build
+        // rows each. Every unordered pair is produced exactly twice
+        // ((x,y) at y's salt and (y,x) at x's salt) and p1 < p2 keeps
+        // one — the emitted multiset is identical to the plain join's,
+        // so counts (and the oracle hash) are unchanged. B is
+        // parameterized; deg ≤ B groups pay only the degree
+        // aggregation (map-side combined, |groups| rows shuffled).
+        val B = incidences.sparkSession.conf
+          .getOption("spark.graft.copurchase.saltDegree")
+          .flatMap(_.toLongOption).getOrElse(256L)
+        val inc = incidences.select(g, col(itemCol).as("_it"))
+        val deg = inc.groupBy(g).agg(count(lit(1)).as("_deg"))
+        val withDeg = inc.join(deg, Seq(groupCol))
+        val cold = withDeg.filter(col("_deg") <= B)
+        val hot = withDeg.filter(col("_deg") > B)
+          .withColumn("_k", ceil(col("_deg").cast("double") / B).cast("long"))
+        val coldPairs = cold.select(g, col("_it").as("p1"))
+          .join(cold.select(g, col("_it").as("p2")), Seq(groupCol))
+        val hotPairs = hot
+          .select(g, col("_it").as("p1"),
+            explode(sequence(lit(0L), col("_k") - 1L)).as("_s"))
+          .join(hot.select(g, col("_it").as("p2"),
+            pmod(xxhash64(col("_it")), col("_k")).as("_s")),
+            Seq(groupCol, "_s"))
+        coldPairs.select(col("p1"), col("p2"))
+          .unionByName(hotPairs.select(col("p1"), col("p2")))
           .filter(col("p1") < col("p2"))
-          .select(col("p1"), col("p2"))
       case Some(cap) =>
         val capAgg = udaf(new CappedDocListAgg(cap))
         incidences

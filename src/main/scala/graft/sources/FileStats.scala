@@ -276,7 +276,29 @@ object FileStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val parquetFiles = relFiles.filter(_.endsWith(".parquet"))
     if (parquetFiles.size <= distributedThreshold) {
-      parquetFiles.map(f => f -> footerAll(conf, s"$versionDir/$f")).toMap
+      if (parquetFiles.size <= 2)
+        parquetFiles.map(f => f -> footerAll(conf, s"$versionDir/$f")).toMap
+      else {
+        // driver-side but CONCURRENT: each footer open is an
+        // independent ~ms metadata read, and a 30-file version read
+        // sequentially was a measurable slice of every commit (guide
+        // §2.6 overlap — no Spark job needed at this size)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, parquetFiles.size))
+        try parquetFiles.map { f =>
+          f -> pool.submit(new java.util.concurrent.Callable[
+            (Map[String, ColStat], RowStat)] {
+            def call(): (Map[String, ColStat], RowStat) =
+              footerAll(conf, s"$versionDir/$f")
+          })
+        }.map { case (f, fut) =>
+          f -> (try fut.get() catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          })
+        }.toMap
+        finally pool.shutdown()
+      }
     } else {
       val keep = Seq("fs.", "dfs.", "io.", "hadoop.", "parquet.")
       val entries = conf.iterator().asScala.map(e => e.getKey -> e.getValue)

@@ -315,4 +315,30 @@ class OperatorsSpec extends SparkSpec {
       key(graft.operators.CoPurchase.pairs(small, "cust", "part", 2)),
       "cap must be a no-op below the degree threshold")
   }
+
+  test("CoPurchase uncapped: salted hot-group path emits exactly the plain self-join pairs") {
+    import spark.implicits._
+    // a 600-part hub plus normal baskets; saltDegree lowered to 64 so
+    // the hub (and only the hub) takes the salted route: k = ⌈600/64⌉
+    // salts, left side replicated k ways, right side salted by item
+    // hash — the emitted pair multiset must be identical to the plain
+    // self-join's (pairs within one salt + across salts, each once)
+    val hub = spark.range(0, 600).select(lit(0L).as("cust"), $"id".as("part"))
+    val normal = spark.range(1, 31).select($"id".as("cust"),
+      explode(sequence($"id" % 20 + 1, $"id" % 20 + 8)).as("part"))
+    val inc = hub.unionByName(normal)
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"p1".cast("long"), $"p2".cast("long"), $"n_cust")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.copurchase.saltDegree", "100000")
+    val plain = key(graft.operators.CoPurchase.pairs(inc, "cust", "part", 1))
+    spark.conf.set("spark.graft.copurchase.saltDegree", "64")
+    try {
+      val salted = key(graft.operators.CoPurchase.pairs(inc, "cust", "part", 1))
+      assert(salted === plain,
+        "salted pair generation must be output-identical to the plain join")
+      assert(plain.size >= 600L * 599 / 2,
+        "hub pairs must all be present (nothing dropped by salting)")
+    } finally spark.conf.unset("spark.graft.copurchase.saltDegree")
+  }
 }
