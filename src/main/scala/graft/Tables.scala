@@ -50,6 +50,25 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive compute spreading for per-row-EXPENSIVE pipelines
+    * (shingling, tokenization, hashing): when the planned scan yields
+    * fewer partitions than the session's shuffle parallelism — the
+    * small-file / single-file corpus case, where a 64-perm MinHash
+    * pass was measured running on 1-3 of 32 cores — round-robin
+    * repartition up to that parallelism so the expression work uses
+    * the machine (guide §2.5, "one huge unsplittable file: repartition
+    * immediately after the read"). A corpus-scale input (at least as
+    * many splits as the session parallelism) passes through UNTOUCHED,
+    * so this never adds a shuffle where the scan already parallelizes;
+    * round-robin keeps Spark's sort-before-repartition determinism.
+    * Only worth it when downstream per-row work dwarfs one pass of
+    * shuffle I/O over the rows — callers choose.
+    */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   /** `spark.read.parquet(path)` minus the one-task schema-inference
     * JOB: the footer is read driver-side (ParquetSchema.infer — the
     * same conversion inference performs, honoring the live session

@@ -41,7 +41,10 @@ object Dedup {
   }
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shingledFrom(Tables.load(s, dir, "documents"))
+    // spread BEFORE the shingle expression: the 3-gram explode +
+    // MinHash work downstream is the family's dominant per-row cost
+    // and must not run at a small scan's 1-3-task parallelism
+    shingledFrom(Tables.spread(Tables.load(s, dir, "documents")))
 
   /** Shared: exact 3-gram Jaccard pairs ≥ tau with a stop-shingle
     * doc-frequency cap. One bounded-buffer aggregation on the shingle
